@@ -1,0 +1,23 @@
+#!/bin/bash
+# Dev loop: compile, run graft.Verify on a scale factor, compare every query
+# against its DuckDB oracle (mirrors the driver's t2 correctness gate).
+# Usage: scripts/dev_verify.sh [sfdir] [outdir]
+set -e
+SF=${1:-/root/testdata/sf0.01}
+OUT=${2:-/tmp/verify_out}
+cd /root/repo
+sbt -batch compile 2>&1 | grep -E 'error|warn]' || true
+ADD_OPENS=""
+for p in java.base/java.lang java.base/java.lang.invoke java.base/java.lang.reflect \
+         java.base/java.io java.base/java.net java.base/java.nio java.base/java.util \
+         java.base/java.util.concurrent java.base/java.util.concurrent.atomic \
+         java.base/sun.nio.ch java.base/sun.nio.cs java.base/sun.security.action \
+         java.base/sun.util.calendar; do
+  ADD_OPENS="$ADD_OPENS --add-opens $p=ALL-UNNAMED"
+done
+rm -rf "$OUT"
+java $ADD_OPENS -Xmx8g \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
+  graft.Verify "$SF" "$OUT" 2>&1 | grep -vE '^(2[0-9]|WARN|INFO)' || true
+python3 scripts/check_oracle.py "$SF" "$OUT"
