@@ -6,7 +6,10 @@ set -e
 SF=${1:-/root/testdata/sf0.01}
 OUT=${2:-/tmp/verify_out}
 cd /root/repo
-sbt -batch compile 2>&1 | grep -E 'error|warn]' || true
+# Abort on compile failure (a grep-decided exit status previously let stale
+# classes masquerade as PASS — ADVICE r1).
+sbt -batch compile > /tmp/sbt_compile.log 2>&1 || { cat /tmp/sbt_compile.log; exit 1; }
+grep -E '\[(error|warn)\]' /tmp/sbt_compile.log || true
 ADD_OPENS=""
 for p in java.base/java.lang java.base/java.lang.invoke java.base/java.lang.reflect \
          java.base/java.io java.base/java.net java.base/java.nio java.base/java.util \

@@ -1,5 +1,20 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, expr, xxhash64}
+
+/** Benchmark main (driver contract): one JSON line with per-query seconds.
+  *
+  * Harness rules (VERDICT r1 #7):
+  *  - deterministic (sorted) query order, so no query silently absorbs
+  *    JIT/codegen warm-up for the others;
+  *  - a full warm-up pass first, so timed numbers measure the plan, not
+  *    first-touch class loading;
+  *  - evaluation is forced with a hash-aggregate over EVERY output column —
+  *    `.count()` would let Catalyst prune away the very expressions under
+  *    test;
+  *  - failures are surfaced (stderr + "errors" map + value -1), never
+  *    swallowed into a fast-looking number.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -14,15 +29,35 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    /** Run one query to completion, touching every output column. */
+    def force(name: String): Option[String] =
+      try {
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        // bit_xor, not sum: a 60M-row sum of 64-bit hashes overflows under
+        // ANSI mode; xor is order-insensitive and cannot overflow.
+        df.select(xxhash64(df.columns.map(col): _*).as("h"))
+          .agg(expr("bit_xor(h)")).collect()
+        None
+      } catch { case e: Throwable =>
+        Some(e.toString.replaceAll("\\s+", " ").take(300))
+      }
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    names.foreach(force) // warm-up: classloading, codegen, parquet footers
+    val timed = names.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err = force(name)
+      val sec = (System.nanoTime() - t0) / 1e9
+      err.foreach(m => System.err.println(s"[bench] $name FAILED: $m"))
+      (name, if (err.isEmpty) sec else -1.0, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val qs = timed.map { case (k, v, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val errs = timed.collect { case (k, _, Some(m)) => s"${jstr(k)}:${jstr(m)}" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = timed.collect { case (_, v, None) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -13,11 +13,13 @@ object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     *
-    * Revenue per region: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region with
-    * the dimension chain broadcast (all tiny next to lineitem), one shuffle
-    * for the final aggregate. This is the plan shape every big join in the
-    * engine aims for at 100 TB: fact table scanned once, dims broadcast, agg
-    * partial before the exchange.
+    * Revenue per region: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region.
+    * Only the genuinely bounded dimensions (customer/nation/region) are
+    * broadcast; orders is fact-scale (grows with the data), so
+    * lineitem ⋈ orders stays a shuffle join on `o_orderkey` — AQE picks the
+    * physical strategy. The aggregate is partial before its exchange. That is
+    * the 100 TB plan shape: facts shuffled on their join key, true dims
+    * broadcast, nothing unbounded ever materialized on one node.
     */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
@@ -26,11 +28,11 @@ object SparkEntry {
     val c   = Tables.customer(spark, dir)
     val n   = Tables.nation(spark, dir)
     val r   = Tables.region(spark, dir)
-    val dims = broadcast(
+    val dims =
       o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
-        .select(o("o_orderkey"), r("r_name")))
+        .select(o("o_orderkey"), r("r_name"))
     li.join(dims, li("l_orderkey") === dims("o_orderkey"))
       .groupBy(col("r_name"))
       .agg(

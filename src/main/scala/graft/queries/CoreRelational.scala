@@ -166,11 +166,14 @@ object CoreRelational {
           .select(
             col("event_id"),
             get_json_object(col("props"), "$.k").as("k_str"),
-            get_json_object(col("props"), "$.k").cast("long").as("k_val"),
+            // try_cast, not cast: Verify/Bench leave ANSI mode on, so a
+            // malformed $.k must yield null (as DuckDB's TRY_CAST does), not
+            // throw (SURVEY.md §7.4; ADVICE r1).
+            get_json_object(col("props"), "$.k").try_cast("long").as("k_val"),
             get_json_object(col("props"), "$.missing").as("absent"))
           .orderBy("event_id"),
       Some("""SELECT event_id, json_extract_string(props, '$.k') AS k_str,
-             |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+             |       TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
              |       json_extract_string(props, '$.missing') AS absent
              |FROM events ORDER BY event_id""".stripMargin)
     )
