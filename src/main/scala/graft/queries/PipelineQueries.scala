@@ -1,5 +1,93 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Scalars
+import graft.operators.Relational
+
+/** Pipeline-composite queries — the reference's two *serving/export* paths
+  * composed end-to-end from the engine's combinators (SURVEY.md §2.1 S7/S8,
+  * §7.1 `pipeline`):
+  *
+  *  - S7 `GET /pets` JSON shape: `{"count": n, "pets": [...]}`
+  *    (server.py:463-490) — the reference's single most-used endpoint.
+  *  - S8 CSV export encoding: fixed 17-column projection with ""-fill
+  *    (P1, pet_scraper.py:341-361), booleans encoded "True"/"False"/""
+  *    (X5, pet_scraper.py:439-443), newlines escaped to literal \n
+  *    (X4, pet_scraper.py:415-417) — i.e. `GET /pets.csv`
+  *    (server.py:493-518, docs/index.html:373-375).
+  *
+  * Scale posture: S7's total count is a 1-row aggregate broadcast-joined onto
+  * the rows (no global window, no collect); S8 is a pure horizontal
+  * projection — both embarrassingly parallel at 100 TB.
+  */
 object PipelineQueries {
-  val queries: Seq[GraftQuery] = Seq()
+
+  private def parseBooleanSql(in: String): String = {
+    val t   = s"trim(lower($in))"
+    val neg = Scalars.NegativeIndicators.map(s => s"contains($t, '$s')").mkString(" OR ")
+    val pos = Scalars.PositiveIndicators.map(s => s"contains($t, '$s')").mkString(" OR ")
+    s"""CASE WHEN $in IS NULL OR $in = '' THEN NULL
+       |     WHEN $neg THEN FALSE
+       |     WHEN $pos THEN TRUE
+       |     ELSE length($t) > 0 END""".stripMargin
+  }
+
+  /** Declared export column order for the documents-shaped export (the P1
+    * analog of get_pet_csv_fields; `image` is deliberately absent from the
+    * source so the ""-fill path is exercised).
+    */
+  private val ExportCols = Seq("link", "pet_type", "about_me", "vaccinated", "image")
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    // S7: the {count, pets} serving shape. The count is computed once as a
+    // 1-row aggregate and broadcast onto every row — the distributed version
+    // of `jsonify({"count": len(pets), "pets": pets})`.
+    GraftQuery(
+      "q_export_json_shape",
+      "GET /pets shape: total count stamped on every served row",
+      (s, dir) => {
+        val pets  = Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        val total = pets.agg(count(lit(1)).as("total_count"))
+        pets.crossJoin(broadcast(total))
+          .select(col("total_count"), col("c_custkey"), col("c_name"), col("c_mktsegment"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT (SELECT count(*) FROM customer) AS total_count,
+             |       c_custkey, c_name, c_mktsegment
+             |FROM customer ORDER BY c_custkey""".stripMargin)
+    ),
+
+    // S8 + P1: the CSV export encoding pipeline. Source columns are renamed
+    // into the pets shape, booleans go through the X2 parse (with its quirks)
+    // then the X5 encode, about-text through the X4 escape, and
+    // fixedProjection imposes the declared column order with ""-fill for the
+    // absent `image` column.
+    GraftQuery(
+      "q_csv_export_encode",
+      "CSV export row encoding: fixed column order, bool encode, newline escape",
+      (s, dir) => {
+        val staged = Tables.documents(s, dir)
+          .select(
+            concat(lit("doc:"), col("doc_id")).as("link"),
+            col("lang").as("pet_type"),
+            Scalars.escapeNewlines(
+              concat(coalesce(col("text"), lit("")), lit("\r\n"), col("source"))).as("about_me"),
+            Scalars.encodeBool(Scalars.parseBoolean(col("lang"))).as("vaccinated"))
+        Relational.fixedProjection(staged, ExportCols).orderBy("link")
+      },
+      Some(s"""SELECT 'doc:' || doc_id AS link,
+              |       coalesce(lang, '') AS pet_type,
+              |       replace(replace(coalesce(text, '') || chr(13) || chr(10) || source,
+              |                       chr(13), '\\n'), chr(10), '\\n') AS about_me,
+              |       CASE WHEN b IS NULL THEN '' WHEN b THEN 'True' ELSE 'False' END AS vaccinated,
+              |       '' AS image
+              |FROM (SELECT doc_id, lang, text, source, ${parseBooleanSql("lang")} AS b
+              |      FROM documents) t
+              |ORDER BY link""".stripMargin)
+    )
+  )
 }

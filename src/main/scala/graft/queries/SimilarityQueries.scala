@@ -1,5 +1,163 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** E2 similarity-search family (SURVEY.md §2.11; BASELINE north star) over
+  * the `embeddings` table: brute-force cosine top-k as the exact baseline and
+  * a random-hyperplane (sign-bit LSH) bucketed variant as the 100 TB scale
+  * path — the ANN pattern where only vectors sharing a bucket are compared.
+  *
+  * Oracle parity: embeddings are integer-quantized (`round(x*1000)`) first, so
+  * every dot product is exact integer arithmetic; the quantized products stay
+  * far below 2^53, so DuckDB's double-typed `list_dot_product` over the same
+  * integers is bit-exact too. Cosines divide identical integers through
+  * identical IEEE-754 sqrt/multiply/divide, so ranking and rounded outputs
+  * agree bit-for-bit (SURVEY.md §7.4#2 handled by construction).
+  */
 object SimilarityQueries {
-  val queries: Seq[GraftQuery] = Seq()
+
+  /** Integer-quantized embedding (float → round(x*1000) as BIGINT). */
+  private val quantSql = "transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))"
+
+  /** Exact integer dot product (Spark SQL text). */
+  private def dotSql(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0 as bigint), (acc, v) -> acc + v)"
+
+  /** 60-bit md5 hash of a string, computed HERE (driver side, at class init)
+    * with the same construction as [[graft.functions.Scalars.hexHash60]] —
+    * used to derive the deterministic pseudo-random hyperplanes that both
+    * engines then receive as identical literals.
+    */
+  private def hash60(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+
+  private val Dim     = 64
+  private val NPlanes = 8
+
+  /** Random-hyperplane matrix: component (s,d) = hash60("s:d") mod 2001 −
+    * 1000, i.e. deterministic pseudo-random in [−1000, 1000]. Inlined as SQL
+    * literals on both sides, so no per-row hashing.
+    */
+  private val Planes: Seq[Seq[Long]] =
+    (0 until NPlanes).map(s => (0 until Dim).map(d => hash60(s + ":" + d) % 2001 - 1000))
+
+  private def planeArraySql(p: Seq[Long])  = p.mkString("array(", ", ", ")")
+  private def planeListDuck(p: Seq[Long])  = p.mkString("[", ", ", "]")
+
+  /** Spark SQL for the 8-bit LSH bucket of quantized vector column `q`. */
+  private val bucketSql: String =
+    Planes.zipWithIndex.map { case (p, s) =>
+      s"shiftleft(cast(if(${dotSql("q", planeArraySql(p))} > 0, 1, 0) as bigint), $s)"
+    }.mkString(" + ")
+
+  /** DuckDB SQL for the same bucket over quantized list column `q`. */
+  private val duckBucketSql: String =
+    Planes.zipWithIndex.map { case (p, s) =>
+      s"(CASE WHEN list_dot_product(q::DOUBLE[], ${planeListDuck(p)}::DOUBLE[]) > 0 THEN 1::BIGINT ELSE 0::BIGINT END << $s)"
+    }.mkString(" + ")
+
+  /** Probe set: every 50th vector — the "query workload" side of the ANN scan. */
+  private val ProbeMod = 50
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    // E2a brute-force cosine top-k: probe set × full corpus, exact. The scan
+    // is linear in the corpus and embarrassingly parallel; the probe side is
+    // tiny and broadcast. This is the recall-1.0 baseline the LSH variant is
+    // judged against.
+    GraftQuery(
+      "q_cosine_topk",
+      "exact cosine top-3 neighbors for every 50th vector (brute force)",
+      (s, dir) => {
+        val base = Tables.embeddings(s, dir)
+          .filter(size(col("embedding")) === Dim)
+          .withColumn("q", expr(quantSql))
+          .withColumn("n2", expr(dotSql("q", "q")))
+          .filter(col("n2") > 0)
+          .select("vec_id", "q", "n2")
+        val probes = base.filter(col("vec_id") % ProbeMod === 0)
+          .select(col("vec_id").as("qid"), col("q").as("qq"), col("n2").as("qn"))
+        base.join(broadcast(probes), col("vec_id") =!= col("qid"))
+          .withColumn("cos", expr(
+            s"cast(${dotSql("qq", "q")} as double) / (sqrt(cast(qn as double)) * sqrt(cast(n2 as double)))"))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)))
+          .filter(col("rank") <= 3)
+          .select(col("qid"), col("rank").cast("long").as("rank"), col("vec_id").as("neighbor"),
+            round(col("cos"), 4).as("cos_r"))
+          .orderBy("qid", "rank")
+      },
+      Some(s"""WITH n AS (
+              |  SELECT vec_id, q, list_dot_product(q::DOUBLE[], q::DOUBLE[]) AS n2
+              |  FROM (SELECT vec_id,
+              |               list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+              |        FROM embeddings WHERE len(embedding) = $Dim) t
+              |  WHERE list_dot_product(q::DOUBLE[], q::DOUBLE[]) > 0),
+              |probes AS (SELECT vec_id AS qid, q AS qq, n2 AS qn FROM n WHERE vec_id % $ProbeMod = 0),
+              |scored AS (
+              |  SELECT p.qid, v.vec_id AS neighbor,
+              |         list_dot_product(p.qq::DOUBLE[], v.q::DOUBLE[]) / (sqrt(p.qn) * sqrt(v.n2)) AS cos
+              |  FROM n v, probes p WHERE v.vec_id <> p.qid)
+              |SELECT qid, rank, neighbor, round(cos, 4) AS cos_r FROM (
+              |  SELECT qid, neighbor, cos,
+              |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor) AS rank
+              |  FROM scored) r
+              |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin)
+    ),
+
+    // E2b sign-bit LSH ANN: 8 deterministic random hyperplanes → 8-bit bucket
+    // (the IVF/coarse-quantizer analog); probes only compare against vectors
+    // in THEIR bucket. At 100 TB this is the shape that matters: one shuffle
+    // on the bucket id, pairwise work bounded per bucket, corpus never
+    // pairwise-scanned. Recall < 1.0 by design — judged against E2a.
+    GraftQuery(
+      "q_ann_lsh",
+      "LSH-bucketed cosine top-3 (8 random hyperplanes, in-bucket search)",
+      (s, dir) => {
+        val base = Tables.embeddings(s, dir)
+          .filter(size(col("embedding")) === Dim)
+          .withColumn("q", expr(quantSql))
+          .withColumn("n2", expr(dotSql("q", "q")))
+          .filter(col("n2") > 0)
+          .withColumn("bucket", expr(bucketSql))
+          .select("vec_id", "q", "n2", "bucket")
+        val probes = base.filter(col("vec_id") % ProbeMod === 0)
+          .select(col("vec_id").as("qid"), col("q").as("qq"),
+            col("n2").as("qn"), col("bucket"))
+        base.join(probes, Seq("bucket"))
+          .filter(col("vec_id") =!= col("qid"))
+          .withColumn("cos", expr(
+            s"cast(${dotSql("qq", "q")} as double) / (sqrt(cast(qn as double)) * sqrt(cast(n2 as double)))"))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)))
+          .filter(col("rank") <= 3)
+          .select(col("qid"), col("rank").cast("long").as("rank"), col("vec_id").as("neighbor"),
+            round(col("cos"), 4).as("cos_r"))
+          .orderBy("qid", "rank")
+      },
+      Some(s"""WITH n AS (
+              |  SELECT vec_id, q, list_dot_product(q::DOUBLE[], q::DOUBLE[]) AS n2
+              |  FROM (SELECT vec_id,
+              |               list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+              |        FROM embeddings WHERE len(embedding) = $Dim) t
+              |  WHERE list_dot_product(q::DOUBLE[], q::DOUBLE[]) > 0),
+              |b AS (SELECT vec_id, q, n2, $duckBucketSql AS bucket FROM n),
+              |probes AS (SELECT vec_id AS qid, q AS qq, n2 AS qn, bucket FROM b WHERE vec_id % $ProbeMod = 0),
+              |scored AS (
+              |  SELECT p.qid, v.vec_id AS neighbor,
+              |         list_dot_product(p.qq::DOUBLE[], v.q::DOUBLE[]) / (sqrt(p.qn) * sqrt(v.n2)) AS cos
+              |  FROM b v JOIN probes p ON v.bucket = p.bucket AND v.vec_id <> p.qid)
+              |SELECT qid, rank, neighbor, round(cos, 4) AS cos_r FROM (
+              |  SELECT qid, neighbor, cos,
+              |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor) AS rank
+              |  FROM scored) r
+              |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin)
+    )
+  )
 }

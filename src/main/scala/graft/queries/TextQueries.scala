@@ -1,5 +1,192 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** E3 text-analysis family (SURVEY.md §2.11; BASELINE north star): corpus
+  * statistics, language-ID, quality scoring, token counting, and document
+  * fingerprinting over the `documents` table — the per-document profiling
+  * stage of an LLM training-data pipeline, generalizing the reference's
+  * per-field quality gates (pet_scraper.py:364-407).
+  *
+  * Scale posture (100 TB): every query is a horizontal per-row expression
+  * pipeline (whole-stage-codegen'd built-ins, no UDFs) followed by at most one
+  * hash-partitioned groupBy on a low-cardinality key — the canonical
+  * map-side-combine shape. No windows, no joins, no driver state.
+  *
+  * Oracle parity: all scores are integer counts or integer-threshold CASE
+  * buckets — no float division anywhere (SURVEY.md §7.4#2).
+  */
 object TextQueries {
-  val queries: Seq[GraftQuery] = Seq()
+
+  /** Word tokens (both engines split trimmed text on runs of spaces). */
+  private val wordsSql     = "split(trim(coalesce(text, '')), ' +')"
+  private val duckWordsSql = "string_split_regex(trim(coalesce(text, '')), ' +')"
+
+  /** Per-language marker ("stopword") lists for the n-gram/stopword language
+    * heuristic. Tiny on purpose: at scale these are broadcast literals inside
+    * codegen, not a join.
+    */
+  private val Markers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "en" -> Seq("the", "and", "of", "to", "a"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "fr" -> Seq("le", "la", "les", "et", "des"))
+
+  private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+  private def scoreSql(ws: Seq[String]) =
+    s"size(filter(words, w -> w in (${inList(ws)})))"
+  private def duckScoreSql(ws: Seq[String]) =
+    s"len(list_filter(words, w -> w IN (${inList(ws)})))"
+
+  /** BPE-ish tokenizer regex: letter runs, digit runs, or any single
+    * non-alphanumeric-non-space symbol (the pre-tokenization split most BPE
+    * vocabularies apply before merges).
+    */
+  private val TokenRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    // E3a corpus statistics: chars/words per document, aggregated per
+    // language. One partial-aggregated shuffle on a 5-value key.
+    GraftQuery(
+      "q_text_stats",
+      "per-language corpus stats: docs, chars, words, longest doc",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .withColumn("n_words", expr(s"size($wordsSql)"))
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            sum(col("n_words")).as("total_words"),
+            max(col("n_chars")).as("max_chars"))
+          .orderBy("lang"),
+      Some(s"""SELECT lang, count(*) AS n_docs,
+              |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+              |       CAST(sum(len($duckWordsSql)) AS BIGINT) AS total_words,
+              |       max(n_chars) AS max_chars
+              |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
+    ),
+
+    // E3b language-ID heuristic: score each document against per-language
+    // marker-word lists, predict by first-wins argmax, and emit the
+    // lang × predicted confusion matrix. Pure horizontal scoring + one tiny
+    // groupBy — the 100 TB language-distribution scan.
+    GraftQuery(
+      "q_lang_id",
+      "stopword-marker language-ID confusion matrix (true lang x predicted)",
+      (s, dir) => {
+        val scored = Tables.documents(s, dir)
+          .withColumn("words", expr(wordsSql))
+          .withColumn("s_de", expr(scoreSql(Markers(0)._2)))
+          .withColumn("s_en", expr(scoreSql(Markers(1)._2)))
+          .withColumn("s_es", expr(scoreSql(Markers(2)._2)))
+          .withColumn("s_fr", expr(scoreSql(Markers(3)._2)))
+          .withColumn("pred", expr(
+            """CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+              |     WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+              |     WHEN s_es >= s_fr THEN 'es'
+              |     ELSE 'fr' END""".stripMargin))
+        scored.groupBy(col("lang"), col("pred"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("lang", "pred")
+      },
+      Some(s"""SELECT lang, pred, count(*) AS n FROM (
+              |  SELECT lang,
+              |         CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+              |              WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+              |              WHEN s_es >= s_fr THEN 'es'
+              |              ELSE 'fr' END AS pred
+              |  FROM (SELECT lang,
+              |               ${duckScoreSql(Markers(0)._2)} AS s_de,
+              |               ${duckScoreSql(Markers(1)._2)} AS s_en,
+              |               ${duckScoreSql(Markers(2)._2)} AS s_es,
+              |               ${duckScoreSql(Markers(3)._2)} AS s_fr
+              |        FROM (SELECT lang, $duckWordsSql AS words FROM documents) w) sc) p
+              |GROUP BY lang, pred ORDER BY lang, pred""".stripMargin)
+    ),
+
+    // E3c quality scoring: integer signal counts (words, stopword hits,
+    // punctuation, all-caps words) bucketed by integer-threshold rules — the
+    // heuristic quality gate (reference analog: should_skip_pet's >=50%
+    // missing rule, pet_scraper.py:387-405). No float math → exact parity.
+    GraftQuery(
+      "q_quality_score",
+      "integer quality signals + keep/short/lowsignal bucket per document",
+      (s, dir) => {
+        val allStops = Markers.flatMap(_._2).distinct
+        Tables.documents(s, dir)
+          .withColumn("words", expr(wordsSql))
+          .withColumn("n_words", expr("cast(size(words) as bigint)"))
+          .withColumn("stop_hits", expr(s"cast(${scoreSql(allStops)} as bigint)"))
+          .withColumn("punct_hits",
+            expr("cast(length(text) - length(regexp_replace(text, '[.,;:!?]', '')) as bigint)"))
+          .withColumn("caps_words", expr("cast(size(filter(words, w -> w = upper(w) AND w <> lower(w))) as bigint)"))
+          .withColumn("quality", expr(
+            """CASE WHEN n_words < 30 THEN 'short'
+              |     WHEN stop_hits * 10 < n_words THEN 'lowsignal'
+              |     ELSE 'keep' END""".stripMargin))
+          .select("doc_id", "n_words", "stop_hits", "punct_hits", "caps_words", "quality")
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, n_words, stop_hits, punct_hits, caps_words,
+              |       CASE WHEN n_words < 30 THEN 'short'
+              |            WHEN stop_hits * 10 < n_words THEN 'lowsignal'
+              |            ELSE 'keep' END AS quality
+              |FROM (SELECT doc_id, len(words) AS n_words,
+              |             ${duckScoreSql(Markers.flatMap(_._2).distinct)} AS stop_hits,
+              |             length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS punct_hits,
+              |             len(list_filter(words, w -> w = upper(w) AND w <> lower(w))) AS caps_words
+              |      FROM (SELECT doc_id, text, $duckWordsSql AS words FROM documents) w) q
+              |ORDER BY doc_id""".stripMargin)
+    ),
+
+    // E3d token counting: whitespace tokens, BPE-ish pre-tokenizer matches,
+    // and the chars/4 LLM budget estimate. Horizontal only.
+    GraftQuery(
+      "q_token_count",
+      "whitespace / BPE-regex / chars-div-4 token counts per document",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .withColumn("ws_tokens", expr(s"cast(size($wordsSql) as bigint)"))
+          .withColumn("re_tokens", expr(s"cast(size(regexp_extract_all(coalesce(text, ''), '$TokenRe', 0)) as bigint)"))
+          .withColumn("est_tokens", expr("cast((n_chars + 3) div 4 as bigint)"))
+          .select("doc_id", "ws_tokens", "re_tokens", "est_tokens")
+          .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, len($duckWordsSql) AS ws_tokens,
+              |       len(regexp_extract_all(coalesce(text, ''), '$TokenRe')) AS re_tokens,
+              |       CAST((n_chars + 3) // 4 AS BIGINT) AS est_tokens
+              |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+
+    // E3e document fingerprinting: polynomial rolling hash over per-word
+    // 60-bit hashes, mod 1e9+7 (all intermediates < 2^63 → exact in both
+    // engines). The content-defined fingerprint downstream incremental-dedup
+    // layers key on.
+    GraftQuery(
+      "q_doc_fingerprint",
+      "rolling polynomial hash fingerprint (mod 1e9+7) per document",
+      (s, dir) =>
+        // Single fold with a -1 sentinel standing in for "seed with the first
+        // hash": each word is hashed exactly once (a slice/element_at
+        // formulation would make Catalyst inline — and so re-evaluate — the
+        // hash array once per reference). Hashes are in [0, 1e9+7) so the
+        // sentinel is unambiguous, and the fold is identical to DuckDB's
+        // first-element-seeded list_reduce.
+        Tables.documents(s, dir)
+          .withColumn("fingerprint", expr(
+            s"aggregate($wordsSql, cast(-1 as bigint), (acc, w) -> " +
+              "if(acc < 0, cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint) % 1000000007, " +
+              "(acc * 31 + cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint) % 1000000007) % 1000000007))"))
+          .select("doc_id", "fingerprint")
+          .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+              |       list_reduce([('0x' || substr(md5(w), 1, 15))::BIGINT % 1000000007
+              |                    for w in $duckWordsSql],
+              |                   (acc, h) -> (acc * 31 + h) % 1000000007) AS fingerprint
+              |FROM documents ORDER BY doc_id""".stripMargin)
+    )
+  )
 }

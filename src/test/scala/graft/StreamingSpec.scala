@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.streaming.{Ingest, KeyedTable}
+
+/** Streaming kill-and-resume semantics (SURVEY.md §5.2#5, §2.9 T1–T4, T8):
+  * a checkpointed file-source stream merging into the versioned keyed table
+  * must, across a stop/restart, lose no keys, duplicate no keys, apply
+  * last-write-wins, and quarantine invalid rows — the reference's
+  * save_progress/load_progress resume contract (server.py:96-171, 324-345).
+  */
+class StreamingSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("link", StringType),
+    StructField("name", StringType),
+    StructField("seq", LongType)))
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory(s"graft-$name").toString
+
+  test("T1-T4: checkpointed ingest survives kill-and-resume with exactly-once table state") {
+    val srcDir, ckptDir, tableDir, qDir = tmp("stream")
+    val table = new KeyedTable(spark, tableDir, "link")
+
+    def writeBatch(path: String, rows: Seq[(String, String, Long)]): Unit =
+      rows.toDF("link", "name", "seq").coalesce(1).write.mode("append").parquet(path)
+
+    def startQuery() = Ingest.start(
+      updates = spark.readStream.schema(schema).parquet(srcDir),
+      table = table,
+      checkpointDir = ckptDir,
+      valid = col("name").isNotNull && trim(col("name")) =!= "",
+      quarantineDir = Some(qDir),
+      seqCol = Some("seq"))
+
+    // Epoch 1: two keys, one invalid row.
+    writeBatch(srcDir, Seq(("a", "Rex", 1L), ("b", "Bella", 2L), ("x", "", 3L)))
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop()   // the "kill"
+
+    val afterEpoch1 = table.read().get.orderBy("link")
+      .select("link", "name").as[(String, String)].collect().toSeq
+    assert(afterEpoch1 == Seq("a" -> "Rex", "b" -> "Bella"))
+    val v1 = table.latestVersion().get
+
+    // Epoch 2: update b (twice in one batch — highest seq wins), add c.
+    writeBatch(srcDir, Seq(("b", "Bee", 5L), ("b", "Bet", 4L), ("c", "Cat", 6L)))
+    val q2 = startQuery()   // resume from the same checkpoint
+    q2.processAllAvailable()
+    q2.stop()
+
+    val after = table.read().get.orderBy("link")
+      .select("link", "name").as[(String, String)].collect().toSeq
+    assert(after == Seq("a" -> "Rex", "b" -> "Bee", "c" -> "Cat"),
+      "no lost keys, no duplicated keys, last-write-wins across resume")
+    assert(table.latestVersion().get > v1, "resume published new versions, not replays")
+
+    // T8: the invalid row is preserved in quarantine, not silently dropped.
+    val quarantined = spark.read.parquet(qDir).select("link").as[String].collect().toSeq
+    assert(quarantined == Seq("x"))
+  }
+
+  test("T4 idempotence: a replayed batch id is skipped by the versioned sink") {
+    val table = new KeyedTable(spark, tmp("replay"), "link")
+    table.merge(Seq(("a", "1")).toDF("link", "v"), version = 0L)
+    table.merge(Seq(("a", "CLOBBER")).toDF("link", "v"), version = 0L) // replay
+    assert(table.read().get.collect()(0).getString(1) == "1")
+  }
+
+  test("T7 compact: delete-by-predicate republishes atomically with counts") {
+    val table = new KeyedTable(spark, tmp("compact"), "link")
+    table.merge(Seq(("a", 1), ("b", 9), ("c", 2)).toDF("link", "n"), version = 0L)
+    val Some((kept, dropped)) = Ingest.compact(table, keep = col("n") < 5)
+    assert((kept, dropped) == ((2L, 1L)))
+    assert(table.read().get.select("link").as[String].collect().toSet == Set("a", "c"))
+  }
+
+  test("T1/T5 paged source enumerates (page, pet_type) like the reference loop") {
+    val df = Ingest.pagedSource(spark, rps = 4, maxPage = 10)
+    assert(df.isStreaming)
+    assert(df.columns.toSeq == Seq("page", "pet_type", "fetched_at"))
+  }
+}
