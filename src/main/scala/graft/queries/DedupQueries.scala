@@ -221,6 +221,9 @@ object DedupQueries {
       "2-gram Jaccard >= 0.2 pairs within each source bucket",
       (s, dir) => {
         val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        // per-doc gram-set size rides along as a window count, so the join
+        // branches are the ONLY two evaluations of the gram pipeline (a
+        // separate sizes aggregate would re-derive it twice more)
         val grams = Tables.documents(s, dir)
           .select(col("doc_id"), col("source"), posexplode(expr(wordsSql)).as(Seq("pos", "w")))
           .withColumn("w1", lead(col("w"), 1).over(w))
@@ -228,15 +231,13 @@ object DedupQueries {
           .select(col("doc_id"), col("source"),
             concat_ws(" ", col("w"), col("w1")).as("gram"))
           .distinct()
-        val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-        val inter = grams.select(col("source"), col("doc_id").as("a"), col("gram"))
-          .join(grams.select(col("source"), col("doc_id").as("b"), col("gram")),
+          .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+        grams.select(col("source"), col("doc_id").as("a"), col("gram"), col("sz").as("sa"))
+          .join(grams.select(col("source"), col("doc_id").as("b"), col("gram"), col("sz").as("sb")),
             Seq("source", "gram"))
           .filter(col("a") < col("b"))
-          .groupBy("a", "b").agg(count(lit(1)).as("inter"))
-        inter
-          .join(sizes.select(col("doc_id").as("a"), col("sz").as("sa")), "a")
-          .join(sizes.select(col("doc_id").as("b"), col("sz").as("sb")), "b")
+          .groupBy("a", "b").agg(count(lit(1)).as("inter"),
+            max(col("sa")).as("sa"), max(col("sb")).as("sb"))
           .withColumn("jac", round(col("inter").cast("double") /
             (col("sa") + col("sb") - col("inter")), 4))
           .filter(col("jac") >= 0.2)
