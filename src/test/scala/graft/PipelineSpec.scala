@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.model.PetSchema
+import graft.streaming.Sessions
+
+/** The §7.1 pipeline facade over the pets shape, plus the streaming-form
+  * sessionizer cross-checked against the graded batch query.
+  */
+class PipelineSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def petsDf(rows: Seq[Row]) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), PetSchema.schema)
+
+  private def pet(link: String, name: String, fill: Int): Row = {
+    // fill = how many of the 6 detail columns (location..breed) carry values
+    val details = (1 to 6).map(i => if (i <= fill) s"d$i" else null)
+    val bools: Seq[Any] =
+      if (fill > 0) Seq(true, false, true, false, true, false) // False ≠ missing
+      else Seq(java.lang.Boolean.TRUE, null, null, null, null, null)
+    Row.fromSeq(
+      Seq(link, "dog", name) ++ details ++ bools ++
+        Seq(if (fill > 0) "about" else null, if (fill > 0) "img" else null))
+  }
+
+  test("ingestBatch: anti-join, placeholder + quality gates, keyed merge") {
+    val existing = petsDf(Seq(pet("L1", "Rex", 7)))
+    val batch = petsDf(Seq(
+      pet("L1", "ShouldNotReplace", 7), // existing link → anti-joined away
+      pet("L2", "dog", 7),              // placeholder name → dropped
+      pet("L3", "Thin", 0),             // 10/15 checked missing → dropped
+      pet("L4", "Mia", 7)))             // survives
+    val out = Pipeline.ingestBatch(existing, batch)
+    val names = out.orderBy("link").select("link", "name").as[(String, String)].collect().toSeq
+    assert(names == Seq("L1" -> "Rex", "L4" -> "Mia"))
+  }
+
+  test("compact: field-failure threshold with summary counts") {
+    val df = petsDf(Seq(pet("L1", "Rex", 7), pet("L2", "Thin", 0)))
+    val (survivors, summary) = Pipeline.compact(df)
+    assert(survivors.select("link").as[String].collect().toSeq == Seq("L1"))
+    assert(summary.collect()(0) == Row(1L, 1L, 2L))
+  }
+
+  test("serve + exportCsv produce the S7/S8 shapes end-to-end") {
+    val df     = petsDf(Seq(pet("L1", "Rex", 7), pet("L2", "Mia", 7)))
+    val served = Pipeline.serve(df)
+    assert(served.columns.head == "total_count")
+    assert(served.select("total_count").as[Long].collect().toSeq == Seq(2L, 2L))
+
+    val dir = Files.createTempDirectory("graft-pets-csv").toString
+    Pipeline.exportCsv(df, dir, singleFile = true)
+    val header = scala.io.Source.fromFile(
+      new java.io.File(dir).listFiles().filter(_.getName.endsWith(".csv")).head)
+      .getLines().next()
+    assert(header == PetSchema.columns.mkString(","))
+  }
+
+  test("streaming-form sessionizer agrees with the batch query on session counts") {
+    val batchSessions = graft.SparkEntry.queries("q_sessionize")(spark, "/root/testdata/sf0.001")
+      .groupBy("user_id").count().orderBy("user_id")
+      .as[(Long, Long)].collect().toSeq
+    val streamForm = Sessions.sessionize(Tables.events(spark, "/root/testdata/sf0.001"))
+      .groupBy("user_id").count().orderBy("user_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(batchSessions == streamForm)
+  }
+}
