@@ -143,11 +143,16 @@ object Relational {
     // exchange reuse is off or range sampling were nondeterministic
     // (ADVICE r2). One row per partition; the cumulative-sum window runs
     // over that tiny set only.
-    val offsets = numbered.groupBy(col("__pid")).agg(max(col("__prn")).as("__cnt"))
-      .withColumn("__offset",
-        coalesce(sum(col("__cnt").cast("long")).over(
-          Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("__pid"), col("__offset"))
+    // Cumulative offsets via a triangular self-join over the per-partition
+    // counts (≤ shuffle.partitions rows, so the quadratic join is trivial)
+    // rather than a global window — a partition-less WindowExec funnels
+    // through one task and logs the "No Partition Defined" scale warning
+    // even on tiny inputs.
+    val counts = numbered.groupBy(col("__pid")).agg(max(col("__prn")).cast("long").as("__cnt"))
+    val offsets = counts.alias("a")
+      .join(counts.alias("b"), col("b.__pid") < col("a.__pid"), "left")
+      .groupBy(col("a.__pid").as("__pid"))
+      .agg(coalesce(sum(col("b.__cnt")), lit(0L)).as("__offset"))
     // rn stays LONG: an int cast would silently overflow past ~2.1B rows
     // (ADVICE r2) — the exact regime this operator exists for.
     numbered.join(broadcast(offsets), Seq("__pid"))
