@@ -61,10 +61,6 @@ object DedupQueries {
   private val quantSql     = "transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))"
   private val duckQuantSql = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
 
-  /** Exact integer dot product of two BIGINT arrays (Spark SQL text). */
-  private def dotSql(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0 as bigint), (acc, v) -> acc + v)"
-
   val queries: Seq[GraftQuery] = Seq(
 
     // E1a exact dedup: content-hash groupBy keeps the lowest doc_id per hash.
@@ -264,16 +260,18 @@ object DedupQueries {
       "q_dedup_embedding",
       "cosine >= 0.3 near-dup pairs within each label bucket (quantized)",
       (s, dir) => {
+        import graft.expressions.DotProductLong.dotLong
         val q = Tables.embeddings(s, dir)
           .withColumn("q", expr(quantSql))
-          .withColumn("n2", expr(dotSql("q", "q")))
+          .withColumn("n2", dotLong(col("q"), col("q")))
           .filter(col("n2") > 0)
           .select("vec_id", "label", "q", "n2")
         val l = q.select(col("label"), col("vec_id").as("a"), col("q").as("qa"), col("n2").as("na"))
         val r = q.select(col("label"), col("vec_id").as("b"), col("q").as("qb"), col("n2").as("nb"))
         l.join(r, "label")
           .filter(col("a") < col("b"))
-          .withColumn("cos", expr(s"${dotSql("qa", "qb")} / (sqrt(cast(na as double)) * sqrt(cast(nb as double)))"))
+          .withColumn("cos", dotLong(col("qa"), col("qb")).cast("double") /
+            (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
           .filter(col("cos") >= 0.3)
           .select(col("a"), col("b"), round(col("cos"), 4).as("cos_r"))
           .orderBy("a", "b")

@@ -1,9 +1,11 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.expressions.DotProductLong.dotLong
 
 /** E2 similarity-search family (SURVEY.md §2.11; BASELINE north star) over
   * the `embeddings` table: brute-force cosine top-k as the exact baseline and
@@ -22,9 +24,13 @@ object SimilarityQueries {
   /** Integer-quantized embedding (float → round(x*1000) as BIGINT). */
   private val quantSql = "transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))"
 
-  /** Exact integer dot product (Spark SQL text). */
-  private def dotSql(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0 as bigint), (acc, v) -> acc + v)"
+  /** Exact cosine from quantized vectors + precomputed squared norms, via the
+    * codegen'd [[graft.expressions.DotProductLong]] kernel (identical math to
+    * the oracle's double-domain dot: all intermediates are exact integers
+    * below 2^53).
+    */
+  private def cosine(a: Column, b: Column, na: Column, nb: Column): Column =
+    dotLong(a, b).cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
 
   /** 60-bit md5 hash of a string, computed HERE (driver side, at class init)
     * with the same construction as [[graft.functions.Scalars.hexHash60]] —
@@ -47,14 +53,15 @@ object SimilarityQueries {
   private val Planes: Seq[Seq[Long]] =
     (0 until NPlanes).map(s => (0 until Dim).map(d => hash60(s + ":" + d) % 2001 - 1000))
 
-  private def planeArraySql(p: Seq[Long])  = p.mkString("array(", ", ", ")")
-  private def planeListDuck(p: Seq[Long])  = p.mkString("[", ", ", "]")
+  private def planeListDuck(p: Seq[Long]) = p.mkString("[", ", ", "]")
 
-  /** Spark SQL for the 8-bit LSH bucket of quantized vector column `q`. */
-  private val bucketSql: String =
+  /** 8-bit LSH bucket of quantized vector column `q` (codegen'd dot per
+    * hyperplane against a literal component array).
+    */
+  private def bucketCol: Column =
     Planes.zipWithIndex.map { case (p, s) =>
-      s"shiftleft(cast(if(${dotSql("q", planeArraySql(p))} > 0, 1, 0) as bigint), $s)"
-    }.mkString(" + ")
+      shiftleft(when(dotLong(col("q"), array(p.map(lit(_)): _*)) > 0, lit(1L)).otherwise(lit(0L)), s)
+    }.reduce(_ + _)
 
   /** DuckDB SQL for the same bucket over quantized list column `q`. */
   private val duckBucketSql: String =
@@ -78,14 +85,13 @@ object SimilarityQueries {
         val base = Tables.embeddings(s, dir)
           .filter(size(col("embedding")) === Dim)
           .withColumn("q", expr(quantSql))
-          .withColumn("n2", expr(dotSql("q", "q")))
+          .withColumn("n2", dotLong(col("q"), col("q")))
           .filter(col("n2") > 0)
           .select("vec_id", "q", "n2")
         val probes = base.filter(col("vec_id") % ProbeMod === 0)
           .select(col("vec_id").as("qid"), col("q").as("qq"), col("n2").as("qn"))
         base.join(broadcast(probes), col("vec_id") =!= col("qid"))
-          .withColumn("cos", expr(
-            s"cast(${dotSql("qq", "q")} as double) / (sqrt(cast(qn as double)) * sqrt(cast(n2 as double)))"))
+          .withColumn("cos", cosine(col("qq"), col("q"), col("qn"), col("n2")))
           .withColumn("rank", row_number().over(
             Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)))
           .filter(col("rank") <= 3)
@@ -123,17 +129,16 @@ object SimilarityQueries {
         val base = Tables.embeddings(s, dir)
           .filter(size(col("embedding")) === Dim)
           .withColumn("q", expr(quantSql))
-          .withColumn("n2", expr(dotSql("q", "q")))
+          .withColumn("n2", dotLong(col("q"), col("q")))
           .filter(col("n2") > 0)
-          .withColumn("bucket", expr(bucketSql))
+          .withColumn("bucket", bucketCol)
           .select("vec_id", "q", "n2", "bucket")
         val probes = base.filter(col("vec_id") % ProbeMod === 0)
           .select(col("vec_id").as("qid"), col("q").as("qq"),
             col("n2").as("qn"), col("bucket"))
         base.join(probes, Seq("bucket"))
           .filter(col("vec_id") =!= col("qid"))
-          .withColumn("cos", expr(
-            s"cast(${dotSql("qq", "q")} as double) / (sqrt(cast(qn as double)) * sqrt(cast(n2 as double)))"))
+          .withColumn("cos", cosine(col("qq"), col("q"), col("qn"), col("n2")))
           .withColumn("rank", row_number().over(
             Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)))
           .filter(col("rank") <= 3)
