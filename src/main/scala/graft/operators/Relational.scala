@@ -110,6 +110,24 @@ object Relational {
       count(lit(1)).as("total")
     )
 
+  /** Skew-mitigating equi-join: the big side's rows are spread across
+    * `salts` sub-keys (deterministic content hash, so retries don't
+    * reshuffle differently), the small side is replicated once per salt
+    * value, and the join runs on (key, salt) — splitting a hot key's hash
+    * partition into `salts` parallel ones. AQE's skew-join split handles
+    * sort-merge cases adaptively; this operator is for the plans AQE can't
+    * rewrite (e.g. a skewed key feeding a downstream keyed aggregation) and
+    * as the explicit 100 TB knob. Result is bag-equal to a plain equi-join.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String, salts: Int): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    val saltedBig = big.withColumn("__salt",
+      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(salts)).cast("int"))
+    val saltedSmall = small.withColumn("__salt",
+      explode(array((0 until salts).map(lit): _*)))
+    saltedBig.join(saltedSmall, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** Top-k per group (the reference's 12-links-per-page cap,
     * link_scraper.py:100-113). `orderCols` must be a total order within the
     * partition for determinism.

@@ -95,6 +95,20 @@ class RelationalSpec extends SparkTestBase {
     assert(out.toSeq == Seq(Row("g1", 1), Row("g1", 2), Row("g2", 9)))
   }
 
+  test("saltedJoin is bag-equal to the plain equi-join under key skew") {
+    val rng  = new Random(11)
+    // 90% of rows share one hot key
+    val big = (1 to 1000).map(i =>
+      (if (rng.nextInt(10) < 9) "hot" else s"k${rng.nextInt(5)}", i)).toDF("k", "v")
+    val small = Seq(("hot", "H"), ("k1", "A"), ("k3", "B")).toDF("k", "tag")
+    val plain  = big.join(small, "k").select("k", "v", "tag")
+      .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    val salted = Relational.saltedJoin(big, small, "k", salts = 8)
+      .select("k", "v", "tag")
+      .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    assert(salted == plain)
+  }
+
   test("compactionSummary counts survivors and removals in one pass") {
     val df  = Seq(1, 2, 3, 4, 5).toDF("x")
     val out = Relational.compactionSummary(df, col("x") <= 2).collect()(0)
