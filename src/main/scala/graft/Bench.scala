@@ -34,13 +34,20 @@ object Bench {
     def force(name: String): Option[String] =
       try {
         val df = SparkEntry.queries(name)(spark, sfDir)
-        // Map columns aren't hashable by xxhash64 — serialize them first
-        // (ADVICE r2), so a future map-returning query is timed, not failed.
-        val hashable = df.schema.fields.map { f =>
-          f.dataType match {
-            case _: org.apache.spark.sql.types.MapType => to_json(col(f.name))
-            case _                                     => col(f.name)
+        // Map columns (at ANY nesting depth) aren't hashable by xxhash64 —
+        // serialize such columns first (ADVICE r2), so a future map-returning
+        // query is timed, not failed.
+        def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = {
+          import org.apache.spark.sql.types._
+          dt match {
+            case _: MapType      => true
+            case a: ArrayType    => hasMap(a.elementType)
+            case s: StructType   => s.fields.exists(f => hasMap(f.dataType))
+            case _               => false
           }
+        }
+        val hashable = df.schema.fields.map { f =>
+          if (hasMap(f.dataType)) to_json(col(f.name)) else col(f.name)
         }
         // bit_xor, not sum: a 60M-row sum of 64-bit hashes overflows under
         // ANSI mode; xor is order-insensitive and cannot overflow.

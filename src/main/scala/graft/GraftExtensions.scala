@@ -25,7 +25,12 @@ object GraftExtensions {
   val dotLongDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier("dot_long"),
       info("dot_long", "dot_long(a, b) - exact integer dot product of two BIGINT arrays"),
-      (children: Seq[Expression]) => DotProductLong(children.head, children(1)))
+      (children: Seq[Expression]) => {
+        if (children.length != 2)
+          throw new IllegalArgumentException(
+            s"dot_long requires exactly 2 arguments, got ${children.length}")
+        DotProductLong(children.head, children(1))
+      })
 
   /** Register into an existing session (plus the §2.10 SQL scalar names). */
   def register(spark: SparkSession): Unit = {

@@ -24,28 +24,36 @@ import graft.streaming.KeyedTable
 object Pipeline {
 
   /** Row validity — the reference's two ingest gates (F1 placeholder name,
-    * F2 ≥50% missing fields) as one predicate over the pets shape.
+    * F2 ≥50% missing fields) as one predicate over the pets shape (resolved
+    * against whatever frame it is applied to).
     */
-  def ingestValid(df: DataFrame): Column = {
+  val ingestValid: Column = {
     val checked = PetSchema.checkedColumns.map(col)
     !Scalars.lowerTrim(col("name")).isin("dog", "cat") &&
       Relational.nullRatioKeep(checked, 0.5)
   }
 
   /** One ingest batch: keep only NEW links (J3 — "check before scraping to
-    * save time"), validate (F1+F2), merge survivors by key (J4). Returns the
-    * merged snapshot; `table.merge` callers get the same via KeyedTable.
+    * save time"), validate (F1+F2), merge survivors by key (J4). Existing
+    * keys are untouched — the reference's loop skips known links before
+    * scraping; in-place UPDATES flow through the verification/merge path
+    * (KeyedTable.merge), not ingest.
     */
   def ingestBatch(existing: DataFrame, batch: DataFrame): DataFrame = {
-    val fresh     = Relational.antiJoin(batch, existing.select("link"), "link")
-    val validated = fresh.filter(ingestValid(fresh))
-    Relational.upsertMerge(existing, validated, "link")
+    val fresh = Relational.antiJoin(batch, existing.select("link"), "link")
+    Relational.upsertMerge(existing, fresh.filter(ingestValid), "link")
   }
 
-  /** Ingest into a versioned [[KeyedTable]] (atomic publish, S5). */
-  def ingestBatch(table: KeyedTable, batch: DataFrame, version: Long): Unit = {
-    val validated = batch.filter(ingestValid(batch))
-    table.merge(validated, version)
+  /** Same ingest semantics into a versioned [[KeyedTable]] (atomic publish,
+    * S5): anti-join against the current snapshot, validate, merge — one
+    * batch, one new snapshot version, idempotent per `batchId`.
+    */
+  def ingestBatch(table: KeyedTable, batch: DataFrame, batchId: Long): Unit = {
+    val fresh = table.read() match {
+      case Some(existing) => Relational.antiJoin(batch, existing.select("link"), "link")
+      case None           => batch
+    }
+    table.merge(fresh.filter(ingestValid), batchId)
   }
 
   /** Verification compaction: a row survives iff fewer than 3 of the 15

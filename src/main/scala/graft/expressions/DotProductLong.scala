@@ -17,10 +17,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * element — per ROW, inside joins that evaluate it per candidate PAIR. This
   * expression compiles to a tight primitive loop inside whole-stage codegen
   * (no allocation, no virtual calls), with an identical interpreted `eval`
-  * for non-codegen paths. Semantics match the built-in spelling exactly
-  * (null if either side is null; length mismatch → shorter length, like
-  * `zip_with` would produce nulls we instead stop at — callers guard equal
-  * dims, the graded queries filter `size(embedding) = 64`).
+  * for non-codegen paths. Semantics match the built-in spelling exactly:
+  * null if either input is null, if the lengths differ (zip_with would pad
+  * with nulls), or if any element is null.
   */
 case class DotProductLong(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -38,13 +37,21 @@ case class DotProductLong(left: Expression, right: Expression)
 
   override def prettyName: String = "dot_long"
 
+  // Null semantics mirror the built-in spelling exactly: a null INPUT array
+  // returns null (BinaryExpression default); a length mismatch or any null
+  // ELEMENT also returns null (zip_with pads with nulls / multiplies to
+  // null, and aggregate's sum then stays null).
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0L
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getLong(i) * y.getLong(i)
       i += 1
     }
@@ -57,10 +64,15 @@ case class DotProductLong(left: Expression, right: Expression)
       val i   = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |int $n = $x.numElements();
          |long $acc = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $x.getLong($i) * $y.getLong($i);
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += $x.getLong($i) * $y.getLong($i);
+         |  }
          |}
          |${ev.value} = $acc;
        """.stripMargin

@@ -71,6 +71,21 @@ object Scalars {
   /** X7 lower+trim normalization (pet_scraper.py:375, server.py:83). */
   def lowerTrim(c: Column): Column = lower(trim(c))
 
+  /** The parse_boolean CASE chain as SQL text over input expression `in` —
+    * the ONE source for every SQL surface that needs X2's quirky semantics
+    * (DuckDB oracle twins, registered SQL function). Valid in both Spark SQL
+    * and DuckDB (CASE/contains/trim/lower/length are shared).
+    */
+  def parseBooleanSql(in: String): String = {
+    val t   = s"trim(lower($in))"
+    val neg = NegativeIndicators.map(s => s"contains($t, '$s')").mkString(" OR ")
+    val pos = PositiveIndicators.map(s => s"contains($t, '$s')").mkString(" OR ")
+    s"""CASE WHEN $in IS NULL OR $in = '' THEN CAST(NULL AS BOOLEAN)
+       |     WHEN $neg THEN FALSE
+       |     WHEN $pos THEN TRUE
+       |     ELSE length($t) > 0 END""".stripMargin
+  }
+
   /** Deterministic 60-bit string hash shared with the DuckDB oracle:
     * first 15 hex chars of md5 parsed as base-16. Both engines agree exactly
     * (DuckDB: `('0x' || substr(md5(x),1,15))::BIGINT`). Used by the dedup /

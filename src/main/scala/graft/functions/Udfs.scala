@@ -18,18 +18,10 @@ object Udfs {
   /** name → (typed parameter list, return type, body) — bodies mirror
     * [[Scalars]] exactly (same indicator ordering, same quirks).
     */
-  private val t       = "trim(lower(s))"
-  private val negList = Scalars.NegativeIndicators.map(s => s"contains($t, '$s')").mkString(" OR ")
-  private val posList = Scalars.PositiveIndicators.map(s => s"contains($t, '$s')").mkString(" OR ")
-
   private val defs: Seq[(String, String, String, String)] = Seq(
     ("clean_text", "s STRING", "STRING",
       "trim(regexp_replace(trim(coalesce(s, '')), '\\\\*+$', ''))"),
-    ("parse_boolean", "s STRING", "BOOLEAN",
-      s"""CASE WHEN s IS NULL OR s = '' THEN CAST(NULL AS BOOLEAN)
-         |     WHEN $negList THEN FALSE
-         |     WHEN $posList THEN TRUE
-         |     ELSE length($t) > 0 END""".stripMargin),
+    ("parse_boolean", "s STRING", "BOOLEAN", Scalars.parseBooleanSql("s")),
     ("extract_name_from_about", "s STRING", "STRING",
       """CASE WHEN lower(trim(coalesce(s, ''))) LIKE 'about%'
         |     THEN trim(substring(trim(coalesce(s, '')), 6))

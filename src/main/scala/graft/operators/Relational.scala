@@ -121,11 +121,17 @@ object Relational {
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, salts: Int): DataFrame = {
     require(salts > 0, "salts must be positive")
-    val saltedBig = big.withColumn("__salt",
-      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(salts)).cast("int"))
-    val saltedSmall = small.withColumn("__salt",
+    require(!big.columns.contains("__graft_salt") && !small.columns.contains("__graft_salt"),
+      "__graft_salt column name is reserved by saltedJoin")
+    // Salt from the row's position (partition id + local row number), not a
+    // content hash: position works for ANY column types (a content hash
+    // chokes on maps) and still spreads a hot key's rows evenly. Stable
+    // under task retry for deterministic sources.
+    val saltedBig = big.withColumn("__graft_salt",
+      pmod(monotonically_increasing_id(), lit(salts.toLong)).cast("int"))
+    val saltedSmall = small.withColumn("__graft_salt",
       explode(array((0 until salts).map(lit): _*)))
-    saltedBig.join(saltedSmall, Seq(key, "__salt")).drop("__salt")
+    saltedBig.join(saltedSmall, Seq(key, "__graft_salt")).drop("__graft_salt")
   }
 
   /** Top-k per group (the reference's 12-links-per-page cap,

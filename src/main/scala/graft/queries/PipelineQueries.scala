@@ -24,16 +24,6 @@ import graft.operators.Relational
   */
 object PipelineQueries {
 
-  private def parseBooleanSql(in: String): String = {
-    val t   = s"trim(lower($in))"
-    val neg = Scalars.NegativeIndicators.map(s => s"contains($t, '$s')").mkString(" OR ")
-    val pos = Scalars.PositiveIndicators.map(s => s"contains($t, '$s')").mkString(" OR ")
-    s"""CASE WHEN $in IS NULL OR $in = '' THEN NULL
-       |     WHEN $neg THEN FALSE
-       |     WHEN $pos THEN TRUE
-       |     ELSE length($t) > 0 END""".stripMargin
-  }
-
   /** Declared export column order for the documents-shaped export (the P1
     * analog of get_pet_csv_fields; `image` is deliberately absent from the
     * source so the ""-fill path is exercised).
@@ -85,7 +75,7 @@ object PipelineQueries {
               |                       chr(13), '\\n'), chr(10), '\\n') AS about_me,
               |       CASE WHEN b IS NULL THEN '' WHEN b THEN 'True' ELSE 'False' END AS vaccinated,
               |       '' AS image
-              |FROM (SELECT doc_id, lang, text, source, ${parseBooleanSql("lang")} AS b
+              |FROM (SELECT doc_id, lang, text, source, ${Scalars.parseBooleanSql("lang")} AS b
               |      FROM documents) t
               |ORDER BY link""".stripMargin)
     )

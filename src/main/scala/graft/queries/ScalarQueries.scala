@@ -12,18 +12,10 @@ import graft.functions.Scalars
   */
 object ScalarQueries {
 
-  /** DuckDB rendering of the parse_boolean CASE chain, generated from the same
-    * indicator lists as the Spark side so they cannot drift.
+  /** DuckDB rendering of the parse_boolean CASE chain — the shared builder in
+    * [[Scalars.parseBooleanSql]], so every SQL surface uses one source.
     */
-  private def parseBooleanSql(in: String): String = {
-    val t   = s"trim(lower($in))"
-    val neg = Scalars.NegativeIndicators.map(s => s"contains($t, '$s')").mkString(" OR ")
-    val pos = Scalars.PositiveIndicators.map(s => s"contains($t, '$s')").mkString(" OR ")
-    s"""CASE WHEN $in IS NULL OR $in = '' THEN NULL
-       |     WHEN $neg THEN FALSE
-       |     WHEN $pos THEN TRUE
-       |     ELSE length($t) > 0 END""".stripMargin
-  }
+  private def parseBooleanSql(in: String): String = Scalars.parseBooleanSql(in)
 
   val queries: Seq[GraftQuery] = Seq(
 

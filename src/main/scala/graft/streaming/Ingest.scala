@@ -73,16 +73,23 @@ object Ingest {
       .trigger(trigger)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val marked = batch.withColumn("__valid", valid).persist()
-        try {
-          quarantineDir.foreach { qd =>
-            val bad = marked.filter(!col("__valid")).drop("__valid")
-            if (!bad.isEmpty)
-              bad.withColumn("__batch_id", lit(batchId))
-                .write.mode("append").parquet(qd)
-          }
-          table.merge(marked.filter(col("__valid")).drop("__valid"), batchId, seqCol)
-        } finally marked.unpersist()
+        // One replay gate for the WHOLE batch effect (merge + quarantine):
+        // foreachBatch is at-least-once, and a quarantine append outside the
+        // gate would double-count invalid rows on crash-replay.
+        if (!table.alreadyApplied(batchId)) {
+          val marked = batch.withColumn("__valid", valid).persist()
+          try {
+            quarantineDir.foreach { qd =>
+              val bad = marked.filter(!col("__valid")).drop("__valid")
+              if (!bad.isEmpty)
+                // per-batch directory + overwrite → a replay that slipped past
+                // the gate (crash between this write and the pointer swap)
+                // rewrites the same files instead of appending duplicates
+                bad.write.mode("overwrite").parquet(s"$qd/batch=$batchId")
+            }
+            table.merge(marked.filter(col("__valid")).drop("__valid"), batchId, seqCol)
+          } finally marked.unpersist()
+        }
         ()
       }
       .start()
@@ -98,8 +105,9 @@ object Ingest {
       val survivors = marked.filter(keep)
       val kept      = survivors.count()
       val dropped   = marked.count() - kept
-      val v         = table.latestVersion().getOrElse(0L) + 1
-      table.publish(survivors, v)
+      // snapshot versions are the table's own counter — a compaction between
+      // micro-batches can never collide with the stream's batch ids
+      table.publish(survivors)
       marked.unpersist()
       (kept, dropped)
     }

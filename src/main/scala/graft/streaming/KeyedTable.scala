@@ -3,6 +3,8 @@ package graft.streaming
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.Relational
@@ -13,59 +15,101 @@ import graft.operators.Relational
   *
   * Layout: `dir/v<version>/` parquet snapshots plus a tiny `_LATEST` pointer
   * file, itself published atomically (tmp + ATOMIC_MOVE — the same
-  * publish-then-swap the reference uses). Readers resolve `_LATEST` and only
-  * ever see a fully-committed snapshot; a crash mid-write leaves a dangling
-  * `v*` directory that is never referenced (the commit-protocol orphan the
-  * reference cleans at server.py:245-252 — harmless here, GC'd on publish).
+  * publish-then-swap the reference uses). The pointer carries BOTH the
+  * current snapshot version and the highest APPLIED STREAMING BATCH id, as
+  * one atomic unit: snapshot versions are a private monotonic counter
+  * (compactions and merges both bump it), batch ids belong to the streaming
+  * checkpoint — keeping them separate means a maintenance compaction between
+  * two micro-batches can never collide with (and silently swallow) the next
+  * batch's id. Readers resolve `_LATEST` and only ever see a fully-committed
+  * snapshot; a crash mid-write leaves an unreferenced `v*` directory that
+  * the next publish garbage-collects (the reference's orphan cleanup,
+  * server.py:245-252).
   *
   * Scale posture: snapshots are plain parquet directories written by the
-  * cluster (partitioned/bucketed at 100 TB); only the 20-byte pointer file is
-  * driver-side. Version = streaming batch id, which makes the sink idempotent
-  * under foreachBatch's at-least-once replay (T4): a replayed batch publishes
-  * the same version and is skipped.
+  * cluster (partitioned/bucketed at 100 TB); only the ~30-byte pointer file
+  * is driver-side.
   */
 final class KeyedTable(spark: SparkSession, dir: String, val key: String) {
 
   private val root    = Paths.get(dir)
   private val pointer = root.resolve("_LATEST")
 
+  /** How many superseded snapshots survive each publish (in-flight readers
+    * of the previous version keep working during the swap).
+    */
+  private val KeepSnapshots = 2
+
   Files.createDirectories(root)
 
-  def latestVersion(): Option[Long] =
-    if (Files.exists(pointer))
-      Some(new String(Files.readAllBytes(pointer), StandardCharsets.UTF_8).trim.toLong)
-    else None
+  /** (snapshot version, last applied batch id); batch id −1 = none yet. */
+  private def pointerState(): Option[(Long, Long)] =
+    if (Files.exists(pointer)) {
+      val parts = new String(Files.readAllBytes(pointer), StandardCharsets.UTF_8)
+        .trim.split(" ")
+      Some((parts(0).toLong, if (parts.length > 1) parts(1).toLong else -1L))
+    } else None
+
+  def latestVersion(): Option[Long] = pointerState().map(_._1)
 
   def read(): Option[DataFrame] =
     latestVersion().map(v => spark.read.parquet(root.resolve(s"v$v").toString))
 
-  /** True iff `version` is already visible — a foreachBatch replay (T3/T4). */
-  def alreadyPublished(version: Long): Boolean =
-    latestVersion().exists(_ >= version)
-
-  /** Write a full snapshot as `v<version>` and atomically swing the pointer.
-    * Parquet write is the cluster-side heavy path (Spark's commit protocol
-    * already publishes the directory all-or-nothing); the pointer swap is the
-    * reference's os.replace.
+  /** True iff streaming batch `batchId` has already been applied — a
+    * foreachBatch replay after crash-resume (T3/T4).
     */
-  def publish(df: DataFrame, version: Long): Unit = {
+  def alreadyApplied(batchId: Long): Boolean =
+    pointerState().exists(_._2 >= batchId)
+
+  /** Write a full snapshot as the next version and atomically swing the
+    * pointer (recording `batchId` when the write came from a streaming
+    * batch). Parquet write is the cluster-side heavy path (Spark's commit
+    * protocol already publishes the directory all-or-nothing); the pointer
+    * swap is the reference's os.replace. Superseded and orphaned snapshots
+    * beyond [[KeepSnapshots]] are deleted best-effort afterwards.
+    */
+  def publish(df: DataFrame, batchId: Option[Long] = None): Long = {
+    val state   = pointerState()
+    val version = state.map(_._1 + 1).getOrElse(0L)
+    val applied = batchId.orElse(state.map(_._2)).getOrElse(-1L)
     df.write.mode("overwrite").parquet(root.resolve(s"v$version").toString)
     val tmp = root.resolve(s"_LATEST.tmp.$version")
-    Files.write(tmp, version.toString.getBytes(StandardCharsets.UTF_8))
+    Files.write(tmp, s"$version $applied".getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+    gc(version)
+    version
+  }
+
+  /** Best-effort removal of snapshot dirs older than `current - KeepSnapshots`
+    * plus crash orphans NEWER than current (an interrupted publish that never
+    * swung the pointer).
+    */
+  private def gc(current: Long): Unit =
+    try
+      Files.list(root).iterator().asScala
+        .filter(p => p.getFileName.toString.matches("v\\d+"))
+        .map(p => (p, p.getFileName.toString.drop(1).toLong))
+        .filter { case (_, v) => v < current - KeepSnapshots + 1 || v > current }
+        .foreach { case (p, _) => deleteRecursively(p) }
+    catch { case _: Exception => () } // GC must never fail a publish
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).iterator().asScala.foreach(deleteRecursively)
+    Files.deleteIfExists(p)
   }
 
   /** Keyed upsert of one micro-batch (J4 semantics — pet_scraper.py:410-466):
-    * merge into the current snapshot (or bootstrap from the batch), publish as
-    * `version`. Replayed versions are skipped, making the sink effectively
-    * exactly-once under foreachBatch's at-least-once replay. Intra-batch
-    * duplicate keys are resolved before the merge (server.py:207's intra-batch
-    * dedup): highest `seqCol` wins when given, else an arbitrary-but-single
-    * row per key.
+    * merge into the current snapshot (or bootstrap from the batch), publish
+    * as the next snapshot version, record `batchId` as applied. Replayed
+    * batch ids are skipped, making the sink effectively exactly-once under
+    * foreachBatch's at-least-once replay. Intra-batch duplicate keys are
+    * resolved before the merge (server.py:207's intra-batch dedup): highest
+    * `seqCol` wins when given, else an arbitrary-but-single row per key.
     */
-  def merge(updates: DataFrame, version: Long, seqCol: Option[String] = None): Unit = {
-    if (alreadyPublished(version)) return
+  def merge(updates: DataFrame, batchId: Long, seqCol: Option[String] = None): Unit = {
+    if (alreadyApplied(batchId)) return
     import org.apache.spark.sql.functions.col
     val order   = seqCol.map(c => col(c).desc).getOrElse(col(key).asc)
     val deduped = Relational.topKPerGroup(updates, Seq(col(key)), Seq(order), 1).drop("rn")
@@ -73,6 +117,7 @@ final class KeyedTable(spark: SparkSession, dir: String, val key: String) {
       case Some(existing) => Relational.upsertMerge(existing, deduped, key)
       case None           => deduped
     }
-    publish(merged, version)
+    publish(merged, Some(batchId))
+    ()
   }
 }

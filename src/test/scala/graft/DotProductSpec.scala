@@ -34,6 +34,17 @@ class DotProductSpec extends SparkTestBase {
     assert(df.select(dotLong(col("a"), col("b"))).collect()(0).isNullAt(0))
   }
 
+  test("null elements and length mismatches yield null, matching the built-in") {
+    val withNull = spark.sql("SELECT array(1L, NULL) AS a, array(1L, 1L) AS b")
+      .select(dotLong(col("a"), col("b")).as("native"), expr(builtinDot).as("builtin"))
+      .collect()(0)
+    assert(withNull.isNullAt(0) && withNull.isNullAt(1))
+    val mismatch = spark.sql("SELECT array(1L, 2L, 3L) AS a, array(1L, 1L) AS b")
+      .select(dotLong(col("a"), col("b")).as("native"), expr(builtinDot).as("builtin"))
+      .collect()(0)
+    assert(mismatch.isNullAt(0) && mismatch.isNullAt(1))
+  }
+
   test("kernel participates in whole-stage codegen") {
     // spark.range is non-foldable, so the projection must actually run —
     // a literal input would be constant-folded into a LocalTableScan

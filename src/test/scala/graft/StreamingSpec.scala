@@ -70,17 +70,38 @@ class StreamingSpec extends SparkTestBase {
 
   test("T4 idempotence: a replayed batch id is skipped by the versioned sink") {
     val table = new KeyedTable(spark, tmp("replay"), "link")
-    table.merge(Seq(("a", "1")).toDF("link", "v"), version = 0L)
-    table.merge(Seq(("a", "CLOBBER")).toDF("link", "v"), version = 0L) // replay
+    table.merge(Seq(("a", "1")).toDF("link", "v"), batchId = 0L)
+    table.merge(Seq(("a", "CLOBBER")).toDF("link", "v"), batchId = 0L) // replay
     assert(table.read().get.collect()(0).getString(1) == "1")
   }
 
   test("T7 compact: delete-by-predicate republishes atomically with counts") {
     val table = new KeyedTable(spark, tmp("compact"), "link")
-    table.merge(Seq(("a", 1), ("b", 9), ("c", 2)).toDF("link", "n"), version = 0L)
+    table.merge(Seq(("a", 1), ("b", 9), ("c", 2)).toDF("link", "n"), batchId = 0L)
     val Some((kept, dropped)) = Ingest.compact(table, keep = col("n") < 5)
     assert((kept, dropped) == ((2L, 1L)))
     assert(table.read().get.select("link").as[String].collect().toSet == Set("a", "c"))
+  }
+
+  test("T7 interleave: a compaction between micro-batches never swallows the next batch") {
+    val table = new KeyedTable(spark, tmp("interleave"), "link")
+    table.merge(Seq(("a", 1), ("b", 9)).toDF("link", "n"), batchId = 0L)
+    // maintenance epoch bumps the SNAPSHOT version only, not the batch cursor
+    Ingest.compact(table, keep = col("n") < 5)
+    table.merge(Seq(("c", 2)).toDF("link", "n"), batchId = 1L)
+    assert(table.read().get.select("link").as[String].collect().toSet == Set("a", "c"),
+      "batch 1 must apply after an interleaved compaction (version/batch-id collision)")
+  }
+
+  test("snapshot GC bounds the table directory while keeping recent versions") {
+    val dir   = tmp("gc")
+    val table = new KeyedTable(spark, dir, "link")
+    (0L to 5L).foreach(b => table.merge(Seq((s"k$b", b)).toDF("link", "n"), batchId = b))
+    val snapshots = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.matches("v\\d+"))
+    assert(snapshots.length <= 2, s"expected ≤2 retained snapshots, got ${snapshots.toSeq}")
+    // latest content intact
+    assert(table.read().get.count() == 6)
   }
 
   test("T1/T5 paged source enumerates (page, pet_type) like the reference loop") {
