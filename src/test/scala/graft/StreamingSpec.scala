@@ -109,4 +109,32 @@ class StreamingSpec extends SparkTestBase {
     assert(df.isStreaming)
     assert(df.columns.toSeq == Seq("page", "pet_type", "fetched_at"))
   }
+
+  test("end-to-end: paged source → stub fetch → link extract → checkpointed keyed merge") {
+    import graft.sources.Fetch
+    val links = Fetch.extractLinks(
+      Fetch.fetchPages(
+        Fetch.withSearchUrls(Ingest.pagedSource(spark, rps = 50, maxPage = 100)),
+        "url", Fetch.stubSearchPageFetcher()),
+      "html").select("link", "page", "pet_type")
+    assert(links.isStreaming)
+
+    val table = new KeyedTable(spark, tmp("e2e-table"), "link")
+    val q = Ingest.start(links, table, tmp("e2e-ckpt"),
+      valid = org.apache.spark.sql.functions.length(col("link")) > 0)
+    try {
+      val deadline = System.nanoTime() + 30L * 1000000000L
+      var rows = 0L
+      while (rows == 0 && System.nanoTime() < deadline) {
+        Thread.sleep(500)
+        rows = table.read().map(_.count()).getOrElse(0L)
+      }
+      assert(rows > 0, "no batch merged within 30s")
+      // every merged link is a normalized absolute pet URL, one row per key
+      val out = table.read().get
+      assert(out.count() == out.select("link").distinct().count())
+      assert(out.select("link").as[String].collect()
+        .forall(_.startsWith("https://www.petfinder.com/pet/")))
+    } finally q.stop()
+  }
 }
