@@ -87,4 +87,54 @@ object Fetch {
       .withColumn("link", Scalars.normalizeUrl(col("href")))
       .drop("__slots", "href")
   }
+
+  /** The pet detail page's field layout in the stub (and test) documents:
+    * h1 = "About {name}", six detail spans, six tri-state boolean spans, a
+    * free-text paragraph, an image — the engine analog of the reference's 15
+    * absolute XPaths (pet_scraper.py:96-112).
+    */
+  private val DetailCols = Seq("location", "age", "gender", "size", "color", "breed")
+  private val BoolCols = Seq("spayed_neutered", "vaccinated", "special_needs",
+    "kids_compatible", "dogs_compatible", "cats_compatible")
+
+  /** Deterministic stub pet page: field values derived from the URL, cycling
+    * through the reference's boolean quirk inputs ("Yes", "unknown", "✓", "",
+    * "No", "Checked") and a starred/padded name so the scalar cleaning layer
+    * (X1–X3) has real work. Replaced by the rendering-proxy fetcher in
+    * production.
+    */
+  def stubPetPageFetcher(): Fetcher = url => {
+    val id = math.abs(url.hashCode)
+    val boolVals = Seq("Yes", "unknown", "✓", "", "No", "Checked")
+    val details = DetailCols.zipWithIndex
+      .map { case (c, i) => s"<span>$c-${(id + i) % 7}</span>" }.mkString
+    val bools = BoolCols.indices
+      .map(i => s"<span>${boolVals((id + i) % boolVals.length)}</span>").mkString
+    s"""<html><body><div><h1> About Pet$id** </h1>$details$bools""" +
+      s"""<p>story of $id</p><img src="/photos/$id.jpg"/></div></body></html>"""
+  }
+
+  /** P4 + §2.6: extract the 15 pet fields from a detail page and run the
+    * scalar cleaning layer — `get_text` per XPath (pet_scraper.py:135-161),
+    * clean_text (X1), name-from-about (X3), tri-state parse_boolean (X2;
+    * xpath_string's "" for a missing node becomes null), URL normalization
+    * (X6) for the image. Output columns = the pets schema minus link/pet_type
+    * (stamped by the caller — P2, pet_scraper.py:633-634).
+    */
+  def extractPetFields(df: DataFrame, htmlCol: String): DataFrame = {
+    def span(i: Int) =
+      Scalars.cleanText(expr(s"xpath_string($htmlCol, '/html/body/div/span[$i]')"))
+    val detailCols = DetailCols.zipWithIndex.map { case (c, i) => span(i + 1).as(c) }
+    val boolCols = BoolCols.zipWithIndex.map { case (c, i) =>
+      Scalars.parseBoolean(span(DetailCols.length + i + 1)).as(c)
+    }
+    df.select(
+      col("*") +:
+        Scalars.extractNameFromAbout(
+          Scalars.cleanText(expr(s"xpath_string($htmlCol, '/html/body/div/h1')"))).as("name") +:
+        (detailCols ++ boolCols) :+
+        Scalars.cleanText(expr(s"xpath_string($htmlCol, '/html/body/div/p')")).as("about_me") :+
+        Scalars.normalizeUrl(
+          expr(s"xpath_string($htmlCol, '/html/body/div/img/@src')")).as("image"): _*)
+  }
 }

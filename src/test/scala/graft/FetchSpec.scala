@@ -33,4 +33,57 @@ class FetchSpec extends SparkTestBase {
       .select("slot").as[Int].collect().toSeq
     assert(slots == slots.sorted && slots.length == 11)
   }
+
+  test("pet detail extraction: 15 fields through the scalar cleaning layer") {
+    val url = "https://www.petfinder.com/pet/p1-1"
+    val df = Fetch.fetchPages(Seq(url).toDF("link"), "link", Fetch.stubPetPageFetcher())
+    val out = Fetch.extractPetFields(df, "html").collect()(0)
+    val id  = math.abs(url.hashCode)
+
+    // X1+X3: " About Pet{id}** " → cleaned, de-prefixed
+    assert(out.getAs[String]("name") == s"Pet$id")
+    assert(out.getAs[String]("location") == s"location-${id % 7}")
+    // X2 quirks over the cycling boolean inputs: Yes→T, unknown→F ("n"),
+    // ✓→T, ""→null, No→F, Checked→T — rotated by id
+    val boolVals = Seq("Yes", "unknown", "✓", "", "No", "Checked")
+    val expected = Seq(true, false, true, null, false, true)
+    Seq("spayed_neutered", "vaccinated", "special_needs",
+      "kids_compatible", "dogs_compatible", "cats_compatible").zipWithIndex.foreach {
+      case (c, i) =>
+        val want = expected((id + i) % boolVals.length)
+        val got  = if (out.isNullAt(out.fieldIndex(c))) null else out.getAs[Boolean](c)
+        assert(got == want, s"$c: input '${boolVals((id + i) % boolVals.length)}'")
+    }
+    assert(out.getAs[String]("about_me") == s"story of $id")
+    // X6: site-relative image src normalized to absolute
+    assert(out.getAs[String]("image") == s"https://www.petfinder.com/photos/$id.jpg")
+  }
+
+  test("full reference pipeline: pages → links → pet fields → validate → merge → export") {
+    import graft.model.PetSchema
+    import graft.streaming.KeyedTable
+
+    val pages   = Seq((1, "dog"), (1, "cat")).toDF("page", "pet_type")
+    val links   = Fetch.extractLinks(
+      Fetch.fetchPages(Fetch.withSearchUrls(pages), "url", Fetch.stubSearchPageFetcher()),
+      "html").select("link", "pet_type")
+    val pets = Fetch.extractPetFields(
+      Fetch.fetchPages(links, "link", Fetch.stubPetPageFetcher()), "html")
+      .select(PetSchema.columns.map(col): _*)
+
+    val dir   = java.nio.file.Files.createTempDirectory("graft-full").toString
+    val table = new KeyedTable(spark, s"$dir/table", "link")
+    graft.Pipeline.ingestBatch(table, pets, batchId = 0L)
+
+    val stored = table.read().get
+    assert(stored.count() > 0)
+    assert(stored.count() == stored.select("link").distinct().count())
+    assert(stored.columns.toSeq == PetSchema.columns)
+
+    graft.Pipeline.exportCsv(stored, s"$dir/csv", singleFile = true)
+    val header = scala.io.Source.fromFile(
+      new java.io.File(s"$dir/csv").listFiles().filter(_.getName.endsWith(".csv")).head)
+      .getLines().next()
+    assert(header == PetSchema.columns.mkString(","))
+  }
 }
