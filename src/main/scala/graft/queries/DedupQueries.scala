@@ -26,13 +26,7 @@ import graft.Tables
   */
 object DedupQueries {
 
-  /** Spark-side 60-bit hash of an expression, as SQL text for use inside
-    * higher-order lambdas. DuckDB twin: `('0x' || substr(md5(x),1,15))::BIGINT`.
-    */
-  private def hash60Sql(x: String): String =
-    s"cast(conv(substring(md5($x), 1, 15), 16, 10) as bigint)"
-  private def duckHash60(x: String): String =
-    s"('0x' || substr(md5($x), 1, 15))::BIGINT"
+  import Dialect.{duckHash60Sql => duckHash60, duckWordsSql, hash60Sql, wordsSql}
 
   /** MinHash permutation salts: first 15 hex chars of md5("0").."md5("7")
     * parsed base-16 (same construction as [[hash60Sql]], precomputed so the
@@ -76,9 +70,6 @@ object DedupQueries {
        |        [${duckHash60("w")} for w in list_distinct($duckWordsSql)] AS wh
        |      FROM documents) t""".stripMargin
 
-  /** Word tokens of a document (both engines split on runs of spaces). */
-  private val wordsSql     = "split(trim(coalesce(text, '')), ' +')"
-  private val duckWordsSql = "string_split_regex(trim(coalesce(text, '')), ' +')"
 
   /** Integer-quantized embedding: float → round(x*1000) as BIGINT. Exact in
     * both engines (float→double widening is exact; round is half-away-from-zero

@@ -20,9 +20,7 @@ import graft.Tables
   */
 object TextQueries {
 
-  /** Word tokens (both engines split trimmed text on runs of spaces). */
-  private val wordsSql     = "split(trim(coalesce(text, '')), ' +')"
-  private val duckWordsSql = "string_split_regex(trim(coalesce(text, '')), ' +')"
+  import Dialect.{duckHash60Sql, duckWordsSql, hash60Sql, wordsSql}
 
   /** Per-language marker ("stopword") lists for the n-gram/stopword language
     * heuristic. Tiny on purpose: at scale these are broadcast literals inside
@@ -178,12 +176,12 @@ object TextQueries {
         Tables.documents(s, dir)
           .withColumn("fingerprint", expr(
             s"aggregate($wordsSql, cast(-1 as bigint), (acc, w) -> " +
-              "if(acc < 0, cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint) % 1000000007, " +
-              "(acc * 31 + cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint) % 1000000007) % 1000000007))"))
+              s"if(acc < 0, ${hash60Sql("w")} % 1000000007, " +
+              s"(acc * 31 + ${hash60Sql("w")} % 1000000007) % 1000000007))"))
           .select("doc_id", "fingerprint")
           .orderBy("doc_id"),
       Some(s"""SELECT doc_id,
-              |       list_reduce([('0x' || substr(md5(w), 1, 15))::BIGINT % 1000000007
+              |       list_reduce([${duckHash60Sql("w")} % 1000000007
               |                    for w in $duckWordsSql],
               |                   (acc, h) -> (acc * 31 + h) % 1000000007) AS fingerprint
               |FROM documents ORDER BY doc_id""".stripMargin)

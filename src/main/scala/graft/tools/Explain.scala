@@ -1,6 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
 
 import graft.SparkEntry
 
@@ -14,14 +13,7 @@ object Explain {
     val names = if (args.nonEmpty) args.toSeq else Seq(
       "q_dedup_minhash", "q_ngram_jaccard", "q_cosine_topk", "q_ann_lsh",
       "q_upsert_merge", "q_pagination_window", "q_sessionize")
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", 4)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
+    val spark = graft.LocalSpark.session("4", "graft-explain")
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       println(s"\n========== $n ==========")
