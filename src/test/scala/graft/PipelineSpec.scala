@@ -63,6 +63,32 @@ class PipelineSpec extends SparkTestBase {
     assert(header == PetSchema.columns.mkString(","))
   }
 
+  test("streaming sessionizer emits closed sessions once the watermark passes") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+
+    val t0    = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val sess = Sessions.sessionize(
+      input.toDF().toDF("user_id", "ts"), watermark = Some("10 minutes"))
+    val q = sess.writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // one session of two events, then a far-future event that advances the
+      // watermark past the first session's close
+      input.addData((1L, ts(0)), (1L, ts(5)))
+      q.processAllAvailable()
+      input.addData((1L, ts(120)))
+      q.processAllAvailable()
+      val emitted = spark.table("sess_out")
+        .select("user_id", "n_events").as[(Long, Long)].collect().toSeq
+      assert(emitted == Seq(1L -> 2L),
+        "first session (2 events) emitted after watermark passed; open session withheld")
+    } finally q.stop()
+  }
+
   test("streaming-form sessionizer agrees with the batch query on session counts") {
     val batchSessions = graft.SparkEntry.queries("q_sessionize")(spark, "/root/testdata/sf0.001")
       .groupBy("user_id").count().orderBy("user_id")
