@@ -72,6 +72,30 @@ object SimilarityQueries {
   /** Probe set: every 50th vector — the "query workload" side of the ANN scan. */
   private val ProbeMod = 50
 
+  /** IVF coarse quantizer: 16 deterministic pseudo-random centroids (same
+    * hash-derived construction as the LSH hyperplanes, "c{j}:{d}" seeds).
+    * Real IVF trains centroids with k-means; a fixed random codebook keeps
+    * the partition-assign-search shape identical and both engines literal.
+    */
+  private val NCentroids = 16
+  private val Centroids: Seq[Seq[Long]] =
+    (0 until NCentroids).map(j => (0 until Dim).map(d => hash60(s"c$j:$d") % 2001 - 1000))
+
+  /** Centroid id of quantized vector column `q`: first index of the maximum
+    * centroid dot product (array_position/list_position both return the
+    * FIRST 1-based match, so ties break identically).
+    */
+  private val cidCol: Column = {
+    val dots = array(Centroids.map(c => dotLong(col("q"), array(c.map(lit(_)): _*))): _*)
+    (array_position(dots, array_max(dots)) - 1).cast("int")
+  }
+
+  /** DuckDB twin of [[cidCol]], via a lateral-computed dots list. */
+  private val duckDotsSql: String =
+    Centroids
+      .map(c => s"list_dot_product(q::DOUBLE[], ${planeListDuck(c)}::DOUBLE[])")
+      .mkString("[", ", ", "]")
+
   val queries: Seq[GraftQuery] = Seq(
 
     // E2a brute-force cosine top-k: probe set × full corpus, exact. The scan
@@ -158,6 +182,58 @@ object SimilarityQueries {
               |  SELECT p.qid, v.vec_id AS neighbor,
               |         list_dot_product(p.qq::DOUBLE[], v.q::DOUBLE[]) / (sqrt(p.qn) * sqrt(v.n2)) AS cos
               |  FROM b v JOIN probes p ON v.bucket = p.bucket AND v.vec_id <> p.qid)
+              |SELECT qid, rank, neighbor, round(cos, 4) AS cos_r FROM (
+              |  SELECT qid, neighbor, cos,
+              |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor) AS rank
+              |  FROM scored) r
+              |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin)
+    ),
+
+    // E2c IVF ANN: a 16-centroid coarse quantizer (deterministic codebook)
+    // partitions the corpus into inverted lists; probes search only THEIR
+    // list. This is the other standard ANN scale shape next to LSH: one
+    // shuffle on the centroid id, per-list exact search, recall tunable by
+    // probing more lists (1 probed here). Real IVF k-means-trains the
+    // codebook; the partition-assign-search plan is identical.
+    GraftQuery(
+      "q_ann_ivf",
+      "IVF-bucketed cosine top-3 (16 deterministic centroids, 1 probe list)",
+      (s, dir) => {
+        val base = Tables.embeddings(s, dir)
+          .filter(size(col("embedding")) === Dim)
+          .withColumn("q", expr(quantSql))
+          .withColumn("n2", dotLong(col("q"), col("q")))
+          .filter(col("n2") > 0)
+          .withColumn("cid", cidCol)
+          .select("vec_id", "q", "n2", "cid")
+        val probes = base.filter(col("vec_id") % ProbeMod === 0)
+          .select(col("vec_id").as("qid"), col("q").as("qq"),
+            col("n2").as("qn"), col("cid"))
+        base.join(probes, Seq("cid"))
+          .filter(col("vec_id") =!= col("qid"))
+          .withColumn("cos", cosine(col("qq"), col("q"), col("qn"), col("n2")))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)))
+          .filter(col("rank") <= 3)
+          .select(col("qid"), col("rank").cast("long").as("rank"), col("vec_id").as("neighbor"),
+            round(col("cos"), 4).as("cos_r"))
+          .orderBy("qid", "rank")
+      },
+      Some(s"""WITH n AS (
+              |  SELECT vec_id, q, list_dot_product(q::DOUBLE[], q::DOUBLE[]) AS n2
+              |  FROM (SELECT vec_id,
+              |               list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+              |        FROM embeddings WHERE len(embedding) = $Dim) t
+              |  WHERE list_dot_product(q::DOUBLE[], q::DOUBLE[]) > 0),
+              |assigned AS (
+              |  SELECT vec_id, q, n2,
+              |         CAST(list_position(d, list_max(d)) - 1 AS INT) AS cid
+              |  FROM (SELECT vec_id, q, n2, $duckDotsSql AS d FROM n) dd),
+              |probes AS (SELECT vec_id AS qid, q AS qq, n2 AS qn, cid FROM assigned WHERE vec_id % $ProbeMod = 0),
+              |scored AS (
+              |  SELECT p.qid, v.vec_id AS neighbor,
+              |         list_dot_product(p.qq::DOUBLE[], v.q::DOUBLE[]) / (sqrt(p.qn) * sqrt(v.n2)) AS cos
+              |  FROM assigned v JOIN probes p ON v.cid = p.cid AND v.vec_id <> p.qid)
               |SELECT qid, rank, neighbor, round(cos, 4) AS cos_r FROM (
               |  SELECT qid, neighbor, cos,
               |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor) AS rank
