@@ -44,7 +44,14 @@ object SimilarityQueries {
   }
 
   private val Dim     = 64
-  private val NPlanes = 8
+  /** 4 hash tables × 4 sign bits each (OR-amplification): one k-bit table
+    * ANDs k low-probability events, so recall collapses on weakly-similar
+    * corpora; L tables OR them back up — the standard LSH trade
+    * (probability 1 − (1 − p^k)^L of becoming a candidate).
+    */
+  private val BitsPerTable = 4
+  private val NTables      = 4
+  private val NPlanes      = BitsPerTable * NTables
 
   /** Random-hyperplane matrix: component (s,d) = hash60("s:d") mod 2001 −
     * 1000, i.e. deterministic pseudo-random in [−1000, 1000]. Inlined as SQL
@@ -55,19 +62,26 @@ object SimilarityQueries {
 
   private def planeListDuck(p: Seq[Long]) = p.mkString("[", ", ", "]")
 
-  /** 8-bit LSH bucket of quantized vector column `q` (codegen'd dot per
-    * hyperplane against a literal component array).
+  /** Per-table sign-bit buckets of quantized vector column `q` (codegen'd
+    * dot per hyperplane against a literal component array): table `t` uses
+    * planes [t*k, t*k+k).
     */
-  private def bucketCol: Column =
-    Planes.zipWithIndex.map { case (p, s) =>
-      shiftleft(when(dotLong(col("q"), array(p.map(lit(_)): _*)) > 0, lit(1L)).otherwise(lit(0L)), s)
-    }.reduce(_ + _)
+  private def bucketsCol: Column =
+    array((0 until NTables).map { t =>
+      (0 until BitsPerTable).map { i =>
+        shiftleft(
+          when(dotLong(col("q"), array(Planes(t * BitsPerTable + i).map(lit(_)): _*)) > 0,
+            lit(1L)).otherwise(lit(0L)), i)
+      }.reduce(_ + _)
+    }: _*)
 
-  /** DuckDB SQL for the same bucket over quantized list column `q`. */
-  private val duckBucketSql: String =
-    Planes.zipWithIndex.map { case (p, s) =>
-      s"(CASE WHEN list_dot_product(q::DOUBLE[], ${planeListDuck(p)}::DOUBLE[]) > 0 THEN 1::BIGINT ELSE 0::BIGINT END << $s)"
-    }.mkString(" + ")
+  /** DuckDB SQL list of the same per-table buckets over column `q`. */
+  private val duckBucketsSql: String =
+    (0 until NTables).map { t =>
+      (0 until BitsPerTable).map { i =>
+        s"(CASE WHEN list_dot_product(q::DOUBLE[], ${planeListDuck(Planes(t * BitsPerTable + i))}::DOUBLE[]) > 0 THEN 1::BIGINT ELSE 0::BIGINT END << $i)"
+      }.mkString(" + ")
+    }.mkString("[", ", ", "]")
 
   /** Probe set: every 50th vector — the "query workload" side of the ANN scan. */
   private val ProbeMod = 50
@@ -141,27 +155,32 @@ object SimilarityQueries {
               |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin)
     ),
 
-    // E2b sign-bit LSH ANN: 8 deterministic random hyperplanes → 8-bit bucket
-    // (the IVF/coarse-quantizer analog); probes only compare against vectors
-    // in THEIR bucket. At 100 TB this is the shape that matters: one shuffle
-    // on the bucket id, pairwise work bounded per bucket, corpus never
-    // pairwise-scanned. Recall < 1.0 by design — judged against E2a.
+    // E2b sign-bit LSH ANN, OR-amplified: 4 hash tables of 4 hyperplane sign
+    // bits each; a vector is a candidate for a probe if they share a bucket
+    // in ANY table (candidate pairs deduped before scoring). At 100 TB this
+    // is the shape that matters: one shuffle on (table, bucket), pairwise
+    // work bounded per bucket, corpus never pairwise-scanned; recall tuned by
+    // (bits, tables) — a single k-bit table ANDs k coin flips and collapses
+    // on weakly-similar corpora (AnnRecallSpec pins this against E2a).
     GraftQuery(
       "q_ann_lsh",
-      "LSH-bucketed cosine top-3 (8 random hyperplanes, in-bucket search)",
+      "LSH-bucketed cosine top-3 (4 tables x 4 sign bits, OR-amplified)",
       (s, dir) => {
         val base = Tables.embeddings(s, dir)
           .filter(size(col("embedding")) === Dim)
           .withColumn("q", expr(quantSql))
           .withColumn("n2", dotLong(col("q"), col("q")))
           .filter(col("n2") > 0)
-          .withColumn("bucket", bucketCol)
-          .select("vec_id", "q", "n2", "bucket")
-        val probes = base.filter(col("vec_id") % ProbeMod === 0)
+          .withColumn("bs", bucketsCol)
+          .select("vec_id", "q", "n2", "bs")
+        val exploded = base.select(col("vec_id"), col("q"), col("n2"),
+          posexplode(col("bs")).as(Seq("t", "bucket")))
+        val probes = exploded.filter(col("vec_id") % ProbeMod === 0)
           .select(col("vec_id").as("qid"), col("q").as("qq"),
-            col("n2").as("qn"), col("bucket"))
-        base.join(probes, Seq("bucket"))
+            col("n2").as("qn"), col("t"), col("bucket"))
+        exploded.join(probes, Seq("t", "bucket"))
           .filter(col("vec_id") =!= col("qid"))
+          .dropDuplicates("qid", "vec_id") // OR across tables, score once
           .withColumn("cos", cosine(col("qq"), col("q"), col("qn"), col("n2")))
           .withColumn("rank", row_number().over(
             Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)))
@@ -176,12 +195,17 @@ object SimilarityQueries {
               |               list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
               |        FROM embeddings WHERE len(embedding) = $Dim) t
               |  WHERE list_dot_product(q::DOUBLE[], q::DOUBLE[]) > 0),
-              |b AS (SELECT vec_id, q, n2, $duckBucketSql AS bucket FROM n),
-              |probes AS (SELECT vec_id AS qid, q AS qq, n2 AS qn, bucket FROM b WHERE vec_id % $ProbeMod = 0),
+              |b AS (SELECT vec_id, q, n2, $duckBucketsSql AS bs FROM n),
+              |e AS (SELECT vec_id, ti.t AS t, bs[ti.t + 1] AS bucket
+              |      FROM b, (SELECT unnest(range(0, $NTables)) AS t) ti),
+              |cand AS (
+              |  SELECT DISTINCT p.vec_id AS qid, v.vec_id AS neighbor
+              |  FROM e v JOIN e p ON v.t = p.t AND v.bucket = p.bucket
+              |  WHERE p.vec_id % $ProbeMod = 0 AND v.vec_id <> p.vec_id),
               |scored AS (
-              |  SELECT p.qid, v.vec_id AS neighbor,
-              |         list_dot_product(p.qq::DOUBLE[], v.q::DOUBLE[]) / (sqrt(p.qn) * sqrt(v.n2)) AS cos
-              |  FROM b v JOIN probes p ON v.bucket = p.bucket AND v.vec_id <> p.qid)
+              |  SELECT c.qid, c.neighbor,
+              |         list_dot_product(pq.q::DOUBLE[], vq.q::DOUBLE[]) / (sqrt(pq.n2) * sqrt(vq.n2)) AS cos
+              |  FROM cand c JOIN n pq ON pq.vec_id = c.qid JOIN n vq ON vq.vec_id = c.neighbor)
               |SELECT qid, rank, neighbor, round(cos, 4) AS cos_r FROM (
               |  SELECT qid, neighbor, cos,
               |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor) AS rank
