@@ -112,6 +112,27 @@ object Ingest {
       (kept, dropped)
     }
 
+  /** T7 outer loop, one turn: drain everything currently available from the
+    * source (Trigger.AvailableNow — the "pages 1..10000" sweep), then run the
+    * verification compaction — the reference's scrape-epoch → verify-all →
+    * wrap cycle (server.py:384-398). Returns (kept, dropped) from the
+    * compaction. Call repeatedly for the infinite loop; the checkpoint makes
+    * each call resume where the last stopped.
+    */
+  def runEpoch(
+      updates: DataFrame,
+      table: KeyedTable,
+      checkpointDir: String,
+      valid: org.apache.spark.sql.Column,
+      keep: org.apache.spark.sql.Column,
+      quarantineDir: Option[String] = None,
+      seqCol: Option[String] = None): (Long, Long) = {
+    val q = start(updates, table, checkpointDir, valid, quarantineDir, seqCol,
+      trigger = Trigger.AvailableNow())
+    q.awaitTermination()
+    compact(table, keep).getOrElse((0L, 0L))
+  }
+
   /** T6: start/stop/status introspection — the `GET /status` analog
     * (server.py:425-428) over the engine's own query handle.
     */

@@ -104,6 +104,25 @@ class StreamingSpec extends SparkTestBase {
     assert(table.read().get.count() == 6)
   }
 
+  test("T7 runEpoch drains the source, compacts, and resumes on the next epoch") {
+    val srcDir, ckptDir, tableDir = tmp("epoch")
+    val table = new KeyedTable(spark, tableDir, "link")
+    def src = spark.readStream.schema(schema).parquet(srcDir)
+    val valid = col("name").isNotNull && trim(col("name")) =!= ""
+    val keep  = !col("name").startsWith("STALE")
+
+    Seq(("a", "Rex", 1L), ("b", "STALE-Bella", 2L)).toDF("link", "name", "seq")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val (kept1, dropped1) = Ingest.runEpoch(src, table, ckptDir, valid, keep)
+    assert((kept1, dropped1) == ((1L, 1L))) // Rex kept, stale Bella compacted away
+
+    Seq(("c", "Cat", 3L)).toDF("link", "name", "seq")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val (kept2, _) = Ingest.runEpoch(src, table, ckptDir, valid, keep)
+    assert(kept2 == 2L) // a + c; epoch 2 resumed from the checkpoint
+    assert(table.read().get.select("link").as[String].collect().toSet == Set("a", "c"))
+  }
+
   test("T1/T5 paged source enumerates (page, pet_type) like the reference loop") {
     val df = Ingest.pagedSource(spark, rps = 4, maxPage = 10)
     assert(df.isStreaming)
