@@ -89,6 +89,34 @@ class PipelineSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stateful sessionizer (flatMapGroupsWithState) closes sessions across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val gapUs = 10L * 60 * 1000000 // 10 min
+    def us(min: Int) = min * 60L * 1000000
+    val input = MemoryStream[(Long, Long)]
+    val out = graft.streaming.Sessions.sessionizeStateful(input.toDS(), gapUs)
+    val q = out.writeStream.format("memory").queryName("stateful_sess")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: user 1 has two close events; user 2 one event
+      input.addData((1L, us(0)), (1L, us(5)), (2L, us(0)))
+      q.processAllAvailable()
+      assert(spark.table("stateful_sess").count() == 0, "no session closed yet")
+
+      // batch 2: user 1 far-future event closes the first session across the
+      // batch boundary; user 2 stays open
+      input.addData((1L, us(120)))
+      q.processAllAvailable()
+      val closed = spark.table("stateful_sess")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(closed == Seq((1L, us(0), us(5), 2L)),
+        "user 1's first session (2 events, state carried across batches) closed")
+    } finally q.stop()
+  }
+
   test("streaming-form sessionizer agrees with the batch query on session counts") {
     val batchSessions = graft.SparkEntry.queries("q_sessionize")(spark, "/root/testdata/sf0.001")
       .groupBy("user_id").count().orderBy("user_id")
