@@ -95,6 +95,16 @@ object Scalars {
   def hexHash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
 
+  /** [[hexHash60]] as Spark SQL text (for `expr(...)` call sites and the
+    * registered SQL function).
+    */
+  def hexHash60Sql(in: String): String =
+    s"cast(conv(substring(md5($in), 1, 15), 16, 10) as bigint)"
+
+  /** The DuckDB rendering of the same construction, for oracle twins. */
+  def duckHexHash60Sql(in: String): String =
+    s"('0x' || substr(md5($in), 1, 15))::BIGINT"
+
   /** "Missing" in the reference means null OR blank after trim
     * (pet_scraper.py:387-405; SURVEY.md §7.4#6). Works on any type by
     * casting through string.

@@ -32,7 +32,7 @@ object Udfs {
       "CASE WHEN b IS NULL THEN '' WHEN b THEN 'True' ELSE 'False' END"),
     ("normalize_url", "s STRING", "STRING",
       s"CASE WHEN s LIKE '/%' THEN '${Scalars.PetfinderBase}' || s ELSE s END"),
-    ("hex_hash60", "s STRING", "BIGINT", graft.queries.Dialect.hash60Sql("s")))
+    ("hex_hash60", "s STRING", "BIGINT", Scalars.hexHash60Sql("s")))
 
   /** All registered names, for discovery/tests. */
   val names: Seq[String] = defs.map(_._1)

@@ -196,15 +196,7 @@ object DedupQueries {
       "q_dedup_simhash",
       "32-bit SimHash fingerprint per document",
       (s, dir) => simhashDf(s, dir).orderBy("doc_id"),
-      Some(s"""SELECT doc_id,
-              |  CAST(list_sum([
-              |    CASE WHEN CAST(list_sum([(((h >> b) & 1) * 2) - 1 for h in wh]) AS BIGINT) > 0
-              |         THEN (1::BIGINT << b) ELSE 0 END
-              |    for b in range(0, 32)]) AS BIGINT) AS simhash
-              |FROM (SELECT doc_id,
-              |        [${duckHash60("w")} for w in list_distinct($duckWordsSql)] AS wh
-              |      FROM documents) t
-              |ORDER BY doc_id""".stripMargin)
+      Some(duckSimhashSql + "\nORDER BY doc_id")
     ),
 
     // E1c2 SimHash near-dup pairs: block on the top 16 fingerprint bits (the
@@ -217,9 +209,15 @@ object DedupQueries {
       "q_simhash_pairs",
       "simhash near-dup pairs: same top-16 block, hamming distance <= 6",
       (s, dir) => {
-        val sh = simhashDf(s, dir).withColumn("block", expr("shiftright(simhash, 16)"))
-        val l  = sh.select(col("block"), col("doc_id").as("a"), col("simhash").as("sa"))
-        val r  = sh.select(col("block"), col("doc_id").as("b"), col("simhash").as("sb"))
+        // hot-block cap (same MaxBucket guard as the minhash LSH stage): a
+        // degenerate block — e.g. many empty docs sharing one fingerprint —
+        // would otherwise make the in-block join AND its output |block|²
+        val sh = simhashDf(s, dir)
+          .withColumn("block", expr("shiftright(simhash, 16)"))
+          .withColumn("bn", count(lit(1)).over(Window.partitionBy(col("block"))))
+          .filter(col("bn") <= MaxBucket)
+        val l = sh.select(col("block"), col("doc_id").as("a"), col("simhash").as("sa"))
+        val r = sh.select(col("block"), col("doc_id").as("b"), col("simhash").as("sb"))
         l.join(r, "block")
           .filter(col("a") < col("b"))
           .withColumn("dist", expr("bit_count(sa ^ sb)"))
@@ -228,11 +226,14 @@ object DedupQueries {
           .orderBy("a", "b")
       },
       Some(s"""WITH sh AS ($duckSimhashSql),
-              |b AS (SELECT doc_id, simhash, simhash >> 16 AS block FROM sh)
+              |b AS (SELECT doc_id, simhash, simhash >> 16 AS block,
+              |             count(*) OVER (PARTITION BY simhash >> 16) AS bn
+              |      FROM sh),
+              |c AS (SELECT doc_id, simhash, block FROM b WHERE bn <= $MaxBucket)
               |SELECT a, b, dist FROM (
               |  SELECT l.doc_id AS a, r.doc_id AS b,
               |         CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS dist
-              |  FROM b l JOIN b r ON l.block = r.block AND l.doc_id < r.doc_id) p
+              |  FROM c l JOIN c r ON l.block = r.block AND l.doc_id < r.doc_id) p
               |WHERE dist <= 6 ORDER BY a, b""".stripMargin)
     ),
 

@@ -13,12 +13,10 @@ object Dialect {
   val wordsSql     = "split(trim(coalesce(text, '')), ' +')"
   val duckWordsSql = "string_split_regex(trim(coalesce(text, '')), ' +')"
 
-  /** Deterministic 60-bit string hash: first 15 hex chars of md5 parsed
-    * base-16 (the SQL rendering of [[graft.functions.Scalars.hexHash60]]).
-    * Always non-negative (60 bits < signed 64), exact in both engines.
+  /** Deterministic 60-bit string hash in both dialects — defined next to the
+    * Column form in [[graft.functions.Scalars]] (the functions layer owns
+    * the construction; queries only consume it).
     */
-  def hash60Sql(x: String): String =
-    s"cast(conv(substring(md5($x), 1, 15), 16, 10) as bigint)"
-  def duckHash60Sql(x: String): String =
-    s"('0x' || substr(md5($x), 1, 15))::BIGINT"
+  def hash60Sql(x: String): String     = graft.functions.Scalars.hexHash60Sql(x)
+  def duckHash60Sql(x: String): String = graft.functions.Scalars.duckHexHash60Sql(x)
 }

@@ -48,6 +48,14 @@ object SimilarityQueries {
     * ANDs k low-probability events, so recall collapses on weakly-similar
     * corpora; L tables OR them back up — the standard LSH trade
     * (probability 1 − (1 − p^k)^L of becoming a candidate).
+    *
+    * k is sized for the TEST corpus (2k vectors / 2^4 buckets ≈ 125-vector
+    * buckets): bits must grow with log2(corpus / target bucket size) — at
+    * 100 TB that's k ≈ 20+ bits per table (10^6+ buckets) so per-probe
+    * candidate work stays a constant-sized bucket, not a corpus fraction.
+    * k and L are build-time constants here because the DuckDB oracle needs
+    * the same literals; a cluster deployment derives k from the catalog's
+    * row-count statistics at plan time.
     */
   private val BitsPerTable = 4
   private val NTables      = 4

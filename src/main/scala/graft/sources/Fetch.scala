@@ -104,7 +104,9 @@ object Fetch {
     * production.
     */
   def stubPetPageFetcher(): Fetcher = url => {
-    val id = math.abs(url.hashCode)
+    // floorMod: abs(Int.MinValue) is negative, and (abs + i) can overflow —
+    // keep the id small and non-negative so index arithmetic below is safe
+    val id = java.lang.Math.floorMod(url.hashCode, 1000000)
     val boolVals = Seq("Yes", "unknown", "✓", "", "No", "Checked")
     val details = DetailCols.zipWithIndex
       .map { case (c, i) => s"<span>$c-${(id + i) % 7}</span>" }.mkString

@@ -42,40 +42,66 @@ object Sessions {
     * exceeded — the KeyValueGroupedDataset state API the built-in
     * `session_window` compiles away from you, exposed for session logic the
     * built-in can't express (per-session caps, custom merge rules, side
-    * effects on close). Events within a batch are sorted per user; state
-    * holds at most one open session per user (bounded memory at any scale —
-    * users partition the state store).
+    * effects on close).
     *
-    * Input: (user_id, event micros). Output: closed sessions only; the final
-    * open session stays in state (flush by sending a far-future tick, as the
-    * spec does).
+    * Semantics: events within a batch are processed in time order;
+    * cross-batch stragglers that land WITHIN the open session's gap envelope
+    * `[start − gap, last + gap]` merge into it (start/end expand, so
+    * end ≥ start always holds); stragglers older than that are emitted
+    * immediately as their own single-event session rather than corrupting
+    * the open one. With `idleTimeoutMs` set (the production default), idle
+    * users are evicted by a processing-time timeout — their final session is
+    * emitted on eviction, so state stays bounded by ACTIVE users, not all
+    * users ever seen. Pass None for synchronous test harnesses:
+    * processing-time timeouts make the engine schedule extra batches, which
+    * keeps `processAllAvailable()` from ever observing a quiet stream.
+    *
+    * Input: (user_id, event micros). Output: closed sessions.
     */
   def sessionizeStateful(
       events: org.apache.spark.sql.Dataset[(Long, Long)],
-      gapUs: Long): org.apache.spark.sql.Dataset[ClosedSession] = {
+      gapUs: Long,
+      idleTimeoutMs: Option[Long] = Some(3600000L)): org.apache.spark.sql.Dataset[ClosedSession] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import events.sparkSession.implicits._
+    val timeoutConf = if (idleTimeoutMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     events
       .groupByKey(_._1)
       .flatMapGroupsWithState[OpenSession, ClosedSession](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         (user: Long, rows: Iterator[(Long, Long)], state: GroupState[OpenSession]) =>
-          val ts = rows.map(_._2).toArray.sorted
-          val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
-          var open = state.getOption
-          ts.foreach { t =>
-            open match {
-              case Some(s) if t - s.lastUs <= gapUs =>
-                open = Some(s.copy(lastUs = t, n = s.n + 1))
-              case Some(s) =>
-                closed += ClosedSession(user, s.startUs, s.lastUs, s.n)
-                open = Some(OpenSession(t, t, 1))
-              case None =>
-                open = Some(OpenSession(t, t, 1))
+          if (state.hasTimedOut) {
+            // idle eviction: flush the final session and release the state
+            val out = state.getOption
+              .map(s => ClosedSession(user, s.startUs, s.lastUs, s.n)).iterator
+            state.remove()
+            out
+          } else {
+            val ts = rows.map(_._2).toArray.sorted
+            val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+            var open = state.getOption
+            ts.foreach { t =>
+              open match {
+                case Some(s) if t > s.lastUs + gapUs =>
+                  closed += ClosedSession(user, s.startUs, s.lastUs, s.n)
+                  open = Some(OpenSession(t, t, 1))
+                case Some(s) if t >= s.startUs - gapUs =>
+                  // in-envelope event (possibly a cross-batch straggler):
+                  // expand the open session in both directions
+                  open = Some(OpenSession(
+                    math.min(s.startUs, t), math.max(s.lastUs, t), s.n + 1))
+                case Some(_) =>
+                  // straggler far older than the open session: its own session
+                  closed += ClosedSession(user, t, t, 1)
+                case None =>
+                  open = Some(OpenSession(t, t, 1))
+              }
             }
+            open.foreach(state.update)
+            idleTimeoutMs.foreach(state.setTimeoutDuration)
+            closed.iterator
           }
-          open.foreach(state.update)
-          closed.iterator
       }
   }
 }

@@ -38,7 +38,7 @@ class FetchSpec extends SparkTestBase {
     val url = "https://www.petfinder.com/pet/p1-1"
     val df = Fetch.fetchPages(Seq(url).toDF("link"), "link", Fetch.stubPetPageFetcher())
     val out = Fetch.extractPetFields(df, "html").collect()(0)
-    val id  = math.abs(url.hashCode)
+    val id  = java.lang.Math.floorMod(url.hashCode, 1000000)
 
     // X1+X3: " About Pet{id}** " → cleaned, de-prefixed
     assert(out.getAs[String]("name") == s"Pet$id")

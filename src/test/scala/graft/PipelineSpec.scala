@@ -97,7 +97,9 @@ class PipelineSpec extends SparkTestBase {
     val gapUs = 10L * 60 * 1000000 // 10 min
     def us(min: Int) = min * 60L * 1000000
     val input = MemoryStream[(Long, Long)]
-    val out = graft.streaming.Sessions.sessionizeStateful(input.toDS(), gapUs)
+    // idleTimeoutMs = None: processing-time timeouts keep scheduling batches,
+    // which would make processAllAvailable below wait forever
+    val out = graft.streaming.Sessions.sessionizeStateful(input.toDS(), gapUs, None)
     val q = out.writeStream.format("memory").queryName("stateful_sess")
       .outputMode(OutputMode.Append()).start()
     try {
