@@ -94,6 +94,19 @@ object Ingest {
       }
       .start()
 
+  /** Streaming exact dedup (the streaming form of J1/J3 and of the batch
+    * dedup family): watermarked `dropDuplicates` on the key — Spark keeps
+    * one state entry per key inside the watermark horizon and drops replays,
+    * which is the reference's "skip links already present" probe
+    * (server.py:198-207) done with engine state instead of a table scan.
+    * State is bounded by the watermark: keys older than `horizon` are
+    * evicted (at-least-once upstream of the idempotent keyed sink is fine —
+    * the merge dedups anything that outlives the horizon).
+    */
+  def dedupStream(updates: DataFrame, key: String, tsCol: String,
+      horizon: String = "1 hour"): DataFrame =
+    updates.withWatermark(tsCol, horizon).dropDuplicatesWithinWatermark(key)
+
   /** T7: the maintenance epoch — delete-by-predicate compaction over the
     * published snapshot (server.py:226-315), republished atomically as a new
     * version. Runs between streaming epochs (caller stops/starts the query,

@@ -1,0 +1,50 @@
+package graft
+
+/** Plan-shape regression pins (SURVEY.md §7.5): the structural properties the
+  * scale audit claims — pushdown reaching the scan, no partition-less
+  * windows, codegen coverage — asserted against the actual physical plans so
+  * a future refactor that silently degrades a plan fails here, not in the
+  * bench log.
+  */
+class PlanShapeSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("filters reach the parquet scan (PushedFilters)") {
+    val p = plan("q_scan_project")
+    assert(p.contains("PushedFilters:") && p.contains("GreaterThan(l_quantity"),
+      s"quantity filter not pushed:\n${p.take(2000)}")
+  }
+
+  test("scans prune columns (ReadSchema carries only what the query needs)") {
+    val p = plan("q_scan_project")
+    // the projection takes 4 of lineitem's 11 columns; the scan must not read text-heavy rest
+    assert(!p.contains("l_returnflag") && !p.contains("l_shipdate"),
+      s"unprojected columns reached the scan:\n${p.take(2000)}")
+  }
+
+  test("no partition-less window anywhere in the graded surface") {
+    SparkEntry.queries.keys.foreach { name =>
+      val p = plan(name)
+      // WindowExec prints "windowspecdefinition(...)"; a global window has no
+      // partition columns before the ORDER BY spec. The only sanctioned global
+      // sort is the final output ORDER BY (Sort, not Window).
+      assert(!p.contains("windowspecdefinition(ORDER"),
+        s"$name contains a partition-less window")
+    }
+  }
+
+  test("the flagship entry forces broadcast on the three dims only") {
+    // AQE may legitimately broadcast MORE at tiny scale factors (the whole
+    // dims-join output fits); what must never regress is the set of FORCED
+    // hints — broadcasting a fact side was the round-1 scale-killer.
+    // (the optimizer folds ResolvedHint nodes into the joins, so inspect the
+    // analyzed plan, where each forced broadcast is still an explicit node)
+    val logical = SparkEntry.entry(spark).queryExecution.analyzed.toString
+    val forced = "ResolvedHint".r.findAllIn(logical).length
+    assert(forced == 3, s"entry() forces $forced broadcasts (want exactly the 3 dims):\n$logical")
+  }
+}

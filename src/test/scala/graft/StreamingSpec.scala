@@ -83,6 +83,25 @@ class StreamingSpec extends SparkTestBase {
     assert(table.read().get.select("link").as[String].collect().toSet == Set("a", "c"))
   }
 
+  test("streaming dedup drops replayed keys inside the watermark horizon") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val input = MemoryStream[(String, java.sql.Timestamp)]
+    val deduped = Ingest.dedupStream(
+      input.toDF().toDF("link", "fetched_at"), "link", "fetched_at")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData(("a", t0), ("a", t0), ("b", t0))
+      q.processAllAvailable()
+      input.addData(("a", t0)) // replay in a later batch, still in horizon
+      q.processAllAvailable()
+      val links = spark.table("dedup_out").select("link").as[String].collect().sorted
+      assert(links.toSeq == Seq("a", "b"))
+    } finally q.stop()
+  }
+
   test("T7 interleave: a compaction between micro-batches never swallows the next batch") {
     val table = new KeyedTable(spark, tmp("interleave"), "link")
     table.merge(Seq(("a", 1), ("b", 9)).toDF("link", "n"), batchId = 0L)
