@@ -44,6 +44,77 @@ object DedupQueries {
     */
   private val MaxBucket = 50
 
+  /** DuckDB CTE chain shared by the minhash oracles: shingle sets → hashes →
+    * signatures → bands → capped buckets → deduped candidate pairs (`cand`).
+    */
+  private def duckMinhashCtes: String =
+    s"""docs AS (
+       |  SELECT doc_id, $duckWordsSql AS words FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |         list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+       |                        for i in range(1, len(words) - 1)]) AS shingles
+       |  FROM docs WHERE len(words) >= 3),
+       |hs AS (
+       |  SELECT doc_id, [${duckHash60("x")} for x in shingles] AS sh FROM sh),
+       |sig AS (
+       |  SELECT doc_id,
+       |         [list_min([xor(h, salt) for h in sh]) for salt in [$saltList]] AS sig
+       |  FROM hs),
+       |bands AS (
+       |  SELECT doc_id, b AS bd, md5(sig[2*b+1]::VARCHAR || ',' || sig[2*b+2]::VARCHAR) AS bh
+       |  FROM sig, (SELECT unnest(range(0, 4)) AS b) bs),
+       |buckets AS (
+       |  SELECT bd, bh, list_sort(list(DISTINCT doc_id)) AS ids
+       |  FROM bands GROUP BY bd, bh
+       |  HAVING count(DISTINCT doc_id) BETWEEN 2 AND $MaxBucket),
+       |cand AS (
+       |  SELECT DISTINCT a, b FROM (
+       |    SELECT la.a AS a, lb.b AS b
+       |    FROM (SELECT bd, bh, unnest(ids) AS a FROM buckets) la
+       |    JOIN (SELECT bd, bh, unnest(ids) AS b FROM buckets) lb USING (bd, bh)
+       |    WHERE la.a < lb.b) p)""".stripMargin
+
+  /** Distinct (doc_id, shingle, h) rows — the 3-gram shingle pipeline shared
+    * by the MinHash signature, candidate generation, and exact verification.
+    */
+  private def shingleRows(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(expr(wordsSql)).as(Seq("pos", "w")))
+      .withColumn("w1", lead(col("w"), 1).over(w))
+      .withColumn("w2", lead(col("w"), 2).over(w))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("w"), col("w1"), col("w2")).as("shingle"))
+      .distinct()
+      .withColumn("h", expr(hash60Sql("shingle")))
+  }
+
+  /** Candidate pair (a, b) generation: 8 xor-salt minhashes → 4 bands of 2 →
+    * capped (band, bh) buckets → in-bucket expansion, deduped.
+    */
+  private def minhashCandidates(shingles: DataFrame): DataFrame = {
+    val mins = Salts.zipWithIndex.map { case (salt, i) =>
+      min(expr(s"h ^ ${salt}L")).as(s"m$i")
+    }
+    val sig = shingles.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    val bandExprs = (0 until 4).map(b =>
+      md5(concat(col(s"m${2 * b}").cast("string"), lit(","),
+        col(s"m${2 * b + 1}").cast("string"))))
+    val bands = sig.select(col("doc_id"),
+      posexplode(array(bandExprs: _*)).as(Seq("band", "bh")))
+    val buckets = bands.groupBy("band", "bh")
+      .agg(array_sort(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, MaxBucket))
+    buckets
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> " +
+          "transform(slice(ids, i + 2, size(ids)), y -> named_struct('a', x, 'b', y))))")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .distinct()
+  }
+
   /** (doc_id, simhash) — the shared relational SimHash computation (one md5
     * per distinct word, 32 vote sums in one hash aggregate).
     */
@@ -126,63 +197,47 @@ object DedupQueries {
     GraftQuery(
       "q_dedup_minhash",
       "MinHash-LSH candidate near-dup pairs (3-shingles, 8 xor-perm hashes, 4 bands)",
+      (s, dir) => minhashCandidates(shingleRows(s, dir)).orderBy("a", "b"),
+      Some(s"""WITH $duckMinhashCtes
+              |SELECT a, b FROM cand ORDER BY a, b""".stripMargin)
+    ),
+
+    // E1b2 the canonical two-stage near-dup pipeline: LSH generates
+    // candidates, EXACT shingle-set jaccard verifies them — the composition
+    // every production dedup run uses (LSH alone over-generates; exact
+    // jaccard alone is |corpus|²). Verification joins shingle ROWS through
+    // the tiny candidate set, so the expensive exact math runs only on
+    // pairs that already collided in a band bucket.
+    GraftQuery(
+      "q_minhash_verified",
+      "minhash candidates verified by exact shingle jaccard >= 0.5",
       (s, dir) => {
-        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-        val shingles = Tables.documents(s, dir)
-          .select(col("doc_id"), posexplode(expr(wordsSql)).as(Seq("pos", "w")))
-          .withColumn("w1", lead(col("w"), 1).over(w))
-          .withColumn("w2", lead(col("w"), 2).over(w))
-          .filter(col("w2").isNotNull)
-          .select(col("doc_id"),
-            concat_ws(" ", col("w"), col("w1"), col("w2")).as("shingle"))
-          .distinct()
-          .withColumn("h", expr(hash60Sql("shingle")))
-        val mins = Salts.zipWithIndex.map { case (salt, i) =>
-          min(expr(s"h ^ ${salt}L")).as(s"m$i")
-        }
-        val sig = shingles.groupBy("doc_id").agg(mins.head, mins.tail: _*)
-        val bandExprs = (0 until 4).map(b =>
-          md5(concat(col(s"m${2 * b}").cast("string"), lit(","),
-            col(s"m${2 * b + 1}").cast("string"))))
-        val bands = sig.select(col("doc_id"),
-          posexplode(array(bandExprs: _*)).as(Seq("band", "bh")))
-        val buckets = bands.groupBy("band", "bh")
-          .agg(array_sort(collect_set(col("doc_id"))).as("ids"))
-          .filter(size(col("ids")).between(2, MaxBucket))
-        buckets
-          .select(explode(expr(
-            "flatten(transform(ids, (x, i) -> " +
-              "transform(slice(ids, i + 2, size(ids)), y -> named_struct('a', x, 'b', y))))")).as("p"))
-          .select(col("p.a").as("a"), col("p.b").as("b"))
-          .distinct()
+        val shingles = shingleRows(s, dir)
+        val cand     = minhashCandidates(shingles)
+        val sizes    = shingles.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+        val inter = cand
+          .join(shingles.select(col("doc_id").as("a"), col("shingle")), "a")
+          .join(shingles.select(col("doc_id").as("b"), col("shingle")), Seq("b", "shingle"))
+          .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+        cand
+          .join(inter, Seq("a", "b"), "left")
+          .join(sizes.select(col("doc_id").as("a"), col("sz").as("sa")), "a")
+          .join(sizes.select(col("doc_id").as("b"), col("sz").as("sb")), "b")
+          .withColumn("jac", round(coalesce(col("inter"), lit(0L)).cast("double") /
+            (col("sa") + col("sb") - coalesce(col("inter"), lit(0L))), 4))
+          .filter(col("jac") >= 0.5)
+          .select(col("a"), col("b"), col("jac"))
           .orderBy("a", "b")
       },
-      Some(s"""WITH docs AS (
-              |  SELECT doc_id, $duckWordsSql AS words FROM documents),
-              |sh AS (
-              |  SELECT doc_id,
-              |         list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
-              |                        for i in range(1, len(words) - 1)]) AS shingles
-              |  FROM docs WHERE len(words) >= 3),
-              |hs AS (
-              |  SELECT doc_id, [${duckHash60("x")} for x in shingles] AS sh FROM sh),
-              |sig AS (
-              |  SELECT doc_id,
-              |         [list_min([xor(h, salt) for h in sh]) for salt in [$saltList]] AS sig
-              |  FROM hs),
-              |bands AS (
-              |  SELECT doc_id, b AS bd, md5(sig[2*b+1]::VARCHAR || ',' || sig[2*b+2]::VARCHAR) AS bh
-              |  FROM sig, (SELECT unnest(range(0, 4)) AS b) bs),
-              |buckets AS (
-              |  SELECT bd, bh, list_sort(list(DISTINCT doc_id)) AS ids
-              |  FROM bands GROUP BY bd, bh
-              |  HAVING count(DISTINCT doc_id) BETWEEN 2 AND $MaxBucket)
-              |SELECT DISTINCT a, b FROM (
-              |  SELECT la.a AS a, lb.b AS b
-              |  FROM (SELECT bd, bh, unnest(ids) AS a FROM buckets) la
-              |  JOIN (SELECT bd, bh, unnest(ids) AS b FROM buckets) lb USING (bd, bh)
-              |  WHERE la.a < lb.b) p
-              |ORDER BY a, b""".stripMargin)
+      Some(s"""WITH $duckMinhashCtes,
+              |ver AS (
+              |  SELECT c.a, c.b,
+              |         round(CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+              |               / len(list_distinct(list_concat(x.shingles, y.shingles))), 4) AS jac
+              |  FROM cand c
+              |  JOIN sh x ON x.doc_id = c.a
+              |  JOIN sh y ON y.doc_id = c.b)
+              |SELECT a, b, jac FROM ver WHERE jac >= 0.5 ORDER BY a, b""".stripMargin)
     ),
 
     // E1c SimHash: 32-bit fingerprint from per-word 60-bit hashes — bit b of
