@@ -292,6 +292,41 @@ object DedupQueries {
               |WHERE dist <= 6 ORDER BY a, b""".stripMargin)
     ),
 
+    // E1c3 fuzzy (edit-distance) near-dup pairs — the capability the
+    // reference PINS but never uses (rapidfuzz, requirements.txt:2; SURVEY
+    // §5.1): blocked on (source, length bucket) so the O(k²) per-pair
+    // levenshtein only runs inside small blocks, and capped to 40-char
+    // canonical prefixes so the per-pair cost is constant. The corpus is
+    // ASCII, where Spark's codepoint-based and DuckDB's byte-based edit
+    // distances agree exactly.
+    GraftQuery(
+      "q_fuzzy_pairs",
+      "blocked fuzzy near-dup pairs: levenshtein <= 10 on 40-char prefixes",
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select(
+          col("doc_id"), col("source"),
+          expr("n_chars div 100").as("lb"),
+          substring(coalesce(col("text"), lit("")), 1, 40).as("k"))
+        val l = d.select(col("source"), col("lb"), col("doc_id").as("a"), col("k").as("ka"))
+        val r = d.select(col("source"), col("lb"), col("doc_id").as("b"), col("k").as("kb"))
+        l.join(r, Seq("source", "lb"))
+          .filter(col("a") < col("b"))
+          .withColumn("dist", levenshtein(col("ka"), col("kb")).cast("long"))
+          .filter(col("dist") <= 10)
+          .select("a", "b", "dist")
+          .orderBy("a", "b")
+      },
+      Some("""SELECT a, b, dist FROM (
+             |  SELECT l.doc_id AS a, r.doc_id AS b,
+             |         CAST(levenshtein(l.k, r.k) AS BIGINT) AS dist
+             |  FROM (SELECT doc_id, source, n_chars // 100 AS lb,
+             |               substr(coalesce(text, ''), 1, 40) AS k FROM documents) l
+             |  JOIN (SELECT doc_id, source, n_chars // 100 AS lb,
+             |               substr(coalesce(text, ''), 1, 40) AS k FROM documents) r
+             |    ON l.source = r.source AND l.lb = r.lb AND l.doc_id < r.doc_id) p
+             |WHERE dist <= 10 ORDER BY a, b""".stripMargin)
+    ),
+
     // E1d n-gram Jaccard near-dup as a SET-SIMILARITY JOIN: explode 2-gram
     // rows, equi-join on (source, gram) so candidate pairs only materialize
     // when they actually share a gram, count shared grams per pair, and
