@@ -37,6 +37,19 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("every pair-expansion stage carries its hot-bucket / stop-gram cap") {
+    // the four dedup pair generators each bound in-bucket expansion at a
+    // constant (MaxBucket = 50): minhash via the bucket-size BETWEEN, the
+    // others via a windowed count filter. Losing the cap re-opens a
+    // |bucket|² stage at scale (VERDICT r3 What's-wrong #1/#2).
+    Seq("q_dedup_minhash", "q_simhash_pairs", "q_fuzzy_pairs", "q_ngram_jaccard")
+      .foreach { name =>
+        val p = plan(name)
+        assert(p.contains("<= 50"),
+          s"$name lost its bucket cap (no '<= 50' filter in the physical plan)")
+      }
+  }
+
   test("the flagship entry forces broadcast on the three dims only") {
     // AQE may legitimately broadcast MORE at tiny scale factors (the whole
     // dims-join output fits); what must never regress is the set of FORCED
