@@ -15,10 +15,35 @@ import org.apache.spark.sql.functions.{col, expr, to_json, xxhash64}
   *    swallowed into a fast-looking number.
   */
 object Bench {
+
+  /** (steal, total) jiffies from /proc/stat's aggregate cpu line. Emitted as
+    * a steal%-over-the-run field so a slow total is attributable: this host
+    * is virtualized, and r3's driver total (157s) vs a clean re-run (41s)
+    * was pure hypervisor steal — undetectable after the fact without this
+    * (VERDICT r3 next-step #7).
+    */
+  private def cpuJiffies(): Option[(Long, Long)] =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val cols = src.getLines().find(_.startsWith("cpu "))
+          .get.trim.split("\\s+").drop(1).map(_.toLong)
+        Some((if (cols.length > 7) cols(7) else 0L, cols.sum))
+      } finally src.close()
+    } catch { case _: Exception => None }
+
+  private def loadAvg1(): Option[Double] =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try Some(src.getLines().next().split("\\s+")(0).toDouble)
+      finally src.close()
+    } catch { case _: Exception => None }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = LocalSpark.session(cpus, "graft-bench")
+    val jiffies0 = cpuJiffies()
 
     /** Run one query to completion, touching every output column. */
     def force(name: String): Option[String] =
@@ -62,7 +87,15 @@ object Bench {
     val errs = timed.collect { case (k, _, Some(m)) => s"${jstr(k)}:${jstr(m)}" }
       .mkString("{", ",", "}")
     val total = timed.collect { case (_, v, None) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // machine-load context for the timings: steal% of all cpu jiffies over
+    // the run (warm-up included) + 1-min loadavg at the end
+    val load = (for ((s0, t0) <- jiffies0; (s1, t1) <- cpuJiffies()) yield {
+      val stealPct =
+        if (t1 > t0) math.round((s1 - s0) * 10000.0 / (t1 - t0)) / 100.0 else 0.0
+      s""""steal_pct":$stealPct"""
+    }).toSeq ++ loadAvg1().map(l => s""""loadavg1":$l""").toSeq
+    val loadJson = load.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"load":$loadJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -60,12 +60,16 @@ class DotProductSpec extends SparkTestBase {
     assert(df.orderBy("d").collect()(0).getLong(0) == 3L)
   }
 
-  test("GraftExtensions.register exposes dot_long + scalar names to SQL") {
-    GraftExtensions.register(spark)
+  test("the default session exposes dot_long + scalar names to SQL (no manual register)") {
+    // LocalSpark.session wires GraftExtensions at build time (VERDICT r3
+    // next-step #8) — the names must resolve WITHOUT a register call here
     val out = spark.sql(
       "SELECT dot_long(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d, clean_text(' x** ') AS t")
       .collect()(0)
     assert(out.getLong(0) == 32L)
     assert(out.getString(1) == "x")
+    // explicit re-registration stays idempotent (notebook / foreign-session path)
+    GraftExtensions.register(spark)
+    assert(spark.sql("SELECT dot_long(array(2L), array(3L)) AS d").collect()(0).getLong(0) == 6L)
   }
 }
