@@ -27,13 +27,34 @@ import graft.operators.Relational
   * server.py:245-252).
   *
   * Scale posture: snapshots are plain parquet directories written by the
-  * cluster (partitioned/bucketed at 100 TB); only the ~30-byte pointer file
-  * is driver-side.
+  * cluster; only the ~30-byte pointer file is driver-side. With
+  * `buckets = Some(n)` each snapshot is published as a bucketed+sorted
+  * datasource table over the same `v<version>` directory (bucket metadata in
+  * the session catalog, data files untouched), which removes the single most
+  * expensive recurring shuffle in the engine (SURVEY §7.5 knob; VERDICT r3
+  * next-step #4): the next [[merge]]'s full-outer join reads the snapshot
+  * side already hash-partitioned on the key — only the (small) micro-batch
+  * side shuffles, into the snapshot's n buckets — and the re-publish write
+  * reuses that same partitioning, so the O(snapshot) data never crosses the
+  * network again. Bucket metadata is catalog-scoped: after a restart the
+  * first read falls back to a plain parquet scan (one shuffled merge) and
+  * the next publish re-registers the bucketing.
   */
-final class KeyedTable(spark: SparkSession, dir: String, val key: String) {
+final class KeyedTable(spark: SparkSession, dir: String, val key: String,
+                       buckets: Option[Int] = None) {
 
   private val root    = Paths.get(dir)
   private val pointer = root.resolve("_LATEST")
+
+  /** Catalog-safe table name for a bucketed snapshot version — one namespace
+    * entry per (table dir, version), derived from the dir so two KeyedTables
+    * in one session can't collide.
+    */
+  private def tableName(version: Long): String = {
+    val md  = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(dir.getBytes(StandardCharsets.UTF_8)).map("%02x".format(_)).mkString
+    s"graft_kt_${hex.take(8)}_v$version"
+  }
 
   /** How many superseded snapshots survive each publish (in-flight readers
     * of the previous version keep working during the swap).
@@ -53,7 +74,11 @@ final class KeyedTable(spark: SparkSession, dir: String, val key: String) {
   def latestVersion(): Option[Long] = pointerState().map(_._1)
 
   def read(): Option[DataFrame] =
-    latestVersion().map(v => spark.read.parquet(root.resolve(s"v$v").toString))
+    latestVersion().map { v =>
+      if (buckets.isDefined && spark.catalog.tableExists(tableName(v)))
+        spark.table(tableName(v)) // bucketed scan: HashPartitioning(key, n)
+      else spark.read.parquet(root.resolve(s"v$v").toString)
+    }
 
   /** True iff streaming batch `batchId` has already been applied — a
     * foreachBatch replay after crash-resume (T3/T4).
@@ -72,7 +97,19 @@ final class KeyedTable(spark: SparkSession, dir: String, val key: String) {
     val state   = pointerState()
     val version = state.map(_._1 + 1).getOrElse(0L)
     val applied = batchId.orElse(state.map(_._2)).getOrElse(-1L)
-    df.write.mode("overwrite").parquet(root.resolve(s"v$version").toString)
+    buckets match {
+      case Some(n) =>
+        // external bucketed+sorted table over the version directory: a merge
+        // output is already hash-partitioned on the key (the join required
+        // it), so the bucketed write assigns files without another shuffle
+        df.write.mode("overwrite")
+          .option("path", root.resolve(s"v$version").toString)
+          .bucketBy(n, key).sortBy(key)
+          .format("parquet")
+          .saveAsTable(tableName(version))
+      case None =>
+        df.write.mode("overwrite").parquet(root.resolve(s"v$version").toString)
+    }
     val tmp = root.resolve(s"_LATEST.tmp.$version")
     Files.write(tmp, s"$version $applied".getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,
@@ -91,7 +128,13 @@ final class KeyedTable(spark: SparkSession, dir: String, val key: String) {
         .filter(p => p.getFileName.toString.matches("v\\d+"))
         .map(p => (p, p.getFileName.toString.drop(1).toLong))
         .filter { case (_, v) => v < current - KeepSnapshots + 1 || v > current }
-        .foreach { case (p, _) => deleteRecursively(p) }
+        .foreach { case (p, v) =>
+          // external tables: DROP releases the catalog entry only; the
+          // version directory is deleted explicitly below
+          if (buckets.isDefined)
+            spark.sql(s"DROP TABLE IF EXISTS ${tableName(v)}")
+          deleteRecursively(p)
+        }
     catch { case _: Exception => () } // GC must never fail a publish
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
