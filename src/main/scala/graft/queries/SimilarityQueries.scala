@@ -116,14 +116,31 @@ object SimilarityQueries {
   private val Centroids: Seq[Seq[Long]] =
     (0 until NCentroids).map(j => (0 until Dim).map(d => hash60(s"c$j:$d") % 2001 - 1000))
 
-  /** Per-centroid dot products of quantized vector column `q`, as an array —
-    * exploded to (j, dot) rows and ranked (dot DESC, j ASC) so "nearest
-    * centroid" and "2nd/3rd nearest" come from ONE row_number window with
-    * deterministic tie-breaks in both engines (the multi-probe successor of
-    * the old first-index-of-max assignment).
-    */
+  /** Per-centroid dot products of quantized vector column `q`, as an array. */
   private val centroidDotsCol: Column =
     array(Centroids.map(c => dotLong(col("q"), array(c.map(lit(_)): _*))): _*)
+
+  /** Corpus-side centroid ASSIGNMENT: first index of the maximum centroid
+    * dot product — a horizontal expression (no shuffle, no row inflation;
+    * at 100 TB the corpus must never pay a window or explode just to learn
+    * its list). array_position returns the FIRST 1-based match, i.e. ties
+    * break toward the smaller index — identical to the oracle's
+    * row_number(ORDER BY dot DESC, j) rank-1 row.
+    */
+  private val cidCol: Column =
+    (array_position(centroidDotsCol, array_max(centroidDotsCol)) - 1).cast("int")
+
+  /** Probe-side top-[[NProbe]] centroid ids (dot DESC, index ASC) — computed
+    * only AFTER the constant-size probe filter, so the 16-struct sort runs on
+    * O(probes) rows, not the corpus. struct(-dot, j) sorts lexicographically
+    * ascending = dot descending with the same smaller-index tie-break as the
+    * assignment and the oracle's rk <= NProbe rows.
+    */
+  private val probeCidsCol: Column = {
+    val negStructs =
+      s"transform(dots, (x, j) -> named_struct('nd', -x, 'j', j))"
+    expr(s"transform(slice(array_sort($negStructs), 1, $NProbe), s -> s.j)")
+  }
 
   /** DuckDB twin of [[centroidDotsCol]], via a lateral-computed dots list. */
   private val duckDotsSql: String =
@@ -240,31 +257,30 @@ object SimilarityQueries {
     // NProbe(=3) nearest lists (single-probe recall@3 was 0.167; multi-probe
     // is the standard dial, VERDICT r3 next-step #5). This is the other
     // standard ANN scale shape next to LSH: one shuffle on the centroid id,
-    // per-list exact search, probe fan-out a constant NProbe. Assignment and
-    // probe ranks come from ONE relational row_number over exploded
-    // (centroid, dot) rows — no array-lambda argmax to get collapse-inlined.
-    // A neighbor's list is unique, so a (probe, neighbor) pair can't arise
-    // twice — no dedup stage needed. Real IVF k-means-trains the codebook;
-    // the partition-assign-search plan is identical.
+    // per-list exact search, probe fan-out a constant NProbe. The corpus
+    // side stays HORIZONTAL — assignment is an argmax projection, never an
+    // explode/window (16× row inflation of vector payloads through a
+    // shuffle would dwarf the search itself at scale); only the
+    // constant-size probe set sorts its 16 (dot, j) structs and explodes
+    // its top-3 list ids. A neighbor's list is unique, so a (probe,
+    // neighbor) pair can't arise twice — no dedup stage needed. Real IVF
+    // k-means-trains the codebook; the partition-assign-search plan is
+    // identical.
     GraftQuery(
       "q_ann_ivf",
       "IVF-bucketed cosine top-3 (16 deterministic centroids, 3 probe lists)",
       (s, dir) => {
-        val ranked = Tables.embeddings(s, dir)
+        val base = Tables.embeddings(s, dir)
           .filter(size(col("embedding")) === Dim)
           .withColumn("q", expr(quantSql))
           .withColumn("n2", dotLong(col("q"), col("q")))
           .filter(col("n2") > 0)
-          .select(col("vec_id"), col("q"), col("n2"),
-            posexplode(centroidDotsCol).as(Seq("j", "dot")))
-          .withColumn("rk", row_number().over(
-            Window.partitionBy(col("vec_id")).orderBy(col("dot").desc, col("j").asc)))
-        val assigned = ranked.filter(col("rk") === 1)
-          .select(col("vec_id"), col("q"), col("n2"), col("j").as("cid"))
-        val probes = ranked
-          .filter(col("vec_id").isin(ProbeIds: _*) && col("rk") <= NProbe)
+          .select("vec_id", "q", "n2")
+        val assigned = base.withColumn("cid", cidCol)
+        val probes = base.filter(col("vec_id").isin(ProbeIds: _*))
+          .withColumn("dots", centroidDotsCol)
           .select(col("vec_id").as("qid"), col("q").as("qq"),
-            col("n2").as("qn"), col("j").as("cid"))
+            col("n2").as("qn"), explode(probeCidsCol).as("cid"))
         assigned.join(probes, Seq("cid"))
           .filter(col("vec_id") =!= col("qid"))
           .withColumn("cos", cosine(col("qq"), col("q"), col("qn"), col("n2")))
