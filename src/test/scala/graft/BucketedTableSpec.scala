@@ -49,6 +49,32 @@ class BucketedTableSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
   }
 
+  test("streaming ingest drives a bucketed table end-to-end (checkpointed foreachBatch merge)") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val srcDir, ckptDir = tmp("bkt-stream")
+    val kt = new KeyedTable(spark, tmp("bkt-stream-table"), "link", buckets = Some(4))
+    val schema = StructType(Seq(
+      StructField("link", StringType), StructField("name", StringType),
+      StructField("seq", LongType)))
+    def writeBatch(rows: Seq[(String, String, Long)]): Unit =
+      rows.toDF("link", "name", "seq").coalesce(1).write.mode("append").parquet(srcDir)
+    def drain(): Unit = {
+      val q = graft.streaming.Ingest.start(
+        spark.readStream.schema(schema).parquet(srcDir), kt, ckptDir,
+        valid = col("name").isNotNull, seqCol = Some("seq"),
+        trigger = Trigger.AvailableNow())
+      q.awaitTermination()
+    }
+    writeBatch(Seq(("a", "1", 1L), ("b", "2", 1L)))
+    drain()
+    writeBatch(Seq(("b", "2B", 2L), ("c", "3", 1L)))
+    drain()
+    val out = kt.read().get.select("link", "name")
+      .orderBy("link").as[(String, String)].collect().toSeq
+    assert(out == Seq(("a", "1"), ("b", "2B"), ("c", "3")))
+  }
+
   test("snapshot GC drops superseded catalog entries with their directories") {
     val dir = tmp("bkt-gc")
     val kt  = new KeyedTable(spark, dir, "k", buckets = Some(4))
