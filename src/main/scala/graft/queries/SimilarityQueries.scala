@@ -193,16 +193,22 @@ object SimilarityQueries {
               |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin)
     ),
 
-    // E2b sign-bit LSH ANN, OR-amplified: 4 hash tables of 4 hyperplane sign
-    // bits each; a vector is a candidate for a probe if they share a bucket
-    // in ANY table (candidate pairs deduped before scoring). At 100 TB this
-    // is the shape that matters: one shuffle on (table, bucket), pairwise
-    // work bounded per bucket, corpus never pairwise-scanned; recall tuned by
-    // (bits, tables) — a single k-bit table ANDs k coin flips and collapses
-    // on weakly-similar corpora (AnnRecallSpec pins this against E2a).
+    // E2b sign-bit LSH ANN, OR-amplified + multi-probe: 4 hash tables of 4
+    // hyperplane sign bits each; a vector is a candidate for a probe if it
+    // sits in the probe's bucket OR any Hamming-1 neighbor of it, in ANY
+    // table (candidate pairs deduped before scoring). Multi-probe is the
+    // standard recall/cost dial on the probe side: one flipped sign bit is
+    // the most likely way a true neighbor escapes a bucket, and probing the
+    // 1 + 4 nearby buckets per table recovers those without touching the
+    // corpus side — the corpus still materializes exactly one (table,
+    // bucket) row per table, and only the CONSTANT-size probe workload fans
+    // out ×5. At 100 TB this is the shape that matters: one shuffle on
+    // (table, bucket), pairwise work bounded per bucket, corpus never
+    // pairwise-scanned; recall tuned by (bits, tables, probes) —
+    // AnnRecallSpec pins it against E2a.
     GraftQuery(
       "q_ann_lsh",
-      "LSH-bucketed cosine top-3 (4 tables x 4 sign bits, OR-amplified)",
+      "LSH-bucketed cosine top-3 (4 tables x 4 sign bits, Hamming-1 multi-probe)",
       (s, dir) => {
         val base = Tables.embeddings(s, dir)
           .filter(size(col("embedding")) === Dim)
@@ -213,9 +219,11 @@ object SimilarityQueries {
           .select("vec_id", "q", "n2", "bs")
         val exploded = base.select(col("vec_id"), col("q"), col("n2"),
           posexplode(col("bs")).as(Seq("t", "bucket")))
+        val masks = lit(0L) +: (0 until BitsPerTable).map(i => lit(1L << i))
         val probes = exploded.filter(col("vec_id").isin(ProbeIds: _*))
           .select(col("vec_id").as("qid"), col("q").as("qq"),
-            col("n2").as("qn"), col("t"), col("bucket"))
+            col("n2").as("qn"), col("t"),
+            explode(array(masks.map(m => col("bucket").bitwiseXOR(m)): _*)).as("bucket"))
         exploded.join(probes, Seq("t", "bucket"))
           .filter(col("vec_id") =!= col("qid"))
           .dropDuplicates("qid", "vec_id") // OR across tables, score once
@@ -236,10 +244,14 @@ object SimilarityQueries {
               |b AS (SELECT vec_id, q, n2, $duckBucketsSql AS bs FROM n),
               |e AS (SELECT vec_id, ti.t AS t, bs[ti.t + 1] AS bucket
               |      FROM b, (SELECT unnest(range(0, $NTables)) AS t) ti),
+              |probes AS (
+              |  SELECT vec_id AS qid, t, xor(bucket, m) AS bucket
+              |  FROM e, (SELECT unnest([${(0L +: (0 until BitsPerTable).map(1L << _)).mkString(", ")}]) AS m) ms
+              |  WHERE vec_id IN $probeIdsSql),
               |cand AS (
-              |  SELECT DISTINCT p.vec_id AS qid, v.vec_id AS neighbor
-              |  FROM e v JOIN e p ON v.t = p.t AND v.bucket = p.bucket
-              |  WHERE p.vec_id IN $probeIdsSql AND v.vec_id <> p.vec_id),
+              |  SELECT DISTINCT p.qid, v.vec_id AS neighbor
+              |  FROM e v JOIN probes p ON v.t = p.t AND v.bucket = p.bucket
+              |  WHERE v.vec_id <> p.qid),
               |scored AS (
               |  SELECT c.qid, c.neighbor,
               |         list_dot_product(pq.q::DOUBLE[], vq.q::DOUBLE[]) / (sqrt(pq.n2) * sqrt(vq.n2)) AS cos

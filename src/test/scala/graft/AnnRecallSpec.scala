@@ -29,7 +29,7 @@ class AnnRecallSpec extends SparkTestBase {
     info(f"recall@3: lsh=$rLsh%.3f ivf=$rIvf%.3f over ${exact.size} exact pairs")
     // recall is deterministic (fixed data, fixed codebooks): pin the current
     // levels with small slack so a hash/codebook regression fails loudly
-    assert(rLsh >= 0.25, s"LSH recall regressed below pinned floor: $rLsh (was 0.300)")
+    assert(rLsh >= 0.70, s"LSH recall regressed below pinned floor: $rLsh (was 0.833 with Hamming-1 multi-probe)")
     assert(rIvf >= 0.30, s"IVF recall regressed below pinned floor: $rIvf (was 0.400 with 3 probe lists)")
     // structural cap: at most 3 ranked rows per probe in every variant
     Seq("q_cosine_topk", "q_ann_lsh", "q_ann_ivf").foreach { name =>
