@@ -477,6 +477,70 @@ object DedupQueries {
               |         list_dot_product(l.q::DOUBLE[], r.q::DOUBLE[]) / (sqrt(l.n2) * sqrt(r.n2)) AS cos
               |  FROM n l JOIN n r ON l.label = r.label AND l.vec_id < r.vec_id) p
               |WHERE cos >= 0.3 ORDER BY a, b""".stripMargin)
+    ),
+
+    // E1e2 LSH-blocked embedding near-dup — the 100 TB path beside E1e's
+    // exact-within-label form: the label vocabulary is FIXED, so label
+    // buckets grow linearly with the corpus and the in-label pair stage is
+    // O((N/|labels|)²); at scale, pair generation must block on hashed
+    // buckets whose COUNT scales with the data. Candidates are pairs sharing
+    // any (table, sign-bit bucket) within a label (the q_ann_lsh 4×4
+    // OR-amplified scheme, buckets capped at MaxBucket), then verified by
+    // exact integer cosine — the same candidate→verify composition as
+    // q_minhash_verified. Sign-agreement for a true near-dup (cos ≈ 0.9) is
+    // ~0.95 across the 4-table OR; weakly-similar pairs near the 0.3
+    // threshold are where the recall price is paid, by design.
+    GraftQuery(
+      "q_embedding_lsh_pairs",
+      "LSH-blocked embedding near-dup pairs within label, exact cosine >= 0.3 verify",
+      (s, dir) => {
+        import graft.expressions.DotProductLong.dotLong
+        val q = Tables.embeddings(s, dir)
+          .filter(size(col("embedding")) === SimilarityQueries.Dim)
+          .withColumn("q", expr(quantSql))
+          .withColumn("n2", dotLong(col("q"), col("q")))
+          .filter(col("n2") > 0)
+          .select("vec_id", "label", "q", "n2")
+        val e = q.withColumn("bs", SimilarityQueries.bucketsCol)
+          .select(col("vec_id"), col("label"), posexplode(col("bs")).as(Seq("t", "bucket")))
+          .withColumn("bn", count(lit(1)).over(
+            Window.partitionBy(col("label"), col("t"), col("bucket"))))
+          .filter(col("bn") <= MaxBucket)
+        val cand = e.select(col("label"), col("t"), col("bucket"), col("vec_id").as("a"))
+          .join(e.select(col("label"), col("t"), col("bucket"), col("vec_id").as("b")),
+            Seq("label", "t", "bucket"))
+          .filter(col("a") < col("b"))
+          .select("a", "b").distinct()
+        cand
+          .join(q.select(col("vec_id").as("a"), col("q").as("qa"), col("n2").as("na")), "a")
+          .join(q.select(col("vec_id").as("b"), col("q").as("qb"), col("n2").as("nb")), "b")
+          .withColumn("cos", dotLong(col("qa"), col("qb")).cast("double") /
+            (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+          .filter(col("cos") >= 0.3)
+          .select(col("a"), col("b"), round(col("cos"), 4).as("cos_r"))
+          .orderBy("a", "b")
+      },
+      Some(s"""WITH n AS (
+              |  SELECT vec_id, label, q, list_dot_product(q::DOUBLE[], q::DOUBLE[]) AS n2
+              |  FROM (SELECT vec_id, label, $duckQuantSql AS q
+              |        FROM embeddings WHERE len(embedding) = ${SimilarityQueries.Dim}) t0
+              |  WHERE list_dot_product(q::DOUBLE[], q::DOUBLE[]) > 0),
+              |b AS (SELECT vec_id, label, ${SimilarityQueries.duckBucketsSql} AS bs FROM n),
+              |e0 AS (SELECT vec_id, label, ti.t AS t, bs[ti.t + 1] AS bucket
+              |       FROM b, (SELECT unnest(range(0, ${SimilarityQueries.NTables})) AS t) ti),
+              |e AS (SELECT vec_id, label, t, bucket FROM (
+              |        SELECT vec_id, label, t, bucket,
+              |               count(*) OVER (PARTITION BY label, t, bucket) AS bn
+              |        FROM e0) c WHERE bn <= $MaxBucket),
+              |cand AS (
+              |  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+              |  FROM e l JOIN e r ON l.label = r.label AND l.t = r.t
+              |                   AND l.bucket = r.bucket AND l.vec_id < r.vec_id)
+              |SELECT a, b, round(cos, 4) AS cos_r FROM (
+              |  SELECT c.a, c.b,
+              |         list_dot_product(x.q::DOUBLE[], y.q::DOUBLE[]) / (sqrt(x.n2) * sqrt(y.n2)) AS cos
+              |  FROM cand c JOIN n x ON x.vec_id = c.a JOIN n y ON y.vec_id = c.b) p
+              |WHERE cos >= 0.3 ORDER BY a, b""".stripMargin)
     )
   )
 }

@@ -43,7 +43,7 @@ object SimilarityQueries {
     java.lang.Long.parseLong(hex.take(15), 16)
   }
 
-  private val Dim     = 64
+  private[queries] val Dim = 64
   /** 4 hash tables × 4 sign bits each (OR-amplification): one k-bit table
     * ANDs k low-probability events, so recall collapses on weakly-similar
     * corpora; L tables OR them back up — the standard LSH trade
@@ -57,8 +57,8 @@ object SimilarityQueries {
     * the same literals; a cluster deployment derives k from the catalog's
     * row-count statistics at plan time.
     */
-  private val BitsPerTable = 4
-  private val NTables      = 4
+  private[queries] val BitsPerTable = 4
+  private[queries] val NTables      = 4
   private val NPlanes      = BitsPerTable * NTables
 
   /** Random-hyperplane matrix: component (s,d) = hash60("s:d") mod 2001 −
@@ -74,7 +74,7 @@ object SimilarityQueries {
     * dot per hyperplane against a literal component array): table `t` uses
     * planes [t*k, t*k+k).
     */
-  private def bucketsCol: Column =
+  private[queries] def bucketsCol: Column =
     array((0 until NTables).map { t =>
       (0 until BitsPerTable).map { i =>
         shiftleft(
@@ -84,7 +84,7 @@ object SimilarityQueries {
     }: _*)
 
   /** DuckDB SQL list of the same per-table buckets over column `q`. */
-  private val duckBucketsSql: String =
+  private[queries] val duckBucketsSql: String =
     (0 until NTables).map { t =>
       (0 until BitsPerTable).map { i =>
         s"(CASE WHEN list_dot_product(q::DOUBLE[], ${planeListDuck(Planes(t * BitsPerTable + i))}::DOUBLE[]) > 0 THEN 1::BIGINT ELSE 0::BIGINT END << $i)"

@@ -39,4 +39,21 @@ class AnnRecallSpec extends SparkTestBase {
       assert(maxPerProbe <= 3, s"$name emitted $maxPerProbe rows for one probe")
     }
   }
+
+  test("LSH-blocked embedding dedup is a subset of the exact-within-label pairs") {
+    // the candidate→verify composition makes precision exactly 1 relative to
+    // the exact form: every emitted pair passed the same cosine test, so the
+    // ONLY admissible difference is missed candidates (recall < 1, the price
+    // of scale-safe blocking). A non-subset result means the blocking or the
+    // verify drifted from the exact semantics.
+    def pairs(name: String): Set[(Long, Long)] =
+      SparkEntry.queries(name)(spark, dir)
+        .select("a", "b").as[(Long, Long)].collect().toSet
+    val exact   = pairs("q_dedup_embedding")
+    val blocked = pairs("q_embedding_lsh_pairs")
+    assert(exact.nonEmpty)
+    assert(blocked.subsetOf(exact),
+      s"blocked pairs not a subset of exact: ${(blocked -- exact).take(5)}")
+    info(f"blocked recall vs exact-within-label: ${blocked.size.toDouble / exact.size}%.3f")
+  }
 }
