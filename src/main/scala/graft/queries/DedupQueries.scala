@@ -282,19 +282,23 @@ object DedupQueries {
         // would otherwise make the in-block join AND its output |block|²
         def rotBlock(r: Int) =
           s"shiftright((shiftleft(simhash, $r) | shiftright(simhash, ${32 - r})) & 4294967295L, 16)"
-        val blocked = simhashDf(s, dir)
+        // in-bucket expansion from ONE collected (capped) member list — the
+        // minhashCandidates shape — rather than a self-join whose two
+        // branches would each recompute the full simhash pipeline
+        val buckets = simhashDf(s, dir)
           .select(col("doc_id"), col("simhash"),
             posexplode(array(Rotations.map(r => expr(rotBlock(r))): _*)).as(Seq("pass", "block")))
-          .withColumn("bn", count(lit(1)).over(
-            Window.partitionBy(col("pass"), col("block"))))
-          .filter(col("bn") <= MaxBucket)
-        val l = blocked.select(col("pass"), col("block"), col("doc_id").as("a"), col("simhash").as("sa"))
-        val r = blocked.select(col("pass"), col("block"), col("doc_id").as("b"), col("simhash").as("sb"))
-        l.join(r, Seq("pass", "block"))
-          .filter(col("a") < col("b"))
-          .withColumn("dist", expr("bit_count(sa ^ sb)"))
+          .groupBy("pass", "block")
+          .agg(array_sort(collect_list(struct(col("doc_id"), col("simhash")))).as("ms"))
+          .filter(size(col("ms")).between(2, MaxBucket))
+        buckets
+          .select(explode(expr(
+            "flatten(transform(ms, (x, i) -> " +
+              "transform(slice(ms, i + 2, size(ms)), y -> named_struct(" +
+              "'a', x.doc_id, 'sa', x.simhash, 'b', y.doc_id, 'sb', y.simhash))))")).as("p"))
+          .select(col("p.a").as("a"), col("p.b").as("b"),
+            expr("bit_count(p.sa ^ p.sb)").cast("long").as("dist"))
           .filter(col("dist") <= 6)
-          .select(col("a"), col("b"), col("dist").cast("long").as("dist"))
           .distinct()
           .orderBy("a", "b")
       },
@@ -389,11 +393,12 @@ object DedupQueries {
       "2-gram Jaccard >= 0.2 pairs within each source bucket, stop-grams dropped",
       (s, dir) => {
         val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-        // per-doc gram-set size rides along as a window count, so the join
-        // branches are the ONLY two evaluations of the gram pipeline (a
-        // separate sizes aggregate would re-derive it twice more); the df
-        // window must run BEFORE the sz window so sizes see the same
-        // filtered gram sets the join does
+        // ONE evaluation of the gram pipeline: df-cap window first (so sizes
+        // see the same filtered gram sets the pairs do), per-doc size window
+        // second, then the minhashCandidates shape — group the (source,
+        // gram) bucket (bounded at MaxBucket by the df filter), expand
+        // member pairs from the collected list. A self-join would recompute
+        // the exploded-gram pipeline once per branch.
         val grams = Tables.documents(s, dir)
           .select(col("doc_id"), col("source"), posexplode(expr(wordsSql)).as(Seq("pos", "w")))
           .withColumn("w1", lead(col("w"), 1).over(w))
@@ -405,12 +410,15 @@ object DedupQueries {
             Window.partitionBy(col("source"), col("gram"))))
           .filter(col("df") <= MaxBucket)
           .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-        grams.select(col("source"), col("doc_id").as("a"), col("gram"), col("sz").as("sa"))
-          .join(grams.select(col("source"), col("doc_id").as("b"), col("gram"), col("sz").as("sb")),
-            Seq("source", "gram"))
-          .filter(col("a") < col("b"))
-          .groupBy("a", "b").agg(count(lit(1)).as("inter"),
-            max(col("sa")).as("sa"), max(col("sb")).as("sb"))
+        grams
+          .groupBy("source", "gram")
+          .agg(array_sort(collect_list(struct(col("doc_id"), col("sz")))).as("ms"))
+          .select(explode(expr(
+            "flatten(transform(ms, (x, i) -> " +
+              "transform(slice(ms, i + 2, size(ms)), y -> named_struct(" +
+              "'a', x.doc_id, 'sa', x.sz, 'b', y.doc_id, 'sb', y.sz))))")).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(count(lit(1)).as("inter"), max(col("p.sa")).as("sa"), max(col("p.sb")).as("sb"))
           .withColumn("jac", round(col("inter").cast("double") /
             (col("sa") + col("sb") - col("inter")), 4))
           .filter(col("jac") >= 0.2)
