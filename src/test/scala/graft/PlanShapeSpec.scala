@@ -51,6 +51,25 @@ class PlanShapeSpec extends SparkTestBase {
       }
   }
 
+  test("scalar pipelines run inside whole-stage codegen (no interpreted hot path)") {
+    // the X-family and text-analysis queries are pure expression trees over
+    // a scan — if one falls out of codegen (an interpreted Expression, a
+    // UDF creeping in), the per-row cost multiplies at 100 TB. "*(n)" marks
+    // a WholeStageCodegen span in the tree format.
+    Seq("q_clean_text", "q_parse_boolean", "q_extract_name", "q_escape_newlines",
+        "q_bool_encode", "q_normalize_url", "q_date_format", "q_token_count",
+        "q_quality_score", "q_doc_fingerprint").foreach { name =>
+      // AQE's initial plan carries no codegen stages — materialize so the
+      // final per-stage plan (where WholeStageCodegen is inserted) is what
+      // gets inspected
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.linesIterator.exists(_.contains("*(")),
+        s"$name has no WholeStageCodegen span:\n${p.take(1500)}")
+    }
+  }
+
   test("the flagship entry forces broadcast on the three dims only") {
     // AQE may legitimately broadcast MORE at tiny scale factors (the whole
     // dims-join output fits); what must never regress is the set of FORCED
