@@ -104,4 +104,67 @@ object Sessions {
           }
       }
   }
+
+  /** Event-time variant of [[sessionizeStateful]]: state is evicted when the
+    * WATERMARK passes the open session's gap envelope, not when wall-clock
+    * idle time elapses — the semantically correct closure rule (a session is
+    * over when the stream can prove no more in-gap events can arrive), and
+    * deterministic under replay/backfill where processing-time timeouts are
+    * not. State stays bounded by users with an open session inside the
+    * watermark horizon.
+    *
+    * Input: (user_id, event timestamp); `watermark` is the lateness bound
+    * driving both the timeout clock and straggler admission.
+    */
+  def sessionizeEventTime(
+      events: org.apache.spark.sql.Dataset[(Long, java.sql.Timestamp)],
+      gapUs: Long,
+      watermark: String = "10 minutes"): org.apache.spark.sql.Dataset[ClosedSession] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    events
+      .toDF("user_id", "ts")
+      .withWatermark("ts", watermark)
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp)], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            // the watermark passed last + gap: no in-gap event can arrive
+            val out = state.getOption
+              .map(s => ClosedSession(user, s.startUs, s.lastUs, s.n)).iterator
+            state.remove()
+            out
+          } else {
+            val ts = rows.map(_._2.getTime * 1000L).toArray.sorted
+            val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+            var open = state.getOption
+            ts.foreach { t =>
+              open match {
+                case Some(s) if t > s.lastUs + gapUs =>
+                  closed += ClosedSession(user, s.startUs, s.lastUs, s.n)
+                  open = Some(OpenSession(t, t, 1))
+                case Some(s) if t >= s.startUs - gapUs =>
+                  open = Some(OpenSession(
+                    math.min(s.startUs, t), math.max(s.lastUs, t), s.n + 1))
+                case Some(_) =>
+                  closed += ClosedSession(user, t, t, 1)
+                case None =>
+                  open = Some(OpenSession(t, t, 1))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              // timeout must sit strictly above the current watermark — a
+              // session whose envelope the watermark already passed times
+              // out on the very next batch
+              state.setTimeoutTimestamp(
+                math.max(s.lastUs / 1000L + gapUs / 1000L,
+                  state.getCurrentWatermarkMs + 1L))
+            }
+            closed.iterator
+          }
+      }
+  }
 }

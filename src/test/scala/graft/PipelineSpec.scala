@@ -119,6 +119,44 @@ class PipelineSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("event-time stateful sessionizer evicts via the watermark, not wall clock") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val gapUs = 1L * 60 * 1000000 // 1 min
+    // base well above epoch 0: the initial watermark is 0, and events at or
+    // below the watermark are dropped as late before reaching the state fn
+    val baseMs = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ts(min: Int) = new java.sql.Timestamp(baseMs + min * 60000L)
+    val baseUs = baseMs * 1000L
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val out = graft.streaming.Sessions.sessionizeEventTime(
+      input.toDS(), gapUs, watermark = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("evt_sess")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: user 1 opens a 2-event session; watermark advances to 1 min
+      input.addData((1L, ts(0)), (1L, ts(1)))
+      q.processAllAvailable()
+      assert(spark.table("evt_sess").count() == 0, "session still inside gap envelope")
+
+      // batch 2: a DIFFERENT user's much-later event pushes the watermark
+      // past user 1's last + gap (2 min); batch 3 fires the timeout — no
+      // wall-clock waiting anywhere, closure is decided by event time alone
+      input.addData((2L, ts(10)))
+      q.processAllAvailable()
+      input.addData((2L, ts(11)))
+      q.processAllAvailable()
+      val closed = spark.table("evt_sess")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(closed.contains((1L, baseUs, baseUs + 60000000L, 2L)),
+        s"user 1's session must close once the watermark proves the gap: $closed")
+      // user 2's session is still open (watermark hasn't passed 11 min + gap)
+      assert(!closed.exists(_._1 == 2L), s"user 2 evicted too early: $closed")
+    } finally q.stop()
+  }
+
   test("streaming-form sessionizer agrees with the batch query on session counts") {
     val batchSessions = graft.SparkEntry.queries("q_sessionize")(spark, "/root/testdata/sf0.001")
       .groupBy("user_id").count().orderBy("user_id")
