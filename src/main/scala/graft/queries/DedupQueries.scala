@@ -52,6 +52,16 @@ object DedupQueries {
     */
   private val Rotations = Seq(0, 11, 22)
 
+  /** In-bucket pair expansion over a sorted collected member list: all i < j
+    * element pairs of `listCol`, each built by `mk(x, y)` (x before y in
+    * sort order, so derived ids satisfy a < b). Single-sourced because the
+    * 1-based `slice(l, i + 2, size(l))` arithmetic is subtle and four pair
+    * generators depend on it staying identical.
+    */
+  private def pairExpansionSql(listCol: String)(mk: (String, String) => String): String =
+    s"flatten(transform($listCol, (x, i) -> " +
+      s"transform(slice($listCol, i + 2, size($listCol)), y -> ${mk("x", "y")})))"
+
   /** DuckDB CTE chain shared by the minhash oracles: shingle sets → hashes →
     * signatures → bands → capped buckets → deduped candidate pairs (`cand`).
     */
@@ -116,9 +126,8 @@ object DedupQueries {
       .agg(array_sort(collect_set(col("doc_id"))).as("ids"))
       .filter(size(col("ids")).between(2, MaxBucket))
     buckets
-      .select(explode(expr(
-        "flatten(transform(ids, (x, i) -> " +
-          "transform(slice(ids, i + 2, size(ids)), y -> named_struct('a', x, 'b', y))))")).as("p"))
+      .select(explode(expr(pairExpansionSql("ids")(
+        (x, y) => s"named_struct('a', $x, 'b', $y)"))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct()
   }
@@ -292,10 +301,8 @@ object DedupQueries {
           .agg(array_sort(collect_list(struct(col("doc_id"), col("simhash")))).as("ms"))
           .filter(size(col("ms")).between(2, MaxBucket))
         buckets
-          .select(explode(expr(
-            "flatten(transform(ms, (x, i) -> " +
-              "transform(slice(ms, i + 2, size(ms)), y -> named_struct(" +
-              "'a', x.doc_id, 'sa', x.simhash, 'b', y.doc_id, 'sb', y.simhash))))")).as("p"))
+          .select(explode(expr(pairExpansionSql("ms")((x, y) =>
+            s"named_struct('a', $x.doc_id, 'sa', $x.simhash, 'b', $y.doc_id, 'sb', $y.simhash)"))).as("p"))
           .select(col("p.a").as("a"), col("p.b").as("b"),
             expr("bit_count(p.sa ^ p.sb)").cast("long").as("dist"))
           .filter(col("dist") <= 6)
@@ -413,10 +420,8 @@ object DedupQueries {
         grams
           .groupBy("source", "gram")
           .agg(array_sort(collect_list(struct(col("doc_id"), col("sz")))).as("ms"))
-          .select(explode(expr(
-            "flatten(transform(ms, (x, i) -> " +
-              "transform(slice(ms, i + 2, size(ms)), y -> named_struct(" +
-              "'a', x.doc_id, 'sa', x.sz, 'b', y.doc_id, 'sb', y.sz))))")).as("p"))
+          .select(explode(expr(pairExpansionSql("ms")((x, y) =>
+            s"named_struct('a', $x.doc_id, 'sa', $x.sz, 'b', $y.doc_id, 'sb', $y.sz)"))).as("p"))
           .groupBy(col("p.a").as("a"), col("p.b").as("b"))
           .agg(count(lit(1)).as("inter"), max(col("p.sa")).as("sa"), max(col("p.sb")).as("sb"))
           .withColumn("jac", round(col("inter").cast("double") /
@@ -509,16 +514,18 @@ object DedupQueries {
           .withColumn("n2", dotLong(col("q"), col("q")))
           .filter(col("n2") > 0)
           .select("vec_id", "label", "q", "n2")
-        val e = q.withColumn("bs", SimilarityQueries.bucketsCol)
+        // single-evaluation bucket expansion (the minhashCandidates shape):
+        // the 16-hyperplane bucketsCol pipeline runs once, not once per
+        // self-join branch; group size ≤ MaxBucket bounds the collect
+        val cand = q.withColumn("bs", SimilarityQueries.bucketsCol)
           .select(col("vec_id"), col("label"), posexplode(col("bs")).as(Seq("t", "bucket")))
-          .withColumn("bn", count(lit(1)).over(
-            Window.partitionBy(col("label"), col("t"), col("bucket"))))
-          .filter(col("bn") <= MaxBucket)
-        val cand = e.select(col("label"), col("t"), col("bucket"), col("vec_id").as("a"))
-          .join(e.select(col("label"), col("t"), col("bucket"), col("vec_id").as("b")),
-            Seq("label", "t", "bucket"))
-          .filter(col("a") < col("b"))
-          .select("a", "b").distinct()
+          .groupBy("label", "t", "bucket")
+          .agg(array_sort(collect_set(col("vec_id"))).as("ids"))
+          .filter(size(col("ids")).between(2, MaxBucket))
+          .select(explode(expr(pairExpansionSql("ids")(
+            (x, y) => s"named_struct('a', $x, 'b', $y)"))).as("p"))
+          .select(col("p.a").as("a"), col("p.b").as("b"))
+          .distinct()
         cand
           .join(q.select(col("vec_id").as("a"), col("q").as("qa"), col("n2").as("na")), "a")
           .join(q.select(col("vec_id").as("b"), col("q").as("qb"), col("n2").as("nb")), "b")

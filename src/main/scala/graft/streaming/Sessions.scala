@@ -105,16 +105,30 @@ object Sessions {
       }
   }
 
-  /** Event-time variant of [[sessionizeStateful]]: state is evicted when the
-    * WATERMARK passes the open session's gap envelope, not when wall-clock
-    * idle time elapses — the semantically correct closure rule (a session is
-    * over when the stream can prove no more in-gap events can arrive), and
-    * deterministic under replay/backfill where processing-time timeouts are
-    * not. State stays bounded by users with an open session inside the
-    * watermark horizon.
+  /** Events of a user's not-yet-provably-closed sessions, buffered in state. */
+  final case class PendingEvents(ts: Seq[Long])
+
+  /** Exact event-time micros: `getTime` alone truncates to milliseconds, so
+    * sub-ms gap decisions would disagree with the micros-typed sibling form.
+    */
+  private def micros(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  /** Event-time variant of [[sessionizeStateful]]: a session is emitted
+    * exactly when the WATERMARK passes its gap envelope — the semantically
+    * correct closure rule (the stream can prove no more in-gap events can
+    * arrive), with no wall-clock dependence.
+    *
+    * Unlike the processing-time form (which folds eagerly and must guess
+    * about stragglers), state buffers the RAW events of sessions that are
+    * not yet provably closed and refolds on every invocation, so the output
+    * is a pure function of (admitted events, watermark): micro-batch
+    * boundaries cannot split a session or emit a straggler as its own
+    * singleton. State is bounded by the watermark horizon — a session's
+    * events leave state as soon as the watermark passes `last + gap`.
     *
     * Input: (user_id, event timestamp); `watermark` is the lateness bound
-    * driving both the timeout clock and straggler admission.
+    * driving both admission and the timeout clock.
     */
   def sessionizeEventTime(
       events: org.apache.spark.sql.Dataset[(Long, java.sql.Timestamp)],
@@ -127,43 +141,32 @@ object Sessions {
       .withWatermark("ts", watermark)
       .as[(Long, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[OpenSession, ClosedSession](
+      .flatMapGroupsWithState[PendingEvents, ClosedSession](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (user: Long, rows: Iterator[(Long, java.sql.Timestamp)], state: GroupState[OpenSession]) =>
-          if (state.hasTimedOut) {
-            // the watermark passed last + gap: no in-gap event can arrive
-            val out = state.getOption
-              .map(s => ClosedSession(user, s.startUs, s.lastUs, s.n)).iterator
-            state.remove()
-            out
-          } else {
-            val ts = rows.map(_._2.getTime * 1000L).toArray.sorted
-            val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
-            var open = state.getOption
-            ts.foreach { t =>
-              open match {
-                case Some(s) if t > s.lastUs + gapUs =>
-                  closed += ClosedSession(user, s.startUs, s.lastUs, s.n)
-                  open = Some(OpenSession(t, t, 1))
-                case Some(s) if t >= s.startUs - gapUs =>
-                  open = Some(OpenSession(
-                    math.min(s.startUs, t), math.max(s.lastUs, t), s.n + 1))
-                case Some(_) =>
-                  closed += ClosedSession(user, t, t, 1)
-                case None =>
-                  open = Some(OpenSession(t, t, 1))
-              }
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp)], state: GroupState[PendingEvents]) =>
+          // one code path for data batches AND timeouts (rows is just empty
+          // there): merge, refold, emit what the watermark proves closed
+          val wmUs = state.getCurrentWatermarkMs * 1000L
+          val all = (state.getOption.map(_.ts).getOrElse(Seq.empty[Long]) ++
+            rows.map(r => micros(r._2))).sorted
+          if (all.isEmpty) { state.remove(); Iterator.empty }
+          else {
+            // fold the sorted events into gap-separated sessions
+            val sessions = all.tail.foldLeft(Vector(Vector(all.head))) { (acc, t) =>
+              if (t <= acc.last.last + gapUs) acc.init :+ (acc.last :+ t)
+              else acc :+ Vector(t)
             }
-            open.foreach { s =>
-              state.update(s)
-              // timeout must sit strictly above the current watermark — a
-              // session whose envelope the watermark already passed times
-              // out on the very next batch
-              state.setTimeoutTimestamp(
-                math.max(s.lastUs / 1000L + gapUs / 1000L,
-                  state.getCurrentWatermarkMs + 1L))
-            }
+            val (closed, open) = sessions.partition(s => s.last + gapUs < wmUs)
+            if (open.nonEmpty) {
+              state.update(PendingEvents(open.flatten))
+              // wake when the watermark can first prove the earliest open
+              // session closed; must sit strictly above the current watermark
+              state.setTimeoutTimestamp(math.max(
+                open.map(_.last).min / 1000L + gapUs / 1000L + 1L,
+                state.getCurrentWatermarkMs + 1L))
+            } else state.remove()
             closed.iterator
+              .map(s => ClosedSession(user, s.head, s.last, s.length.toLong))
           }
       }
   }

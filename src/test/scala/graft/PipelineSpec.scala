@@ -157,6 +157,46 @@ class PipelineSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("event-time sessionizer folds batch-split stragglers like single-batch delivery") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val gapUs  = 1L * 60 * 1000000 // 1 min
+    val baseMs = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ts(min: Double) = new java.sql.Timestamp(baseMs + (min * 60000L).toLong)
+    def us(min: Double) = baseMs * 1000L + (min * 60000000L).toLong
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val out = graft.streaming.Sessions.sessionizeEventTime(
+      input.toDS(), gapUs, watermark = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("evt_straggle")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: user 1 @ min 20 (watermark → min 10)
+      input.addData((1L, ts(20)))
+      q.processAllAvailable()
+      // batch 2: in-horizon stragglers @ min 15 / 15.5 — older than the
+      // open session's whole gap envelope, but still above the watermark.
+      // They must fold into ONE 2-event session, exactly as if all three
+      // events had arrived in a single batch — not leak out as singletons.
+      input.addData((1L, ts(15)), (1L, ts(15.5)))
+      q.processAllAvailable()
+      assert(spark.table("evt_straggle").count() == 0,
+        "nothing is provably closed while the watermark sits at min 10")
+      // two more batches push the watermark past min 21 and fire the timeout
+      input.addData((2L, ts(40)))
+      q.processAllAvailable()
+      input.addData((2L, ts(41)))
+      q.processAllAvailable()
+      val closed = spark.table("evt_straggle")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(closed == Set(
+        (1L, us(15), us(15.5), 2L), // stragglers folded into one session
+        (1L, us(20), us(20), 1L)),
+        s"batch-split delivery must yield the same sessions as one batch: $closed")
+    } finally q.stop()
+  }
+
   test("streaming-form sessionizer agrees with the batch query on session counts") {
     val batchSessions = graft.SparkEntry.queries("q_sessionize")(spark, "/root/testdata/sf0.001")
       .groupBy("user_id").count().orderBy("user_id")

@@ -38,10 +38,10 @@ class PlanShapeSpec extends SparkTestBase {
   }
 
   test("every pair-expansion stage carries its hot-bucket / stop-gram cap") {
-    // the four dedup pair generators each bound in-bucket expansion at a
-    // constant (MaxBucket = 50): minhash via the bucket-size BETWEEN, the
-    // others via a windowed count filter. Losing the cap re-opens a
-    // |bucket|² stage at scale (VERDICT r3 What's-wrong #1/#2).
+    // the five dedup pair generators each bound in-bucket expansion at a
+    // constant (MaxBucket = 50): via the collected-bucket-size BETWEEN or a
+    // windowed count filter. Losing the cap re-opens a |bucket|² stage at
+    // scale (VERDICT r3 What's-wrong #1/#2).
     Seq("q_dedup_minhash", "q_simhash_pairs", "q_fuzzy_pairs", "q_ngram_jaccard",
         "q_embedding_lsh_pairs")
       .foreach { name =>
