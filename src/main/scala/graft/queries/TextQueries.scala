@@ -185,6 +185,59 @@ object TextQueries {
               |                    for w in $duckWordsSql],
               |                   (acc, h) -> (acc * 31 + h) % 1000000007) AS fingerprint
               |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+
+    // E3f KMV (k-minimum-values) distinct-count sketch: per-source distinct
+    // words estimated from the K-th smallest 60-bit hash — est = (K−1) ·
+    // 2^60 / h_K. THE cardinality-estimation pattern for 100 TB scans
+    // (HLL's approx_count_distinct has engine-specific sketches, so it can
+    // never hash-match an oracle; KMV over the shared deterministic hash60
+    // is bit-identical in both engines). The exact distinct count rides
+    // along, making the estimate's error visible in the graded output.
+    //
+    // Scale shape: one shuffle to dedup (source, h), one keyed window to
+    // rank per source. A cluster deployment replaces the window with a
+    // bounded min-K partial aggregate (merge = K smallest of both sides) —
+    // same result, no per-source sort; the window form is kept here for
+    // oracle parity in one expression.
+    // K = 16 so the sketch branch actually fires on the test corpus (~31
+    // distinct words per source — a production K of 256+ would always hit
+    // the exact-fallback there and grade nothing).
+    GraftQuery(
+      "q_kmv_distinct",
+      "KMV sketch: per-source distinct-word estimate from the 16th-smallest hash",
+      (s, dir) => {
+        val K = 16
+        val hashes = Tables.documents(s, dir)
+          .select(col("source"), explode(expr(s"array_distinct($wordsSql)")).as("w"))
+          .select(col("source"), expr(hash60Sql("w")).as("h"))
+          .distinct()
+        val ranked = hashes.withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("source")).orderBy(col("h"))))
+        val exact = hashes.groupBy("source").agg(count(lit(1)).as("exact_distinct"))
+        val kth = ranked.filter(col("rn") === K).select(col("source"), col("h").as("hk"))
+        exact.join(kth, Seq("source"), "left")
+          .withColumn("est", round(
+            when(col("hk").isNotNull,
+              lit((K - 1).toDouble) * lit(1152921504606846976.0) / col("hk").cast("double"))
+              .otherwise(col("exact_distinct").cast("double")), 2))
+          .select("source", "exact_distinct", "est")
+          .orderBy("source")
+      },
+      Some(s"""WITH h AS (
+              |  SELECT DISTINCT source, ${duckHash60Sql("w")} AS h
+              |  FROM (SELECT source, unnest(list_distinct($duckWordsSql)) AS w
+              |        FROM documents) t),
+              |r AS (SELECT source, h,
+              |             row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+              |      FROM h),
+              |k AS (SELECT source, h AS hk FROM r WHERE rn = 16),
+              |e AS (SELECT source, count(*) AS exact_distinct FROM h GROUP BY source)
+              |SELECT e.source, e.exact_distinct,
+              |       round(CASE WHEN k.hk IS NOT NULL
+              |                  THEN 15.0 * 1152921504606846976.0 / CAST(k.hk AS DOUBLE)
+              |                  ELSE CAST(e.exact_distinct AS DOUBLE) END, 2) AS est
+              |FROM e LEFT JOIN k USING (source) ORDER BY e.source""".stripMargin)
     )
   )
 }
