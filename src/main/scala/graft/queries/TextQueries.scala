@@ -238,6 +238,56 @@ object TextQueries {
               |                  THEN 15.0 * 1152921504606846976.0 / CAST(k.hk AS DOUBLE)
               |                  ELSE CAST(e.exact_distinct AS DOUBLE) END, 2) AS est
               |FROM e LEFT JOIN k USING (source) ORDER BY e.source""".stripMargin)
+    ),
+
+    // E3g deterministic stratified sampling: keep a document iff its key
+    // hash lands in a fixed bucket range — the reproducible subsampling /
+    // data-mixing primitive of a training pipeline (rand()-based sampling
+    // can't be replayed, audited, or oracle-matched; hash-bucket sampling
+    // is stable across runs, engines, and cluster sizes). Pure codegen
+    // filter on the scan: embarrassingly parallel, no shuffle at all.
+    GraftQuery(
+      "q_hash_sample",
+      "deterministic 5% sample: hash60(doc_id) % 100 < 5",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .filter(expr(s"${hash60Sql("cast(doc_id as string)")} % 100") < 5)
+          .select("doc_id", "source", "lang")
+          .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, source, lang FROM documents
+              |WHERE ${duckHash60Sql("CAST(doc_id AS VARCHAR)")} % 100 < 5
+              |ORDER BY doc_id""".stripMargin)
+    ),
+
+    // E3h heavy hitters: top-5 most frequent words per source — the
+    // vocabulary / boilerplate-detection scan (a source whose top terms are
+    // navigation chrome is a scraping artifact). One partial-aggregated
+    // shuffle on (source, word), then a top-k window partitioned by source;
+    // deterministic tie-break on the word itself.
+    GraftQuery(
+      "q_top_terms",
+      "top-5 most frequent words per source",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("n").desc, col("w").asc)
+        Tables.documents(s, dir)
+          .select(col("source"), explode(expr(wordsSql)).as("w"))
+          .filter(col("w") =!= "")
+          .groupBy("source", "w").agg(count(lit(1)).as("n"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5)
+          .select(col("source"), col("rk").cast("long").as("rk"), col("w"), col("n"))
+          .orderBy("source", "rk")
+      },
+      Some(s"""WITH c AS (
+              |  SELECT source, w, count(*) AS n
+              |  FROM (SELECT source, unnest($duckWordsSql) AS w FROM documents) t
+              |  WHERE w <> '' GROUP BY source, w)
+              |SELECT source, rk, w, n FROM (
+              |  SELECT source, w, n,
+              |         row_number() OVER (PARTITION BY source ORDER BY n DESC, w) AS rk
+              |  FROM c) r
+              |WHERE rk <= 5 ORDER BY source, rk""".stripMargin)
     )
   )
 }
