@@ -556,6 +556,50 @@ object DedupQueries {
               |         list_dot_product(x.q::DOUBLE[], y.q::DOUBLE[]) / (sqrt(x.n2) * sqrt(y.n2)) AS cos
               |  FROM cand c JOIN n x ON x.vec_id = c.a JOIN n y ON y.vec_id = c.b) p
               |WHERE cos >= 0.3 ORDER BY a, b""".stripMargin)
+    ),
+
+    // E1f benchmark decontamination: flag training documents whose distinct
+    // 3-gram overlap with a held-out benchmark set (source 'src0' stands in)
+    // reaches 50% — the screening pass every training pipeline runs so eval
+    // data doesn't leak into the corpus. Shares the shingle pipeline with
+    // the minhash family. Scale shape: the benchmark gram set is the small
+    // side of a semi-join (broadcast on a cluster); the corpus side is one
+    // scan + two keyed aggregates — never pairwise.
+    GraftQuery(
+      "q_decontaminate",
+      "flag docs with >= 50% 3-gram overlap against the src0 benchmark set",
+      (s, dir) => {
+        val sh = shingleRows(s, dir).drop("h")
+          .join(Tables.documents(s, dir).select("doc_id", "source"), "doc_id")
+        val bench = sh.filter(col("source") === "src0").select("shingle").distinct()
+        val cand  = sh.filter(col("source") =!= "src0")
+        val total = cand.groupBy("doc_id").agg(count(lit(1)).as("total"))
+        val shared = cand.join(bench, Seq("shingle"), "left_semi")
+          .groupBy("doc_id").agg(count(lit(1)).as("shared"))
+        total.join(shared, Seq("doc_id"), "left")
+          .withColumn("shared", coalesce(col("shared"), lit(0L)))
+          .withColumn("ratio", round(col("shared").cast("double") / col("total"), 4))
+          .filter(col("ratio") >= 0.5)
+          .select("doc_id", "shared", "total", "ratio")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH docs AS (
+              |  SELECT doc_id, source, $duckWordsSql AS words FROM documents),
+              |sh AS (
+              |  SELECT doc_id, source,
+              |         unnest(list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+              |                               for i in range(1, len(words) - 1)])) AS shingle
+              |  FROM docs WHERE len(words) >= 3),
+              |bench AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0'),
+              |cand AS (SELECT doc_id, shingle FROM sh WHERE source <> 'src0'),
+              |tot AS (SELECT doc_id, count(*) AS total FROM cand GROUP BY doc_id),
+              |shr AS (SELECT c.doc_id, count(*) AS shared
+              |        FROM cand c JOIN bench b USING (shingle) GROUP BY c.doc_id)
+              |SELECT doc_id, shared, total, ratio FROM (
+              |  SELECT t.doc_id, coalesce(s.shared, 0) AS shared, t.total,
+              |         round(CAST(coalesce(s.shared, 0) AS DOUBLE) / t.total, 4) AS ratio
+              |  FROM tot t LEFT JOIN shr s USING (doc_id)) f
+              |WHERE ratio >= 0.5 ORDER BY doc_id""".stripMargin)
     )
   )
 }
