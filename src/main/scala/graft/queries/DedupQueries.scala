@@ -576,11 +576,14 @@ object DedupQueries {
         val total = cand.groupBy("doc_id").agg(count(lit(1)).as("total"))
         val shared = cand.join(bench, Seq("shingle"), "left_semi")
           .groupBy("doc_id").agg(count(lit(1)).as("shared"))
+        // overlap as integer basis points via floor division — float
+        // division + round() has engine-divergent ties at the half-way
+        // decimal; integer math is exact in both engines by construction
         total.join(shared, Seq("doc_id"), "left")
           .withColumn("shared", coalesce(col("shared"), lit(0L)))
-          .withColumn("ratio", round(col("shared").cast("double") / col("total"), 4))
-          .filter(col("ratio") >= 0.5)
-          .select("doc_id", "shared", "total", "ratio")
+          .withColumn("ratio_bp", expr("(shared * 10000) div total"))
+          .filter(col("ratio_bp") >= 5000)
+          .select("doc_id", "shared", "total", "ratio_bp")
           .orderBy("doc_id")
       },
       Some(s"""WITH docs AS (
@@ -595,11 +598,11 @@ object DedupQueries {
               |tot AS (SELECT doc_id, count(*) AS total FROM cand GROUP BY doc_id),
               |shr AS (SELECT c.doc_id, count(*) AS shared
               |        FROM cand c JOIN bench b USING (shingle) GROUP BY c.doc_id)
-              |SELECT doc_id, shared, total, ratio FROM (
+              |SELECT doc_id, shared, total, ratio_bp FROM (
               |  SELECT t.doc_id, coalesce(s.shared, 0) AS shared, t.total,
-              |         round(CAST(coalesce(s.shared, 0) AS DOUBLE) / t.total, 4) AS ratio
+              |         (coalesce(s.shared, 0) * 10000) // t.total AS ratio_bp
               |  FROM tot t LEFT JOIN shr s USING (doc_id)) f
-              |WHERE ratio >= 0.5 ORDER BY doc_id""".stripMargin)
+              |WHERE ratio_bp >= 5000 ORDER BY doc_id""".stripMargin)
     )
   )
 }

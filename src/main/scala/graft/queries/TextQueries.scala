@@ -10,13 +10,18 @@ import graft.Tables
   * stage of an LLM training-data pipeline, generalizing the reference's
   * per-field quality gates (pet_scraper.py:364-407).
   *
-  * Scale posture (100 TB): every query is a horizontal per-row expression
-  * pipeline (whole-stage-codegen'd built-ins, no UDFs) followed by at most one
-  * hash-partitioned groupBy on a low-cardinality key — the canonical
-  * map-side-combine shape. No windows, no joins, no driver state.
+  * Scale posture (100 TB): the E3a–E3e profiling queries are horizontal
+  * per-row expression pipelines (whole-stage-codegen'd built-ins, no UDFs)
+  * followed by at most one hash-partitioned groupBy on a low-cardinality
+  * key — the canonical map-side-combine shape, no windows or joins. The
+  * E3f–E3h additions (sketch / sample / heavy hitters) each add at most one
+  * keyed window or small join, always partitioned by the group key. No
+  * driver state anywhere.
   *
-  * Oracle parity: all scores are integer counts or integer-threshold CASE
-  * buckets — no float division anywhere (SURVEY.md §7.4#2).
+  * Oracle parity: scores are integer counts or integer-threshold CASE
+  * buckets; the one float computation (the KMV estimate) goes through
+  * `floor`, which has no half-way ties for engines to disagree on
+  * (SURVEY.md §7.4#2).
   */
 object TextQueries {
 
@@ -208,35 +213,45 @@ object TextQueries {
       "KMV sketch: per-source distinct-word estimate from the 16th-smallest hash",
       (s, dir) => {
         val K = 16
-        val hashes = Tables.documents(s, dir)
+        // distinct WORDS for the exact baseline (a 60-bit hash collision
+        // must not deflate the very number the sketch is judged against);
+        // distinct HASHES for the KMV slots; the empty token from splitting
+        // blank text is not a word
+        val words = Tables.documents(s, dir)
           .select(col("source"), explode(expr(s"array_distinct($wordsSql)")).as("w"))
-          .select(col("source"), expr(hash60Sql("w")).as("h"))
+          .filter(col("w") =!= "")
           .distinct()
+        val exact = words.groupBy("source").agg(count(lit(1)).as("exact_distinct"))
+        val hashes = words.select(col("source"), expr(hash60Sql("w")).as("h")).distinct()
         val ranked = hashes.withColumn("rn", row_number().over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("source")).orderBy(col("h"))))
-        val exact = hashes.groupBy("source").agg(count(lit(1)).as("exact_distinct"))
         val kth = ranked.filter(col("rn") === K).select(col("source"), col("h").as("hk"))
+        // floor, not round: floor of a double has no half-way ties, so the
+        // two engines cannot disagree on the emitted integer
         exact.join(kth, Seq("source"), "left")
-          .withColumn("est", round(
+          .withColumn("est",
             when(col("hk").isNotNull,
-              lit((K - 1).toDouble) * lit(1152921504606846976.0) / col("hk").cast("double"))
-              .otherwise(col("exact_distinct").cast("double")), 2))
+              floor(lit((K - 1).toDouble) * lit(1152921504606846976.0) / col("hk").cast("double")))
+              .otherwise(col("exact_distinct"))
+              .cast("long"))
           .select("source", "exact_distinct", "est")
           .orderBy("source")
       },
-      Some(s"""WITH h AS (
-              |  SELECT DISTINCT source, ${duckHash60Sql("w")} AS h
+      Some(s"""WITH w AS (
+              |  SELECT DISTINCT source, w
               |  FROM (SELECT source, unnest(list_distinct($duckWordsSql)) AS w
-              |        FROM documents) t),
+              |        FROM documents) t
+              |  WHERE w <> ''),
+              |e AS (SELECT source, count(*) AS exact_distinct FROM w GROUP BY source),
+              |h AS (SELECT DISTINCT source, ${duckHash60Sql("w")} AS h FROM w),
               |r AS (SELECT source, h,
               |             row_number() OVER (PARTITION BY source ORDER BY h) AS rn
               |      FROM h),
-              |k AS (SELECT source, h AS hk FROM r WHERE rn = 16),
-              |e AS (SELECT source, count(*) AS exact_distinct FROM h GROUP BY source)
+              |k AS (SELECT source, h AS hk FROM r WHERE rn = 16)
               |SELECT e.source, e.exact_distinct,
-              |       round(CASE WHEN k.hk IS NOT NULL
-              |                  THEN 15.0 * 1152921504606846976.0 / CAST(k.hk AS DOUBLE)
-              |                  ELSE CAST(e.exact_distinct AS DOUBLE) END, 2) AS est
+              |       CAST(CASE WHEN k.hk IS NOT NULL
+              |                 THEN floor(15.0 * 1152921504606846976.0 / CAST(k.hk AS DOUBLE))
+              |                 ELSE e.exact_distinct END AS BIGINT) AS est
               |FROM e LEFT JOIN k USING (source) ORDER BY e.source""".stripMargin)
     ),
 
@@ -244,8 +259,10 @@ object TextQueries {
     // hash lands in a fixed bucket range — the reproducible subsampling /
     // data-mixing primitive of a training pipeline (rand()-based sampling
     // can't be replayed, audited, or oracle-matched; hash-bucket sampling
-    // is stable across runs, engines, and cluster sizes). Pure codegen
-    // filter on the scan: embarrassingly parallel, no shuffle at all.
+    // is stable across runs, engines, and cluster sizes). The sampling
+    // itself is a pure codegen filter on the scan — embarrassingly
+    // parallel, shuffle-free; the only exchange in the plan is the graded
+    // output's mandatory global ORDER BY.
     GraftQuery(
       "q_hash_sample",
       "deterministic 5% sample: hash60(doc_id) % 100 < 5",
