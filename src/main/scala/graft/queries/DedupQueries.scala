@@ -58,7 +58,7 @@ object DedupQueries {
     * 1-based `slice(l, i + 2, size(l))` arithmetic is subtle and four pair
     * generators depend on it staying identical.
     */
-  private def pairExpansionSql(listCol: String)(mk: (String, String) => String): String =
+  private[queries] def pairExpansionSql(listCol: String)(mk: (String, String) => String): String =
     s"flatten(transform($listCol, (x, i) -> " +
       s"transform(slice($listCol, i + 2, size($listCol)), y -> ${mk("x", "y")})))"
 
