@@ -305,6 +305,41 @@ object TextQueries {
               |         row_number() OVER (PARTITION BY source ORDER BY n DESC, w) AS rk
               |  FROM c) r
               |WHERE rk <= 5 ORDER BY source, rk""".stripMargin)
+    ),
+
+    // E3i intra-document repetition: repeated-2-gram fraction per doc — the
+    // C4/Gopher-style boilerplate signal (a doc whose grams are mostly
+    // duplicates is template chrome, not prose), distinct from the
+    // cross-doc dedup family. One exploded gram stream → one per-doc
+    // aggregate; repetition emitted as integer basis points (floor
+    // division — no float ties). Docs with fewer than two words have no
+    // grams and are excluded in both engines.
+    GraftQuery(
+      "q_repetition",
+      "repeated-2-gram fraction per document, in basis points",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("pos"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), posexplode(expr(wordsSql)).as(Seq("pos", "w")))
+          .withColumn("w1", lead(col("w"), 1).over(w))
+          .filter(col("w1").isNotNull)
+          .select(col("doc_id"), concat_ws(" ", col("w"), col("w1")).as("gram"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("total"), countDistinct(col("gram")).as("n_distinct"))
+          .withColumn("rep_bp", expr("((total - n_distinct) * 10000) div total"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, total, n_distinct,
+              |       ((total - n_distinct) * 10000) // total AS rep_bp
+              |FROM (
+              |  SELECT doc_id, len(grams) AS total,
+              |         len(list_distinct(grams)) AS n_distinct
+              |  FROM (SELECT doc_id,
+              |               [words[i] || ' ' || words[i+1] for i in range(1, len(words))] AS grams
+              |        FROM (SELECT doc_id, $duckWordsSql AS words FROM documents) w
+              |        WHERE len(words) >= 2) g) r
+              |ORDER BY doc_id""".stripMargin)
     )
   )
 }
