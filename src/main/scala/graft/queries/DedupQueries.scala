@@ -26,7 +26,7 @@ import graft.Tables
   */
 object DedupQueries {
 
-  import Dialect.{duckHash60Sql => duckHash60, duckWordsSql, hash60Sql, wordsSql}
+  import Dialect.{duckHash60Sql => duckHash60, duckGramsSql, duckShinglesSql, duckWordsSql, hash60Sql, wordsSql}
 
   /** MinHash permutation salts: first 15 hex chars of md5("0").."md5("7")
     * parsed base-16 (same construction as [[hash60Sql]], precomputed so the
@@ -69,9 +69,7 @@ object DedupQueries {
     s"""docs AS (
        |  SELECT doc_id, $duckWordsSql AS words FROM documents),
        |sh AS (
-       |  SELECT doc_id,
-       |         list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
-       |                        for i in range(1, len(words) - 1)]) AS shingles
+       |  SELECT doc_id, list_distinct($duckShinglesSql) AS shingles
        |  FROM docs WHERE len(words) >= 3),
        |hs AS (
        |  SELECT doc_id, [${duckHash60("x")} for x in shingles] AS sh FROM sh),
@@ -92,6 +90,21 @@ object DedupQueries {
        |    FROM (SELECT bd, bh, unnest(ids) AS a FROM buckets) la
        |    JOIN (SELECT bd, bh, unnest(ids) AS b FROM buckets) lb USING (bd, bh)
        |    WHERE la.a < lb.b) p)""".stripMargin
+
+  /** Raw ordered 2-gram rows (doc_id, carry..., gram) — the exploded gram
+    * pipeline shared by the jaccard set-similarity join (which dedups them)
+    * and the repetition score (which counts repeats). One source for the
+    * posexplode + lead construction, mirroring [[Dialect.duckGramsSql]].
+    */
+  private[queries] def gramRows(docs: DataFrame, carry: Seq[String]): DataFrame = {
+    val w    = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val keep = col("doc_id") +: carry.map(col)
+    docs
+      .select(keep :+ posexplode(expr(wordsSql)).as(Seq("pos", "w")): _*)
+      .withColumn("w1", lead(col("w"), 1).over(w))
+      .filter(col("w1").isNotNull)
+      .select(keep :+ concat_ws(" ", col("w"), col("w1")).as("gram"): _*)
+  }
 
   /** Distinct (doc_id, shingle, h) rows — the 3-gram shingle pipeline shared
     * by the MinHash signature, candidate generation, and exact verification.
@@ -399,19 +412,13 @@ object DedupQueries {
       "q_ngram_jaccard",
       "2-gram Jaccard >= 0.2 pairs within each source bucket, stop-grams dropped",
       (s, dir) => {
-        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
         // ONE evaluation of the gram pipeline: df-cap window first (so sizes
         // see the same filtered gram sets the pairs do), per-doc size window
         // second, then the minhashCandidates shape — group the (source,
         // gram) bucket (bounded at MaxBucket by the df filter), expand
         // member pairs from the collected list. A self-join would recompute
         // the exploded-gram pipeline once per branch.
-        val grams = Tables.documents(s, dir)
-          .select(col("doc_id"), col("source"), posexplode(expr(wordsSql)).as(Seq("pos", "w")))
-          .withColumn("w1", lead(col("w"), 1).over(w))
-          .filter(col("w1").isNotNull)
-          .select(col("doc_id"), col("source"),
-            concat_ws(" ", col("w"), col("w1")).as("gram"))
+        val grams = gramRows(Tables.documents(s, dir), Seq("source"))
           .distinct()
           .withColumn("df", count(lit(1)).over(
             Window.partitionBy(col("source"), col("gram"))))
@@ -432,7 +439,7 @@ object DedupQueries {
       },
       Some(s"""WITH g0 AS (
               |  SELECT doc_id, source,
-              |         unnest(list_distinct([words[i] || ' ' || words[i+1] for i in range(1, len(words))])) AS gram
+              |         unnest(list_distinct($duckGramsSql)) AS gram
               |  FROM (SELECT doc_id, source, $duckWordsSql AS words FROM documents) w
               |  WHERE len(words) >= 2),
               |g AS (
@@ -590,8 +597,7 @@ object DedupQueries {
               |  SELECT doc_id, source, $duckWordsSql AS words FROM documents),
               |sh AS (
               |  SELECT doc_id, source,
-              |         unnest(list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
-              |                               for i in range(1, len(words) - 1)])) AS shingle
+              |         unnest(list_distinct($duckShinglesSql)) AS shingle
               |  FROM docs WHERE len(words) >= 3),
               |bench AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0'),
               |cand AS (SELECT doc_id, shingle FROM sh WHERE source <> 'src0'),

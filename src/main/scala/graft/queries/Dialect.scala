@@ -13,6 +13,16 @@ object Dialect {
   val wordsSql     = "split(trim(coalesce(text, '')), ' +')"
   val duckWordsSql = "string_split_regex(trim(coalesce(text, '')), ' +')"
 
+  /** DuckDB n-gram comprehensions over a list alias `words` — single-sourced
+    * because the 1-based index bounds are exactly the kind of arithmetic two
+    * hand-maintained copies silently let drift (2-grams: jaccard +
+    * repetition; 3-gram shingles: minhash family + decontamination).
+    */
+  val duckGramsSql =
+    "[words[i] || ' ' || words[i+1] for i in range(1, len(words))]"
+  val duckShinglesSql =
+    "[words[i] || ' ' || words[i+1] || ' ' || words[i+2] for i in range(1, len(words) - 1)]"
+
   /** Deterministic 60-bit string hash in both dialects — defined next to the
     * Column form in [[graft.functions.Scalars]] (the functions layer owns
     * the construction; queries only consume it).

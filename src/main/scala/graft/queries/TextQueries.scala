@@ -25,7 +25,7 @@ import graft.Tables
   */
 object TextQueries {
 
-  import Dialect.{duckHash60Sql, duckWordsSql, hash60Sql, wordsSql}
+  import Dialect.{duckGramsSql, duckHash60Sql, duckWordsSql, hash60Sql, wordsSql}
 
   /** Per-language marker ("stopword") lists for the n-gram/stopword language
     * heuristic. Tiny on purpose: at scale these are broadcast literals inside
@@ -317,26 +317,19 @@ object TextQueries {
     GraftQuery(
       "q_repetition",
       "repeated-2-gram fraction per document, in basis points",
-      (s, dir) => {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("doc_id")).orderBy(col("pos"))
-        Tables.documents(s, dir)
-          .select(col("doc_id"), posexplode(expr(wordsSql)).as(Seq("pos", "w")))
-          .withColumn("w1", lead(col("w"), 1).over(w))
-          .filter(col("w1").isNotNull)
-          .select(col("doc_id"), concat_ws(" ", col("w"), col("w1")).as("gram"))
+      (s, dir) =>
+        DedupQueries.gramRows(Tables.documents(s, dir), Nil)
           .groupBy("doc_id")
           .agg(count(lit(1)).as("total"), countDistinct(col("gram")).as("n_distinct"))
           .withColumn("rep_bp", expr("((total - n_distinct) * 10000) div total"))
-          .orderBy("doc_id")
-      },
+          .orderBy("doc_id"),
       Some(s"""SELECT doc_id, total, n_distinct,
               |       ((total - n_distinct) * 10000) // total AS rep_bp
               |FROM (
               |  SELECT doc_id, len(grams) AS total,
               |         len(list_distinct(grams)) AS n_distinct
               |  FROM (SELECT doc_id,
-              |               [words[i] || ' ' || words[i+1] for i in range(1, len(words))] AS grams
+              |               $duckGramsSql AS grams
               |        FROM (SELECT doc_id, $duckWordsSql AS words FROM documents) w
               |        WHERE len(words) >= 2) g) r
               |ORDER BY doc_id""".stripMargin)

@@ -20,13 +20,15 @@ object PairExpansionSpec extends Properties("pairExpansion") {
   property("emits exactly the i < j pairs of the sorted member list") =
     Prop.forAll(idsGen) { ids =>
       import spark.implicits._
+      // sorted multiset, not a set: a regression that emits a pair TWICE
+      // must fail here too, and .toSet would collapse the duplicates
       val got = Seq(Tuple1(ids)).toDF("ids")
         .select(explode(expr(DedupQueries.pairExpansionSql("ids")(
           (x, y) => s"named_struct('a', $x, 'b', $y)"))).as("p"))
-        .select("p.a", "p.b").as[(Long, Long)].collect().toSet
+        .select("p.a", "p.b").as[(Long, Long)].collect().toVector.sorted
       val want = (for {
         i <- ids.indices; j <- (i + 1) until ids.size
-      } yield (ids(i), ids(j))).toSet
+      } yield (ids(i), ids(j))).toVector.sorted
       got == want
     }
 }
