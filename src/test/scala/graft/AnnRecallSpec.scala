@@ -54,6 +54,12 @@ class AnnRecallSpec extends SparkTestBase {
     assert(exact.nonEmpty)
     assert(blocked.subsetOf(exact),
       s"blocked pairs not a subset of exact: ${(blocked -- exact).take(5)}")
-    info(f"blocked recall vs exact-within-label: ${blocked.size.toDouble / exact.size}%.3f")
+    val rBlocked = blocked.size.toDouble / exact.size
+    info(f"blocked recall vs exact-within-label: $rBlocked%.3f")
+    // deterministic (fixed data + hyperplanes): pin with slack below the
+    // observed 0.354 so a plane/bucketing regression that craters candidate
+    // recall fails loudly
+    assert(rBlocked >= 0.25,
+      s"blocked-dedup recall regressed below pinned floor: $rBlocked (was 0.354)")
   }
 }

@@ -75,6 +75,28 @@ class BucketedTableSpec extends SparkTestBase {
     assert(out == Seq(("a", "1"), ("b", "2B"), ("c", "3")))
   }
 
+  test("read falls back to plain parquet when catalog metadata is gone (restart)") {
+    // bucket metadata is catalog-scoped: a new session after restart has the
+    // files but not the table entry — read must degrade to a parquet scan,
+    // and the next publish re-registers the bucketing
+    val dir = tmp("bkt-restart")
+    val kt  = new KeyedTable(spark, dir, "k", buckets = Some(4))
+    kt.merge(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), batchId = 0L)
+    val md     = java.security.MessageDigest.getInstance("MD5")
+    val prefix = "graft_kt_" +
+      md.digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    // simulate the restart by dropping the catalog entries (files stay)
+    spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith(prefix))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    assert(kt.read().get.count() == 2, "parquet fallback must still serve the snapshot")
+    kt.merge(Seq((3L, "c")).toDF("k", "v"), batchId = 1L)
+    assert(spark.catalog.tableExists(s"${prefix}_v1"),
+      "next publish must re-register the bucketed table")
+    assert(kt.read().get.orderBy("k").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
   test("snapshot GC drops superseded catalog entries with their directories") {
     val dir = tmp("bkt-gc")
     val kt  = new KeyedTable(spark, dir, "k", buckets = Some(4))
