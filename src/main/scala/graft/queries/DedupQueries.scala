@@ -122,14 +122,22 @@ object DedupQueries {
       .withColumn("h", expr(hash60Sql("shingle")))
   }
 
-  /** Candidate pair (a, b) generation: 8 xor-salt minhashes → 4 bands of 2 →
-    * capped (band, bh) buckets → in-bucket expansion, deduped.
+  /** (doc_id, m0..m7, sz) — 8 xor-salt minhash signatures plus the shingle-set
+    * size, all in ONE hash aggregate over the shingle rows (sz rides along so
+    * the jaccard verifier doesn't need a second pass over the shingles).
     */
-  private def minhashCandidates(shingles: DataFrame): DataFrame = {
+  private def signatures(shingles: DataFrame): DataFrame = {
     val mins = Salts.zipWithIndex.map { case (salt, i) =>
       min(expr(s"h ^ ${salt}L")).as(s"m$i")
     }
-    val sig = shingles.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    shingles.groupBy("doc_id")
+      .agg(mins.head, (mins.tail :+ count(lit(1)).as("sz")): _*)
+  }
+
+  /** Candidate pair (a, b) generation from signatures: 4 bands of 2 →
+    * capped (band, bh) buckets → in-bucket expansion, deduped.
+    */
+  private def candidatePairs(sig: DataFrame): DataFrame = {
     val bandExprs = (0 until 4).map(b =>
       md5(concat(col(s"m${2 * b}").cast("string"), lit(","),
         col(s"m${2 * b + 1}").cast("string"))))
@@ -144,6 +152,9 @@ object DedupQueries {
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct()
   }
+
+  private def minhashCandidates(shingles: DataFrame): DataFrame =
+    candidatePairs(signatures(shingles))
 
   /** (doc_id, simhash) — the shared relational SimHash computation (one md5
     * per distinct word, 32 vote sums in one hash aggregate).
@@ -242,17 +253,24 @@ object DedupQueries {
       "q_minhash_verified",
       "minhash candidates verified by exact shingle jaccard >= 0.5",
       (s, dir) => {
-        val shingles = shingleRows(s, dir)
-        val cand     = minhashCandidates(shingles)
-        val sizes    = shingles.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+        // The shingle lineage (scan → explode → lead window → distinct → md5)
+        // is referenced three times (signature agg + both sides of the
+        // intersection join) and the candidate set twice — persist both, or
+        // every reference re-runs the whole pipeline (the materialize-once
+        // move ADVICE r2 asked for; on a cluster this is the same persist).
+        // sz rides inside the signature aggregate, so set sizes cost no
+        // extra pass.
+        val shingles = shingleRows(s, dir).persist()
+        val sig      = signatures(shingles).persist()
+        val cand     = candidatePairs(sig).persist()
         val inter = cand
           .join(shingles.select(col("doc_id").as("a"), col("shingle")), "a")
           .join(shingles.select(col("doc_id").as("b"), col("shingle")), Seq("b", "shingle"))
           .groupBy("a", "b").agg(count(lit(1)).as("inter"))
         cand
           .join(inter, Seq("a", "b"), "left")
-          .join(sizes.select(col("doc_id").as("a"), col("sz").as("sa")), "a")
-          .join(sizes.select(col("doc_id").as("b"), col("sz").as("sb")), "b")
+          .join(sig.select(col("doc_id").as("a"), col("sz").as("sa")), "a")
+          .join(sig.select(col("doc_id").as("b"), col("sz").as("sb")), "b")
           .withColumn("jac", round(coalesce(col("inter"), lit(0L)).cast("double") /
             (col("sa") + col("sb") - coalesce(col("inter"), lit(0L))), 4))
           .filter(col("jac") >= 0.5)
@@ -412,25 +430,31 @@ object DedupQueries {
       "q_ngram_jaccard",
       "2-gram Jaccard >= 0.2 pairs within each source bucket, stop-grams dropped",
       (s, dir) => {
-        // ONE evaluation of the gram pipeline: df-cap window first (so sizes
-        // see the same filtered gram sets the pairs do), per-doc size window
-        // second, then the minhashCandidates shape — group the (source,
-        // gram) bucket (bounded at MaxBucket by the df filter), expand
-        // member pairs from the collected list. A self-join would recompute
-        // the exploded-gram pipeline once per branch.
-        val grams = gramRows(Tables.documents(s, dir), Seq("source"))
+        // ONE evaluation of the gram pipeline, then ONE (source, gram)
+        // aggregate that is simultaneously the stop-gram df cap (bucket size
+        // = doc frequency, since rows are distinct) and the pair-expansion
+        // bucket — the r4 form computed df as a window over the same key and
+        // then re-shuffled onto it for the groupBy, plus a second window
+        // sort for per-doc sizes. Sizes now come from re-exploding the tiny
+        // capped bucket table (each surviving (doc, gram) row exactly once),
+        // an agg instead of a sort-based window. Semantics are unchanged:
+        // both sizes and pairs see exactly the surviving-gram sets.
+        val buckets = gramRows(Tables.documents(s, dir), Seq("source"))
           .distinct()
-          .withColumn("df", count(lit(1)).over(
-            Window.partitionBy(col("source"), col("gram"))))
-          .filter(col("df") <= MaxBucket)
-          .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-        grams
           .groupBy("source", "gram")
-          .agg(array_sort(collect_list(struct(col("doc_id"), col("sz")))).as("ms"))
-          .select(explode(expr(pairExpansionSql("ms")((x, y) =>
-            s"named_struct('a', $x.doc_id, 'sa', $x.sz, 'b', $y.doc_id, 'sb', $y.sz)"))).as("p"))
+          .agg(array_sort(collect_set(col("doc_id"))).as("ids"))
+          .filter(size(col("ids")) <= MaxBucket)
+          .persist()
+        val sz = buckets.select(explode(col("ids")).as("doc_id"))
+          .groupBy("doc_id").agg(count(lit(1)).as("sz"))
+        buckets
+          .filter(size(col("ids")) >= 2)
+          .select(explode(expr(pairExpansionSql("ids")(
+            (x, y) => s"named_struct('a', $x, 'b', $y)"))).as("p"))
           .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-          .agg(count(lit(1)).as("inter"), max(col("p.sa")).as("sa"), max(col("p.sb")).as("sb"))
+          .agg(count(lit(1)).as("inter"))
+          .join(sz.select(col("doc_id").as("a"), col("sz").as("sa")), "a")
+          .join(sz.select(col("doc_id").as("b"), col("sz").as("sb")), "b")
           .withColumn("jac", round(col("inter").cast("double") /
             (col("sa") + col("sb") - col("inter")), 4))
           .filter(col("jac") >= 0.2)

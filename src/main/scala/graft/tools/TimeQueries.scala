@@ -1,0 +1,33 @@
+package graft.tools
+
+import org.apache.spark.sql.functions.{col, xxhash64}
+import org.apache.spark.sql.functions.expr
+
+import graft.SparkEntry
+
+/** Dev tool: warm-up + timed run of just the queries named on argv (default:
+  * the current bench heavy hitters), with the same force-every-column
+  * evaluation Bench uses. Keeps perf iteration on one query from paying the
+  * full 52-query bench.
+  */
+object TimeQueries {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val names = if (args.nonEmpty) args.toSeq else Seq("q_minhash_verified", "q_ngram_jaccard")
+    val spark = graft.LocalSpark.session(cpus, "graft-timeq")
+    spark.sparkContext.setLogLevel("ERROR")
+    def force(name: String): Unit = {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.select(xxhash64(df.columns.map(col): _*).as("h"))
+        .agg(expr("bit_xor(h)")).collect()
+    }
+    names.foreach(force)
+    names.foreach { n =>
+      val t0 = System.nanoTime()
+      force(n)
+      println(f"$n%-24s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    spark.stop()
+  }
+}
