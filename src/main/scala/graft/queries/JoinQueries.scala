@@ -1,0 +1,140 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Temporal join operators over the `events` table: as-of join (attribution)
+  * and banded range join (context windows) — the two joins a training-data /
+  * telemetry pipeline needs that Spark has no native operator for, each
+  * re-expressed as a shuffle-on-key plan instead of the inequality join a
+  * naive translation would produce. Generalizes the reference's
+  * "latest snapshot per key" merge semantics (pet_scraper.py:410-466) from
+  * key-equality to key+time.
+  *
+  * Scale posture (100 TB):
+  *  - The as-of join is the union-tag trick: tag both sides, ONE shuffle on
+  *    `user_id`, one per-user ordered window carrying the last build-side row
+  *    forward. No inequality join ever exists in the plan — Spark would
+  *    execute one as BroadcastNestedLoopJoin (probe × build per user would be
+  *    quadratic). Window partitions by `user_id`, never global.
+  *  - The range join is band-bucketing: probes explode to the 3 adjacent
+  *    fixed-width time buckets, the join is a hash equi-join on
+  *    (user_id, bucket), and the exact ±window predicate filters after. Probe
+  *    amplification is a constant 3×; bucket population is bounded by per-user
+  *    event rate × band width, not corpus size.
+  *
+  * Oracle parity: all time math is integer microseconds (`unix_micros`, same
+  * truncation DuckDB applies to the nanos parquet column — the q_sessionize
+  * precedent). The as-of oracle is DuckDB's native ASOF JOIN, a genuinely
+  * independent implementation of the semantics; the range oracle is the plain
+  * inequality join DuckDB executes as IEJoin.
+  */
+object JoinQueries {
+
+  /** Range-join band width and match radius: ±5 minutes, in microseconds.
+    * Radius == band width, so bucket b only ever matches b-1, b, b+1.
+    */
+  private val BandUs = 300L * 1000000
+
+  /** events with integer-microsecond timestamps — shared probe/build base. */
+  private def ev(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).withColumn("us", expr("unix_micros(ts)"))
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    // J5 as-of join: each purchase attributed to the same user's most recent
+    // view at-or-before it (NULL columns when the user never viewed before
+    // buying). Views are pre-collapsed to one row per (user_id, us) — max
+    // event_id wins — so the "latest" pick is total-ordered and both engines
+    // agree on ties.
+    GraftQuery(
+      "q_asof_join",
+      "purchases as-of joined to the latest prior view per user",
+      (s, dir) => {
+        val e = ev(s, dir)
+        val views = e.filter(col("event_type") === "view")
+          .groupBy("user_id", "us").agg(max("event_id").as("v_id"))
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("us"), col("event_id").as("p_id"))
+        // tag 0 sorts views before purchases at equal us: "at-or-before"
+        // includes a same-instant view, matching ASOF's `v.us <= p.us`.
+        val tagged = views
+          .select(col("user_id"), col("us"), lit(0).as("tag"),
+            lit(null).cast("long").as("p_id"), col("v_id"))
+          .unionByName(purchases
+            .select(col("user_id"), col("us"), lit(1).as("tag"),
+              col("p_id"), lit(null).cast("long").as("v_id")))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("us").asc, col("tag").asc, coalesce(col("p_id"), col("v_id")).asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        tagged
+          .withColumn("view_event_id", last(col("v_id"), ignoreNulls = true).over(w))
+          .withColumn("view_us",
+            last(when(col("v_id").isNotNull, col("us")), ignoreNulls = true).over(w))
+          .filter(col("tag") === 1)
+          .select(
+            col("p_id").as("event_id"), col("user_id"), col("us").as("p_us"),
+            col("view_event_id"), col("view_us"),
+            (col("us") - col("view_us")).as("gap_us"))
+          .orderBy("event_id")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_id, user_id, epoch_us(ts) AS us, event_type FROM events),
+             |v AS (
+             |  SELECT user_id, us, max(event_id) AS view_event_id
+             |  FROM ev WHERE event_type = 'view' GROUP BY 1, 2),
+             |p AS (
+             |  SELECT event_id, user_id, us FROM ev WHERE event_type = 'purchase')
+             |SELECT p.event_id, p.user_id, p.us AS p_us,
+             |       v.view_event_id, v.us AS view_us, p.us - v.us AS gap_us
+             |FROM p ASOF LEFT JOIN v
+             |  ON p.user_id = v.user_id AND v.us <= p.us
+             |ORDER BY p.event_id""".stripMargin)
+    ),
+
+    // J6 banded range join: how many non-error events the same user produced
+    // within ±5 minutes of each error — the "context window" count an
+    // incident / data-quality pipeline attaches to every anomaly. Errors with
+    // no nearby activity are kept at 0 (left join back to the probe side).
+    GraftQuery(
+      "q_range_join",
+      "per-error count of same-user non-error events within +/-5 minutes",
+      (s, dir) => {
+        val e = ev(s, dir)
+        val errors = e.filter(col("event_type") === "error")
+          .select(col("event_id"), col("user_id"), col("us").as("e_us"))
+        val others = e.filter(col("event_type") =!= "error")
+          .select(col("user_id"), col("us").as("o_us"),
+            expr(s"us div ${BandUs}L").as("bkt"))
+        val probes = errors.withColumn("bkt",
+          explode(array(
+            expr(s"e_us div ${BandUs}L - 1"),
+            expr(s"e_us div ${BandUs}L"),
+            expr(s"e_us div ${BandUs}L + 1"))))
+        val counts = probes
+          .join(others, Seq("user_id", "bkt"))
+          .filter(col("o_us").between(col("e_us") - BandUs, col("e_us") + BandUs))
+          .groupBy("event_id").agg(count(lit(1)).as("n_nearby"))
+        errors
+          .join(counts, Seq("event_id"), "left")
+          .select(col("event_id"), col("user_id"),
+            coalesce(col("n_nearby"), lit(0L)).as("n_nearby"))
+          .orderBy("event_id")
+      },
+      Some(s"""WITH ev AS (
+              |  SELECT event_id, user_id, epoch_us(ts) AS us, event_type FROM events),
+              |e AS (
+              |  SELECT event_id, user_id, us FROM ev WHERE event_type = 'error'),
+              |o AS (
+              |  SELECT user_id, us FROM ev WHERE event_type <> 'error')
+              |SELECT e.event_id, e.user_id, count(o.us) AS n_nearby
+              |FROM e LEFT JOIN o
+              |  ON e.user_id = o.user_id
+              | AND o.us BETWEEN e.us - ${BandUs} AND e.us + ${BandUs}
+              |GROUP BY 1, 2 ORDER BY e.event_id""".stripMargin)
+    )
+  )
+}

@@ -22,8 +22,8 @@ object Registry {
   lazy val all: Seq[GraftQuery] =
     CoreRelational.queries ++ ScalarQueries.queries ++ FilterMergeQueries.queries ++
       DedupQueries.queries ++ SimilarityQueries.queries ++ TextQueries.queries ++
-      EventQueries.queries ++ PipelineQueries.queries ++ MultimodalQueries.queries ++
-      StatsQueries.queries
+      EventQueries.queries ++ JoinQueries.queries ++ PipelineQueries.queries ++
+      MultimodalQueries.queries ++ StatsQueries.queries
 
   lazy val byName: Map[String, GraftQuery] = {
     val m = all.map(q => q.name -> q).toMap

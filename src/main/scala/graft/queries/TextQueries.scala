@@ -333,6 +333,55 @@ object TextQueries {
               |        FROM (SELECT doc_id, $duckWordsSql AS words FROM documents) w
               |        WHERE len(words) >= 2) g) r
               |ORDER BY doc_id""".stripMargin)
+    ),
+
+    // E3j length-distribution profile: exact per-source quantiles of the
+    // whitespace token count — the corpus-shape report (p25/p50/p75/p90)
+    // every data-mix dashboard tracks. Computed the distributed way: a
+    // (source, tok) HISTOGRAM first (vocabulary-of-lengths cardinality, not
+    // corpus cardinality), then a cumulative window over the histogram rows
+    // and rank-selection at ceil(p·n/100). A row-level window (sort every
+    // document per source) would put the whole corpus through per-source
+    // sorts; the histogram form shrinks the windowed data by the per-source
+    // doc/length-value ratio. Thresholds are pure integer math
+    // ((p·n + 99) div 100) — float p·n has representation-dependent ceils.
+    GraftQuery(
+      "q_token_quantiles",
+      "per-source exact token-count quantiles via histogram cumsum",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+        val hist = Tables.documents(s, dir)
+          .withColumn("tok", expr(s"cast(size($wordsSql) as bigint)"))
+          .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+        def pick(p: Int) =
+          min(when(expr(s"cum >= ($p * n + 99) div 100"), col("tok"))).as(s"p$p")
+        hist
+          .withColumn("cum", sum("c").over(
+            w.partitionBy("source").orderBy("tok")
+              .rowsBetween(w.unboundedPreceding, w.currentRow)))
+          .withColumn("n", sum("c").over(w.partitionBy("source")))
+          .groupBy("source")
+          .agg(max("n").as("n_docs"),
+            min("tok").as("min_tok"), max("tok").as("max_tok"),
+            pick(25), pick(50), pick(75), pick(90))
+          .orderBy("source")
+      },
+      Some(s"""WITH h AS (
+              |  SELECT source, len($duckWordsSql) AS tok, count(*) AS c
+              |  FROM documents GROUP BY 1, 2),
+              |cw AS (
+              |  SELECT source, tok, c,
+              |         sum(c) OVER (PARTITION BY source ORDER BY tok
+              |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+              |         sum(c) OVER (PARTITION BY source) AS n
+              |  FROM h)
+              |SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+              |       min(tok) AS min_tok, max(tok) AS max_tok,
+              |       min(CASE WHEN cum >= (25 * n + 99) // 100 THEN tok END) AS p25,
+              |       min(CASE WHEN cum >= (50 * n + 99) // 100 THEN tok END) AS p50,
+              |       min(CASE WHEN cum >= (75 * n + 99) // 100 THEN tok END) AS p75,
+              |       min(CASE WHEN cum >= (90 * n + 99) // 100 THEN tok END) AS p90
+              |FROM cw GROUP BY source ORDER BY source""".stripMargin)
     )
   )
 }
