@@ -638,57 +638,18 @@ object DedupQueries {
     // E1g dedup-cluster canonicalization: near-dup PAIRS are not what a
     // pipeline keeps — it keeps one canonical doc per connected component of
     // the pair graph (a~b, b~c ⇒ {a,b,c} even though a,c never collided).
-    // Connected components via iterative min-label propagation over the
-    // minhash candidate edges: every doc starts labeled with itself; each
-    // round every doc takes the min of its own and its neighbors' labels;
-    // fixpoint = component minimum everywhere.
-    //
-    // Scale shape: each round is one shuffle join (edges × labels on the
-    // edge endpoint) + one keyed min-aggregate — all hash-partitioned on
-    // doc id, nothing global, state persisted between rounds so no lineage
-    // re-execution. Rounds needed = graph diameter, which for near-dup
-    // clusters is small (they are near-cliques: every member shares a band
-    // bucket with most others); the standard O(log n)-round large-star /
-    // small-star variant is the drop-in upgrade if a pathological chain
-    // corpus ever appears. The convergence check is a count() action per
-    // round — an aggregate, not data, on the driver.
+    // The graph machinery (iterative min-label propagation, per-round scale
+    // posture, fixpoint detection) lives in [[graft.operators.Components]];
+    // this query feeds it the minhash candidate edges.
     GraftQuery(
       "q_dup_clusters",
       "connected-component canonical doc per minhash near-dup cluster",
-      (s, dir) => {
-        val edges = candidatePairs(signatures(shingleRows(s, dir)))
-          .persist()
-        val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
-        var labels = Tables.documents(s, dir)
-          .select(col("doc_id").as("id"), col("doc_id").as("lbl"))
-          .persist()
-        // labels only ever DECREASE, so the label sum is strictly monotone
-        // until the fixpoint: an unchanged sum IS convergence. One single-row
-        // aggregate per round instead of a join-with-previous + count
-        // (decimal(38) so the sum is overflow-proof at any corpus size).
-        def labelSum(df: DataFrame): java.math.BigDecimal =
-          df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
-        var curSum  = labelSum(labels)
-        var changed = true
-        var rounds  = 0
-        while (changed) {
-          rounds += 1
-          require(rounds <= 50, s"dup-cluster propagation did not converge in 50 rounds")
-          val msgs = sym.join(labels, sym("a") === labels("id"))
-            .select(sym("b").as("id"), col("lbl"))
-          val next = labels.union(msgs)
-            .groupBy("id").agg(min("lbl").as("lbl"))
-            .persist()
-          val nextSum = labelSum(next)
-          changed = nextSum.compareTo(curSum) != 0
-          curSum = nextSum
-          labels.unpersist()
-          labels = next
-        }
-        edges.unpersist()
-        labels.select(col("id").as("doc_id"), col("lbl").as("canon"))
-          .orderBy("doc_id")
-      },
+      (s, dir) =>
+        graft.operators.Components.connected(
+          Tables.documents(s, dir).select("doc_id"),
+          candidatePairs(signatures(shingleRows(s, dir))).select("a", "b"))
+          .select(col("id").as("doc_id"), col("lbl").as("canon"))
+          .orderBy("doc_id"),
       // Independent oracle algorithm: transitive closure by recursive CTE —
       // a label L reaches doc x iff they share a component, so min(L) per x
       // is the component minimum (same fixpoint, different computation).

@@ -276,6 +276,36 @@ object TextQueries {
               |ORDER BY doc_id""".stripMargin)
     ),
 
+    // E3k deterministic per-stratum reservoir: exactly k docs per source,
+    // picked by rank of a content-independent hash — the "N examples per
+    // source for eval / human review" draw. Unlike the rate sample (E3g,
+    // whose output grows with the stratum), the output here is k × #strata
+    // regardless of corpus size. One window partitioned by source over
+    // (hash, doc_id) — at 100 TB the rank only needs the per-stratum top-k,
+    // which Spark's WindowGroupLimit pushes below the shuffle as a
+    // per-partition top-k pre-filter (the same machinery as q_topk_per_group).
+    GraftQuery(
+      "q_stratified_sample",
+      "deterministic fixed-k (10) per-source sample by hash rank",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"))
+          .orderBy(expr(hash60Sql("cast(doc_id as string)")).asc, col("doc_id").asc)
+        Tables.documents(s, dir)
+          .withColumn("rk", row_number().over(w).cast("bigint"))
+          .filter(col("rk") <= 10)
+          .select("source", "rk", "doc_id", "lang")
+          .orderBy("source", "rk")
+      },
+      Some(s"""SELECT source, rk, doc_id, lang FROM (
+              |  SELECT source, doc_id, lang,
+              |         row_number() OVER (
+              |           PARTITION BY source
+              |           ORDER BY ${duckHash60Sql("CAST(doc_id AS VARCHAR)")}, doc_id) AS rk
+              |  FROM documents) t
+              |WHERE rk <= 10 ORDER BY source, rk""".stripMargin)
+    ),
+
     // E3h heavy hitters: top-5 most frequent words per source — the
     // vocabulary / boilerplate-detection scan (a source whose top terms are
     // navigation chrome is a scraping artifact). One partial-aggregated

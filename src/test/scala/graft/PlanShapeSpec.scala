@@ -70,6 +70,19 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("rank-filter queries keep the pre-shuffle WindowGroupLimit top-k") {
+    // row_number <= k must compile to WindowGroupLimit BELOW the exchange
+    // (per-partition top-k pre-filter) — losing it ships every row of every
+    // group through the shuffle and the per-group sort at full width.
+    Seq("q_topk_per_group", "q_stratified_sample").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("WindowGroupLimit"),
+        s"$name lost its WindowGroupLimit pushdown:\n${p.take(1500)}")
+    }
+  }
+
   test("the flagship entry forces broadcast on the three dims only") {
     // AQE may legitimately broadcast MORE at tiny scale factors (the whole
     // dims-join output fits); what must never regress is the set of FORCED
