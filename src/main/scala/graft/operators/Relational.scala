@@ -186,4 +186,44 @@ object Relational {
       .withColumn("page", floor((col("rn") - 1) / pageSize).cast("long") + 1)
       .drop("__pid", "__prn", "__offset")
   }
+
+  /** As-of join via the union-tag trick: every probe row picks up the build
+    * row with the greatest `ts` at-or-before its own, per `key` — WITHOUT an
+    * inequality join (Spark would execute one as a nested-loop; this is one
+    * shuffle on `key` + one ordered window).
+    *
+    * Output = all probe rows (probe columns unchanged) + each build payload
+    * column as `asof_<name>` + `asof_<ts>` (all null when no build row
+    * precedes the probe). Build rows must be unique per (key, ts) — collapse
+    * them first (e.g. groupBy(key, ts).agg(max ...)) or the pick among
+    * same-instant build rows is window-order-dependent.
+    *
+    * Scale posture (100 TB): the single window partitions by `key`; state is
+    * one carried row per build column. A time-bucketed pre-partition
+    * (repartitionByRange on (key, ts)) composes transparently if one user's
+    * history ever exceeds a task's sort budget.
+    */
+  def asofJoin(probe: DataFrame, build: DataFrame, key: String, ts: String): DataFrame = {
+    val probePayload = probe.columns.filterNot(c => c == key || c == ts)
+    val buildPayload = build.columns.filterNot(c => c == key || c == ts)
+    def nulled(src: DataFrame, c: String, as: String) =
+      lit(null).cast(src.schema(c).dataType).as(as)
+    // build rows tag 0: at equal ts they sort BEFORE the probe, so
+    // "at-or-before" includes a same-instant build row
+    val tagged = build
+      .select(col(key) +: col(ts) +: lit(0).as("__tag") +:
+        (probePayload.map(c => nulled(probe, c, c)) ++
+          buildPayload.map(c => col(c).as(s"asof_$c")) :+ col(ts).as(s"asof_$ts")): _*)
+      .unionByName(probe
+        .select(col(key) +: col(ts) +: lit(1).as("__tag") +:
+          (probePayload.map(col(_)) ++
+            buildPayload.map(c => nulled(build, c, s"asof_$c")) :+ nulled(build, ts, s"asof_$ts")): _*))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts).asc, col("__tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = (buildPayload.map(c => s"asof_$c") :+ s"asof_$ts").foldLeft(tagged) {
+      (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__tag") === 1).drop("__tag")
+  }
 }

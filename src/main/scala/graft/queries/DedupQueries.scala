@@ -183,12 +183,7 @@ object DedupQueries {
        |      FROM documents) t""".stripMargin
 
 
-  /** Integer-quantized embedding: float → round(x*1000) as BIGINT. Exact in
-    * both engines (float→double widening is exact; round is half-away-from-zero
-    * in both).
-    */
-  private val quantSql     = "transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))"
-  private val duckQuantSql = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+  import Dialect.{duckQuantSql, quantSql}
 
   val queries: Seq[GraftQuery] = Seq(
 

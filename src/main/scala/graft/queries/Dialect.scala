@@ -29,4 +29,15 @@ object Dialect {
     */
   def hash60Sql(x: String): String     = graft.functions.Scalars.hexHash60Sql(x)
   def duckHash60Sql(x: String): String = graft.functions.Scalars.duckHexHash60Sql(x)
+
+  /** Integer-quantized embedding (float → round(x*1000) as BIGINT) — the
+    * construction that makes every downstream dot product / centroid sum
+    * exact integer arithmetic in both engines (shared by the E1e/E1e2 dedup
+    * queries and the whole E2 similarity family). Float→double widening is
+    * exact and round is half-away-from-zero in both engines.
+    */
+  val quantSql =
+    "transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))"
+  val duckQuantSql =
+    "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
 }

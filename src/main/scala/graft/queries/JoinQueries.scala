@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -55,30 +54,18 @@ object JoinQueries {
       "purchases as-of joined to the latest prior view per user",
       (s, dir) => {
         val e = ev(s, dir)
+        // collapse views to one per (user_id, us) — max event_id wins — so
+        // the operator's unique-(key, ts) build-side contract holds and both
+        // engines agree on same-instant ties
         val views = e.filter(col("event_type") === "view")
           .groupBy("user_id", "us").agg(max("event_id").as("v_id"))
         val purchases = e.filter(col("event_type") === "purchase")
           .select(col("user_id"), col("us"), col("event_id").as("p_id"))
-        // tag 0 sorts views before purchases at equal us: "at-or-before"
-        // includes a same-instant view, matching ASOF's `v.us <= p.us`.
-        val tagged = views
-          .select(col("user_id"), col("us"), lit(0).as("tag"),
-            lit(null).cast("long").as("p_id"), col("v_id"))
-          .unionByName(purchases
-            .select(col("user_id"), col("us"), lit(1).as("tag"),
-              col("p_id"), lit(null).cast("long").as("v_id")))
-        val w = Window.partitionBy(col("user_id"))
-          .orderBy(col("us").asc, col("tag").asc, coalesce(col("p_id"), col("v_id")).asc)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        tagged
-          .withColumn("view_event_id", last(col("v_id"), ignoreNulls = true).over(w))
-          .withColumn("view_us",
-            last(when(col("v_id").isNotNull, col("us")), ignoreNulls = true).over(w))
-          .filter(col("tag") === 1)
+        graft.operators.Relational.asofJoin(purchases, views, "user_id", "us")
           .select(
             col("p_id").as("event_id"), col("user_id"), col("us").as("p_us"),
-            col("view_event_id"), col("view_us"),
-            (col("us") - col("view_us")).as("gap_us"))
+            col("asof_v_id").as("view_event_id"), col("asof_us").as("view_us"),
+            (col("us") - col("asof_us")).as("gap_us"))
           .orderBy("event_id")
       },
       Some("""WITH ev AS (

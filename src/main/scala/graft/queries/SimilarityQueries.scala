@@ -21,8 +21,7 @@ import graft.expressions.DotProductLong.dotLong
   */
 object SimilarityQueries {
 
-  /** Integer-quantized embedding (float → round(x*1000) as BIGINT). */
-  private val quantSql = "transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))"
+  import Dialect.{duckQuantSql, quantSql}
 
   /** Exact cosine from quantized vectors + precomputed squared norms, via the
     * codegen'd [[graft.expressions.DotProductLong]] kernel (identical math to
@@ -326,6 +325,43 @@ object SimilarityQueries {
               |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor) AS rank
               |  FROM scored) r
               |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin)
+    ),
+
+    // E2d centroid training: the element-wise per-label mean embedding — the
+    // "update step" of k-means codebook training (and the class-prototype
+    // vector a labeling pipeline ships). Computed the distributed way:
+    // explode to (label, pos, v) rows → ONE hash-partitioned (label, pos)
+    // sum/count aggregate (partial before the exchange — Dim rows per input
+    // vector combine map-side) — never a collect, never per-label array
+    // state. Output is long format (label, pos, centroid): 10 labels × 64
+    // dims, constant in the corpus size.
+    //
+    // Exactness: quantized components are integers; the mean is
+    // floor(sum/n) computed via an offset (+1000 per element, guaranteed
+    // positive since |v| <= 1000) so floor-vs-truncation division semantics
+    // can't diverge between engines on negative sums.
+    GraftQuery(
+      "q_label_centroids",
+      "per-label element-wise mean embedding (floor), long format",
+      (s, dir) =>
+        Tables.embeddings(s, dir)
+          .filter(expr(s"size(embedding) = $Dim"))
+          .withColumn("q", expr(quantSql))
+          .select(col("label"), posexplode(col("q")).as(Seq("pos", "v")))
+          .groupBy("label", "pos")
+          .agg(sum(col("v") + 1000).as("s"), count(lit(1)).as("n"))
+          .select(col("label"), col("pos").cast("bigint").as("pos"),
+            (expr("s div n") - 1000).as("centroid"), col("n"))
+          .orderBy("label", "pos"),
+      Some(s"""WITH q AS (
+              |  SELECT label, $duckQuantSql AS q
+              |  FROM embeddings WHERE len(embedding) = $Dim),
+              |e AS (
+              |  SELECT label, p.pos, q.q[p.pos + 1] AS v
+              |  FROM q, (SELECT unnest(range(0, $Dim)) AS pos) p)
+              |SELECT label, pos, CAST(sum(v + 1000) // count(*) - 1000 AS BIGINT) AS centroid,
+              |       count(*) AS n
+              |FROM e GROUP BY label, pos ORDER BY label, pos""".stripMargin)
     )
   )
 }

@@ -306,6 +306,41 @@ object TextQueries {
               |WHERE rk <= 10 ORDER BY source, rk""".stripMargin)
     ),
 
+    // E3l weighted source mixing: per-source admission rates (the data-mix
+    // weights of an LLM training run) applied as a deterministic hash
+    // threshold, reported as target vs achieved mix. Shuffle-free up to the
+    // tiny per-source aggregate: the admit decision is a codegen'd row
+    // expression (salted so it draws independently of the E3g sample), and
+    // the only exchange carries #sources rows. At 100 TB the weights table
+    // would be a broadcast map — here a literal CASE, shared verbatim with
+    // the oracle.
+    GraftQuery(
+      "q_source_mix",
+      "per-source weighted admission (80/40/10%): target vs achieved mix",
+      (s, dir) => {
+        val rateSql = "CASE WHEN source = 'src0' THEN 80 WHEN source = 'src1' THEN 40 ELSE 10 END"
+        Tables.documents(s, dir)
+          .withColumn("rate_pct", expr(rateSql).cast("bigint"))
+          .withColumn("admit",
+            (expr(s"${hash60Sql("concat('mix:', cast(doc_id as string))")} % 100") <
+              col("rate_pct")).cast("bigint"))
+          .groupBy("source", "rate_pct")
+          .agg(count(lit(1)).as("n_total"), sum("admit").as("n_admitted"))
+          .withColumn("admit_bp", expr("(n_admitted * 10000) div n_total"))
+          .orderBy("source")
+      },
+      Some(s"""SELECT source,
+              |       CAST(CASE WHEN source = 'src0' THEN 80 WHEN source = 'src1' THEN 40 ELSE 10 END AS BIGINT) AS rate_pct,
+              |       count(*) AS n_total,
+              |       CAST(sum(CASE WHEN ${duckHash60Sql("'mix:' || CAST(doc_id AS VARCHAR)")} % 100 <
+              |                     (CASE WHEN source = 'src0' THEN 80 WHEN source = 'src1' THEN 40 ELSE 10 END)
+              |                THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+              |       (CAST(sum(CASE WHEN ${duckHash60Sql("'mix:' || CAST(doc_id AS VARCHAR)")} % 100 <
+              |                      (CASE WHEN source = 'src0' THEN 80 WHEN source = 'src1' THEN 40 ELSE 10 END)
+              |                 THEN 1 ELSE 0 END) AS BIGINT) * 10000) // count(*) AS admit_bp
+              |FROM documents GROUP BY source ORDER BY source""".stripMargin)
+    ),
+
     // E3h heavy hitters: top-5 most frequent words per source — the
     // vocabulary / boilerplate-detection scan (a source whose top terms are
     // navigation chrome is a scraping artifact). One partial-aggregated

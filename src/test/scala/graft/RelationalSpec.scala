@@ -114,4 +114,28 @@ class RelationalSpec extends SparkTestBase {
     val out = Relational.compactionSummary(df, col("x") <= 2).collect()(0)
     assert(out == Row(2L, 3L, 5L))
   }
+
+  test("asofJoin carries the full build payload, same-instant inclusive, null before first") {
+    val probe = Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (1L, 5L, "p0"), (2L, 50L, "px"))
+      .toDF("k", "t", "pname")
+    val build = Seq((1L, 10L, "b10", 100), (1L, 15L, "b15", 150), (9L, 1L, "b9", 9))
+      .toDF("k", "t", "bname", "bval")
+    val got = Relational.asofJoin(probe, build, "k", "t")
+      .select("k", "t", "pname", "asof_bname", "asof_bval", "asof_t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        Option(r.get(3)), Option(r.get(4)), Option(r.get(5)))).toSet
+    assert(got == Set(
+      (1L, 5L, "p0", None, None, None),                              // before first build row
+      (1L, 10L, "p1", Some("b10"), Some(100), Some(10L)),            // same-instant inclusive
+      (1L, 20L, "p2", Some("b15"), Some(150), Some(15L)),            // latest prior wins
+      (2L, 50L, "px", None, None, None)))                            // key with no build rows
+  }
+
+  test("asofJoin stays join-free (single keyed window, no physical join)") {
+    val probe = Seq((1L, 10L, "p")).toDF("k", "t", "pname")
+    val build = Seq((1L, 5L, "b")).toDF("k", "t", "bname")
+    val p = Relational.asofJoin(probe, build, "k", "t")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"asofJoin produced a physical join:\n${p.take(1200)}")
+  }
 }
