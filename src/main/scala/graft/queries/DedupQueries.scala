@@ -42,7 +42,7 @@ object DedupQueries {
   /** LSH hot-bucket cap — pairs are only expanded inside buckets of at most
     * this many members (degenerate buckets would otherwise go |bucket|²).
     */
-  private val MaxBucket = 50
+  private[graft] val MaxBucket = 50
 
   /** SimHash blocking rotations: pass p rotates the 32-bit fingerprint left
     * by this many bits before taking the top-16 block. 0 first (identity —
@@ -58,7 +58,7 @@ object DedupQueries {
     * 1-based `slice(l, i + 2, size(l))` arithmetic is subtle and four pair
     * generators depend on it staying identical.
     */
-  private[queries] def pairExpansionSql(listCol: String)(mk: (String, String) => String): String =
+  private[graft] def pairExpansionSql(listCol: String)(mk: (String, String) => String): String =
     s"flatten(transform($listCol, (x, i) -> " +
       s"transform(slice($listCol, i + 2, size($listCol)), y -> ${mk("x", "y")})))"
 
@@ -109,9 +109,9 @@ object DedupQueries {
   /** Distinct (doc_id, shingle, h) rows — the 3-gram shingle pipeline shared
     * by the MinHash signature, candidate generation, and exact verification.
     */
-  private def shingleRows(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+  private[graft] def shingleRows(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    Tables.documents(s, dir)
+    docs
       .select(col("doc_id"), posexplode(expr(wordsSql)).as(Seq("pos", "w")))
       .withColumn("w1", lead(col("w"), 1).over(w))
       .withColumn("w2", lead(col("w"), 2).over(w))
@@ -126,7 +126,7 @@ object DedupQueries {
     * size, all in ONE hash aggregate over the shingle rows (sz rides along so
     * the jaccard verifier doesn't need a second pass over the shingles).
     */
-  private def signatures(shingles: DataFrame): DataFrame = {
+  private[graft] def signatures(shingles: DataFrame): DataFrame = {
     val mins = Salts.zipWithIndex.map { case (salt, i) =>
       min(expr(s"h ^ ${salt}L")).as(s"m$i")
     }
@@ -134,16 +134,20 @@ object DedupQueries {
       .agg(mins.head, (mins.tail :+ count(lit(1)).as("sz")): _*)
   }
 
+  /** (doc_id, band, bh) — the 4 LSH band hashes of each signature row. */
+  private[graft] def bandRows(sig: DataFrame): DataFrame = {
+    val bandExprs = (0 until 4).map(b =>
+      md5(concat(col(s"m${2 * b}").cast("string"), lit(","),
+        col(s"m${2 * b + 1}").cast("string"))))
+    sig.select(col("doc_id"),
+      posexplode(array(bandExprs: _*)).as(Seq("band", "bh")))
+  }
+
   /** Candidate pair (a, b) generation from signatures: 4 bands of 2 →
     * capped (band, bh) buckets → in-bucket expansion, deduped.
     */
   private def candidatePairs(sig: DataFrame): DataFrame = {
-    val bandExprs = (0 until 4).map(b =>
-      md5(concat(col(s"m${2 * b}").cast("string"), lit(","),
-        col(s"m${2 * b + 1}").cast("string"))))
-    val bands = sig.select(col("doc_id"),
-      posexplode(array(bandExprs: _*)).as(Seq("band", "bh")))
-    val buckets = bands.groupBy("band", "bh")
+    val buckets = bandRows(sig).groupBy("band", "bh")
       .agg(array_sort(collect_set(col("doc_id"))).as("ids"))
       .filter(size(col("ids")).between(2, MaxBucket))
     buckets
@@ -233,7 +237,7 @@ object DedupQueries {
     GraftQuery(
       "q_dedup_minhash",
       "MinHash-LSH candidate near-dup pairs (3-shingles, 8 xor-perm hashes, 4 bands)",
-      (s, dir) => minhashCandidates(shingleRows(s, dir)).orderBy("a", "b"),
+      (s, dir) => minhashCandidates(shingleRows(Tables.documents(s, dir))).orderBy("a", "b"),
       Some(s"""WITH $duckMinhashCtes
               |SELECT a, b FROM cand ORDER BY a, b""".stripMargin)
     ),
@@ -255,7 +259,7 @@ object DedupQueries {
         // move ADVICE r2 asked for; on a cluster this is the same persist).
         // sz rides inside the signature aggregate, so set sizes cost no
         // extra pass.
-        val shingles = shingleRows(s, dir).persist()
+        val shingles = shingleRows(Tables.documents(s, dir)).persist()
         val sig      = signatures(shingles).persist()
         val cand     = candidatePairs(sig).persist()
         val inter = cand
@@ -595,7 +599,7 @@ object DedupQueries {
       "q_decontaminate",
       "flag docs with >= 50% 3-gram overlap against the src0 benchmark set",
       (s, dir) => {
-        val sh = shingleRows(s, dir).drop("h")
+        val sh = shingleRows(Tables.documents(s, dir)).drop("h")
           .join(Tables.documents(s, dir).select("doc_id", "source"), "doc_id")
         val bench = sh.filter(col("source") === "src0").select("shingle").distinct()
         val cand  = sh.filter(col("source") =!= "src0")
@@ -642,7 +646,7 @@ object DedupQueries {
       (s, dir) =>
         graft.operators.Components.connected(
           Tables.documents(s, dir).select("doc_id"),
-          candidatePairs(signatures(shingleRows(s, dir))).select("a", "b"))
+          candidatePairs(signatures(shingleRows(Tables.documents(s, dir)))).select("a", "b"))
           .select(col("id").as("doc_id"), col("lbl").as("canon"))
           .orderBy("doc_id"),
       // Independent oracle algorithm: transitive closure by recursive CTE —

@@ -1,0 +1,64 @@
+package graft
+
+import graft.streaming.{IncrementalDedup, KeyedTable}
+
+/** Incremental near-dup indexing ([[IncrementalDedup]]): new batches must
+  * find pairs against the stored corpus without reprocessing old text, be
+  * replay-safe under the KeyedTable batch protocol, and — when a corpus is
+  * fed in batches — reproduce the batch query's pair set.
+  */
+class IncrementalDedupSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"inc_dedup_$tag").toString
+
+  private val base = "the quick brown fox jumps over the lazy dog again and again"
+
+  test("cross-batch pairs are found without reprocessing batch-1 text") {
+    val table = new KeyedTable(spark, tmp("cross"), "doc_id")
+    val b1 = Seq((1L, base), (2L, base + " tail"), (3L, "completely unrelated words forming another doc"))
+      .toDF("doc_id", "text")
+    val p1 = IncrementalDedup.processBatch(table, b1, 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(p1.contains((1L, 2L, true)), s"within-batch near-dup missed: $p1")
+    assert(!p1.exists(p => p._1 == 3L || p._2 == 3L))
+
+    // batch 2: a copy of doc 1 plus an unrelated doc — the (1,4) pair must
+    // surface as a cross-corpus (is_new_b = false) hit
+    val b2 = Seq((4L, base), (5L, "different content with no overlap at all here"))
+      .toDF("doc_id", "text")
+    val p2 = IncrementalDedup.processBatch(table, b2, 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(p2.contains((1L, 4L, false)), s"cross-corpus pair missed: $p2")
+    assert(p2.contains((2L, 4L, false)))
+    // stored×stored pairs must NOT re-emit
+    assert(!p2.contains((1L, 2L, true)) && !p2.contains((1L, 2L, false)))
+    assert(table.read().get.count() == 5)
+  }
+
+  test("replayed batch id emits nothing and leaves the table unchanged") {
+    val table = new KeyedTable(spark, tmp("replay"), "doc_id")
+    val b1 = Seq((1L, base), (2L, base + " tail")).toDF("doc_id", "text")
+    assert(IncrementalDedup.processBatch(table, b1, 0L).count() > 0)
+    assert(IncrementalDedup.processBatch(table, b1, 0L).count() == 0)
+    assert(table.read().get.count() == 2)
+  }
+
+  test("batched indexing of the corpus reproduces the batch query's pair set") {
+    val dir  = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val table = new KeyedTable(spark, tmp("parity"), "doc_id")
+    val half1 = docs.filter($"doc_id" % 2 === 0)
+    val half2 = docs.filter($"doc_id" % 2 =!= 0)
+    val got =
+      (IncrementalDedup.processBatch(table, half1, 0L).collect() ++
+        IncrementalDedup.processBatch(table, half2, 1L).collect())
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = SparkEntry.queries("q_dedup_minhash")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+}
