@@ -52,6 +52,57 @@ object StatsQueries {
              |       min(s_acctbal) AS min_bal, max(s_acctbal) AS max_bal
              |FROM supplier JOIN nation ON s_nationkey = n_nationkey
              |GROUP BY n_name ORDER BY n_name""".stripMargin)
+    ),
+
+    // A6 hierarchical subtotals: the corpus mix report at every level in ONE
+    // pass — ROLLUP(source, lang) computes the per-(source, lang) cells, the
+    // per-source subtotals, and the grand total in a single shuffle (Spark
+    // expands the grouping sets map-side; no re-aggregation of the base
+    // data per level, which is what three separate groupBys would pay).
+    // grouping_id is emitted and leads the ORDER BY: subtotal rows carry
+    // NULL group columns, and null-vs-value sort order differs between
+    // engines — within one gid the null columns are constant, so ordering
+    // by (gid, source, lang) never compares NULL against a value.
+    GraftQuery(
+      "q_rollup_stats",
+      "ROLLUP(source, lang): doc counts and char sums at every level",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .rollup(col("source"), col("lang"))
+          .agg(grouping_id().as("gid"),
+            count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+          .select("gid", "source", "lang", "n_docs", "sum_chars")
+          .orderBy("gid", "source", "lang"),
+      Some("""SELECT CAST(GROUPING(source, lang) AS BIGINT) AS gid, source, lang,
+             |       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM documents GROUP BY ROLLUP (source, lang)
+             |ORDER BY gid, source, lang""".stripMargin)
+    ),
+
+    // A7 pivot reshaping: languages to columns — the wide-format mix matrix
+    // dashboards consume. Explicit value list (de/en/es/fr/zh), so the plan
+    // is ONE partial-aggregated groupBy(source) with conditional counts (no
+    // distinct-values pre-pass, no second shuffle); absent cells are 0, not
+    // null, in both engines.
+    GraftQuery(
+      "q_lang_pivot",
+      "per-source language mix pivoted to wide format",
+      (s, dir) => {
+        val langs = Seq("de", "en", "es", "fr", "zh")
+        Tables.documents(s, dir)
+          .groupBy(col("source"))
+          .pivot("lang", langs)
+          .agg(count(lit(1)))
+          .select(col("source") +: langs.map(l => coalesce(col(l), lit(0L)).as(s"n_$l")): _*)
+          .orderBy("source")
+      },
+      Some("""SELECT source,
+             |       CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS n_de,
+             |       CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+             |       CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS n_es,
+             |       CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS n_fr,
+             |       CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS n_zh
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)
     )
   )
 }
