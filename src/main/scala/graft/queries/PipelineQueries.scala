@@ -24,6 +24,8 @@ import graft.operators.Relational
   */
 object PipelineQueries {
 
+  import Dialect.{duckWordsSql, wordsSql}
+
   /** Declared export column order for the documents-shaped export (the P1
     * analog of get_pet_csv_fields; `image` is deliberately absent from the
     * source so the ""-fill path is exercised).
@@ -78,6 +80,45 @@ object PipelineQueries {
               |FROM (SELECT doc_id, lang, text, source, ${Scalars.parseBooleanSql("lang")} AS b
               |      FROM documents) t
               |ORDER BY link""".stripMargin)
+    ),
+
+    // The curation funnel: the canonical LLM-data pipeline composed as ONE
+    // plan — exact dedup (keep the min doc_id per content hash) → quality
+    // gate (≥ 20 tokens) → language gate (en) — with per-source attrition
+    // counts and the surviving token budget. The stages are nested flags on
+    // one scan, so the whole funnel costs one keyed window (content hash)
+    // plus one #sources-row aggregate — how a 100 TB curation run reports
+    // its yield without rescanning per stage.
+    GraftQuery(
+      "q_curation_funnel",
+      "dedup -> quality -> lang funnel: per-source attrition + token budget",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))
+        Tables.documents(s, dir)
+          .withColumn("toks", expr(s"cast(size($wordsSql) as bigint)"))
+          .withColumn("d", (col("doc_id") === min("doc_id").over(w)).cast("bigint"))
+          .withColumn("q", (col("d") === 1 && col("toks") >= 20).cast("bigint"))
+          .withColumn("e", (col("q") === 1 && col("lang") === "en").cast("bigint"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_input"),
+            sum("d").as("n_unique"), sum("q").as("n_quality"), sum("e").as("n_kept"),
+            coalesce(sum(when(col("e") === 1, col("toks"))), lit(0L)).as("tok_budget"))
+          .orderBy("source")
+      },
+      Some(s"""SELECT source, count(*) AS n_input,
+              |       CAST(sum(d) AS BIGINT) AS n_unique,
+              |       CAST(sum(q) AS BIGINT) AS n_quality,
+              |       CAST(sum(e) AS BIGINT) AS n_kept,
+              |       CAST(coalesce(sum(CASE WHEN e = 1 THEN toks END), 0) AS BIGINT) AS tok_budget
+              |FROM (
+              |  SELECT source, toks, d,
+              |         CASE WHEN d = 1 AND toks >= 20 THEN 1 ELSE 0 END AS q,
+              |         CASE WHEN d = 1 AND toks >= 20 AND lang = 'en' THEN 1 ELSE 0 END AS e
+              |  FROM (
+              |    SELECT source, lang, len($duckWordsSql) AS toks,
+              |           CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY md5(text)) THEN 1 ELSE 0 END AS d
+              |    FROM documents) h) f
+              |GROUP BY source ORDER BY source""".stripMargin)
     )
   )
 }
