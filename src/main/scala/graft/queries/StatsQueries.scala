@@ -103,6 +103,48 @@ object StatsQueries {
              |       CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS n_fr,
              |       CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS n_zh
              |FROM documents GROUP BY source ORDER BY source""".stripMargin)
+    ),
+
+    // A8 the classic star-join revenue report, graded exactly: the flagship
+    // entry() shape (lineitem ⋈ orders ⋈ customer ⋈ nation) with money
+    // quantized to integer cents and discounts to basis points FIRST, so the
+    // revenue sum is exact bigint arithmetic — order-independent, hence
+    // oracle-checkable (a double sum's value depends on reduction order;
+    // entry() stays smoke-only for exactly that reason).
+    //
+    // Join posture at 100 TB: lineitem ⋈ orders shuffles on o_orderkey and
+    // orders ⋈ customer on o_custkey (both sides fact-scale — they grow with
+    // the data); only nation (25 rows, bounded) is force-broadcast. The
+    // aggregate is partial before its exchange on the (nation, month) key.
+    GraftQuery(
+      "q_revenue_monthly",
+      "revenue (exact integer cents x bp) per nation per month, star join",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"),
+            (expr("cast(round(l_extendedprice * 100) as bigint)") *
+              (lit(10000L) - expr("cast(round(l_discount * 10000) as bigint)"))).as("rev"))
+        val o = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"),
+            date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+        val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+        val n = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"), col("ym"))
+          .agg(sum("rev").as("revenue"), count(lit(1)).as("n_items"))
+          .orderBy("n_name", "ym")
+      },
+      Some("""SELECT n_name, ym, CAST(sum(rev) AS BIGINT) AS revenue, count(*) AS n_items
+             |FROM (
+             |  SELECT o.o_custkey, strftime(o.o_orderdate, '%Y-%m') AS ym,
+             |         CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+             |           (10000 - CAST(round(l.l_discount * 10000) AS BIGINT)) AS rev
+             |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey) lo
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY n_name, ym ORDER BY n_name, ym""".stripMargin)
     )
   )
 }

@@ -83,6 +83,13 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("q_revenue_monthly forces broadcast on nation only (facts stay shuffled)") {
+    val logical = SparkEntry.queries("q_revenue_monthly")(spark, dir)
+      .queryExecution.analyzed.toString
+    val forced = "ResolvedHint".r.findAllIn(logical).length
+    assert(forced == 1, s"q_revenue_monthly forces $forced broadcasts (want nation only)")
+  }
+
   test("the flagship entry forces broadcast on the three dims only") {
     // AQE may legitimately broadcast MORE at tiny scale factors (the whole
     // dims-join output fits); what must never regress is the set of FORCED
