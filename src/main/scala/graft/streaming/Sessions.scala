@@ -111,7 +111,7 @@ object Sessions {
   /** Exact event-time micros: `getTime` alone truncates to milliseconds, so
     * sub-ms gap decisions would disagree with the micros-typed sibling form.
     */
-  private def micros(t: java.sql.Timestamp): Long =
+  private[streaming] def micros(t: java.sql.Timestamp): Long =
     Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
   /** Event-time variant of [[sessionizeStateful]]: a session is emitted

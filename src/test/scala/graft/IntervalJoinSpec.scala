@@ -56,6 +56,45 @@ class IntervalJoinSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("asofStream: out-of-order builds are honored; probes emit only when provably final") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val probes = MemoryStream[(Long, Timestamp, Long)]
+    val builds = MemoryStream[(Long, Timestamp, Long)]
+    val joined = TemporalJoins.asofStream(probes.toDS(), builds.toDS(), "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("asof_out")
+      .outputMode("append").start()
+    def got() = spark.table("asof_out")
+      .as[TemporalJoins.AsofMatch].collect().toSet
+    try {
+      // probe arrives FIRST; an earlier-event-time build lands in a LATER
+      // micro-batch — eager emission would have answered B0, the watermark
+      // form must answer B1
+      builds.addData((10L, ts("09:59:00"), 100L))
+      probes.addData((10L, ts("10:00:10"), 1L))
+      probes.addData((11L, ts("10:00:20"), 2L)) // key with no builds at all
+      q.processAllAvailable()
+      assert(got().isEmpty, "nothing may emit before the watermark passes the probes")
+      builds.addData((10L, ts("10:00:05"), 101L))
+      q.processAllAvailable()
+      assert(got().isEmpty)
+      // push the watermark past both probes (10:20 - 10min = 10:10)
+      builds.addData((99L, ts("10:20:00"), 999L))
+      q.processAllAvailable()
+      def us(t: Timestamp) = Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+      assert(got() == Set(
+        TemporalJoins.AsofMatch(10L, 1L, us(ts("10:00:10")), Some(101L), Some(us(ts("10:00:05")))),
+        TemporalJoins.AsofMatch(11L, 2L, us(ts("10:00:20")), None, None)))
+      // a probe AFTER the watermark passed old builds still sees the
+      // retained dominating build for its key
+      probes.addData((10L, ts("10:15:00"), 3L))
+      builds.addData((99L, ts("10:40:00"), 998L)) // advance wm past 10:15
+      q.processAllAvailable()
+      assert(got().exists(m => m.probe_id == 3L && m.build_id.contains(101L)),
+        s"retained latest build lost: ${got()}")
+    } finally q.stop()
+  }
+
   test("the streaming plan carries watermarks on both join inputs (bounded state)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val probes = MemoryStream[(Long, Long, Timestamp)]
