@@ -56,6 +56,39 @@ object EventQueries {
               |             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
               |      FROM events) l) f) g
               |GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin)
+    ),
+
+    // E4d time-series gap-fill: per-user hourly event counts with MISSING
+    // HOURS zero-filled — the resample/date-spine operation every
+    // observability and rate-monitoring query needs (a count query alone
+    // silently omits the empty buckets, which are usually the signal).
+    // The spine is GENERATED per user from its own [min, max] hour span
+    // (`sequence` + explode — rows are produced executor-side, never
+    // shuffled in), then left-joined against the per-(user, hour) counts on
+    // the same key the counts already shuffle on. Spine size is bounded by
+    // users × stream horizon in hours — independent of event volume.
+    GraftQuery(
+      "q_gap_fill",
+      "per-user hourly counts with zero-filled gap hours",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), expr("unix_micros(ts) div 3600000000").as("hr"))
+        val counts = ev.groupBy("user_id", "hr").agg(count(lit(1)).as("n"))
+        val spine = ev.groupBy("user_id")
+          .agg(min("hr").as("h0"), max("hr").as("h1"))
+          .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("hr"))
+        spine.join(counts, Seq("user_id", "hr"), "left")
+          .select(col("user_id"), col("hr"), coalesce(col("n"), lit(0L)).as("n_events"))
+          .orderBy("user_id", "hr")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, epoch_us(ts) // 3600000000 AS hr FROM events),
+             |c AS (SELECT user_id, hr, count(*) AS n FROM ev GROUP BY 1, 2),
+             |s AS (SELECT user_id, min(hr) AS h0, max(hr) AS h1 FROM ev GROUP BY 1),
+             |spine AS (SELECT user_id, unnest(range(h0, h1 + 1)) AS hr FROM s)
+             |SELECT spine.user_id, spine.hr, CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
+             |FROM spine LEFT JOIN c USING (user_id, hr)
+             |ORDER BY user_id, hr""".stripMargin)
     )
   )
 }
