@@ -16,6 +16,32 @@ import org.apache.spark.sql.functions.{col, expr, to_json, xxhash64}
   */
 object Bench {
 
+  /** Force full evaluation of a frame, touching every output column: hash
+    * all columns per row, xor-fold to one value. Shared with the dev timing
+    * tool so the two cannot diverge. Map columns (at ANY nesting depth)
+    * aren't hashable by xxhash64 — serialize those first (ADVICE r2), so a
+    * map-returning query is timed, not failed. bit_xor, not sum: a 60M-row
+    * sum of 64-bit hashes overflows under ANSI mode; xor is
+    * order-insensitive and cannot overflow.
+    */
+  private[graft] def forceFrame(df: org.apache.spark.sql.DataFrame): Unit = {
+    def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = {
+      import org.apache.spark.sql.types._
+      dt match {
+        case _: MapType      => true
+        case a: ArrayType    => hasMap(a.elementType)
+        case s: StructType   => s.fields.exists(f => hasMap(f.dataType))
+        case _               => false
+      }
+    }
+    val hashable = df.schema.fields.map { f =>
+      if (hasMap(f.dataType)) to_json(col(f.name)) else col(f.name)
+    }
+    df.select(xxhash64(hashable: _*).as("h"))
+      .agg(expr("bit_xor(h)")).collect()
+    ()
+  }
+
   /** (steal, total) jiffies from /proc/stat's aggregate cpu line. Emitted as
     * a steal%-over-the-run field so a slow total is attributable: this host
     * is virtualized, and r3's driver total (157s) vs a clean re-run (41s)
@@ -48,26 +74,7 @@ object Bench {
     /** Run one query to completion, touching every output column. */
     def force(name: String): Option[String] =
       try {
-        val df = SparkEntry.queries(name)(spark, sfDir)
-        // Map columns (at ANY nesting depth) aren't hashable by xxhash64 —
-        // serialize such columns first (ADVICE r2), so a future map-returning
-        // query is timed, not failed.
-        def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = {
-          import org.apache.spark.sql.types._
-          dt match {
-            case _: MapType      => true
-            case a: ArrayType    => hasMap(a.elementType)
-            case s: StructType   => s.fields.exists(f => hasMap(f.dataType))
-            case _               => false
-          }
-        }
-        val hashable = df.schema.fields.map { f =>
-          if (hasMap(f.dataType)) to_json(col(f.name)) else col(f.name)
-        }
-        // bit_xor, not sum: a 60M-row sum of 64-bit hashes overflows under
-        // ANSI mode; xor is order-insensitive and cannot overflow.
-        df.select(xxhash64(hashable: _*).as("h"))
-          .agg(expr("bit_xor(h)")).collect()
+        forceFrame(SparkEntry.queries(name)(spark, sfDir))
         None
       } catch { case e: Throwable =>
         Some(e.toString.replaceAll("\\s+", " ").take(300))

@@ -33,10 +33,13 @@ object Components {
     var labels = nodes.select(nodes.columns.map(nodes(_)).head.as("id"))
       .withColumn("lbl", col("id"))
       .persist()
+    // sum() over zero rows is NULL — normalize so an empty node set reads
+    // as already-converged instead of NPE-ing on compareTo
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
+      Option(df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
     var curSum  = labelSum(labels)
-    var changed = true
+    var changed = labels.head(1).nonEmpty
     var rounds  = 0
     while (changed) {
       rounds += 1

@@ -208,22 +208,28 @@ object Relational {
     val buildPayload = build.columns.filterNot(c => c == key || c == ts)
     def nulled(src: DataFrame, c: String, as: String) =
       lit(null).cast(src.schema(c).dataType).as(as)
+    // the whole build row travels as ONE struct, carried atomically by a
+    // single last(ignoreNulls) — carrying each payload column independently
+    // would stitch values from DIFFERENT build rows whenever a payload value
+    // is genuinely null (each column's own last non-null)
+    val buildStruct = struct(buildPayload.map(col(_)) :+ col(ts).as(s"__$ts"): _*)
     // build rows tag 0: at equal ts they sort BEFORE the probe, so
     // "at-or-before" includes a same-instant build row
     val tagged = build
       .select(col(key) +: col(ts) +: lit(0).as("__tag") +:
-        (probePayload.map(c => nulled(probe, c, c)) ++
-          buildPayload.map(c => col(c).as(s"asof_$c")) :+ col(ts).as(s"asof_$ts")): _*)
+        (probePayload.map(c => nulled(probe, c, c)) :+ buildStruct.as("__b")): _*)
       .unionByName(probe
         .select(col(key) +: col(ts) +: lit(1).as("__tag") +:
-          (probePayload.map(col(_)) ++
-            buildPayload.map(c => nulled(build, c, s"asof_$c")) :+ nulled(build, ts, s"asof_$ts")): _*))
+          (probePayload.map(col(_)) :+
+            lit(null).cast(build.select(buildStruct).schema.head.dataType).as("__b")): _*))
     val w = Window.partitionBy(col(key))
       .orderBy(col(ts).asc, col("__tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = (buildPayload.map(c => s"asof_$c") :+ s"asof_$ts").foldLeft(tagged) {
-      (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__tag") === 1).drop("__tag")
+    tagged
+      .withColumn("__b", last(col("__b"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+      .select((col(key) +: col(ts) +: probePayload.map(col(_))) ++
+        buildPayload.map(c => col(s"__b.$c").as(s"asof_$c")) :+
+        col(s"__b.__$ts").as(s"asof_$ts"): _*)
   }
 }

@@ -72,11 +72,16 @@ object StatsQueries {
           .agg(grouping_id().as("gid"),
             count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
           .select("gid", "source", "lang", "n_docs", "sum_chars")
-          .orderBy("gid", "source", "lang"),
+          // coalesce sentinels, not bare columns: a DATA null in source/lang
+          // would otherwise sort NULLS-FIRST in Spark but NULLS-LAST in
+          // DuckDB inside the gid=0 group (grouping-introduced nulls are
+          // already safe — constant within a gid)
+          .orderBy(col("gid"), coalesce(col("source"), lit("")),
+            coalesce(col("lang"), lit(""))),
       Some("""SELECT CAST(GROUPING(source, lang) AS BIGINT) AS gid, source, lang,
              |       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
              |FROM documents GROUP BY ROLLUP (source, lang)
-             |ORDER BY gid, source, lang""".stripMargin)
+             |ORDER BY gid, coalesce(source, ''), coalesce(lang, '')""".stripMargin)
     ),
 
     // A7 pivot reshaping: languages to columns — the wide-format mix matrix

@@ -21,6 +21,15 @@ import graft.queries.DedupQueries
   * touch at least one new document — stored×stored pairs were already
   * reported by the batches that introduced them.
   *
+  * Cap semantics are AS-OF-BATCH, necessarily: the hot-bucket cap sees the
+  * bucket's population at processing time, so a bucket that later grows past
+  * MaxBucket keeps the pairs it emitted while small (the batch query,
+  * seeing the final population, would suppress them all). Equality with the
+  * batch pair set therefore holds exactly when no bucket crosses the cap
+  * between batches — true of real corpora (the cap exists for degenerate
+  * boilerplate buckets, which are degenerate from the start) and asserted
+  * by the parity spec on the test corpus.
+  *
   * Documented next knob at scale: persist band rows bucketed by `bh`
   * alongside the signatures, so a batch joins only the buckets it hashes
   * into instead of re-deriving the 4 md5s per stored signature (a
@@ -49,6 +58,10 @@ object IncrementalDedup {
       .map(s => DedupQueries.bandRows(s).withColumn("is_new", lit(false)))
     val allBands = stored.fold(newBands)(newBands.unionByName(_))
     val pairs = allBands
+      // one row per (bucket, doc): a re-indexed doc appears with BOTH tags
+      // and must not count twice toward the bucket cap
+      .groupBy(col("band"), col("bh"), col("doc_id"))
+      .agg(max(col("is_new")).as("is_new"))
       .groupBy("band", "bh")
       .agg(array_sort(collect_set(struct(col("doc_id"), col("is_new")))).as("ms"))
       .filter(size(col("ms")).between(2, DedupQueries.MaxBucket))

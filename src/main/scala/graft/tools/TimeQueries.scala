@@ -1,8 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.functions.{col, xxhash64}
-import org.apache.spark.sql.functions.expr
-
 import graft.SparkEntry
 
 /** Dev tool: warm-up + timed run of just the queries named on argv (default:
@@ -17,11 +14,8 @@ object TimeQueries {
     val names = if (args.nonEmpty) args.toSeq else Seq("q_minhash_verified", "q_ngram_jaccard")
     val spark = graft.LocalSpark.session(cpus, "graft-timeq")
     spark.sparkContext.setLogLevel("ERROR")
-    def force(name: String): Unit = {
-      val df = SparkEntry.queries(name)(spark, sfDir)
-      df.select(xxhash64(df.columns.map(col): _*).as("h"))
-        .agg(expr("bit_xor(h)")).collect()
-    }
+    def force(name: String): Unit =
+      graft.Bench.forceFrame(SparkEntry.queries(name)(spark, sfDir))
     names.foreach(force)
     names.foreach { n =>
       val t0 = System.nanoTime()

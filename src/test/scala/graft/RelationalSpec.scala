@@ -131,6 +131,18 @@ class RelationalSpec extends SparkTestBase {
       (2L, 50L, "px", None, None, None)))                            // key with no build rows
   }
 
+  test("asofJoin carries the latest build row ATOMICALLY when its payload has nulls") {
+    // per-column carriage would stitch bval=100 (from ts=10) onto bname=b15
+    // (from ts=15) — the emitted row must be exactly the ts=15 build row
+    val probe = Seq((1L, 20L, "p")).toDF("k", "t", "pname")
+    val build = Seq((1L, 10L, "b10", Option(100)), (1L, 15L, "b15", Option.empty[Int]))
+      .toDF("k", "t", "bname", "bval")
+    val r = Relational.asofJoin(probe, build, "k", "t")
+      .select("asof_bname", "asof_bval", "asof_t").collect()(0)
+    assert(r.getString(0) == "b15" && r.isNullAt(1) && r.getLong(2) == 15L,
+      s"stitched build row: $r")
+  }
+
   test("asofJoin stays join-free (single keyed window, no physical join)") {
     val probe = Seq((1L, 10L, "p")).toDF("k", "t", "pname")
     val build = Seq((1L, 5L, "b")).toDF("k", "t", "bname")
