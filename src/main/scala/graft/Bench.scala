@@ -83,6 +83,12 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach(force) // warm-up: classloading, codegen, parquet footers
     val timed = names.map { name =>
+      // drop caches persisted by OTHER queries' evaluation (canonicalized
+      // subplans match across queries, so e.g. the shingle cache one query
+      // persisted would silently serve its siblings): each timed number
+      // must measure the query's own pipeline. Intra-query persists still
+      // apply — they happen during this query's own evaluation.
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       val err = force(name)
       val sec = (System.nanoTime() - t0) / 1e9

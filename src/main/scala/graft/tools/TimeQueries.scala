@@ -18,6 +18,7 @@ object TimeQueries {
       graft.Bench.forceFrame(SparkEntry.queries(name)(spark, sfDir))
     names.foreach(force)
     names.foreach { n =>
+      spark.catalog.clearCache() // same cross-query cache rule as Bench
       val t0 = System.nanoTime()
       force(n)
       println(f"$n%-24s ${(System.nanoTime() - t0) / 1e9}%.2f s")
