@@ -599,8 +599,14 @@ object DedupQueries {
       "q_decontaminate",
       "flag docs with >= 50% 3-gram overlap against the src0 benchmark set",
       (s, dir) => {
+        // the (shingle, source) lineage feeds three aggregates (bench set,
+        // totals, shared counts) — persist or each re-runs the explode +
+        // lead-window pipeline (same materialize-once rule as
+        // q_minhash_verified; honest per-query bench timing made the 3×
+        // re-evaluation visible)
         val sh = shingleRows(Tables.documents(s, dir)).drop("h")
           .join(Tables.documents(s, dir).select("doc_id", "source"), "doc_id")
+          .persist()
         val bench = sh.filter(col("source") === "src0").select("shingle").distinct()
         val cand  = sh.filter(col("source") =!= "src0")
         val total = cand.groupBy("doc_id").agg(count(lit(1)).as("total"))
