@@ -362,6 +362,52 @@ object SimilarityQueries {
               |SELECT label, pos, CAST(sum(v + 1000) // count(*) - 1000 AS BIGINT) AS centroid,
               |       count(*) AS n
               |FROM e GROUP BY label, pos ORDER BY label, pos""".stripMargin)
+    ),
+
+    // E2e one Lloyd (k-means) refinement step over the IVF codebook: assign
+    // every vector to its nearest of the 16 deterministic seed centroids
+    // (the exact assignment q_ann_ivf indexes with), then recompute each
+    // centroid as the element-wise floor-mean of its members — the training
+    // iteration that turns a random codebook into a fitted one. Same
+    // distributed shape as E2d (horizontal argmax assignment — NOT an
+    // exploded window, see the r4 lesson — then one exploded (cid, pos)
+    // partial aggregate); empty clusters simply emit no rows. Iterating this
+    // step to convergence is the full k-means; one step is enough to grade
+    // the machinery because each further step is the same plan.
+    GraftQuery(
+      "q_kmeans_refine",
+      "one k-means step: nearest-centroid assignment -> floor-mean recompute",
+      (s, dir) =>
+        Tables.embeddings(s, dir)
+          .filter(size(col("embedding")) === Dim)
+          .withColumn("q", expr(quantSql))
+          .withColumn("n2", dotLong(col("q"), col("q")))
+          .filter(col("n2") > 0)
+          .withColumn("cid", cidCol.cast("bigint"))
+          .select(col("cid"), posexplode(col("q")).as(Seq("pos", "v")))
+          .groupBy("cid", "pos")
+          .agg(sum(col("v") + 1000).as("s"), count(lit(1)).as("n"))
+          .select(col("cid"), col("pos").cast("bigint").as("pos"),
+            (expr("s div n") - 1000).as("centroid"), col("n"))
+          .orderBy("cid", "pos"),
+      Some(s"""WITH n AS (
+              |  SELECT vec_id, q, list_dot_product(q::DOUBLE[], q::DOUBLE[]) AS n2
+              |  FROM (SELECT vec_id, $duckQuantSql AS q
+              |        FROM embeddings WHERE len(embedding) = $Dim) t
+              |  WHERE list_dot_product(q::DOUBLE[], q::DOUBLE[]) > 0),
+              |assigned AS (
+              |  SELECT vec_id, q, j AS cid FROM (
+              |    SELECT vec_id, q, j,
+              |           row_number() OVER (PARTITION BY vec_id ORDER BY d[j + 1] DESC, j) AS rk
+              |    FROM (SELECT vec_id, q, n2, $duckDotsSql AS d FROM n) dd,
+              |         (SELECT unnest(range(0, $NCentroids)) AS j) js) r
+              |  WHERE rk = 1),
+              |e AS (
+              |  SELECT cid, p.pos, q[p.pos + 1] AS v
+              |  FROM assigned, (SELECT unnest(range(0, $Dim)) AS pos) p)
+              |SELECT cid, pos, CAST(sum(v + 1000) // count(*) - 1000 AS BIGINT) AS centroid,
+              |       count(*) AS n
+              |FROM e GROUP BY cid, pos ORDER BY cid, pos""".stripMargin)
     )
   )
 }
