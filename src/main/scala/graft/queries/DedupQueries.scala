@@ -430,16 +430,15 @@ object DedupQueries {
       "2-gram Jaccard >= 0.2 pairs within each source bucket, stop-grams dropped",
       (s, dir) => {
         // ONE evaluation of the gram pipeline, then ONE (source, gram)
-        // aggregate that is simultaneously the stop-gram df cap (bucket size
-        // = doc frequency, since rows are distinct) and the pair-expansion
-        // bucket — the r4 form computed df as a window over the same key and
-        // then re-shuffled onto it for the groupBy, plus a second window
-        // sort for per-doc sizes. Sizes now come from re-exploding the tiny
-        // capped bucket table (each surviving (doc, gram) row exactly once),
-        // an agg instead of a sort-based window. Semantics are unchanged:
-        // both sizes and pairs see exactly the surviving-gram sets.
+        // aggregate that is simultaneously the gram dedup (collect_set),
+        // the stop-gram df cap (set size = doc frequency), and the
+        // pair-expansion bucket — the r4 form paid a separate distinct()
+        // exchange plus a df window plus a size window over the same data.
+        // Sizes come from re-exploding the tiny capped bucket table (each
+        // surviving (doc, gram) exactly once), an agg instead of a
+        // sort-based window. Semantics unchanged: both sizes and pairs see
+        // exactly the surviving-gram sets.
         val buckets = gramRows(Tables.documents(s, dir), Seq("source"))
-          .distinct()
           .groupBy("source", "gram")
           .agg(array_sort(collect_set(col("doc_id"))).as("ids"))
           .filter(size(col("ids")) <= MaxBucket)
