@@ -306,6 +306,69 @@ object TextQueries {
               |WHERE rk <= 10 ORDER BY source, rk""".stripMargin)
     ),
 
+    // E3m BM25-style top-k text retrieval: the IR scoring pipeline over the
+    // corpus — exploded (doc, term) rows for the query terms only, tf / df /
+    // doc-length aggregates, and the BM25 saturation formula with a RATIONAL
+    // idf ((N+1)/(df+0.5), log-free): Spark and DuckDB guarantee correctly-
+    // rounded +,*,/,sqrt but NOT ln, so a log idf could diverge by an ulp at
+    // the rounding boundary. Per-term scores become fixed columns added in
+    // one deterministic order (a float SUM's value depends on reduction
+    // order); ranking is a global sort + LIMIT (TakeOrderedAndProject — the
+    // scalable top-k, not a partition-less window). df and the (N, avgdl)
+    // singleton are broadcast-sized by construction.
+    GraftQuery(
+      "q_bm25_topk",
+      "BM25-ish (rational idf) top-10 docs for the query [hash join merge]",
+      (s, dir) => {
+        val terms = Seq("hash", "join", "merge")
+        val docs = Tables.documents(s, dir)
+          .withColumn("dl", expr(s"cast(size($wordsSql) as double)"))
+        val toks = docs
+          .select(col("doc_id"), col("dl"), explode(expr(wordsSql)).as("w"))
+          .filter(col("w").isInCollection(terms))
+        val tf = toks.groupBy("doc_id", "dl", "w").agg(count(lit(1)).cast("double").as("tf"))
+        val df_ = toks.groupBy("w").agg(countDistinct("doc_id").cast("double").as("df"))
+        val stats = docs.agg(count(lit(1)).cast("double").as("nn"), avg("dl").as("avgdl"))
+        val scored = tf
+          .join(broadcast(df_), "w")
+          .crossJoin(broadcast(stats))
+          .withColumn("s",
+            ((col("nn") + 1.0) / (col("df") + 0.5)) * (col("tf") * 2.2) /
+              (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+        val termCols = terms.map(t =>
+          coalesce(max(when(col("w") === t, col("s"))), lit(0.0)).as(s"s_$t"))
+        val perTerm = scored.groupBy("doc_id").agg(termCols.head, termCols.tail: _*)
+        perTerm
+          .withColumn("score_r",
+            round(col("s_hash") + col("s_join") + col("s_merge"), 4))
+          .select("doc_id", "score_r")
+          .orderBy(col("score_r").desc, col("doc_id").asc)
+          .limit(10)
+      },
+      Some(s"""WITH docs AS (
+              |  SELECT doc_id, CAST(len($duckWordsSql) AS DOUBLE) AS dl, text FROM documents),
+              |toks AS (
+              |  SELECT doc_id, dl, unnest($duckWordsSql) AS w
+              |  FROM (SELECT doc_id, dl, text FROM docs) d),
+              |m AS (SELECT doc_id, dl, w FROM toks WHERE w IN ('hash', 'join', 'merge')),
+              |tf AS (SELECT doc_id, dl, w, CAST(count(*) AS DOUBLE) AS tf FROM m GROUP BY 1, 2, 3),
+              |df AS (SELECT w, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM m GROUP BY 1),
+              |st AS (SELECT CAST(count(*) AS DOUBLE) AS nn, avg(dl) AS avgdl FROM docs),
+              |sc AS (
+              |  SELECT tf.doc_id,
+              |         ((st.nn + 1.0) / (df.df + 0.5)) * (tf.tf * 2.2) /
+              |           (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl)) AS s, tf.w
+              |  FROM tf JOIN df USING (w), st),
+              |pt AS (
+              |  SELECT doc_id,
+              |         coalesce(max(CASE WHEN w = 'hash'  THEN s END), 0.0) AS s_hash,
+              |         coalesce(max(CASE WHEN w = 'join'  THEN s END), 0.0) AS s_join,
+              |         coalesce(max(CASE WHEN w = 'merge' THEN s END), 0.0) AS s_merge
+              |  FROM sc GROUP BY doc_id)
+              |SELECT doc_id, round(s_hash + s_join + s_merge, 4) AS score_r
+              |FROM pt ORDER BY score_r DESC, doc_id LIMIT 10""".stripMargin)
+    ),
+
     // E3l weighted source mixing: per-source admission rates (the data-mix
     // weights of an LLM training run) applied as a deterministic hash
     // threshold, reported as target vs achieved mix. Shuffle-free up to the
