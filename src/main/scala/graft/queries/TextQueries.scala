@@ -326,8 +326,10 @@ object TextQueries {
         val toks = docs
           .select(col("doc_id"), col("dl"), explode(expr(wordsSql)).as("w"))
           .filter(col("w").isInCollection(terms))
+        // df derives from tf (one row per (doc, term)) — a second aggregate
+        // over the exploded token lineage would re-run the explode
         val tf = toks.groupBy("doc_id", "dl", "w").agg(count(lit(1)).cast("double").as("tf"))
-        val df_ = toks.groupBy("w").agg(countDistinct("doc_id").cast("double").as("df"))
+        val df_ = tf.groupBy("w").agg(count(lit(1)).cast("double").as("df"))
         val stats = docs.agg(count(lit(1)).cast("double").as("nn"), avg("dl").as("avgdl"))
         val scored = tf
           .join(broadcast(df_), "w")
@@ -352,7 +354,7 @@ object TextQueries {
               |  FROM (SELECT doc_id, dl, text FROM docs) d),
               |m AS (SELECT doc_id, dl, w FROM toks WHERE w IN ('hash', 'join', 'merge')),
               |tf AS (SELECT doc_id, dl, w, CAST(count(*) AS DOUBLE) AS tf FROM m GROUP BY 1, 2, 3),
-              |df AS (SELECT w, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM m GROUP BY 1),
+              |df AS (SELECT w, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
               |st AS (SELECT CAST(count(*) AS DOUBLE) AS nn, avg(dl) AS avgdl FROM docs),
               |sc AS (
               |  SELECT tf.doc_id,
