@@ -95,6 +95,52 @@ class IntervalJoinSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("asofStream matches the batch brute force under random interleaving (seeded)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // ~40 events over 3 keys within one hour, split randomly into 6 batches;
+    // event times and arrival order are deliberately uncorrelated
+    def mk(n: Int, idBase: Long) = (0 until n).map { i =>
+      (1L + rnd.nextInt(3), ts(f"10:${rnd.nextInt(60)}%02d:${rnd.nextInt(60)}%02d"), idBase + i)
+    }
+    val allProbes = mk(20, 1000L)
+    val allBuilds = mk(20, 2000L)
+    val probes = MemoryStream[(Long, Timestamp, Long)]
+    val builds = MemoryStream[(Long, Timestamp, Long)]
+    // delay exceeds the whole event span, so no arrival is ever late-dropped
+    // and the test isolates the BUFFERING logic: every event is admitted in
+    // arbitrary order, everything stays pending until the sentinel flush
+    // (late-DROP semantics are Spark's own admission filter, not this
+    // operator's logic)
+    val q = TemporalJoins.asofStream(probes.toDS(), builds.toDS(), "2 hours")
+      .writeStream.format("memory").queryName("asof_rand").outputMode("append").start()
+    try {
+      val pB = rnd.shuffle(allProbes).grouped(4).toSeq
+      val bB = rnd.shuffle(allBuilds).grouped(4).toSeq
+      pB.zipAll(bB, Seq.empty, Seq.empty).foreach { case (ps, bs) =>
+        if (ps.nonEmpty) probes.addData(ps)
+        if (bs.nonEmpty) builds.addData(bs)
+        q.processAllAvailable()
+      }
+      // sentinel far in the future flushes every pending probe
+      builds.addData((99L, ts("23:00:00"), 9999L))
+      q.processAllAvailable()
+      def us(t: Timestamp) = Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+      val want = allProbes.map { case (k, pTs, pId) =>
+        val prior = allBuilds.filter(b => b._1 == k && us(b._2) <= us(pTs))
+        if (prior.isEmpty) TemporalJoins.AsofMatch(k, pId, us(pTs), None, None)
+        else {
+          val best = prior.maxBy(b => (us(b._2), b._3))
+          TemporalJoins.AsofMatch(k, pId, us(pTs), Some(best._3), Some(us(best._2)))
+        }
+      }.toSet
+      val got = spark.table("asof_rand").as[TemporalJoins.AsofMatch].collect().toSet
+      assert(got == want,
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    } finally q.stop()
+  }
+
   test("the streaming plan carries watermarks on both join inputs (bounded state)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val probes = MemoryStream[(Long, Long, Timestamp)]
