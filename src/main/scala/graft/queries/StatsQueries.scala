@@ -110,6 +110,27 @@ object StatsQueries {
              |FROM documents GROUP BY source ORDER BY source""".stripMargin)
     ),
 
+    // A7b ordered string aggregation (listagg): the "reduce a group to one
+    // delimited string" export shape. Determinism rule: the collected set is
+    // SORTED before joining (collect_set order is partition-dependent;
+    // string_agg without ORDER BY likewise) — array_sort on the Spark side,
+    // ORDER BY inside string_agg on DuckDB's.
+    GraftQuery(
+      "q_lang_agg",
+      "per-source sorted comma-joined language list + distinct count",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .groupBy(col("source"))
+          .agg(
+            concat_ws(",", array_sort(collect_set(col("lang")))).as("langs"),
+            countDistinct(col("lang")).as("n_langs"))
+          .orderBy("source"),
+      Some("""SELECT source,
+             |       coalesce(string_agg(DISTINCT lang, ',' ORDER BY lang), '') AS langs,
+             |       count(DISTINCT lang) AS n_langs
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)
+    ),
+
     // A8 the classic star-join revenue report, graded exactly: the flagship
     // entry() shape (lineitem ⋈ orders ⋈ customer ⋈ nation) with money
     // quantized to integer cents and discounts to basis points FIRST, so the
