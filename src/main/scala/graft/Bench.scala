@@ -82,18 +82,32 @@ object Bench {
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach(force) // warm-up: classloading, codegen, parquet footers
+    // median of 3 post-warm-up repeats per query (VERDICT r5 next-step #5):
+    // this host is virtualized, and a single-shot number conflates the plan
+    // with whatever the hypervisor was doing that second — r3/r5 driver
+    // totals were adjudication exercises (43s vs 105s for the same plans).
+    // The median of 3 discards one arbitrarily-contended run per query, so
+    // consecutive totals agree within ~20% even under moderate load.
+    val Repeats = 3
     val timed = names.map { name =>
-      // drop caches persisted by OTHER queries' evaluation (canonicalized
-      // subplans match across queries, so e.g. the shingle cache one query
-      // persisted would silently serve its siblings): each timed number
-      // must measure the query's own pipeline. Intra-query persists still
-      // apply — they happen during this query's own evaluation.
-      spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      val err = force(name)
-      val sec = (System.nanoTime() - t0) / 1e9
+      val runs = (1 to Repeats).map { _ =>
+        // drop caches persisted by OTHER queries' evaluation (canonicalized
+        // subplans match across queries, so e.g. the shingle cache one query
+        // persisted would silently serve its siblings) AND by this query's
+        // own previous repeat: each timed number must measure the query's
+        // own full pipeline. Intra-query persists still apply — they happen
+        // during this query's own evaluation.
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val err = force(name)
+        (if (err.isEmpty) (System.nanoTime() - t0) / 1e9 else -1.0, err)
+      }
+      val err = runs.flatMap(_._2).headOption
+      val ok  = runs.map(_._1).filter(_ >= 0)
+      val median =
+        if (ok.isEmpty) -1.0 else ok.sorted.apply(ok.length / 2)
       err.foreach(m => System.err.println(s"[bench] $name FAILED: $m"))
-      (name, if (err.isEmpty) sec else -1.0, err)
+      (name, if (ok.nonEmpty) median else -1.0, err)
     }
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val qs = timed.map { case (k, v, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
@@ -108,7 +122,7 @@ object Bench {
       s""""steal_pct":$stealPct"""
     }).toSeq ++ loadAvg1().map(l => s""""loadavg1":$l""").toSeq
     val loadJson = load.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"load":$loadJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","repeats":$Repeats,"queries":$qs,"errors":$errs,"load":$loadJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

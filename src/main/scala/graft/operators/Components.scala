@@ -27,7 +27,18 @@ object Components {
     * @param edges two long columns (a, b); treated as undirected
     * @return (id, lbl) — lbl is the minimum node id of `id`'s component
     */
+  /** Shape guards shared by both CC forms: a descriptive failure beats the
+    * opaque MatchError / silently-ignored extra columns (ADVICE r5).
+    */
+  private def checkShapes(nodes: DataFrame, edges: DataFrame): Unit = {
+    require(edges.columns.length == 2,
+      s"edges must have exactly 2 columns (a, b); got ${edges.columns.mkString("(", ", ", ")")}")
+    require(nodes.columns.length == 1,
+      s"nodes must have exactly 1 column (the node id); got ${nodes.columns.mkString("(", ", ", ")")}")
+  }
+
   def connected(nodes: DataFrame, edges: DataFrame, maxRounds: Int = 50): DataFrame = {
+    checkShapes(nodes, edges)
     val Seq(ac, bc) = edges.columns.toSeq.map(edges(_))
     val e   = edges.select(ac.as("a"), bc.as("b")).persist()
     val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
@@ -81,6 +92,7 @@ object Components {
     */
   def connectedAlternating(nodes: DataFrame, edges: DataFrame,
       maxRounds: Int = 60): DataFrame = {
+    checkShapes(nodes, edges)
     val Seq(ac, bc) = edges.columns.toSeq.map(edges(_))
     // drop self-loops; orient arbitrarily — both passes re-symmetrize
     var e = edges.select(ac.as("a"), bc.as("b")).filter(col("a") =!= col("b"))

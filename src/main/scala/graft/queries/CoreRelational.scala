@@ -163,14 +163,24 @@ object CoreRelational {
       "extract props.k from events JSON",
       (s, dir) =>
         Tables.events(s, dir)
+          // ONE from_json parse feeding all three fields (VERDICT r5
+          // what's-wrong #1: three get_json_object calls were three
+          // independent parses of the same document — at 100 TB that triples
+          // the dominant cost). CollapseProject leaves the multi-referenced
+          // non-cheap JsonToStructs in its own projection instead of inlining
+          // it per field, so the plan parses once per row (pinned in
+          // PlanShapeSpec). PERMISSIVE mode maps malformed documents to null
+          // fields, matching get_json_object / DuckDB json_extract_string.
+          .withColumn("j", from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k STRING, missing STRING")))
           .select(
             col("event_id"),
-            get_json_object(col("props"), "$.k").as("k_str"),
+            col("j.k").as("k_str"),
             // try_cast, not cast: Verify/Bench leave ANSI mode on, so a
             // malformed $.k must yield null (as DuckDB's TRY_CAST does), not
             // throw (SURVEY.md §7.4; ADVICE r1).
-            get_json_object(col("props"), "$.k").try_cast("long").as("k_val"),
-            get_json_object(col("props"), "$.missing").as("absent"))
+            col("j.k").try_cast("long").as("k_val"),
+            col("j.missing").as("absent"))
           .orderBy("event_id"),
       Some("""SELECT event_id, json_extract_string(props, '$.k') AS k_str,
              |       TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,

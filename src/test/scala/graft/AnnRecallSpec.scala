@@ -40,6 +40,19 @@ class AnnRecallSpec extends SparkTestBase {
     }
   }
 
+  test("planBits sizes LSH bits-per-table with the corpus (executable deployment knob)") {
+    import graft.queries.SimilarityQueries.planBits
+    // this build's constant: 2k test vectors → the hard-coded 4 bits
+    assert(planBits(2000L) == 4)
+    // deployment scale: 10^9 rows → ~2^23 buckets keeps the expected bucket
+    // at the same constant size (log2(1e9/125) ≈ 22.9)
+    assert(planBits(1000000000L) == 23)
+    // monotone, and degenerate corpora still get a non-trivial key
+    assert(planBits(1L) == 1)
+    assert(planBits(1000000L) >= planBits(10000L))
+    assertThrows[IllegalArgumentException](planBits(0L))
+  }
+
   test("LSH-blocked embedding dedup is a subset of the exact-within-label pairs") {
     // the candidate→verify composition makes precision exactly 1 relative to
     // the exact form: every emitted pair passed the same cosine test, so the

@@ -70,6 +70,19 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("q_extract_json parses the document exactly once per row") {
+    // three extracted fields must share ONE JsonToStructs parse (VERDICT r5
+    // what's-wrong #1): CollapseProject must not inline the multi-referenced
+    // from_json into per-field copies, and no get_json_object (one parse per
+    // call) may creep back in.
+    val p = plan("q_extract_json")
+    assert(!p.contains("get_json_object"),
+      s"q_extract_json regressed to per-field get_json_object parses:\n${p.take(2000)}")
+    val parses = "from_json".r.findAllIn(p).length
+    assert(parses == 1,
+      s"q_extract_json evaluates $parses from_json parses per row (want 1):\n${p.take(2000)}")
+  }
+
   test("rank-filter queries keep the pre-shuffle WindowGroupLimit top-k") {
     // row_number <= k must compile to WindowGroupLimit BELOW the exchange
     // (per-partition top-k pre-filter) — losing it ships every row of every
