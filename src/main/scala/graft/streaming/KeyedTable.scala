@@ -40,7 +40,7 @@ import graft.operators.Relational
   * first read falls back to a plain parquet scan (one shuffled merge) and
   * the next publish re-registers the bucketing.
   */
-final class KeyedTable(spark: SparkSession, dir: String, val key: String,
+final class KeyedTable(spark: SparkSession, val dir: String, val key: String,
                        buckets: Option[Int] = None) {
 
   private val root    = Paths.get(dir)

@@ -46,6 +46,32 @@ class IncrementalDedupSpec extends SparkTestBase {
     assert(table.read().get.count() == 2)
   }
 
+  test("a batch's stored-band read prunes to touched pb partitions only") {
+    val table = new KeyedTable(spark, tmp("prune"), "doc_id")
+    val b1 = Seq((1L, base), (2L, base + " tail"),
+      (3L, "completely unrelated words forming another doc"),
+      (4L, "yet another body of text with different words entirely")).toDF("doc_id", "text")
+    IncrementalDedup.processBatch(table, b1, 0L).unpersist()
+    val bands = IncrementalDedup.bandsPath(table)
+    val allPbs = spark.read.parquet(bands).select("pb").distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    assert(allPbs.size > 1, s"test corpus landed in one pb partition: $allPbs")
+
+    // a hypothetical batch touching only ONE pb must read only that
+    // partition's files — partition pruning in the plan AND in actual IO
+    val touched = Seq(allPbs.head)
+    val df = IncrementalDedup.storedBands(spark, bands, touched, 1L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), s"no partition filters:\n${plan.take(2000)}")
+    val files = df.select(org.apache.spark.sql.functions.input_file_name())
+      .distinct().collect().map(_.getString(0))
+    assert(files.nonEmpty)
+    assert(files.forall(_.contains(s"pb=${touched.head}")),
+      s"read escaped the touched partition: ${files.mkString("\n")}")
+    // the current batch's own (crash-replay) partitions are never "stored"
+    assert(IncrementalDedup.storedBands(spark, bands, allPbs, 0L).count() == 0)
+  }
+
   test("batched indexing of the corpus reproduces the batch query's pair set") {
     val dir  = "/root/testdata/sf0.001"
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
