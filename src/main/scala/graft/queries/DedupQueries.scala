@@ -639,6 +639,82 @@ object DedupQueries {
               |WHERE ratio_bp >= 5000 ORDER BY doc_id""".stripMargin)
     ),
 
+    // E1f2 SPAN-level decontamination (VERDICT r5 next-step #7): not just
+    // WHETHER a training doc overlaps the benchmark but WHICH contiguous
+    // token spans do — the form an eval-leak audit actually wants (and the
+    // input to span-masking instead of whole-doc dropping). Positional
+    // 3-gram shingles of candidate docs are semi-joined against the src0
+    // benchmark set, then matched positions merge into islands: two matched
+    // shingles join one span iff their token coverages touch (gap <= 3
+    // positions). span_end = last matched position + 2 (the shingle's last
+    // covered token).
+    //
+    // Scale shape: the benchmark set is the small broadcast side of the
+    // semi-join (same as q_decontaminate); the island merge is two
+    // doc_id-partitioned window passes over MATCHED rows only (a small
+    // fraction of the corpus) sharing one sort. Never pairwise.
+    GraftQuery(
+      "q_span_decontaminate",
+      "contiguous token spans of candidate docs overlapping the src0 benchmark 3-grams",
+      (s, dir) => {
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        // the positional twin of shingleRows: same scan → posexplode → lead
+        // pipeline, but keeping positions and every occurrence (the span
+        // merge needs them), not the distinct shingle set
+        val ps = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), posexplode(expr(wordsSql)).as(Seq("pos", "w")))
+          .withColumn("w1", lead(col("w"), 1).over(w))
+          .withColumn("w2", lead(col("w"), 2).over(w))
+          .filter(col("w2").isNotNull)
+          .select(col("doc_id"), col("source"), col("pos"),
+            concat_ws(" ", col("w"), col("w1"), col("w2")).as("shingle"))
+          .persist()
+        val bench = ps.filter(col("source") === "src0").select("shingle").distinct()
+        val matched = ps.filter(col("source") =!= "src0")
+          .join(bench, Seq("shingle"), "left_semi")
+          .select(col("doc_id"), col("pos"))
+        matched
+          .withColumn("brk", when(lag(col("pos"), 1).over(w).isNull ||
+            col("pos") - lag(col("pos"), 1).over(w) > 3, 1L).otherwise(0L))
+          .withColumn("g", sum(col("brk")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("doc_id", "g")
+          .agg(min(col("pos")).cast("bigint").as("span_start"),
+            (max(col("pos")) + 2).cast("bigint").as("span_end"),
+            count(lit(1)).as("n_grams"))
+          .select(col("doc_id"), col("span_start"), col("span_end"),
+            (col("span_end") - col("span_start") + 1).as("span_tokens"), col("n_grams"))
+          .orderBy("doc_id", "span_start")
+      },
+      Some(s"""WITH docs AS (
+              |  SELECT doc_id, source, $duckWordsSql AS words FROM documents),
+              |ps0 AS (
+              |  SELECT doc_id, source, words, unnest(range(1, len(words) - 1)) AS i
+              |  FROM docs WHERE len(words) >= 3),
+              |ps AS (
+              |  SELECT doc_id, source, i - 1 AS pos,
+              |         words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+              |  FROM ps0),
+              |bench AS (SELECT DISTINCT shingle FROM ps WHERE source = 'src0'),
+              |m AS (SELECT doc_id, pos FROM ps WHERE source <> 'src0'
+              |      AND shingle IN (SELECT shingle FROM bench)),
+              |isl AS (
+              |  SELECT doc_id, pos,
+              |         CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > 3
+              |              THEN 1 ELSE 0 END AS brk
+              |  FROM m WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+              |grp AS (
+              |  SELECT doc_id, pos,
+              |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+              |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+              |  FROM isl)
+              |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+              |       CAST(max(pos) + 2 AS BIGINT) AS span_end,
+              |       CAST(max(pos) - min(pos) + 3 AS BIGINT) AS span_tokens,
+              |       count(*) AS n_grams
+              |FROM grp GROUP BY doc_id, g ORDER BY doc_id, span_start""".stripMargin)
+    ),
+
     // E1g dedup-cluster canonicalization: near-dup PAIRS are not what a
     // pipeline keeps — it keeps one canonical doc per connected component of
     // the pair graph (a~b, b~c ⇒ {a,b,c} even though a,c never collided).

@@ -49,6 +49,12 @@ object TextQueries {
     */
   private val TokenRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 
+  /** Context-window token budget for the sequence-packing query — sized so
+    * the test corpus yields multiple packs per source; a deployment sets its
+    * model's context length here.
+    */
+  private val PackBudget = 1024L
+
   val queries: Seq[GraftQuery] = Seq(
 
     // E3a corpus statistics: chars/words per document, aggregated per
@@ -512,6 +518,47 @@ object TextQueries {
               |       min(CASE WHEN cum >= (75 * n + 99) // 100 THEN tok END) AS p75,
               |       min(CASE WHEN cum >= (90 * n + 99) // 100 THEN tok END) AS p90
               |FROM cw GROUP BY source ORDER BY source""".stripMargin)
+    ),
+
+    // E3n sequence packing: assign each document its position in a fixed
+    // token-budget context-window stream — the LLM batch-prep stage that
+    // turns a curated corpus into training sequences (concatenate per
+    // source in doc_id order, split every PackBudget tokens; a document's
+    // pack is where its first token lands). Exclusive cumulative token sum
+    // per source → pack_id = off div budget, pack_off = off mod budget —
+    // integer-only, so both engines agree exactly.
+    //
+    // Scale shape: ONE keyed window per source (packing is inherently a
+    // per-source sequential semantics — the order of documents IS the
+    // output). At 100 TB the same plan holds because each source's docs
+    // sort within their partition group; a corpus whose single source
+    // outgrows an executor moves to the hierarchical prefix-sum form
+    // (per-partition token subtotals collected once, broadcast back as
+    // starting offsets — the zipWithIndex shape), which preserves these
+    // exact outputs.
+    GraftQuery(
+      "q_pack_sequences",
+      s"greedy context-window packing: per-source token cumsum div $PackBudget",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy("doc_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        Tables.documents(s, dir)
+          .withColumn("tok", expr(s"cast(size($wordsSql) as bigint)"))
+          .withColumn("off", coalesce(sum("tok").over(w), lit(0L)))
+          .select(col("source"), col("doc_id"), col("tok"),
+            expr(s"off div $PackBudget").as("pack_id"),
+            expr(s"off % $PackBudget").as("pack_off"))
+          .orderBy("source", "doc_id")
+      },
+      Some(s"""SELECT source, doc_id, tok,
+              |       off // $PackBudget AS pack_id, off % $PackBudget AS pack_off
+              |FROM (
+              |  SELECT source, doc_id, tok,
+              |         CAST(coalesce(sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+              |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+              |  FROM (SELECT source, doc_id, len($duckWordsSql) AS tok FROM documents) t) p
+              |ORDER BY source, doc_id""".stripMargin)
     )
   )
 }
