@@ -23,6 +23,15 @@ import graft.Tables
   *    dot products and norms are exact integer arithmetic — order-independent
   *    and bit-identical in both engines (SURVEY.md §7.4#2's float-sum risk
   *    eliminated rather than papered over with rounding).
+  *
+  * Cache discipline (ADVICE r5): queries that persist shared lineage
+  * (shingles, signatures, candidates) deliberately do NOT unpersist — the
+  * returned DataFrame still references the cached plans, so eager unpersist
+  * would re-run the pipeline on the consumer's first action. The Bench
+  * harness clears all caches between timed queries; other runners (Verify,
+  * specs) rely on executor-storage LRU eviction, which is safe because each
+  * runner is a bounded one-process session and the cached rows are derived
+  * aggregates, not corpus text.
   */
 object DedupQueries {
 

@@ -83,10 +83,18 @@ object TemporalJoins {
           // a probe is final once the watermark passes it strictly (a build
           // with ts == probe ts is not late yet, so <= would emit early)
           val (ripe, pending) = probes.partition(_._1 < wmUs)
+          // merge scan (ADVICE r5): builds sorted once per invocation, one
+          // cursor advanced as the (also sorted) ripe probes ascend —
+          // O((probes + builds) log builds), not O(probes × builds). The
+          // dominating build for probe ts is the LAST sorted element with
+          // build ts <= probe ts (ascending (ts, id) order puts the
+          // largest-id tie last, identical to max over the filtered seq).
+          val sb = builds.sorted.toIndexedSeq
+          var j = 0
           val out = ripe.sorted.iterator.map { case (pUs, pId) =>
-            val best = builds.filter(_._1 <= pUs)
-            if (best.isEmpty) AsofMatch(key, pId, pUs, None, None)
-            else { val b = best.max; AsofMatch(key, pId, pUs, Some(b._2), Some(b._1)) }
+            while (j < sb.length && sb(j)._1 <= pUs) j += 1
+            if (j == 0) AsofMatch(key, pId, pUs, None, None)
+            else { val b = sb(j - 1); AsofMatch(key, pId, pUs, Some(b._2), Some(b._1)) }
           }
           // builds at-or-below the watermark collapse to the dominating one,
           // which is retained indefinitely: a future probe (ts >= wm) may
