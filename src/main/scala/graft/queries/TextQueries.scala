@@ -55,6 +55,13 @@ object TextQueries {
     */
   private val PackBudget = 1024L
 
+  /** Shard fan-out for the deterministic training-order shuffle — the
+    * parallel unit of the two-level (shard, in-shard rank) global order. A
+    * deployment sizes this to its reader parallelism (shards stay
+    * independent at any corpus size).
+    */
+  private val NShards = 8L
+
   val queries: Seq[GraftQuery] = Seq(
 
     // E3a corpus statistics: chars/words per document, aggregated per
@@ -559,6 +566,69 @@ object TextQueries {
               |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
               |  FROM (SELECT source, doc_id, len($duckWordsSql) AS tok FROM documents) t) p
               |ORDER BY source, doc_id""".stripMargin)
+    ),
+
+    // E3o one BPE training step: the adjacent-character-pair frequencies a
+    // byte-pair-encoding tokenizer merges on, counted the way every real
+    // BPE trainer does it — over the WORD HISTOGRAM, not the corpus. The
+    // corpus pays exactly one shuffle (word → count, vocabulary
+    // cardinality); the char-pair explode then runs on vocab-sized data
+    // (each distinct word once, weighted by its count), so the expensive
+    // stage is O(vocab · word length) no matter how many times a word
+    // repeats in 100 TB. Top-50 by weighted frequency via global sort +
+    // LIMIT (TakeOrderedAndProject — no partition-less window), pair string
+    // as the deterministic tie-break.
+    GraftQuery(
+      "q_bpe_pair_counts",
+      "BPE step-1 pair frequencies: weighted adjacent char pairs over the word histogram, top 50",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(explode(expr(wordsSql)).as("w"))
+          .filter(col("w") =!= "")
+          .groupBy("w").agg(count(lit(1)).as("wc"))
+          .filter(length(col("w")) >= 2)
+          .select(col("wc"), explode(expr(
+            "transform(sequence(1, char_length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+          .groupBy("pair").agg(sum("wc").as("freq"))
+          .orderBy(col("freq").desc, col("pair"))
+          .limit(50),
+      Some(s"""WITH wx AS (SELECT unnest($duckWordsSql) AS w FROM documents),
+              |wf AS (SELECT w, count(*) AS wc FROM wx WHERE w <> '' GROUP BY w),
+              |p AS (SELECT wc, unnest([w[i:i+1] for i in range(1, len(w))]) AS pair
+              |      FROM wf WHERE len(w) >= 2)
+              |SELECT pair, CAST(sum(wc) AS BIGINT) AS freq
+              |FROM p GROUP BY pair ORDER BY freq DESC, pair LIMIT 50""".stripMargin)
+    ),
+
+    // E3p deterministic training-order shuffle: the global random order a
+    // training run reads the corpus in, made reproducible and DISTRIBUTED —
+    // shard = seeded hash mod NShards (the parallel unit), position = rank
+    // of (hash, doc_id) within the shard. This is the two-level shape every
+    // large-scale shuffle uses (a single global row_number would be a
+    // partition-less window — the one plan shape this engine bans): shards
+    // are independent, each sorts only its own slice, and changing the seed
+    // string re-deals the whole corpus. (hash, doc_id) ordering keeps the
+    // rank deterministic even on 60-bit hash collisions.
+    GraftQuery(
+      "q_shuffle_order",
+      "seeded deterministic corpus shuffle: hash shard + in-shard rank",
+      (s, dir) => {
+        val h = expr(hash60Sql("concat('shuffle0:', cast(doc_id as string))"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), h.as("h"))
+          .withColumn("shard", col("h") % NShards)
+          .withColumn("pos", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("shard").orderBy("h", "doc_id")).cast("bigint"))
+          .select("doc_id", "shard", "pos")
+          .orderBy("shard", "pos")
+      },
+      Some(s"""WITH h AS (
+              |  SELECT doc_id, ${duckHash60Sql("'shuffle0:' || doc_id::VARCHAR")} AS h
+              |  FROM documents)
+              |SELECT doc_id, CAST(h % $NShards AS BIGINT) AS shard,
+              |       CAST(row_number() OVER (PARTITION BY h % $NShards ORDER BY h, doc_id) AS BIGINT) AS pos
+              |FROM h ORDER BY shard, pos""".stripMargin)
     )
   )
 }
