@@ -62,6 +62,13 @@ object TextQueries {
     */
   private val NShards = 8L
 
+  /** Count-min sketch geometry: depth = independent salted hash rows
+    * (error probability delta = e^-D), width = counters per row (error
+    * eps = e/W of the total count).
+    */
+  private val CmsDepth = 4
+  private val CmsWidth = 64L
+
   val queries: Seq[GraftQuery] = Seq(
 
     // E3a corpus statistics: chars/words per document, aggregated per
@@ -629,6 +636,56 @@ object TextQueries {
               |SELECT doc_id, CAST(h % $NShards AS BIGINT) AS shard,
               |       CAST(row_number() OVER (PARTITION BY h % $NShards ORDER BY h, doc_id) AS BIGINT) AS pos
               |FROM h ORDER BY shard, pos""".stripMargin)
+    ),
+
+    // E3q Count-Min Sketch frequency estimates (Cormode & Muthukrishnan
+    // 2005): CmsDepth salted hash rows × CmsWidth counters; an item's
+    // estimate is the MIN of its counters — always >= the true count. THE
+    // mergeable frequency sketch for 100 TB scans: the sketch is a D×W
+    // grid of addable counters, so partial aggregation combines map-side
+    // and sketches of shards merge by addition. Built over the word
+    // HISTOGRAM (one vocab-cardinality shuffle — same move as the BPE
+    // step), graded against the exact counts of the top-20 terms so the
+    // collision error is visible in the output. Width 64 is sized so the
+    // error branch actually fires on the test corpus (the KMV K=16
+    // rationale); production sets W = ceil(e/eps) — sketch size stays
+    // O(D·W), independent of the corpus.
+    GraftQuery(
+      "q_cms_counts",
+      "count-min sketch (4x64, shared hash60 salts) vs exact counts of top-20 terms",
+      (s, dir) => {
+        val vocab = Tables.documents(s, dir)
+          .select(explode(expr(wordsSql)).as("w"))
+          .filter(col("w") =!= "")
+          .groupBy("w").agg(count(lit(1)).as("wc"))
+          .persist()
+        val bucketExprs = (0 until CmsDepth).map(r =>
+          expr(s"${hash60Sql(s"concat('cms$r:', w)")} % $CmsWidth"))
+        val sketch = vocab
+          .select(col("wc"), posexplode(array(bucketExprs: _*)).as(Seq("r", "bucket")))
+          .groupBy("r", "bucket").agg(sum("wc").as("cnt"))
+        val probes = vocab.orderBy(col("wc").desc, col("w")).limit(20)
+        probes
+          .select(col("w"), col("wc"), posexplode(array(bucketExprs: _*)).as(Seq("r", "bucket")))
+          .join(sketch, Seq("r", "bucket"))
+          .groupBy("w").agg(max("wc").as("exact"), min("cnt").as("cms_est"))
+          .orderBy("w")
+      },
+      Some(s"""WITH wx AS (SELECT unnest($duckWordsSql) AS w FROM documents),
+              |vocab AS (SELECT w, count(*) AS wc FROM wx WHERE w <> '' GROUP BY w),
+              |rs AS (SELECT unnest(range(0, $CmsDepth)) AS r),
+              |sk AS (
+              |  SELECT r, ${duckHash60Sql("'cms' || r::VARCHAR || ':' || w")} % $CmsWidth AS bucket,
+              |         CAST(sum(wc) AS BIGINT) AS cnt
+              |  FROM vocab, rs GROUP BY 1, 2),
+              |probes AS (SELECT w, wc FROM vocab ORDER BY wc DESC, w LIMIT 20),
+              |pb AS (
+              |  SELECT p.w, p.wc, rs.r,
+              |         ${duckHash60Sql("'cms' || rs.r::VARCHAR || ':' || p.w")} % $CmsWidth AS bucket
+              |  FROM probes p, rs)
+              |SELECT pb.w, CAST(max(pb.wc) AS BIGINT) AS exact, min(s.cnt) AS cms_est
+              |FROM pb JOIN sk s ON s.r = pb.r AND s.bucket = pb.bucket
+              |GROUP BY pb.w ORDER BY pb.w""".stripMargin)
     )
   )
 }
