@@ -96,6 +96,19 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("top-k tails compile to TakeOrderedAndProject, not a global sort") {
+    // ORDER BY + LIMIT endings (the BPE pair table, the CMS probe set, BM25)
+    // must stay a per-partition top-k + single merge — a full global Sort
+    // before the limit would put the whole aggregate through one task.
+    Seq("q_bpe_pair_counts", "q_cms_counts", "q_bm25_topk").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$name lost its TakeOrderedAndProject top-k:\n${p.take(1500)}")
+    }
+  }
+
   test("q_revenue_monthly forces broadcast on nation only (facts stay shuffled)") {
     val logical = SparkEntry.queries("q_revenue_monthly")(spark, dir)
       .queryExecution.analyzed.toString
