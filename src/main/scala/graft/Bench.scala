@@ -107,7 +107,11 @@ object Bench {
       val median =
         if (ok.isEmpty) -1.0 else ok.sorted.apply(ok.length / 2)
       err.foreach(m => System.err.println(s"[bench] $name FAILED: $m"))
-      (name, if (ok.nonEmpty) median else -1.0, err)
+      // ANY failed repeat marks the query failed (-1 + errors entry): a
+      // median over the surviving repeats would print a healthy-looking
+      // number for a flaky query while total excludes it — the two fields
+      // must stay consistent
+      (name, if (err.isEmpty) median else -1.0, err)
     }
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val qs = timed.map { case (k, v, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")

@@ -159,8 +159,7 @@ object SimilarityQueries {
     (array_position(dots, array_max(dots)) - 1).cast("int")
   }
 
-  private val centroidDotsCol: Column = dotsColOf(Centroids)
-  private val cidCol: Column          = cidColOf(Centroids)
+  private val cidCol: Column = cidColOf(Centroids)
 
   /** [[TrainIters]] Lloyd iterations over the corpus, from the deterministic
     * seeds: assign every vector to its nearest current centroid (horizontal

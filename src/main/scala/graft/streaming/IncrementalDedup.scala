@@ -104,14 +104,21 @@ object IncrementalDedup {
     // collect (the pruning predicate, not data)
     val touched = newBands.select("pb").distinct().collect().map(_.getInt(0)).toSeq
     val bands = bandsPath(table)
-    newBands
-      .withColumn("batch", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch", "pb")
-      .parquet(bands)
-    val pairs = storedBands(spark, bands, touched, batchId).unionByName(
-        newBands.select(col("doc_id"), col("band"), col("bh"), lit(true).as("is_new")))
+    if (touched.nonEmpty)
+      newBands
+        .withColumn("batch", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch", "pb")
+        .parquet(bands)
+    val newTagged = newBands.select(col("doc_id"), col("band"), col("bh"), lit(true).as("is_new"))
+    // an all-short-docs (or empty) batch has no band rows: nothing to probe,
+    // and the bands dir may not exist yet (reading it would fail schema
+    // inference on a parquet-less directory) — the batch still merges, so
+    // its id is recorded as applied
+    val allBands = if (touched.isEmpty) newTagged
+      else storedBands(spark, bands, touched, batchId).unionByName(newTagged)
+    val pairs = allBands
       // one row per (bucket, doc): a re-indexed doc appears with BOTH tags
       // and must not count twice toward the bucket cap
       .groupBy(col("band"), col("bh"), col("doc_id"))

@@ -46,6 +46,22 @@ class IncrementalDedupSpec extends SparkTestBase {
     assert(table.read().get.count() == 2)
   }
 
+  test("a first batch with no band rows neither crashes nor loses its batch id") {
+    val table = new KeyedTable(spark, tmp("empty"), "doc_id")
+    // all docs < 3 words → no shingles → no signatures → no band rows; the
+    // bands dir has no parquet files yet and must not be read
+    val b0 = Seq((1L, "too short"), (2L, "also short")).toDF("doc_id", "text")
+    val p0 = IncrementalDedup.processBatch(table, b0, 0L)
+    assert(p0.count() == 0)
+    p0.unpersist()
+    assert(table.alreadyApplied(0L), "empty batch must still be recorded as applied")
+    // a later real batch proceeds normally
+    val b1 = Seq((3L, base), (4L, base + " tail")).toDF("doc_id", "text")
+    val p1 = IncrementalDedup.processBatch(table, b1, 1L)
+    assert(p1.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == Set((3L, 4L)))
+    p1.unpersist()
+  }
+
   test("a batch's stored-band read prunes to touched pb partitions only") {
     val table = new KeyedTable(spark, tmp("prune"), "doc_id")
     val b1 = Seq((1L, base), (2L, base + " tail"),
