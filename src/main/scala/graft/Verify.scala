@@ -9,6 +9,10 @@ object Verify {
     val spark = LocalSpark.session(cpus, "graft-verify")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // queries persist shared lineage and rely on the runner for cache
+      // hygiene (DedupQueries cache-discipline note): without this the
+      // 70+-query run accumulates every query's caches until LRU pressure
+      spark.catalog.clearCache()
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -42,8 +42,9 @@ import graft.queries.DedupQueries
   * The band index is append-only: re-indexing a document whose TEXT changed
   * leaves its old band rows in place, so candidates against the previous
   * text's buckets may surface; candidates are verified downstream (the same
-  * contract as LSH's own false positives), and a compaction that rewrites
-  * the index from the signature table restores exactness when wanted.
+  * contract as LSH's own false positives), and [[compactBands]] rebuilds
+  * the index from the signature table to restore exactness (and fold the
+  * per-batch partition layers) as a between-batches maintenance step.
   *
   * Cap semantics are AS-OF-BATCH, necessarily: the hot-bucket cap sees the
   * bucket's population at processing time, so a bucket that later grows past
@@ -79,6 +80,49 @@ object IncrementalDedup {
     spark.read.parquet(bands)
       .filter(col("batch") =!= lit(batchId) && col("pb").isin(touched: _*))
       .select(col("doc_id"), col("band"), col("bh"), lit(false).as("is_new"))
+
+  /** Rebuild the band index from the CURRENT signature table — the
+    * maintenance compaction the index's append-only growth calls for: drops
+    * band rows from re-indexed documents' previous texts (the documented
+    * staleness source) and folds the per-batch partitions into one reserved
+    * `batch=-1` layer (excluded by no real batch id, so reads are
+    * unaffected). Safe to run at any point between batches because the band
+    * index is DERIVED data over the signature table: the rebuilt partitions
+    * commit (all-or-nothing, Spark's output committer) before the old batch
+    * partitions are removed, so a crash anywhere leaves a superset of the
+    * current index — stale rows only ever ADD candidate pairs, which the
+    * downstream verify stage already filters (the LSH false-positive
+    * contract) — never an incomplete one.
+    */
+  def compactBands(table: KeyedTable): Unit =
+    table.read().foreach { sig =>
+      val bands = bandsPath(table)
+      DedupQueries.bandRows(sig)
+        .withColumn("pb", pmod(xxhash64(col("bh")), lit(BandBuckets)).cast("int"))
+        .withColumn("batch", lit(-1L))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch", "pb")
+        .parquet(bands)
+      // superseded per-batch layers go only AFTER the rebuild committed;
+      // best-effort (a survivor is stale-but-safe, see above)
+      val root = java.nio.file.Paths.get(bands)
+      if (java.nio.file.Files.isDirectory(root)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(root).iterator().asScala
+          .filter(_.getFileName.toString.matches("batch=\\d+"))
+          .foreach(deleteRecursively)
+      }
+    }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.isDirectory(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(p).iterator().asScala.foreach(deleteRecursively)
+    }
+    java.nio.file.Files.deleteIfExists(p)
+    ()
+  }
 
   /** Index `docs` (doc_id, text, ...) under `batchId` and return the near-dup
     * candidate pairs (a, b) this batch creates against the corpus-so-far

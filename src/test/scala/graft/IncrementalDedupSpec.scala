@@ -88,6 +88,30 @@ class IncrementalDedupSpec extends SparkTestBase {
     assert(IncrementalDedup.storedBands(spark, bands, allPbs, 0L).count() == 0)
   }
 
+  test("compactBands folds batch layers and drops stale re-index rows") {
+    val table = new KeyedTable(spark, tmp("compact"), "doc_id")
+    val b1 = Seq((1L, base), (2L, base + " tail")).toDF("doc_id", "text")
+    IncrementalDedup.processBatch(table, b1, 0L).unpersist()
+    // re-index doc 1 with DIFFERENT text: its old band rows go stale
+    val b2 = Seq((1L, "entirely new content for doc one rewritten completely fresh"))
+      .toDF("doc_id", "text")
+    IncrementalDedup.processBatch(table, b2, 1L).unpersist()
+    val bands = IncrementalDedup.bandsPath(table)
+    assert(spark.read.parquet(bands).count() == 12) // 8 (b1) + 4 (b2 re-index)
+    IncrementalDedup.compactBands(table)
+    val after = spark.read.parquet(bands)
+    assert(after.count() == 8, "compaction must keep 4 band rows per CURRENT signature")
+    assert(after.select("batch").distinct().collect().map(_.getInt(0)).toSeq == Seq(-1))
+    // a later batch still probes the compacted layer — and doc 1's STALE
+    // text can no longer produce candidates
+    val b3 = Seq((5L, base + " tail")).toDF("doc_id", "text")
+    val p3 = IncrementalDedup.processBatch(table, b3, 2L)
+    val got = p3.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    p3.unpersist()
+    assert(got.contains((2L, 5L)), s"pair against compacted index missed: $got")
+    assert(!got.exists(p => p._1 == 1L || p._2 == 1L), s"stale doc-1 candidate: $got")
+  }
+
   test("batched indexing of the corpus reproduces the batch query's pair set") {
     val dir  = "/root/testdata/sf0.001"
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
