@@ -66,8 +66,17 @@ object TextQueries {
     * (error probability delta = e^-D), width = counters per row (error
     * eps = e/W of the total count).
     */
-  private val CmsDepth = 4
-  private val CmsWidth = 64L
+  private[graft] val CmsDepth = 4
+  private[graft] val CmsWidth = 64L
+
+  /** The CmsDepth salted (row, bucket) hash expressions over a word column
+    * `w` — single-sourced for the graded query and the streaming
+    * [[graft.streaming.Sketches]] merge (a drifting salt would silently
+    * split a word's counters across cells).
+    */
+  private[graft] def cmsBucketExprs: Seq[org.apache.spark.sql.Column] =
+    (0 until CmsDepth).map(r =>
+      expr(s"${hash60Sql(s"concat('cms$r:', w)")} % $CmsWidth"))
 
   val queries: Seq[GraftQuery] = Seq(
 
@@ -659,8 +668,7 @@ object TextQueries {
           .filter(col("w") =!= "")
           .groupBy("w").agg(count(lit(1)).as("wc"))
           .persist()
-        val bucketExprs = (0 until CmsDepth).map(r =>
-          expr(s"${hash60Sql(s"concat('cms$r:', w)")} % $CmsWidth"))
+        val bucketExprs = cmsBucketExprs
         val sketch = vocab
           .select(col("wc"), posexplode(array(bucketExprs: _*)).as(Seq("r", "bucket")))
           .groupBy("r", "bucket").agg(sum("wc").as("cnt"))

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.queries.{Dialect, TextQueries}
+
+/** Streaming count-min sketch (the incremental form of `q_cms_counts`): each
+  * micro-batch's D×W counter grid is merged BY ADDITION into a persisted
+  * sketch table — the property that makes CMS the frequency sketch for
+  * unbounded ingest (counters are a commutative monoid, so batch sketches
+  * merge associatively and old text is never reprocessed; state is the fixed
+  * D×W grid, independent of stream length).
+  *
+  * Replay safety rides the [[KeyedTable]] batch protocol: an already-applied
+  * batch id is skipped, so foreachBatch's at-least-once replay cannot
+  * double-count a batch into the counters (addition is NOT idempotent — this
+  * guard is what makes the merge exactly-once).
+  *
+  * The salted bucket construction is single-sourced with the graded query
+  * ([[TextQueries.cmsBucketExprs]]); [[SketchesSpec]] pins that counters
+  * accumulated over streamed batches equal the batch query's sketch.
+  */
+object Sketches {
+
+  /** Per-batch counters of `docs` (any frame with a `text` column) added
+    * into the sketch at `table` (schema: cell, r, bucket, cnt; key "cell" =
+    * r·W + bucket). Returns after the merged snapshot is published.
+    */
+  def updateCms(table: KeyedTable, docs: DataFrame, batchId: Long): Unit = {
+    if (table.alreadyApplied(batchId)) return
+    val batchCounters = docs
+      .select(explode(expr(Dialect.wordsSql)).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .select(col("wc"), posexplode(array(TextQueries.cmsBucketExprs: _*)).as(Seq("r", "bucket")))
+      .groupBy("r", "bucket").agg(sum("wc").as("cnt"))
+    val merged = table.read() match {
+      case Some(prev) => prev.select("r", "bucket", "cnt").unionByName(batchCounters)
+        .groupBy("r", "bucket").agg(sum("cnt").as("cnt"))
+      case None => batchCounters
+    }
+    table.publish(
+      merged.withColumn("cell", col("r") * TextQueries.CmsWidth + col("bucket")),
+      Some(batchId))
+    ()
+  }
+
+  /** Point estimates for `words` against the sketch: min over the D
+    * counters, 0 for a word hitting only empty cells (never seen). The probe
+    * side is a constant-size literal frame; the sketch side is at most D×W
+    * rows — both broadcastable at any corpus size.
+    */
+  def estimate(table: KeyedTable, words: Seq[String]): DataFrame = {
+    val spark = // the probe frame is built on the table's session
+      table.read().map(_.sparkSession)
+        .getOrElse(throw new IllegalStateException("empty sketch table"))
+    import spark.implicits._
+    val probes = words.toDF("w")
+      .select(col("w"), posexplode(array(TextQueries.cmsBucketExprs: _*)).as(Seq("r", "bucket")))
+    val sk = table.read().get.select("r", "bucket", "cnt")
+    probes.join(sk, Seq("r", "bucket"), "left")
+      .groupBy("w")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+  }
+}

@@ -1,0 +1,45 @@
+package graft
+
+import graft.streaming.{KeyedTable, Sketches}
+
+/** Streaming CMS ([[Sketches]]): counters accumulated over streamed batches
+  * must equal the batch query's sketch (merge-by-addition associativity),
+  * and a replayed batch must not double-count.
+  */
+class SketchesSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"cms_$tag").toString
+
+  test("streamed batch sketches sum to the batch query's estimates") {
+    val table = new KeyedTable(spark, tmp("parity"), "cell")
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    // three arbitrary batches partitioning the corpus
+    (0 until 3).foreach { b =>
+      Sketches.updateCms(table, docs.filter($"doc_id" % 3 === b), b.toLong)
+    }
+    val want = SparkEntry.queries("q_cms_counts")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val got = Sketches.estimate(table, want.keys.toSeq)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want, s"diff=${want.collect { case (k, v) if got.get(k) != Some(v) => (k, v, got.get(k)) }}")
+    // a never-seen word estimates 0 (all-empty cells) or a small collision
+    val unseen = Sketches.estimate(table, Seq("zzz_never_in_corpus_zzz"))
+      .collect()(0).getLong(1)
+    assert(unseen >= 0L)
+  }
+
+  test("a replayed batch id does not double-count") {
+    val table = new KeyedTable(spark, tmp("replay"), "cell")
+    val docs = Seq((1L, "alpha beta alpha")).toDF("doc_id", "text")
+    Sketches.updateCms(table, docs, 0L)
+    Sketches.updateCms(table, docs, 0L) // foreachBatch replay
+    val est = Sketches.estimate(table, Seq("alpha"))
+      .collect()(0).getLong(1)
+    assert(est == 2L, s"alpha counted $est times (want 2: replay must be skipped)")
+  }
+}
