@@ -20,6 +20,12 @@ object EventQueries {
   /** Session gap threshold: 30 minutes, in microseconds. */
   private val GapUs = 30L * 60 * 1000000
 
+  /** Funnel step deadline: each stage must follow the previous within 24h
+    * (sized so every stage of the test corpus's funnel discriminates:
+    * 150 → 60 → 25 users at sf0.01).
+    */
+  private val StepUs = 24L * 3600 * 1000000
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery(
       "q_sessionize",
@@ -89,6 +95,81 @@ object EventQueries {
              |SELECT spine.user_id, spine.hr, CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
              |FROM spine LEFT JOIN c USING (user_id, hr)
              |ORDER BY user_id, hr""".stripMargin)
+    ),
+
+    // E4e ordered funnel (sequence-pattern matching): per user, the first
+    // view, the first click STRICTLY AFTER that view, and the first purchase
+    // strictly after that click — each within a 24h step deadline. The
+    // MATCH_RECOGNIZE-class analytics operator, computed the distributed
+    // way: two stacked RUNNING MINs over one user-keyed sort (first_view so
+    // far → qualifying-click so far) turn the sequential pattern into plain
+    // window algebra — no per-user UDAF state, no re-scan per step, and the
+    // whole user's history never leaves its partition. A k-step funnel is k
+    // stacked window columns over the SAME sort (one exchange, one sort).
+    //
+    // Timestamps stay -1-coalesced integers (a NULL would be the one value
+    // the two engines could hash differently); stage = steps reached.
+    GraftQuery(
+      "q_funnel_steps",
+      "view -> click -> purchase funnel per user, 24h step deadlines",
+      (s, dir) => {
+        val order = Seq(col("us").asc, col("event_id").asc)
+        val w = Window.partitionBy(col("user_id")).orderBy(order: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, dir)
+          .withColumn("us", expr("unix_micros(ts)"))
+          .select(col("user_id"), col("event_id"), col("us"), col("event_type"))
+          .withColumn("first_view",
+            min(when(col("event_type") === "view", col("us"))).over(w))
+          .withColumn("click_ok",
+            when(col("event_type") === "click" && col("us") > col("first_view") &&
+              col("us") <= col("first_view") + StepUs, col("us")))
+          .withColumn("first_click", min(col("click_ok")).over(w))
+          .groupBy("user_id")
+          .agg(
+            min(when(col("event_type") === "view", col("us"))).as("t_view"),
+            min(col("click_ok")).as("t_click"),
+            min(when(col("event_type") === "purchase" && col("us") > col("first_click") &&
+              col("us") <= col("first_click") + StepUs, col("us"))).as("t_purchase"))
+          .select(col("user_id"),
+            coalesce(col("t_view"), lit(-1L)).as("t_view"),
+            coalesce(col("t_click"), lit(-1L)).as("t_click"),
+            coalesce(col("t_purchase"), lit(-1L)).as("t_purchase"),
+            (when(col("t_purchase").isNotNull, 3L)
+              .when(col("t_click").isNotNull, 2L)
+              .when(col("t_view").isNotNull, 1L)
+              .otherwise(0L)).as("stage"))
+          .orderBy("user_id")
+      },
+      Some(s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type FROM events),
+              |f AS (
+              |  SELECT user_id, event_type, event_id, us,
+              |         min(CASE WHEN event_type = 'view' THEN us END) OVER w AS first_view
+              |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+              |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+              |g AS (
+              |  SELECT *, CASE WHEN event_type = 'click' AND us > first_view
+              |                  AND us <= first_view + $StepUs THEN us END AS click_ok
+              |  FROM f),
+              |h AS (
+              |  SELECT user_id, event_type, us, click_ok,
+              |         min(click_ok) OVER w AS first_click
+              |  FROM g WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+              |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+              |u AS (
+              |  SELECT user_id,
+              |         min(CASE WHEN event_type = 'view' THEN us END) AS t_view,
+              |         min(click_ok) AS t_click,
+              |         min(CASE WHEN event_type = 'purchase' AND us > first_click
+              |                   AND us <= first_click + $StepUs THEN us END) AS t_purchase
+              |  FROM h GROUP BY user_id)
+              |SELECT user_id, coalesce(t_view, -1) AS t_view,
+              |       coalesce(t_click, -1) AS t_click,
+              |       coalesce(t_purchase, -1) AS t_purchase,
+              |       CAST(CASE WHEN t_purchase IS NOT NULL THEN 3
+              |                 WHEN t_click IS NOT NULL THEN 2
+              |                 WHEN t_view IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage
+              |FROM u ORDER BY user_id""".stripMargin)
     )
   )
 }
