@@ -694,6 +694,74 @@ object TextQueries {
               |SELECT pb.w, CAST(max(pb.wc) AS BIGINT) AS exact, min(s.cnt) AS cms_est
               |FROM pb JOIN sk s ON s.r = pb.r AND s.bucket = pb.bucket
               |GROUP BY pb.w ORDER BY pb.w""".stripMargin)
+    ),
+
+    // E3r distribution-drift detection: the two-sample Kolmogorov–Smirnov
+    // statistic between each source's token-length distribution and the
+    // src0 reference — the data-quality monitor that catches a source
+    // silently changing shape (truncation bugs, new boilerplate, crawler
+    // drift) before it skews training. Computed EXACTLY in integers: the
+    // CDFs are compared by cross-multiplication (|f·n0 − f0·n| avoids
+    // fractions entirely), and the statistic is reported in basis points
+    // via floor division. Exact while n·n0·10^4 < 2^63 — ~3·10^7 docs per
+    // source at bp precision; beyond that the final scaling moves to
+    // decimal(38,0), same plan.
+    //
+    // Scale shape: the corpus pays ONE (source, tok) histogram aggregate;
+    // everything after runs on the histogram grid (sources × distinct
+    // lengths — vocabulary-of-lengths cardinality, independent of corpus
+    // rows). The grid cross join is two tiny derived frames; CDFs are
+    // source-keyed cumulative windows over grid rows (the q_token_quantiles
+    // move), never per-document sorts.
+    GraftQuery(
+      "q_ks_drift",
+      "two-sample KS statistic (bp) of token-length distributions vs src0, per source",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+        val hist = Tables.documents(s, dir)
+          .withColumn("tok", expr(s"cast(size($wordsSql) as bigint)"))
+          .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+        val spine = hist.select("tok").distinct()
+        val srcs  = hist.select("source").distinct()
+        val cum = srcs.crossJoin(spine)
+          .join(hist, Seq("source", "tok"), "left")
+          .withColumn("cc", coalesce(col("c"), lit(0L)))
+          .withColumn("f", sum("cc").over(
+            w.partitionBy("source").orderBy("tok")
+              .rowsBetween(w.unboundedPreceding, w.currentRow)))
+          .withColumn("n", sum("cc").over(w.partitionBy("source")))
+          .select("source", "tok", "f", "n")
+        val ref = cum.filter(col("source") === "src0")
+          .select(col("tok"), col("f").as("f0"), col("n").as("n0"))
+        cum.filter(col("source") =!= "src0")
+          .join(ref, "tok")
+          .groupBy("source")
+          .agg(max(abs(col("f") * col("n0") - col("f0") * col("n"))).as("d"),
+            max(col("n")).as("n"), max(col("n0")).as("n0"))
+          .select(col("source"),
+            expr("(d * 10000) div (n * n0)").as("ks_bp"),
+            col("n").as("n_docs"))
+          .orderBy("source")
+      },
+      Some(s"""WITH h AS (
+              |  SELECT source, CAST(len($duckWordsSql) AS BIGINT) AS tok, count(*) AS c
+              |  FROM documents GROUP BY 1, 2),
+              |spine AS (SELECT DISTINCT tok FROM h),
+              |srcs AS (SELECT DISTINCT source FROM h),
+              |cum AS (
+              |  SELECT g.source, g.tok,
+              |         CAST(sum(coalesce(h.c, 0)) OVER (PARTITION BY g.source ORDER BY g.tok
+              |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS f,
+              |         CAST(sum(coalesce(h.c, 0)) OVER (PARTITION BY g.source) AS BIGINT) AS n
+              |  FROM (SELECT s.source, p.tok FROM srcs s, spine p) g
+              |  LEFT JOIN h ON h.source = g.source AND h.tok = g.tok),
+              |ref AS (SELECT tok, f AS f0, n AS n0 FROM cum WHERE source = 'src0')
+              |SELECT c.source,
+              |       CAST(max(abs(c.f * r.n0 - r.f0 * c.n)) * 10000 // (max(c.n) * max(r.n0)) AS BIGINT) AS ks_bp,
+              |       max(c.n) AS n_docs
+              |FROM cum c JOIN ref r USING (tok)
+              |WHERE c.source <> 'src0'
+              |GROUP BY c.source ORDER BY c.source""".stripMargin)
     )
   )
 }
