@@ -70,6 +70,14 @@ object IncrementalDedup {
 
   private[graft] def bandsPath(table: KeyedTable): String = table.dir + "/bands"
 
+  /** The band-bucket partition column — single-sourced: the writer
+    * (processBatch, compactBands) and the touched-bucket pruning read the
+    * SAME derivation, or compacted rows would land in partitions the probe
+    * never reads (a silent false-negative, not an error).
+    */
+  private def withPb(df: DataFrame): DataFrame =
+    df.withColumn("pb", pmod(xxhash64(col("bh")), lit(BandBuckets)).cast("int"))
+
   /** Stored band rows, PRUNED to the pb partitions in `touched` (partition
     * pruning — the scan lists and reads only those directories); rows of
     * `batchId` itself are excluded so a crash-replay's own leftover rows
@@ -84,41 +92,62 @@ object IncrementalDedup {
   /** Rebuild the band index from the CURRENT signature table — the
     * maintenance compaction the index's append-only growth calls for: drops
     * band rows from re-indexed documents' previous texts (the documented
-    * staleness source) and folds the per-batch partitions into one reserved
-    * `batch=-1` layer (excluded by no real batch id, so reads are
-    * unaffected). Safe to run at any point between batches because the band
-    * index is DERIVED data over the signature table: the rebuilt partitions
-    * commit (all-or-nothing, Spark's output committer) before the old batch
-    * partitions are removed, so a crash anywhere leaves a superset of the
-    * current index — stale rows only ever ADD candidate pairs, which the
-    * downstream verify stage already filters (the LSH false-positive
-    * contract) — never an incomplete one.
+    * staleness source) and folds the per-batch partitions into one layer.
+    *
+    * Crash-safety is GENERATIONAL, never in-place: each compaction writes a
+    * FRESH reserved layer `batch=-g` (the next unused negative id — real
+    * batch ids are >= 0), whose partition directories did not previously
+    * exist, and only after that write commits does it sweep every OTHER
+    * batch layer (positive and older negatives). A crash anywhere therefore
+    * leaves a SUPERSET of the current index — mid-write: staged files are
+    * invisible, old layers intact; mid-sweep: the new complete layer plus
+    * surviving old layers, whose duplicate/stale rows the per-bucket
+    * dedup-and-verify path already tolerates. (An in-place dynamic
+    * overwrite of one fixed layer id would delete an old partition during
+    * commit before its replacement renames in — a crash window that LOSES
+    * rows whose only copy was the previous compaction's output — and would
+    * also leave stale rows alive in any partition the rebuilt data doesn't
+    * touch.)
     */
   def compactBands(table: KeyedTable): Unit =
     table.read().foreach { sig =>
       val bands = bandsPath(table)
-      DedupQueries.bandRows(sig)
-        .withColumn("pb", pmod(xxhash64(col("bh")), lit(BandBuckets)).cast("int"))
-        .withColumn("batch", lit(-1L))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
+      val root  = java.nio.file.Paths.get(bands)
+      val existing = listLayers(root)
+      val gen = existing.filter(_ < 0).minOption.getOrElse(0L) - 1L
+      withPb(DedupQueries.bandRows(sig))
+        .withColumn("batch", lit(gen))
+        .write.mode("append")
         .partitionBy("batch", "pb")
         .parquet(bands)
-      // superseded per-batch layers go only AFTER the rebuild committed;
-      // best-effort (a survivor is stale-but-safe, see above)
-      val root = java.nio.file.Paths.get(bands)
-      if (java.nio.file.Files.isDirectory(root)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.list(root).iterator().asScala
-          .filter(_.getFileName.toString.matches("batch=\\d+"))
-          .foreach(deleteRecursively)
+      // sweep ALL superseded layers (old compaction generations included —
+      // that is what drops stale re-index rows) only AFTER the new layer
+      // committed; best-effort, a survivor is stale-but-safe (see above)
+      listLayers(root).filter(_ != gen).foreach { v =>
+        deleteRecursively(root.resolve(s"batch=$v"))
       }
+    }
+
+  /** Batch-layer ids present under the bands root (dirs named `batch=<id>`). */
+  private def listLayers(root: java.nio.file.Path): Seq[Long] =
+    if (!java.nio.file.Files.isDirectory(root)) Seq.empty
+    else {
+      val s = java.nio.file.Files.list(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .collect { case n if n.matches("batch=-?\\d+") => n.drop(6).toLong }
+          .toSeq
+      } finally s.close()
     }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     if (java.nio.file.Files.isDirectory(p)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.list(p).iterator().asScala.foreach(deleteRecursively)
+      val s = java.nio.file.Files.list(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.foreach(deleteRecursively)
+      } finally s.close()
     }
     java.nio.file.Files.deleteIfExists(p)
     ()
@@ -141,9 +170,7 @@ object IncrementalDedup {
     if (table.alreadyApplied(batchId))
       return sig.select(col("doc_id").as("a"), col("doc_id").as("b"),
         lit(false).as("is_new_b")).limit(0)
-    val newBands = DedupQueries.bandRows(sig)
-      .withColumn("pb", pmod(xxhash64(col("bh")), lit(BandBuckets)).cast("int"))
-      .persist()
+    val newBands = withPb(DedupQueries.bandRows(sig)).persist()
     // the touched-partition list: ≤ BandBuckets ints — a bounded driver
     // collect (the pruning predicate, not data)
     val touched = newBands.select("pb").distinct().collect().map(_.getInt(0)).toSeq

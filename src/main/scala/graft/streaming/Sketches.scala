@@ -52,13 +52,15 @@ object Sketches {
     * rows — both broadcastable at any corpus size.
     */
   def estimate(table: KeyedTable, words: Seq[String]): DataFrame = {
-    val spark = // the probe frame is built on the table's session
-      table.read().map(_.sparkSession)
-        .getOrElse(throw new IllegalStateException("empty sketch table"))
+    // one snapshot read: resolving the pointer twice could straddle a
+    // concurrent publish and mix versions
+    val sk = table.read()
+      .getOrElse(throw new IllegalStateException("empty sketch table"))
+      .select("r", "bucket", "cnt")
+    val spark = sk.sparkSession
     import spark.implicits._
     val probes = words.toDF("w")
       .select(col("w"), posexplode(array(TextQueries.cmsBucketExprs: _*)).as(Seq("r", "bucket")))
-    val sk = table.read().get.select("r", "bucket", "cnt")
     probes.join(sk, Seq("r", "bucket"), "left")
       .groupBy("w")
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))

@@ -110,6 +110,14 @@ class IncrementalDedupSpec extends SparkTestBase {
     p3.unpersist()
     assert(got.contains((2L, 5L)), s"pair against compacted index missed: $got")
     assert(!got.exists(p => p._1 == 1L || p._2 == 1L), s"stale doc-1 candidate: $got")
+    // a SECOND compaction writes the next generation layer and sweeps the
+    // previous one (generational, never in-place — the old layer is the
+    // only copy of folded rows, so it must survive until the new layer
+    // commits); 3 signatures remain -> 12 band rows in batch=-2 only
+    IncrementalDedup.compactBands(table)
+    val gen2 = spark.read.parquet(bands)
+    assert(gen2.count() == 12, s"second compaction kept ${gen2.count()} rows (want 3 docs x 4)")
+    assert(gen2.select("batch").distinct().collect().map(_.getInt(0)).toSeq == Seq(-2))
   }
 
   test("batched indexing of the corpus reproduces the batch query's pair set") {

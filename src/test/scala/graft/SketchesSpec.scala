@@ -27,10 +27,16 @@ class SketchesSpec extends SparkTestBase {
     val got = Sketches.estimate(table, want.keys.toSeq)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == want, s"diff=${want.collect { case (k, v) if got.get(k) != Some(v) => (k, v, got.get(k)) }}")
-    // a never-seen word estimates 0 (all-empty cells) or a small collision
+    // a never-seen word's estimate is pure collision mass: bounded by the
+    // mean cell load N/W (the min over CmsDepth cells sits at or below a
+    // typical single cell; 4x slack keeps the pin deterministic-safe)
+    val totalTokens = table.read().get
+      .filter($"r" === 0).agg(org.apache.spark.sql.functions.sum("cnt"))
+      .collect()(0).getLong(0)
     val unseen = Sketches.estimate(table, Seq("zzz_never_in_corpus_zzz"))
       .collect()(0).getLong(1)
-    assert(unseen >= 0L)
+    assert(unseen <= 4L * totalTokens / graft.queries.TextQueries.CmsWidth,
+      s"unseen-word estimate $unseen exceeds the collision bound (N=$totalTokens)")
   }
 
   test("a replayed batch id does not double-count") {
