@@ -123,24 +123,31 @@ final class KeyedTable(spark: SparkSession, val dir: String, val key: String,
     * swung the pointer).
     */
   private def gc(current: Long): Unit =
-    try
-      Files.list(root).iterator().asScala
-        .filter(p => p.getFileName.toString.matches("v\\d+"))
-        .map(p => (p, p.getFileName.toString.drop(1).toLong))
-        .filter { case (_, v) => v < current - KeepSnapshots + 1 || v > current }
-        .foreach { case (p, v) =>
-          // external tables: DROP releases the catalog entry only; the
-          // version directory is deleted explicitly below
-          if (buckets.isDefined)
-            spark.sql(s"DROP TABLE IF EXISTS ${tableName(v)}")
-          deleteRecursively(p)
-        }
-    catch { case _: Exception => () } // GC must never fail a publish
+    try {
+      val s = Files.list(root)
+      try
+        s.iterator().asScala
+          .filter(p => p.getFileName.toString.matches("v\\d+"))
+          .map(p => (p, p.getFileName.toString.drop(1).toLong))
+          .filter { case (_, v) => v < current - KeepSnapshots + 1 || v > current }
+          .foreach { case (p, v) =>
+            // external tables: DROP releases the catalog entry only; the
+            // version directory is deleted explicitly below
+            if (buckets.isDefined)
+              spark.sql(s"DROP TABLE IF EXISTS ${tableName(v)}")
+            deleteRecursively(p)
+          }
+      finally s.close()
+    } catch { case _: Exception => () } // GC must never fail a publish
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.foreach(deleteRecursively)
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try s.iterator().asScala.foreach(deleteRecursively)
+      finally s.close()
+    }
     Files.deleteIfExists(p)
+    ()
   }
 
   /** Keyed upsert of one micro-batch (J4 semantics — pet_scraper.py:410-466):
