@@ -75,7 +75,7 @@ object IncrementalDedup {
     * SAME derivation, or compacted rows would land in partitions the probe
     * never reads (a silent false-negative, not an error).
     */
-  private def withPb(df: DataFrame): DataFrame =
+  private[graft] def withPb(df: DataFrame): DataFrame =
     df.withColumn("pb", pmod(xxhash64(col("bh")), lit(BandBuckets)).cast("int"))
 
   /** Stored band rows, PRUNED to the pb partitions in `touched` (partition

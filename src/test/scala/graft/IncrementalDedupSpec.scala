@@ -120,6 +120,32 @@ class IncrementalDedupSpec extends SparkTestBase {
     assert(gen2.select("batch").distinct().collect().map(_.getInt(0)).toSeq == Seq(-2))
   }
 
+  test("a crash between the band write and the signature merge replays cleanly") {
+    val table = new KeyedTable(spark, tmp("crash"), "doc_id")
+    val b1 = Seq((1L, base), (2L, "completely unrelated words forming another doc"))
+      .toDF("doc_id", "text")
+    IncrementalDedup.processBatch(table, b1, 0L).unpersist()
+    // simulate batch 1 dying AFTER its band write, BEFORE the merge: its
+    // band partitions exist on disk but the pointer never recorded batch 1
+    val b2 = Seq((3L, base), (4L, base + " tail")).toDF("doc_id", "text")
+    IncrementalDedup.withPb(
+        graft.queries.DedupQueries.bandRows(IncrementalDedup.signaturesOf(b2)))
+      .withColumn("batch", org.apache.spark.sql.functions.lit(1L))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch", "pb")
+      .parquet(IncrementalDedup.bandsPath(table))
+    assert(!table.alreadyApplied(1L))
+    // the foreachBatch replay of batch 1 must neither crash, nor see its own
+    // crashed leftovers as "stored", nor lose pairs: exactly the clean result
+    val p = IncrementalDedup.processBatch(table, b2, 1L)
+    val got = p.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    p.unpersist()
+    assert(got == Set((1L, 3L, false), (1L, 4L, false), (3L, 4L, true)),
+      s"replay after simulated crash diverged: $got")
+    assert(table.read().get.count() == 4)
+  }
+
   test("batched indexing of the corpus reproduces the batch query's pair set") {
     val dir  = "/root/testdata/sf0.001"
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
