@@ -22,9 +22,10 @@ object EventQueries {
 
   /** Funnel step deadline: each stage must follow the previous within 24h
     * (sized so every stage of the test corpus's funnel discriminates:
-    * 150 → 60 → 25 users at sf0.01).
+    * 150 → 60 → 25 users at sf0.01). Shared with the streaming form's
+    * parity spec — the two must test the same deadline.
     */
-  private val StepUs = 24L * 3600 * 1000000
+  private[graft] val StepUs = 24L * 3600 * 1000000
 
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery(

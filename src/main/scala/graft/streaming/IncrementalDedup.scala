@@ -124,7 +124,7 @@ object IncrementalDedup {
       // that is what drops stale re-index rows) only AFTER the new layer
       // committed; best-effort, a survivor is stale-but-safe (see above)
       listLayers(root).filter(_ != gen).foreach { v =>
-        deleteRecursively(root.resolve(s"batch=$v"))
+        Fs.deleteRecursively(root.resolve(s"batch=$v"))
       }
     }
 
@@ -140,18 +140,6 @@ object IncrementalDedup {
           .toSeq
       } finally s.close()
     }
-
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    if (java.nio.file.Files.isDirectory(p)) {
-      val s = java.nio.file.Files.list(p)
-      try {
-        import scala.jdk.CollectionConverters._
-        s.iterator().asScala.foreach(deleteRecursively)
-      } finally s.close()
-    }
-    java.nio.file.Files.deleteIfExists(p)
-    ()
-  }
 
   /** Index `docs` (doc_id, text, ...) under `batchId` and return the near-dup
     * candidate pairs (a, b) this batch creates against the corpus-so-far

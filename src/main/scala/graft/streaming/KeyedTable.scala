@@ -135,20 +135,10 @@ final class KeyedTable(spark: SparkSession, val dir: String, val key: String,
             // version directory is deleted explicitly below
             if (buckets.isDefined)
               spark.sql(s"DROP TABLE IF EXISTS ${tableName(v)}")
-            deleteRecursively(p)
+            Fs.deleteRecursively(p)
           }
       finally s.close()
     } catch { case _: Exception => () } // GC must never fail a publish
-
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    if (Files.isDirectory(p)) {
-      val s = Files.list(p)
-      try s.iterator().asScala.foreach(deleteRecursively)
-      finally s.close()
-    }
-    Files.deleteIfExists(p)
-    ()
-  }
 
   /** Keyed upsert of one micro-batch (J4 semantics — pet_scraper.py:410-466):
     * merge into the current snapshot (or bootstrap from the batch), publish

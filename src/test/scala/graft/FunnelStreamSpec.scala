@@ -14,7 +14,7 @@ class FunnelStreamSpec extends SparkTestBase {
   import spark.implicits._
 
   private val dir    = "/root/testdata/sf0.001"
-  private val StepUs = 24L * 3600 * 1000000
+  private val StepUs = graft.queries.EventQueries.StepUs
 
   test("time-ordered streamed events reproduce the batch funnel stages") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
