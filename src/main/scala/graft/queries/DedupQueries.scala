@@ -724,6 +724,36 @@ object DedupQueries {
               |FROM grp GROUP BY doc_id, g ORDER BY doc_id, span_start""".stripMargin)
     ),
 
+    // E1i dedup provenance matrix: near-dup pair counts by (source, source)
+    // — the report a curation run reads to see WHERE duplication comes from
+    // (one boilerplate-heavy source, or systematic cross-source mirroring).
+    // Shares the minhash candidate lineage; the source lookup is two keyed
+    // joins against the (doc_id, source) projection; the pair is
+    // canonicalized (least, greatest) so the matrix is upper-triangular.
+    GraftQuery(
+      "q_dup_sources",
+      "near-dup candidate pair counts by canonical source pair",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val src  = docs.select(col("doc_id"), col("source"))
+        candidatePairs(signatures(shingleRows(docs)))
+          .join(src.select(col("doc_id").as("a"), col("source").as("sa")), "a")
+          .join(src.select(col("doc_id").as("b"), col("source").as("sb")), "b")
+          .select(least(col("sa"), col("sb")).as("s1"),
+            greatest(col("sa"), col("sb")).as("s2"))
+          .groupBy("s1", "s2").agg(count(lit(1)).as("pairs"))
+          .orderBy("s1", "s2")
+      },
+      Some(s"""WITH $duckMinhashCtes
+              |SELECT s1, s2, count(*) AS pairs FROM (
+              |  SELECT least(da.source, db.source) AS s1,
+              |         greatest(da.source, db.source) AS s2
+              |  FROM cand
+              |  JOIN documents da ON da.doc_id = cand.a
+              |  JOIN documents db ON db.doc_id = cand.b) j
+              |GROUP BY s1, s2 ORDER BY s1, s2""".stripMargin)
+    ),
+
     // E1g dedup-cluster canonicalization: near-dup PAIRS are not what a
     // pipeline keeps — it keeps one canonical doc per connected component of
     // the pair graph (a~b, b~c ⇒ {a,b,c} even though a,c never collided).

@@ -762,6 +762,62 @@ object TextQueries {
               |FROM cum c JOIN ref r USING (tok)
               |WHERE c.source <> 'src0'
               |GROUP BY c.source ORDER BY c.source""".stripMargin)
+    ),
+
+    // E3s collocation mining: top bigrams by a pointwise-mutual-information
+    // proxy — PMI ranks pairs by p(ab)/(p(a)p(b)), and the MONOTONE integer
+    // form bc·N·100 div (c1·c2) ranks identically to the log without ever
+    // computing one (log is not correctly-rounded cross-engine; integer
+    // div is exact — the BM25 rational-idf move). The bc >= 5 support floor
+    // is the standard collocation guard against one-off pairs dominating.
+    // Exact while bc·N·100 < 2^63; beyond ~10^9 total tokens the scale
+    // factor moves to decimal(38,0), same plan.
+    //
+    // Scale shape: one (w1, w2) bigram histogram + one word histogram
+    // (corpus-cardinality aggregates with map-side partials), then
+    // vocab-sized joins and a TakeOrderedAndProject top-50 — the expensive
+    // work never exceeds histogram cardinality.
+    GraftQuery(
+      "q_collocations",
+      "top-50 bigram collocations by integer PMI proxy (support >= 5)",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val wf = docs.select(explode(expr(wordsSql)).as("w"))
+          .filter(col("w") =!= "")
+          .groupBy("w").agg(count(lit(1)).as("wc"))
+          .persist()
+        val nw = wf.agg(sum("wc").as("nw"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("pos")
+        val bg = docs
+          .select(col("doc_id"), posexplode(expr(wordsSql)).as(Seq("pos", "w1")))
+          .withColumn("w2", lead(col("w1"), 1).over(w))
+          .filter(col("w2").isNotNull && col("w1") =!= "" && col("w2") =!= "")
+          .groupBy("w1", "w2").agg(count(lit(1)).as("bc"))
+          .filter(col("bc") >= 5)
+        bg.join(wf.select(col("w").as("w1"), col("wc").as("c1")), "w1")
+          .join(wf.select(col("w").as("w2"), col("wc").as("c2")), "w2")
+          .crossJoin(broadcast(nw))
+          .select(col("w1"), col("w2"), col("bc"),
+            expr("(bc * nw * 100) div (c1 * c2)").as("pmi_c"))
+          .orderBy(col("pmi_c").desc, col("w1"), col("w2"))
+          .limit(50)
+      },
+      Some(s"""WITH docs AS (SELECT doc_id, $duckWordsSql AS words FROM documents),
+              |wx AS (SELECT unnest(words) AS w FROM docs),
+              |wf AS (SELECT w, count(*) AS wc FROM wx WHERE w <> '' GROUP BY w),
+              |n AS (SELECT CAST(sum(wc) AS BIGINT) AS nw FROM wf),
+              |bg AS (
+              |  SELECT words[i] AS w1, words[i+1] AS w2, count(*) AS bc
+              |  FROM (SELECT words, unnest(range(1, len(words))) AS i
+              |        FROM docs WHERE len(words) >= 2) t
+              |  WHERE words[i] <> '' AND words[i+1] <> ''
+              |  GROUP BY 1, 2)
+              |SELECT b.w1, b.w2, b.bc,
+              |       (b.bc * n.nw * 100) // (a.wc * c.wc) AS pmi_c
+              |FROM bg b JOIN wf a ON a.w = b.w1 JOIN wf c ON c.w = b.w2, n
+              |WHERE b.bc >= 5
+              |ORDER BY pmi_c DESC, w1, w2 LIMIT 50""".stripMargin)
     )
   )
 }
