@@ -736,7 +736,7 @@ object DedupQueries {
       (s, dir) => {
         val docs = Tables.documents(s, dir)
         val src  = docs.select(col("doc_id"), col("source"))
-        candidatePairs(signatures(shingleRows(docs)))
+        minhashCandidates(shingleRows(docs))
           .join(src.select(col("doc_id").as("a"), col("source").as("sa")), "a")
           .join(src.select(col("doc_id").as("b"), col("source").as("sb")), "b")
           .select(least(col("sa"), col("sb")).as("s1"),

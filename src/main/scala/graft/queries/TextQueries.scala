@@ -787,12 +787,22 @@ object TextQueries {
           .groupBy("w").agg(count(lit(1)).as("wc"))
           .persist()
         val nw = wf.agg(sum("wc").as("nw"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("doc_id").orderBy("pos")
+        // bigrams built ROW-LOCALLY by zipping the words array against its
+        // own 1-shifted slice — a pure histogram needs no doc-keyed window
+        // (the exploded lead construction elsewhere exists for pipelines
+        // that also need positions/carry columns; here it would exchange
+        // and sort every token row of the corpus for nothing). Two slice
+        // references evaluate the split twice per ROW — constant — unlike
+        // a per-element element_at lambda, which Catalyst would inline to
+        // one split evaluation per bigram.
         val bg = docs
-          .select(col("doc_id"), posexplode(expr(wordsSql)).as(Seq("pos", "w1")))
-          .withColumn("w2", lead(col("w1"), 1).over(w))
-          .filter(col("w2").isNotNull && col("w1") =!= "" && col("w2") =!= "")
+          .withColumn("ws", expr(wordsSql))
+          .filter(size(col("ws")) >= 2)
+          .withColumn("a1", slice(col("ws"), lit(1), size(col("ws")) - 1))
+          .withColumn("a2", slice(col("ws"), lit(2), size(col("ws")) - 1))
+          .select(explode(arrays_zip(col("a1"), col("a2"))).as("p"))
+          .select(col("p.a1").as("w1"), col("p.a2").as("w2"))
+          .filter(col("w1") =!= "" && col("w2") =!= "")
           .groupBy("w1", "w2").agg(count(lit(1)).as("bc"))
           .filter(col("bc") >= 5)
         bg.join(wf.select(col("w").as("w1"), col("wc").as("c1")), "w1")
