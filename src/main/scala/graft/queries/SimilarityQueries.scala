@@ -42,7 +42,7 @@ object SimilarityQueries {
     java.lang.Long.parseLong(hex.take(15), 16)
   }
 
-  private[queries] val Dim = 64
+  private[graft] val Dim = 64
   /** 4 hash tables × 4 sign bits each (OR-amplification): one k-bit table
     * ANDs k low-probability events, so recall collapses on weakly-similar
     * corpora; L tables OR them back up — the standard LSH trade
@@ -119,13 +119,13 @@ object SimilarityQueries {
     * every scale factor; at sf0.01 (500 vectors) this list selects exactly
     * the 10 probes the old modulo rule did.
     */
-  private val ProbeIds: Seq[Long] = (0 until 20).map(_ * 50L)
+  private[graft] val ProbeIds: Seq[Long] = (0 until 20).map(_ * 50L)
   private val probeIdsSql: String = ProbeIds.mkString("(", ", ", ")")
 
   /** IVF lists probed per query vector (multi-probe; 1 list ≈ recall 0.17,
     * 3 lists observed ≥ 0.30 — the standard recall/cost dial).
     */
-  private val NProbe = 3
+  private[graft] val NProbe = 3
 
   /** IVF coarse quantizer SEEDS: 16 deterministic pseudo-random centroids
     * (same hash-derived construction as the LSH hyperplanes, "c{j}:{d}"
@@ -143,7 +143,7 @@ object SimilarityQueries {
   private val TrainIters = 2
 
   /** Per-centroid dot products of quantized vector column `q`, as an array. */
-  private def dotsColOf(cents: Seq[Seq[Long]]): Column =
+  private[graft] def dotsColOf(cents: Seq[Seq[Long]]): Column =
     array(cents.map(c => dotLong(col("q"), array(c.map(lit(_)): _*))): _*)
 
   /** Corpus-side centroid ASSIGNMENT: first index of the maximum centroid
@@ -154,7 +154,7 @@ object SimilarityQueries {
     * row_number(ORDER BY dot DESC, cid) rank-1 row (callers keep `cents`
     * sorted by original centroid id, so index order IS id order).
     */
-  private def cidColOf(cents: Seq[Seq[Long]]): Column = {
+  private[graft] def cidColOf(cents: Seq[Seq[Long]]): Column = {
     val dots = dotsColOf(cents)
     (array_position(dots, array_max(dots)) - 1).cast("int")
   }
@@ -173,7 +173,7 @@ object SimilarityQueries {
     * returned seq keeps original centroid ids, sorted ascending, so literal
     * array index order = id order on both engines.
     */
-  private def trainCodebook(s: org.apache.spark.sql.SparkSession, dir: String): Seq[(Int, Seq[Long])] = {
+  private[graft] def trainCodebook(s: org.apache.spark.sql.SparkSession, dir: String): Seq[(Int, Seq[Long])] = {
     val base = Tables.embeddings(s, dir)
       .filter(size(col("embedding")) === Dim)
       .withColumn("q", expr(quantSql))
@@ -207,7 +207,7 @@ object SimilarityQueries {
     * ascending = dot descending with the same smaller-index tie-break as the
     * assignment and the oracle's rk <= NProbe rows.
     */
-  private val probeCidsCol: Column = {
+  private[graft] val probeCidsCol: Column = {
     val negStructs =
       s"transform(dots, (x, j) -> named_struct('nd', -x, 'j', j))"
     expr(s"transform(slice(array_sort($negStructs), 1, $NProbe), s -> s.j)")

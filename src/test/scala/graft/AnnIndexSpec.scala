@@ -1,0 +1,42 @@
+package graft
+
+import graft.operators.AnnIndex
+
+/** Persisted IVF index ([[AnnIndex]]): build-then-search must reproduce the
+  * graded `q_ann_ivf` results exactly, and a search must read ONLY the list
+  * partitions its probes hash into.
+  */
+class AnnIndexSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("build + search reproduces q_ann_ivf exactly, reading only probed lists") {
+    val idx = java.nio.file.Files.createTempDirectory("ann_idx").toString
+    AnnIndex.build(spark, dir, idx)
+
+    val got = AnnIndex.search(spark, idx, AnnIndex.probeWorkload(spark, dir))
+    val want = SparkEntry.queries("q_ann_ivf")(spark, dir)
+    val g = got.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val w = want.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(g == w, s"index search diverged from the graded scan: " +
+      s"first diff=${g.zip(w).find(p => p._1 != p._2)}")
+
+    // IO pin: a single probe touches at most NProbe list partitions, and the
+    // pruned scan's actual input files stay within exactly those
+    val probes = AnnIndex.probeWorkload(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("vec_id") === 0L)
+    val touched = AnnIndex.touchedLists(spark, idx, probes)
+    assert(touched.nonEmpty && touched.size <= 3,
+      s"one probe touched ${touched.size} lists (max NProbe=3)")
+    val files = AnnIndex.listScan(spark, idx, touched)
+      .select(org.apache.spark.sql.functions.input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    assert(files.nonEmpty)
+    assert(files.forall(f => touched.exists(t => f.contains(s"cid=$t"))),
+      s"scan escaped the probed lists: ${files.mkString("\n")}")
+    val allCids = spark.read.parquet(s"$idx/vectors").select("cid").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(touched.toSet.size < allCids.size,
+      s"probe lists cover every populated list ($touched of $allCids) — pin is vacuous")
+  }
+}
