@@ -784,6 +784,96 @@ object DedupQueries {
               |  SELECT s.b, c.lbl FROM comp c JOIN sym s ON s.a = c.id)
               |SELECT id AS doc_id, min(lbl) AS canon
               |FROM comp GROUP BY id ORDER BY doc_id""".stripMargin)
+    ),
+
+    // E1j cross-doc duplicated-span coverage: per source, the fraction of
+    // token positions sitting inside a 3-gram that also occurs in at least
+    // one OTHER document — substring-level exact dedup (the Lee et al.
+    // "Deduplicating Training Data" audit) at shingle granularity, and the
+    // intra-corpus twin of q_span_decontaminate (that query asks "which
+    // spans leak from the benchmark", this one "how much of each source is
+    // boilerplate shared across docs").
+    //
+    // Scale shape: positional shingles → one corpus-cardinality (shingle →
+    // distinct-doc count) hash aggregate → semi-join matched positions →
+    // the same two doc_id-partitioned window passes as the span merge →
+    // two keyed aggregates. No pairwise stage anywhere: a shingle shared
+    // by a million docs costs one histogram row, not 10^12 pairs.
+    GraftQuery(
+      "q_dup_span_coverage",
+      "per-source token coverage (bp) of 3-gram spans duplicated across docs",
+      (s, dir) => {
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val ps = Tables.documents(s, dir)
+          .select(col("doc_id"), posexplode(expr(wordsSql)).as(Seq("pos", "w")))
+          .withColumn("w1", lead(col("w"), 1).over(w))
+          .withColumn("w2", lead(col("w"), 2).over(w))
+          .filter(col("w2").isNotNull)
+          .select(col("doc_id"), col("pos"),
+            concat_ws(" ", col("w"), col("w1"), col("w2")).as("shingle"))
+          .persist()
+        val dup = ps.groupBy("shingle")
+          .agg(countDistinct(col("doc_id")).as("df"))
+          .filter(col("df") >= 2)
+          .select("shingle")
+        // matched positions merge into islands exactly as in
+        // q_span_decontaminate (gap <= 3 keeps the union contiguous), so
+        // each island covers max - min + 3 tokens with no double count
+        val covered = ps.join(dup, Seq("shingle"), "left_semi")
+          .select(col("doc_id"), col("pos"))
+          .withColumn("brk", when(lag(col("pos"), 1).over(w).isNull ||
+            col("pos") - lag(col("pos"), 1).over(w) > 3, 1L).otherwise(0L))
+          .withColumn("g", sum(col("brk")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("doc_id", "g")
+          .agg((max(col("pos")) - min(col("pos")) + 3).as("span_tokens"))
+          .groupBy("doc_id")
+          .agg(sum(col("span_tokens")).as("cov"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            expr(s"cast(size($wordsSql) as bigint)").as("toks"))
+          .join(covered, Seq("doc_id"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(coalesce(col("cov"), lit(0L))).as("dup_tokens"),
+            sum(col("toks")).as("total_tokens"))
+          .withColumn("coverage_bp", expr("(dup_tokens * 10000) div total_tokens"))
+          .orderBy("source")
+      },
+      Some(s"""WITH docs AS (
+              |  SELECT doc_id, source, $duckWordsSql AS words FROM documents),
+              |ps AS (
+              |  SELECT doc_id, i - 1 AS pos,
+              |         words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+              |  FROM (SELECT doc_id, words, unnest(range(1, len(words) - 1)) AS i
+              |        FROM docs WHERE len(words) >= 3) t),
+              |dup AS (SELECT shingle FROM ps
+              |        GROUP BY shingle HAVING count(DISTINCT doc_id) >= 2),
+              |m AS (SELECT doc_id, pos FROM ps
+              |      WHERE shingle IN (SELECT shingle FROM dup)),
+              |isl AS (
+              |  SELECT doc_id, pos,
+              |         CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > 3
+              |              THEN 1 ELSE 0 END AS brk
+              |  FROM m WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+              |grp AS (
+              |  SELECT doc_id, pos,
+              |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+              |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+              |  FROM isl),
+              |spans AS (
+              |  SELECT doc_id, CAST(max(pos) - min(pos) + 3 AS BIGINT) AS span_tokens
+              |  FROM grp GROUP BY doc_id, g),
+              |cov AS (SELECT doc_id, CAST(sum(span_tokens) AS BIGINT) AS cov
+              |        FROM spans GROUP BY doc_id),
+              |tot AS (SELECT doc_id, source, CAST(len(words) AS BIGINT) AS toks FROM docs)
+              |SELECT source, count(*) AS n_docs,
+              |       CAST(sum(coalesce(cov, 0)) AS BIGINT) AS dup_tokens,
+              |       CAST(sum(toks) AS BIGINT) AS total_tokens,
+              |       (CAST(sum(coalesce(cov, 0)) AS BIGINT) * 10000)
+              |         // CAST(sum(toks) AS BIGINT) AS coverage_bp
+              |FROM tot LEFT JOIN cov USING (doc_id)
+              |GROUP BY source ORDER BY source""".stripMargin)
     )
   )
 }

@@ -49,6 +49,21 @@ object TextQueries {
     */
   private val TokenRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 
+  /** PII-scrub patterns, in the Java∩RE2 regex common subset (no
+    * backslash classes, no lookarounds) so Spark and the DuckDB oracle
+    * match identically. A deployment extends the list; the plan shape
+    * (per-row replace-all chain) is unchanged.
+    */
+  private val EmailRe = "[A-Za-z0-9._]+@[A-Za-z0-9.]+"
+  private val PhoneRe = "555-[0-9]{4}"
+
+  /** Vocabulary size for the OOV-coverage audit — tiny on purpose (the
+    * synthetic corpus has a small closed vocabulary, so a realistic 32k
+    * vocab would make every token in-vocab and the query vacuous); a
+    * deployment sets its tokenizer's true size here.
+    */
+  private val VocabK = 16
+
   /** Context-window token budget for the sequence-packing query — sized so
     * the test corpus yields multiple packs per source; a deployment sets its
     * model's context length here.
@@ -828,6 +843,108 @@ object TextQueries {
               |FROM bg b JOIN wf a ON a.w = b.w1 JOIN wf c ON c.w = b.w2, n
               |WHERE b.bc >= 5
               |ORDER BY pmi_c DESC, w1, w2 LIMIT 50""".stripMargin)
+    ),
+
+    // E3t PII redaction: regex-scrub emails and phone numbers before a
+    // corpus ships to training — the scrubbing pass every LLM data pipeline
+    // runs (and the privacy twin of the reference's field-sanitization gates,
+    // pet_scraper.py:364-407). The synthetic corpus contains no PII, so the
+    // harness plants it deterministically from doc_id (identical string
+    // construction in both engines) and the graded operator is the
+    // redaction itself: replace-all plus per-doc match counts.
+    //
+    // Scale shape: a pure per-row codegen'd expression pipeline — no
+    // shuffle, no join, no window; the 100 TB cost is exactly one scan.
+    // Regexes stay in the Java∩RE2 common subset (character classes,
+    // bounded repeats — no lookarounds) so both engines see the same
+    // matches.
+    GraftQuery(
+      "q_pii_redact",
+      "regex email/phone scrub with per-doc redaction counts",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .withColumn("aug", expr(
+            s"""concat(coalesce(text, ''),
+               |  ' contact u', doc_id, '@mail', doc_id % 10, '.com',
+               |  CASE WHEN doc_id % 3 = 0
+               |       THEN concat(' cc admin', doc_id % 7, '@site.org') ELSE '' END,
+               |  CASE WHEN doc_id % 2 = 0
+               |       THEN concat(' call 555-', lpad(cast(doc_id % 10000 as string), 4, '0'))
+               |       ELSE '' END)""".stripMargin))
+          .withColumn("n_emails", expr(
+            s"cast(size(regexp_extract_all(aug, '$EmailRe', 0)) as bigint)"))
+          .withColumn("n_phones", expr(
+            s"cast(size(regexp_extract_all(aug, '$PhoneRe', 0)) as bigint)"))
+          .withColumn("redacted", expr(
+            s"regexp_replace(regexp_replace(aug, '$EmailRe', '<EMAIL>'), '$PhoneRe', '<PHONE>')"))
+          .select("doc_id", "n_emails", "n_phones", "redacted")
+          .orderBy("doc_id"),
+      Some(s"""WITH aug AS (
+              |  SELECT doc_id,
+              |         coalesce(text, '')
+              |           || ' contact u' || CAST(doc_id AS VARCHAR)
+              |           || '@mail' || CAST(doc_id % 10 AS VARCHAR) || '.com'
+              |           || CASE WHEN doc_id % 3 = 0
+              |                THEN ' cc admin' || CAST(doc_id % 7 AS VARCHAR) || '@site.org'
+              |                ELSE '' END
+              |           || CASE WHEN doc_id % 2 = 0
+              |                THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              |                ELSE '' END AS aug
+              |  FROM documents)
+              |SELECT doc_id,
+              |       CAST(len(regexp_extract_all(aug, '$EmailRe')) AS BIGINT) AS n_emails,
+              |       CAST(len(regexp_extract_all(aug, '$PhoneRe')) AS BIGINT) AS n_phones,
+              |       regexp_replace(regexp_replace(aug, '$EmailRe', '<EMAIL>', 'g'),
+              |                      '$PhoneRe', '<PHONE>', 'g') AS redacted
+              |FROM aug ORDER BY doc_id""".stripMargin)
+    ),
+
+    // E3u tokenizer vocabulary coverage: per-source out-of-vocabulary rate
+    // against the top-K corpus tokens — the audit that tells a pipeline
+    // whether a tokenizer's vocab (here the frequency-built stand-in for a
+    // trained BPE vocab, sharing q_bpe_pair_counts' pre-tokenization) fits
+    // a new data source before training on it.
+    //
+    // Scale shape: the corpus collapses to a (source, token) histogram
+    // FIRST (map-side partial agg), so the vocab ranking and the OOV join
+    // both run at vocabulary cardinality, never corpus cardinality; the
+    // top-K is a TakeOrderedAndProject and the K-row vocab is broadcast.
+    // Deterministic tie-break (count desc, token asc) in both engines.
+    GraftQuery(
+      "q_vocab_oov",
+      s"per-source OOV rate (basis points) against the top-$VocabK token vocab",
+      (s, dir) => {
+        val hist = Tables.documents(s, dir)
+          .select(col("source"), explode(
+            expr(s"regexp_extract_all(coalesce(text, ''), '$TokenRe', 0)")).as("tok"))
+          .groupBy("source", "tok").agg(count(lit(1)).as("n"))
+          .persist()
+        val vocab = hist.groupBy("tok").agg(sum("n").as("gn"))
+          .orderBy(col("gn").desc, col("tok").asc)
+          .limit(VocabK)
+          .select("tok")
+        hist
+          .join(broadcast(vocab.withColumn("in_v", lit(1L))), Seq("tok"), "left")
+          .groupBy("source")
+          .agg(sum(col("n")).as("total_tokens"),
+            sum(when(col("in_v").isNull, col("n")).otherwise(0L)).as("oov_tokens"))
+          .withColumn("oov_bp", expr("(oov_tokens * 10000) div total_tokens"))
+          .orderBy("source")
+      },
+      Some(s"""WITH t AS (
+              |  SELECT source, unnest(regexp_extract_all(coalesce(text, ''), '$TokenRe')) AS tok
+              |  FROM documents),
+              |h AS (SELECT source, tok, count(*) AS n FROM t GROUP BY source, tok),
+              |v AS (SELECT tok FROM (
+              |        SELECT tok, CAST(sum(n) AS BIGINT) AS gn FROM h GROUP BY tok)
+              |      ORDER BY gn DESC, tok LIMIT $VocabK)
+              |SELECT source,
+              |       CAST(sum(n) AS BIGINT) AS total_tokens,
+              |       CAST(sum(CASE WHEN v.tok IS NULL THEN n ELSE 0 END) AS BIGINT) AS oov_tokens,
+              |       (CAST(sum(CASE WHEN v.tok IS NULL THEN n ELSE 0 END) AS BIGINT) * 10000)
+              |         // CAST(sum(n) AS BIGINT) AS oov_bp
+              |FROM h LEFT JOIN v ON h.tok = v.tok
+              |GROUP BY source ORDER BY source""".stripMargin)
     )
   )
 }

@@ -109,6 +109,39 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("q_pii_redact is a single-scan row map (no join, window, or aggregate)") {
+    // the scrub is one codegen'd expression pipeline; the only exchange a
+    // plan may carry is the final output ORDER BY's range partitioning.
+    // Anything else (a join or aggregate creeping in) multiplies the one
+    // 100 TB scan this query is supposed to cost.
+    val p = plan("q_pii_redact")
+    assert(!p.contains("Join") && !p.contains("Window") && !p.contains("HashAggregate"),
+      s"q_pii_redact grew a non-map operator:\n${p.take(1500)}")
+    assert("Exchange".r.findAllIn(p).length == 1,
+      s"q_pii_redact has more than the final-sort exchange:\n${p.take(1500)}")
+  }
+
+  test("q_vocab_oov ranks the vocab with TakeOrderedAndProject and broadcasts it") {
+    // the top-K vocab must stay a per-partition top-k + merge (never a global
+    // sort of the token histogram) and must reach the OOV join as a broadcast
+    // — the join's stream side is the (source, token) histogram, not the corpus.
+    val p = plan("q_vocab_oov")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q_vocab_oov lost its vocab top-k:\n${p.take(1500)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q_vocab_oov lost the broadcast vocab join:\n${p.take(1500)}")
+  }
+
+  test("q_dup_span_coverage joins distributed (semi-join, no cartesian)") {
+    // matched positions come from a keyed semi-join against the duplicated-
+    // shingle set — never a pairwise or cartesian stage, and never a
+    // collected driver-side filter.
+    val p = plan("q_dup_span_coverage")
+    assert(p.contains("LeftSemi"), s"q_dup_span_coverage lost its semi-join:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"q_dup_span_coverage grew a pairwise stage:\n${p.take(1500)}")
+  }
+
   test("q_revenue_monthly forces broadcast on nation only (facts stay shuffled)") {
     val logical = SparkEntry.queries("q_revenue_monthly")(spark, dir)
       .queryExecution.analyzed.toString
