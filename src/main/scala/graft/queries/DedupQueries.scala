@@ -874,6 +874,64 @@ object DedupQueries {
               |         // CAST(sum(toks) AS BIGINT) AS coverage_bp
               |FROM tot LEFT JOIN cov USING (doc_id)
               |GROUP BY source ORDER BY source""".stripMargin)
+    ),
+
+    // E1k cross-source overlap matrix: pairwise Jaccard of the sources'
+    // distinct-3-gram sets — the curation audit that shows WHICH sources
+    // mirror each other (q_dup_sources reports where near-dup PAIRS come
+    // from; this reports wholesale set overlap even when no single doc
+    // pair collides).
+    //
+    // Scale shape: shingles build ROW-LOCALLY (slice+zip — a histogram
+    // needs no doc-keyed window), the corpus collapses to the distinct
+    // (source, shingle) set, and the pairwise stage runs per SHINGLE over
+    // its source list — expansion bounded by #sources², never corpus² (a
+    // shingle in every source costs one bounded row list). Per-source set
+    // sizes are a #sources-row broadcast.
+    GraftQuery(
+      "q_source_overlap",
+      "pairwise source 3-gram-set Jaccard overlap matrix, in basis points",
+      (s, dir) => {
+        val sh = Tables.documents(s, dir)
+          .withColumn("ws", expr(wordsSql))
+          .filter(size(col("ws")) >= 3)
+          .withColumn("a1", slice(col("ws"), lit(1), size(col("ws")) - 2))
+          .withColumn("a2", slice(col("ws"), lit(2), size(col("ws")) - 2))
+          .withColumn("a3", slice(col("ws"), lit(3), size(col("ws")) - 2))
+          .select(col("source"), explode(arrays_zip(col("a1"), col("a2"), col("a3"))).as("p"))
+          .select(col("source"),
+            concat_ws(" ", col("p.a1"), col("p.a2"), col("p.a3")).as("shingle"))
+          .distinct()
+          .persist()
+        val sizes = sh.groupBy("source").agg(count(lit(1)).as("c"))
+        val inter = sh.groupBy("shingle")
+          .agg(array_sort(collect_set(col("source"))).as("ss"))
+          .filter(size(col("ss")) >= 2)
+          .select(explode(expr(pairExpansionSql("ss")(
+            (x, y) => s"named_struct('s1', $x, 's2', $y)"))).as("p"))
+          .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+          .agg(count(lit(1)).as("inter"))
+        inter
+          .join(broadcast(sizes.select(col("source").as("s1"), col("c").as("c1"))), "s1")
+          .join(broadcast(sizes.select(col("source").as("s2"), col("c").as("c2"))), "s2")
+          .select(col("s1"), col("s2"), col("inter"),
+            expr("(inter * 10000) div (c1 + c2 - inter)").as("jaccard_bp"))
+          .orderBy("s1", "s2")
+      },
+      Some(s"""WITH docs AS (SELECT source, $duckWordsSql AS words FROM documents),
+              |sh AS (
+              |  SELECT DISTINCT source,
+              |         words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+              |  FROM (SELECT source, words, unnest(range(1, len(words) - 1)) AS i
+              |        FROM docs WHERE len(words) >= 3) t),
+              |sz AS (SELECT source, count(*) AS c FROM sh GROUP BY source),
+              |ix AS (SELECT a.source AS s1, b.source AS s2, count(*) AS inter
+              |       FROM sh a JOIN sh b USING (shingle)
+              |       WHERE a.source < b.source GROUP BY 1, 2)
+              |SELECT s1, s2, inter,
+              |       (inter * 10000) // (x.c + y.c - inter) AS jaccard_bp
+              |FROM ix JOIN sz x ON x.source = ix.s1 JOIN sz y ON y.source = ix.s2
+              |ORDER BY s1, s2""".stripMargin)
     )
   )
 }

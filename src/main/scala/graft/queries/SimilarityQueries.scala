@@ -512,6 +512,67 @@ object SimilarityQueries {
               |SELECT cid, pos, CAST(sum(v + 1000) // count(*) - 1000 AS BIGINT) AS centroid,
               |       count(*) AS n
               |FROM e GROUP BY cid, pos ORDER BY cid, pos""".stripMargin)
+    ),
+
+    // E2f int8 quantization audit: symmetric per-vector int8 quantization
+    // (q = round(127·x/maxabs), the compression every large vector index
+    // applies before it can hold billions of embeddings in memory) with the
+    // reconstruction-error report that tells a deployment whether 8 bits
+    // suffice. All rounding is integer-exact in both engines: round-half-up
+    // of a/b is floor((2a+b)/(2b)), and adding OFF·b to the numerator first
+    // keeps it non-negative so truncating division IS floor — no
+    // negative-division or float-tie divergence anywhere.
+    //
+    // Scale shape: a pure per-row lambda pipeline over the vector column
+    // (no shuffle until the #labels-row aggregate) — the same one-scan
+    // audit cost as q_pii_redact.
+    GraftQuery(
+      "q_embed_quantize",
+      "per-label int8 quantization reconstruction error (total/max/relative bp)",
+      (s, dir) =>
+        Tables.embeddings(s, dir)
+          .filter(expr(s"size(embedding) = $Dim"))
+          .withColumn("x", expr(quantSql))
+          .withColumn("m", expr("greatest(1L, aggregate(x, 0L, (a, v) -> greatest(a, abs(v))))"))
+          // err_i = |x_i − dequant(quant(x_i))|: quant = round-half-up int8
+          // code (OFF = 200 ≥ 127), dequant = round-half-up back-scaling
+          // (OFF = m bounds |code·m| / 127)
+          .withColumn("errs", expr(
+            """transform(x, v -> abs(v -
+              |  ((2 * ((((2 * v * 127 + 401 * m) div (2 * m)) - 200) * m)
+              |    + (2 * m + 1) * 127) div 254 - m)))""".stripMargin))
+          .withColumn("esum", expr("aggregate(errs, 0L, (a, e) -> a + e)"))
+          .withColumn("emax", expr("aggregate(errs, 0L, (a, e) -> greatest(a, e))"))
+          .withColumn("mag", expr("aggregate(x, 0L, (a, v) -> a + abs(v))"))
+          .groupBy(col("label").cast("bigint").as("label"))
+          .agg(count(lit(1)).as("n_vecs"),
+            sum(col("esum")).as("total_err"),
+            max(col("emax")).as("max_err"),
+            sum(col("mag")).as("total_mag"))
+          .withColumn("rel_bp", expr("(total_err * 10000) div greatest(1L, total_mag)"))
+          .select("label", "n_vecs", "total_err", "max_err", "rel_bp")
+          .orderBy("label"),
+      Some(s"""WITH v AS (
+              |  SELECT label, q,
+              |         greatest(1, list_max(list_transform(q, v -> abs(v)))) AS m
+              |  FROM (SELECT label, $duckQuantSql AS q
+              |        FROM embeddings WHERE len(embedding) = $Dim) t),
+              |e AS (
+              |  SELECT label,
+              |         CAST(list_sum(errs) AS BIGINT) AS esum,
+              |         CAST(list_max(errs) AS BIGINT) AS emax,
+              |         CAST(list_sum(list_transform(q, v -> abs(v))) AS BIGINT) AS mag
+              |  FROM (SELECT label, q,
+              |               list_transform(q, v -> abs(v -
+              |                 ((2 * ((((2 * v * 127 + 401 * m) // (2 * m)) - 200) * m)
+              |                   + (2 * m + 1) * 127) // 254 - m))) AS errs
+              |        FROM v) t)
+              |SELECT CAST(label AS BIGINT) AS label, count(*) AS n_vecs,
+              |       CAST(sum(esum) AS BIGINT) AS total_err,
+              |       CAST(max(emax) AS BIGINT) AS max_err,
+              |       (CAST(sum(esum) AS BIGINT) * 10000)
+              |         // greatest(1, CAST(sum(mag) AS BIGINT)) AS rel_bp
+              |FROM e GROUP BY label ORDER BY label""".stripMargin)
     )
   )
 }

@@ -142,6 +142,23 @@ class PlanShapeSpec extends SparkTestBase {
       s"q_dup_span_coverage grew a pairwise stage:\n${p.take(1500)}")
   }
 
+  test("q_embed_quantize is a scan plus one aggregate (no join or window)") {
+    // the quantization audit must stay a per-row lambda pipeline into the
+    // #labels-row aggregate — one 100 TB scan, nothing else.
+    val p = plan("q_embed_quantize")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"q_embed_quantize grew a join/window:\n${p.take(1500)}")
+  }
+
+  test("q_source_overlap expands pairs per shingle, never cross-corpus") {
+    // the pairwise stage must come from the per-shingle source-list
+    // expansion (bounded #sources²) — a cartesian or nested-loop join here
+    // means the corpus self-join came back.
+    val p = plan("q_source_overlap")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"q_source_overlap grew a pairwise corpus stage:\n${p.take(1500)}")
+  }
+
   test("q_revenue_monthly forces broadcast on nation only (facts stay shuffled)") {
     val logical = SparkEntry.queries("q_revenue_monthly")(spark, dir)
       .queryExecution.analyzed.toString
