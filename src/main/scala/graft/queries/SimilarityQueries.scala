@@ -81,6 +81,21 @@ object SimilarityQueries {
     math.max(1, math.ceil(math.log(buckets) / math.log(2)).toInt)
   }
 
+  /** Int8 quantization expressions over columns `x` (quantized bigint
+    * vector) and `m` (per-vector max-abs, clamped ≥ 1) — factored so the
+    * graded audit query and QuantizationSpec's property pins evaluate the
+    * IDENTICAL SQL. Round-half-up of a/b is floor((2a+b)/(2b)); the OFF·b
+    * added to each numerator keeps it non-negative so truncating division
+    * IS floor in both engines (OFF = 200 ≥ 127 for the code; OFF = m
+    * bounds |code·m|/127 for the reconstruction).
+    */
+  private[graft] val QuantCodesSql =
+    "transform(x, v -> ((2 * v * 127 + 401 * m) div (2 * m)) - 200)"
+  private[graft] val QuantErrsSql =
+    """transform(x, v -> abs(v -
+      |  ((2 * ((((2 * v * 127 + 401 * m) div (2 * m)) - 200) * m)
+      |    + (2 * m + 1) * 127) div 254 - m)))""".stripMargin
+
   /** Random-hyperplane matrix: component (s,d) = hash60("s:d") mod 2001 −
     * 1000, i.e. deterministic pseudo-random in [−1000, 1000]. Inlined as SQL
     * literals on both sides, so no per-row hashing.
@@ -534,13 +549,9 @@ object SimilarityQueries {
           .filter(expr(s"size(embedding) = $Dim"))
           .withColumn("x", expr(quantSql))
           .withColumn("m", expr("greatest(1L, aggregate(x, 0L, (a, v) -> greatest(a, abs(v))))"))
-          // err_i = |x_i − dequant(quant(x_i))|: quant = round-half-up int8
-          // code (OFF = 200 ≥ 127), dequant = round-half-up back-scaling
-          // (OFF = m bounds |code·m| / 127)
-          .withColumn("errs", expr(
-            """transform(x, v -> abs(v -
-              |  ((2 * ((((2 * v * 127 + 401 * m) div (2 * m)) - 200) * m)
-              |    + (2 * m + 1) * 127) div 254 - m)))""".stripMargin))
+          // err_i = |x_i − dequant(quant(x_i))| — see QuantCodesSql/
+          // QuantErrsSql above for the integer-exact rounding construction
+          .withColumn("errs", expr(QuantErrsSql))
           .withColumn("esum", expr("aggregate(errs, 0L, (a, e) -> a + e)"))
           .withColumn("emax", expr("aggregate(errs, 0L, (a, e) -> greatest(a, e))"))
           .withColumn("mag", expr("aggregate(x, 0L, (a, v) -> a + abs(v))"))
