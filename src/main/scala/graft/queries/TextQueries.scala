@@ -57,6 +57,15 @@ object TextQueries {
   private val EmailRe = "[A-Za-z0-9._]+@[A-Za-z0-9.]+"
   private val PhoneRe = "555-[0-9]{4}"
 
+  /** Chunking geometry: window of [[ChunkW]] tokens advanced by stride
+    * [[ChunkS]] (overlap = W − S tokens keeps boundary context in both
+    * neighbors — the standard retrieval-embedding split). Sized so the test
+    * corpus's ~60-word docs produce multiple chunks; a deployment sets its
+    * embedder's window here.
+    */
+  private val ChunkW = 32L
+  private val ChunkS = 24L
+
   /** Vocabulary size for the OOV-coverage audit — tiny on purpose (the
     * synthetic corpus has a small closed vocabulary, so a realistic 32k
     * vocab would make every token in-vocab and the query vacuous); a
@@ -945,6 +954,40 @@ object TextQueries {
               |         // CAST(sum(n) AS BIGINT) AS oov_bp
               |FROM h LEFT JOIN v ON h.tok = v.tok
               |GROUP BY source ORDER BY source""".stripMargin)
+    ),
+
+    // E3v document chunking: split each doc into overlapping fixed-size
+    // token windows — the retrieval-embedding prep stage and the dual of
+    // q_pack_sequences (packing concatenates short docs UP to a budget;
+    // chunking splits long docs DOWN to one). Emitted as (chunk_id, start,
+    // end) offsets; at scale the same explode carries the token slice
+    // itself to the embedder.
+    //
+    // Scale shape: chunk starts generate ROW-LOCALLY (sequence + explode —
+    // a doc knows its own chunk count from its own length); no shuffle, no
+    // window, no join before the output sort. Chunk rows ≈ corpus tokens /
+    // stride, linear in the input.
+    GraftQuery(
+      "q_chunk_windows",
+      s"overlapping $ChunkW-token chunk windows (stride $ChunkS) per document",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .withColumn("n", expr(s"cast(size($wordsSql) as bigint)"))
+          .select(col("doc_id"), col("n"),
+            explode(expr(s"sequence(0L, n - 1, $ChunkS)")).as("start"))
+          .select(col("doc_id"),
+            expr(s"start div $ChunkS").as("chunk_id"),
+            col("start").as("chunk_start"),
+            expr(s"least(start + $ChunkW, n)").as("chunk_end"),
+            expr(s"least($ChunkW, n - start)").as("n_tokens"))
+          .orderBy("doc_id", "chunk_id"),
+      Some(s"""WITH d AS (
+              |  SELECT doc_id, CAST(len($duckWordsSql) AS BIGINT) AS n FROM documents),
+              |c AS (SELECT doc_id, n, unnest(range(0, n, $ChunkS)) AS start FROM d)
+              |SELECT doc_id, start // $ChunkS AS chunk_id, start AS chunk_start,
+              |       least(start + $ChunkW, n) AS chunk_end,
+              |       least($ChunkW, n - start) AS n_tokens
+              |FROM c ORDER BY doc_id, chunk_id""".stripMargin)
     )
   )
 }

@@ -142,6 +142,16 @@ class PlanShapeSpec extends SparkTestBase {
       s"q_dup_span_coverage grew a pairwise stage:\n${p.take(1500)}")
   }
 
+  test("q_chunk_windows generates chunks row-locally (no join, window, or aggregate)") {
+    // chunk starts must come from the row-local sequence explode — the only
+    // exchange is the final output ORDER BY's range partitioning.
+    val p = plan("q_chunk_windows")
+    assert(!p.contains("Join") && !p.contains("Window") && !p.contains("HashAggregate"),
+      s"q_chunk_windows grew a non-local operator:\n${p.take(1500)}")
+    assert("Exchange".r.findAllIn(p).length == 1,
+      s"q_chunk_windows has more than the final-sort exchange:\n${p.take(1500)}")
+  }
+
   test("q_embed_quantize is a scan plus one aggregate (no join or window)") {
     // the quantization audit must stay a per-row lambda pipeline into the
     // #labels-row aggregate — one 100 TB scan, nothing else.
