@@ -171,6 +171,39 @@ object EventQueries {
               |                 WHEN t_click IS NOT NULL THEN 2
               |                 WHEN t_view IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage
               |FROM u ORDER BY user_id""".stripMargin)
+    ),
+
+    // E4f join-key skew report: the pre-join diagnostic a 100 TB pipeline
+    // runs before shuffling on a key — the top heavy keys, their share of
+    // the table, and the salt fan-out that would level each one against a
+    // 32-task stage (salt_n = ceil(cnt·32/total): replicas needed so one
+    // key's rows spread to averagely-loaded partitions; 1 = no salting
+    // needed). AQE handles sort-merge skew reactively; this is the
+    // proactive report that drives key-salting and broadcast decisions.
+    //
+    // Scale shape: one partial-aggregated keyed count (the histogram every
+    // skew decision needs anyway), a 1-row totals broadcast, and a
+    // TakeOrderedAndProject top-10 — nothing at corpus cardinality after
+    // the first aggregate.
+    GraftQuery(
+      "q_skew_report",
+      "top-10 heaviest join keys with share (bp) and suggested salt fan-out",
+      (s, dir) => {
+        val counts = Tables.events(s, dir)
+          .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+        val tot = counts.agg(sum(col("cnt")).as("total"))
+        counts.crossJoin(broadcast(tot))
+          .select(col("user_id"), col("cnt"),
+            expr("(cnt * 10000) div total").as("share_bp"),
+            expr("greatest(1L, (cnt * 32 + total - 1) div total)").as("salt_n"))
+          .orderBy(col("cnt").desc, col("user_id").asc)
+          .limit(10)
+      },
+      Some("""WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+             |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c)
+             |SELECT user_id, cnt, (cnt * 10000) // total AS share_bp,
+             |       greatest(1, (cnt * 32 + total - 1) // total) AS salt_n
+             |FROM c, t ORDER BY cnt DESC, user_id LIMIT 10""".stripMargin)
     )
   )
 }

@@ -100,7 +100,8 @@ class PlanShapeSpec extends SparkTestBase {
     // ORDER BY + LIMIT endings (the BPE pair table, the CMS probe set, BM25)
     // must stay a per-partition top-k + single merge — a full global Sort
     // before the limit would put the whole aggregate through one task.
-    Seq("q_bpe_pair_counts", "q_cms_counts", "q_bm25_topk", "q_collocations").foreach { name =>
+    Seq("q_bpe_pair_counts", "q_cms_counts", "q_bm25_topk", "q_collocations",
+        "q_skew_report").foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       df.collect()
       val p = df.queryExecution.executedPlan.toString
