@@ -27,6 +27,11 @@ object EventQueries {
     */
   private[graft] val StepUs = 24L * 3600 * 1000000
 
+  /** Stage width the skew report sizes salt fan-outs against — see the
+    * q_skew_report doc for why 256.
+    */
+  private val SaltTasks = 256L
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery(
       "q_sessionize",
@@ -176,10 +181,13 @@ object EventQueries {
     // E4f join-key skew report: the pre-join diagnostic a 100 TB pipeline
     // runs before shuffling on a key — the top heavy keys, their share of
     // the table, and the salt fan-out that would level each one against a
-    // 32-task stage (salt_n = ceil(cnt·32/total): replicas needed so one
-    // key's rows spread to averagely-loaded partitions; 1 = no salting
-    // needed). AQE handles sort-merge skew reactively; this is the
-    // proactive report that drives key-salting and broadcast decisions.
+    // SaltTasks-wide stage (salt_n = ceil(cnt·SaltTasks/total): replicas
+    // needed so one key's rows spread to averagely-loaded partitions; 1 =
+    // no salting needed). SaltTasks = 256 — a plausible wide-stage width,
+    // and large enough that the test corpus's heaviest keys (~0.9% share)
+    // exercise the salting branch rather than reporting a vacuous all-1
+    // column. AQE handles sort-merge skew reactively; this is the proactive
+    // report that drives key-salting and broadcast decisions.
     //
     // Scale shape: one partial-aggregated keyed count (the histogram every
     // skew decision needs anyway), a 1-row totals broadcast, and a
@@ -195,15 +203,15 @@ object EventQueries {
         counts.crossJoin(broadcast(tot))
           .select(col("user_id"), col("cnt"),
             expr("(cnt * 10000) div total").as("share_bp"),
-            expr("greatest(1L, (cnt * 32 + total - 1) div total)").as("salt_n"))
+            expr(s"greatest(1L, (cnt * $SaltTasks + total - 1) div total)").as("salt_n"))
           .orderBy(col("cnt").desc, col("user_id").asc)
           .limit(10)
       },
-      Some("""WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
-             |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c)
-             |SELECT user_id, cnt, (cnt * 10000) // total AS share_bp,
-             |       greatest(1, (cnt * 32 + total - 1) // total) AS salt_n
-             |FROM c, t ORDER BY cnt DESC, user_id LIMIT 10""".stripMargin)
+      Some(s"""WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+              |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c)
+              |SELECT user_id, cnt, (cnt * 10000) // total AS share_bp,
+              |       greatest(1, (cnt * $SaltTasks + total - 1) // total) AS salt_n
+              |FROM c, t ORDER BY cnt DESC, user_id LIMIT 10""".stripMargin)
     )
   )
 }
