@@ -131,6 +131,67 @@ object DedupQueries {
       .withColumn("h", expr(hash60Sql("shingle")))
   }
 
+  /** Positional 3-gram rows (doc_id, carry..., pos, shingle) — every
+    * occurrence with its token position kept: the span-merge twin of
+    * [[shingleRows]] (which dedups and drops positions). One source for the
+    * posexplode + double-lead construction shared by the two span queries
+    * (q_span_decontaminate, q_dup_span_coverage).
+    */
+  private def positionalShingles(docs: DataFrame, carry: Seq[String]): DataFrame = {
+    val w    = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val keep = col("doc_id") +: carry.map(col)
+    docs
+      .select(keep :+ posexplode(expr(wordsSql)).as(Seq("pos", "w")): _*)
+      .withColumn("w1", lead(col("w"), 1).over(w))
+      .withColumn("w2", lead(col("w"), 2).over(w))
+      .filter(col("w2").isNotNull)
+      .select(keep ++ Seq(col("pos"),
+        concat_ws(" ", col("w"), col("w1"), col("w2")).as("shingle")): _*)
+  }
+
+  /** Matched (doc_id, pos) rows labeled with their island group `g`:
+    * positions whose 3-gram coverages touch (gap <= 3 keeps the union
+    * contiguous — a 3-gram at p covers [p, p+2], so the next start at p+3
+    * is still seamless) share a group. Two doc_id-partitioned window
+    * passes over ONE sort; single-sourced because the gap constant and the
+    * break rule must agree between the two span queries AND their oracles.
+    */
+  private def spanIslands(matched: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    matched
+      .withColumn("brk", when(lag(col("pos"), 1).over(w).isNull ||
+        col("pos") - lag(col("pos"), 1).over(w) > 3, 1L).otherwise(0L))
+      .withColumn("g", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** DuckDB twin of [[positionalShingles]] (carry = source): CTEs `docs`
+    * (doc_id, source, words) and `ps` (doc_id, source, pos, shingle).
+    */
+  private def duckPositionalShingleCtes: String =
+    s"""docs AS (
+       |  SELECT doc_id, source, $duckWordsSql AS words FROM documents),
+       |ps AS (
+       |  SELECT doc_id, source, i - 1 AS pos,
+       |         words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+       |  FROM (SELECT doc_id, source, words, unnest(range(1, len(words) - 1)) AS i
+       |        FROM docs WHERE len(words) >= 3) t)""".stripMargin
+
+  /** DuckDB twin of [[spanIslands]]: CTEs `isl`/`grp` over a prior CTE
+    * `m(doc_id, pos)`.
+    */
+  private def duckIslandCtes: String =
+    """isl AS (
+      |  SELECT doc_id, pos,
+      |         CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > 3
+      |              THEN 1 ELSE 0 END AS brk
+      |  FROM m WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      |grp AS (
+      |  SELECT doc_id, pos,
+      |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+      |  FROM isl)""".stripMargin
+
   /** (doc_id, m0..m7, sz) — 8 xor-salt minhash signatures plus the shingle-set
     * size, all in ONE hash aggregate over the shingle rows (sz rides along so
     * the jaccard verifier doesn't need a second pass over the shingles).
@@ -666,27 +727,12 @@ object DedupQueries {
       "q_span_decontaminate",
       "contiguous token spans of candidate docs overlapping the src0 benchmark 3-grams",
       (s, dir) => {
-        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-        // the positional twin of shingleRows: same scan → posexplode → lead
-        // pipeline, but keeping positions and every occurrence (the span
-        // merge needs them), not the distinct shingle set
-        val ps = Tables.documents(s, dir)
-          .select(col("doc_id"), col("source"), posexplode(expr(wordsSql)).as(Seq("pos", "w")))
-          .withColumn("w1", lead(col("w"), 1).over(w))
-          .withColumn("w2", lead(col("w"), 2).over(w))
-          .filter(col("w2").isNotNull)
-          .select(col("doc_id"), col("source"), col("pos"),
-            concat_ws(" ", col("w"), col("w1"), col("w2")).as("shingle"))
-          .persist()
+        val ps = positionalShingles(Tables.documents(s, dir), Seq("source")).persist()
         val bench = ps.filter(col("source") === "src0").select("shingle").distinct()
         val matched = ps.filter(col("source") =!= "src0")
           .join(bench, Seq("shingle"), "left_semi")
           .select(col("doc_id"), col("pos"))
-        matched
-          .withColumn("brk", when(lag(col("pos"), 1).over(w).isNull ||
-            col("pos") - lag(col("pos"), 1).over(w) > 3, 1L).otherwise(0L))
-          .withColumn("g", sum(col("brk")).over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        spanIslands(matched)
           .groupBy("doc_id", "g")
           .agg(min(col("pos")).cast("bigint").as("span_start"),
             (max(col("pos")) + 2).cast("bigint").as("span_end"),
@@ -695,28 +741,11 @@ object DedupQueries {
             (col("span_end") - col("span_start") + 1).as("span_tokens"), col("n_grams"))
           .orderBy("doc_id", "span_start")
       },
-      Some(s"""WITH docs AS (
-              |  SELECT doc_id, source, $duckWordsSql AS words FROM documents),
-              |ps0 AS (
-              |  SELECT doc_id, source, words, unnest(range(1, len(words) - 1)) AS i
-              |  FROM docs WHERE len(words) >= 3),
-              |ps AS (
-              |  SELECT doc_id, source, i - 1 AS pos,
-              |         words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
-              |  FROM ps0),
+      Some(s"""WITH $duckPositionalShingleCtes,
               |bench AS (SELECT DISTINCT shingle FROM ps WHERE source = 'src0'),
               |m AS (SELECT doc_id, pos FROM ps WHERE source <> 'src0'
               |      AND shingle IN (SELECT shingle FROM bench)),
-              |isl AS (
-              |  SELECT doc_id, pos,
-              |         CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > 3
-              |              THEN 1 ELSE 0 END AS brk
-              |  FROM m WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
-              |grp AS (
-              |  SELECT doc_id, pos,
-              |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
-              |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
-              |  FROM isl)
+              |$duckIslandCtes
               |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
               |       CAST(max(pos) + 2 AS BIGINT) AS span_end,
               |       CAST(max(pos) - min(pos) + 3 AS BIGINT) AS span_tokens,
@@ -803,28 +832,16 @@ object DedupQueries {
       "q_dup_span_coverage",
       "per-source token coverage (bp) of 3-gram spans duplicated across docs",
       (s, dir) => {
-        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-        val ps = Tables.documents(s, dir)
-          .select(col("doc_id"), posexplode(expr(wordsSql)).as(Seq("pos", "w")))
-          .withColumn("w1", lead(col("w"), 1).over(w))
-          .withColumn("w2", lead(col("w"), 2).over(w))
-          .filter(col("w2").isNotNull)
-          .select(col("doc_id"), col("pos"),
-            concat_ws(" ", col("w"), col("w1"), col("w2")).as("shingle"))
-          .persist()
+        val ps = positionalShingles(Tables.documents(s, dir), Nil).persist()
         val dup = ps.groupBy("shingle")
           .agg(countDistinct(col("doc_id")).as("df"))
           .filter(col("df") >= 2)
           .select("shingle")
         // matched positions merge into islands exactly as in
-        // q_span_decontaminate (gap <= 3 keeps the union contiguous), so
-        // each island covers max - min + 3 tokens with no double count
-        val covered = ps.join(dup, Seq("shingle"), "left_semi")
-          .select(col("doc_id"), col("pos"))
-          .withColumn("brk", when(lag(col("pos"), 1).over(w).isNull ||
-            col("pos") - lag(col("pos"), 1).over(w) > 3, 1L).otherwise(0L))
-          .withColumn("g", sum(col("brk")).over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        // q_span_decontaminate (shared spanIslands helper), so each island
+        // covers max - min + 3 tokens with no double count
+        val covered = spanIslands(
+          ps.join(dup, Seq("shingle"), "left_semi").select(col("doc_id"), col("pos")))
           .groupBy("doc_id", "g")
           .agg((max(col("pos")) - min(col("pos")) + 3).as("span_tokens"))
           .groupBy("doc_id")
@@ -840,27 +857,12 @@ object DedupQueries {
           .withColumn("coverage_bp", expr("(dup_tokens * 10000) div total_tokens"))
           .orderBy("source")
       },
-      Some(s"""WITH docs AS (
-              |  SELECT doc_id, source, $duckWordsSql AS words FROM documents),
-              |ps AS (
-              |  SELECT doc_id, i - 1 AS pos,
-              |         words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
-              |  FROM (SELECT doc_id, words, unnest(range(1, len(words) - 1)) AS i
-              |        FROM docs WHERE len(words) >= 3) t),
+      Some(s"""WITH $duckPositionalShingleCtes,
               |dup AS (SELECT shingle FROM ps
               |        GROUP BY shingle HAVING count(DISTINCT doc_id) >= 2),
               |m AS (SELECT doc_id, pos FROM ps
               |      WHERE shingle IN (SELECT shingle FROM dup)),
-              |isl AS (
-              |  SELECT doc_id, pos,
-              |         CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > 3
-              |              THEN 1 ELSE 0 END AS brk
-              |  FROM m WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
-              |grp AS (
-              |  SELECT doc_id, pos,
-              |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
-              |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
-              |  FROM isl),
+              |$duckIslandCtes,
               |spans AS (
               |  SELECT doc_id, CAST(max(pos) - min(pos) + 3 AS BIGINT) AS span_tokens
               |  FROM grp GROUP BY doc_id, g),

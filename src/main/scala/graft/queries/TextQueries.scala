@@ -63,8 +63,8 @@ object TextQueries {
     * corpus's ~60-word docs produce multiple chunks; a deployment sets its
     * embedder's window here.
     */
-  private val ChunkW = 32L
-  private val ChunkS = 24L
+  private[graft] val ChunkW = 32L
+  private[graft] val ChunkS = 24L
 
   /** Vocabulary size for the OOV-coverage audit — tiny on purpose (the
     * synthetic corpus has a small closed vocabulary, so a realistic 32k

@@ -63,8 +63,11 @@ object ScaleSmoke {
         spark.catalog.clearCache()
         val t0   = System.nanoTime()
         val rows = graft.SparkEntry.queries(q)(spark, dirs(r)).count()
-        val sec  = (System.nanoTime() - t0) / 1e9
-        println(f"""{"query":"$q","scale":$r,"sec":$sec%.2f,"rows":$rows}""")
+        // Locale.ROOT: the f-interpolator follows the JVM default locale,
+        // and a comma decimal separator would emit invalid JSON
+        val sec = String.format(java.util.Locale.ROOT, "%.2f",
+          Double.box((System.nanoTime() - t0) / 1e9))
+        println(s"""{"query":"$q","scale":$r,"sec":$sec,"rows":$rows}""")
       }
     }
     spark.stop()

@@ -14,19 +14,20 @@ import graft.{SparkEntry, SparkTestBase}
 class ChunkInvariantSpec extends SparkTestBase {
 
   private val dir = "/root/testdata/sf0.001"
+  private val S   = TextQueries.ChunkS
 
   test("chunks tile each document: start 0, stride steps, cover to n, never empty") {
     val chunks = SparkEntry.queries("q_chunk_windows")(spark, dir)
     val docs = graft.Tables.documents(spark, dir)
       .select(col("doc_id"),
-        expr("cast(size(split(trim(coalesce(text, '')), ' +')) as bigint)").as("n"))
+        expr(s"cast(size(${Dialect.wordsSql}) as bigint)").as("n"))
     val bad = chunks
       .groupBy("doc_id")
       .agg(
         min(col("chunk_start")).as("first_start"),
         max(col("chunk_end")).as("last_end"),
         count(lit(1)).as("n_chunks"),
-        max(col("chunk_start") - col("chunk_id") * lit(24L)).as("stride_drift"),
+        max(col("chunk_start") - col("chunk_id") * lit(S)).as("stride_drift"),
         min(col("n_tokens")).as("min_tokens"),
         max(when(col("chunk_end") - col("chunk_start") =!= col("n_tokens"), 1L)
           .otherwise(0L)).as("len_mismatch"))
@@ -39,7 +40,7 @@ class ChunkInvariantSpec extends SparkTestBase {
         col("len_mismatch") =!= 0L ||
         // every token position below n must sit inside some chunk's
         // stride: exactly ceil(n / stride) windows, no more, no fewer
-        col("n_chunks") =!= expr("(n + 23) div 24"))
+        col("n_chunks") =!= expr(s"(n + ${S - 1}) div $S"))
       .count()
     assert(bad == 0L, s"$bad documents violate the chunk tiling invariants")
   }
