@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
   */
 object ScaleSmoke {
 
-  private val Scales  = Seq(1, 2, 4)
+  private val DefaultScales = Seq(1, 2, 4)
   private val Queries = Seq(
     "q_scan_project",      // pushdown + projection: must scale with bytes read
     "q_token_quantiles",   // histogram + cumulative window: vocabulary-bound tail
@@ -39,12 +39,13 @@ object ScaleSmoke {
   }
 
   def main(args: Array[String]): Unit = {
-    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val out  = "/tmp/scale_smoke"
+    val base   = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val out    = "/tmp/scale_smoke"
+    val scales = if (args.nonEmpty) args.toSeq.map(_.toInt) else DefaultScales
     val spark = graft.LocalSpark.session("32", "graft-scale-smoke")
     spark.sparkContext.setLogLevel("ERROR")
 
-    val dirs: Map[Int, String] = Scales.map { r =>
+    val dirs: Map[Int, String] = scales.map { r =>
       if (r == 1) r -> base
       else {
         val dir = s"$out/x$r"
@@ -59,7 +60,7 @@ object ScaleSmoke {
       // first, eats each query's one-time codegen and the curve reads flat)
       spark.catalog.clearCache()
       graft.SparkEntry.queries(q)(spark, base).count()
-      for (r <- Scales) {
+      for (r <- scales) {
         spark.catalog.clearCache()
         val t0   = System.nanoTime()
         val rows = graft.SparkEntry.queries(q)(spark, dirs(r)).count()
