@@ -53,6 +53,14 @@ object DedupQueries {
     */
   private[graft] val MaxBucket = 50
 
+  /** Bloom geometry for the prefiltered decontamination (E1f3): m bits, k
+    * salted hashes. Sized so the test corpus's ~3k bench shingles load the
+    * filter enough that the false-positive branch is exercised (see the
+    * query doc); a deployment sizes m ≈ 1.44·k·n for its benchmark.
+    */
+  private val BloomBits = 8192L
+  private val BloomK    = 3
+
   /** SimHash blocking rotations: pass p rotates the 32-bit fingerprint left
     * by this many bits before taking the top-16 block. 0 first (identity —
     * keeps the single-pass result a subset of the multi-pass one), then two
@@ -751,6 +759,89 @@ object DedupQueries {
               |       CAST(max(pos) - min(pos) + 3 AS BIGINT) AS span_tokens,
               |       count(*) AS n_grams
               |FROM grp GROUP BY doc_id, g ORDER BY doc_id, span_start""".stripMargin)
+    ),
+
+    // E1f3 BLOOM-prefiltered decontamination: the 100 TB form of the
+    // benchmark-overlap check when the benchmark gram set itself is too
+    // large to broadcast exactly — a BloomBits-bit k-hash Bloom filter of
+    // the bench shingles is the CONSTANT-memory broadcast side; candidate
+    // shingles failing any bit are provably clean (no false negatives) and
+    // only the survivors reach the exact membership verify. Graded output
+    // reports the measured false-positive rate per source beside the exact
+    // hits, so the filter's sizing error is visible the same way the CMS
+    // collision error is (E3q).
+    //
+    // Scale shape: bits ≤ BloomBits rows regardless of benchmark size (the
+    // deployment ships it as a bitset literal; the set-of-set-bits table
+    // here is the engine-portable rendering); the expensive exact join
+    // touches only bloom survivors ≈ true hits + FP. BloomBits is sized to
+    // the TEST corpus (~3k bench shingles) so the FP branch actually
+    // fires; a deployment sizes m/k to its bench set (m ≈ 1.44·k·n bits
+    // per the standard formula).
+    GraftQuery(
+      "q_bloom_decontaminate",
+      "bloom-prefiltered benchmark overlap with measured FP rate per source",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val src  = docs.select(col("doc_id"), col("source"))
+        // persisted: the bench/bits, candidate, and totals branches all
+        // read this lineage (family cache discipline, see line 32)
+        val sh   = shingleRows(docs).join(src, "doc_id").persist()
+        def posCols = array((0 until BloomK).map(j =>
+          expr(s"(${hash60Sql(s"concat('bloom$j:', shingle)")}) % $BloomBits")): _*)
+        val bench = sh.filter(col("source") === "src0").select("shingle").distinct()
+        val bits  = bench.select(explode(posCols).as("pos")).distinct()
+        val cand  = sh.filter(col("source") =!= "src0")
+          .select("doc_id", "source", "shingle")
+        val flags = cand
+          .select(col("doc_id"), col("source"), col("shingle"),
+            explode(posCols).as("pos"))
+          .join(broadcast(bits.withColumn("hit", lit(1L))), Seq("pos"), "left")
+          .groupBy("doc_id", "source", "shingle")
+          .agg(min(coalesce(col("hit"), lit(0L))).as("maybe"))
+        val verified = flags.filter(col("maybe") === 1L)
+          .join(broadcast(bench.withColumn("ex", lit(1L))), Seq("shingle"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).as("bloom_pass"),
+            sum(coalesce(col("ex"), lit(0L))).as("exact_hits"))
+        cand.groupBy("source").agg(count(lit(1)).as("n_shingles"))
+          .join(verified, Seq("source"), "left")
+          .select(col("source"), col("n_shingles"),
+            coalesce(col("bloom_pass"), lit(0L)).as("bloom_pass"),
+            coalesce(col("exact_hits"), lit(0L)).as("exact_hits"))
+          .withColumn("false_pos", expr("bloom_pass - exact_hits"))
+          .withColumn("fp_bp",
+            expr("(false_pos * 10000) div greatest(1L, n_shingles - exact_hits)"))
+          .orderBy("source")
+      },
+      Some {
+        val duckPos = (0 until BloomK).map(j =>
+          s"(${duckHash60(s"'bloom$j:' || shingle")}) % $BloomBits").mkString("[", ", ", "]")
+        s"""WITH docs AS (SELECT doc_id, source, $duckWordsSql AS words FROM documents),
+           |sh AS (SELECT doc_id, source, unnest(list_distinct($duckShinglesSql)) AS shingle
+           |       FROM docs WHERE len(words) >= 3),
+           |bench AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0'),
+           |bits AS (SELECT DISTINCT pos FROM (
+           |           SELECT unnest($duckPos) AS pos FROM bench) b),
+           |cand AS (SELECT doc_id, source, shingle FROM sh WHERE source <> 'src0'),
+           |cpos AS (SELECT doc_id, source, shingle, unnest($duckPos) AS pos FROM cand),
+           |flags AS (SELECT doc_id, source, shingle,
+           |                 min(CASE WHEN pos IN (SELECT pos FROM bits)
+           |                          THEN 1 ELSE 0 END) AS maybe
+           |          FROM cpos GROUP BY doc_id, source, shingle),
+           |ver AS (SELECT source, count(*) AS bloom_pass,
+           |               CAST(sum(CASE WHEN shingle IN (SELECT shingle FROM bench)
+           |                             THEN 1 ELSE 0 END) AS BIGINT) AS exact_hits
+           |        FROM flags WHERE maybe = 1 GROUP BY source),
+           |tot AS (SELECT source, count(*) AS n_shingles FROM cand GROUP BY source)
+           |SELECT t.source, t.n_shingles,
+           |       coalesce(v.bloom_pass, 0) AS bloom_pass,
+           |       coalesce(v.exact_hits, 0) AS exact_hits,
+           |       coalesce(v.bloom_pass, 0) - coalesce(v.exact_hits, 0) AS false_pos,
+           |       ((coalesce(v.bloom_pass, 0) - coalesce(v.exact_hits, 0)) * 10000)
+           |         // greatest(1, t.n_shingles - coalesce(v.exact_hits, 0)) AS fp_bp
+           |FROM tot t LEFT JOIN ver v USING (source) ORDER BY source""".stripMargin
+      }
     ),
 
     // E1i dedup provenance matrix: near-dup pair counts by (source, source)

@@ -153,6 +153,18 @@ class PlanShapeSpec extends SparkTestBase {
       s"q_chunk_windows has more than the final-sort exchange:\n${p.take(1500)}")
   }
 
+  test("q_bloom_decontaminate gates the exact verify behind the bloom filter") {
+    // the maybe = 1 survivors filter must sit between the bloom-bit join
+    // and the exact bench membership join — losing it sends every candidate
+    // shingle through the exact join and the bloom pass becomes dead code.
+    val p = plan("q_bloom_decontaminate")
+    assert("Filter.*maybe".r.findFirstIn(p).isDefined ||
+      p.linesIterator.exists(l => l.contains("maybe") && l.contains("= 1")),
+      s"q_bloom_decontaminate lost the bloom-survivor gate:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"),
+      s"q_bloom_decontaminate grew a cartesian stage:\n${p.take(1500)}")
+  }
+
   test("q_embed_quantize is a scan plus one aggregate (no join or window)") {
     // the quantization audit must stay a per-row lambda pipeline into the
     // #labels-row aggregate — one 100 TB scan, nothing else.
