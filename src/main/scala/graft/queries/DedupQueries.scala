@@ -58,8 +58,17 @@ object DedupQueries {
     * filter enough that the false-positive branch is exercised (see the
     * query doc); a deployment sizes m ≈ 1.44·k·n for its benchmark.
     */
-  private val BloomBits = 8192L
-  private val BloomK    = 3
+  private[graft] val BloomBits = 8192L
+  private[graft] val BloomK    = 3
+
+  /** The k salted bit positions of a `shingle` column — single-sourced for
+    * the graded query, its oracle twin (via the same salt strings), and the
+    * streaming [[graft.streaming.Sketches.updateBloom]] merge (a drifting
+    * salt would silently split the filter).
+    */
+  private[graft] def bloomPosCols: org.apache.spark.sql.Column =
+    array((0 until BloomK).map(j =>
+      expr(s"(${hash60Sql(s"concat('bloom$j:', shingle)")}) % $BloomBits")): _*)
 
   /** SimHash blocking rotations: pass p rotates the 32-bit fingerprint left
     * by this many bits before taking the top-16 block. 0 first (identity —
@@ -786,16 +795,14 @@ object DedupQueries {
         val src  = docs.select(col("doc_id"), col("source"))
         // persisted: the bench/bits, candidate, and totals branches all
         // read this lineage (family cache discipline, see line 32)
-        val sh   = shingleRows(docs).join(src, "doc_id").persist()
-        def posCols = array((0 until BloomK).map(j =>
-          expr(s"(${hash60Sql(s"concat('bloom$j:', shingle)")}) % $BloomBits")): _*)
+        val sh    = shingleRows(docs).join(src, "doc_id").persist()
         val bench = sh.filter(col("source") === "src0").select("shingle").distinct()
-        val bits  = bench.select(explode(posCols).as("pos")).distinct()
+        val bits  = bench.select(explode(bloomPosCols).as("pos")).distinct()
         val cand  = sh.filter(col("source") =!= "src0")
           .select("doc_id", "source", "shingle")
         val flags = cand
           .select(col("doc_id"), col("source"), col("shingle"),
-            explode(posCols).as("pos"))
+            explode(bloomPosCols).as("pos"))
           .join(broadcast(bits.withColumn("hit", lit(1L))), Seq("pos"), "left")
           .groupBy("doc_id", "source", "shingle")
           .agg(min(coalesce(col("hit"), lit(0L))).as("maybe"))

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.queries.{Dialect, TextQueries}
+import graft.queries.{DedupQueries, Dialect, TextQueries}
 
 /** Streaming count-min sketch (the incremental form of `q_cms_counts`): each
   * micro-batch's D×W counter grid is merged BY ADDITION into a persisted
@@ -64,5 +64,45 @@ object Sketches {
     probes.join(sk, Seq("r", "bucket"), "left")
       .groupBy("w")
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+  }
+
+  /** Streaming Bloom filter (the incremental form of
+    * `q_bloom_decontaminate`'s benchmark side): each micro-batch's shingle
+    * bit positions UNION into the persisted set-of-set-bits. Set union is
+    * idempotent and commutative — batches merge associatively and even an
+    * unguarded replay could not corrupt the filter (unlike CMS addition);
+    * the batch protocol still skips replays to avoid wasted work. State is
+    * ≤ BloomBits rows forever, independent of stream length, and bits only
+    * turn on — so the no-false-negative guarantee holds at every point in
+    * the stream. Salt construction is single-sourced with the graded query
+    * ([[DedupQueries.bloomPosCols]]).
+    */
+  def updateBloom(table: KeyedTable, docs: DataFrame, batchId: Long): Unit = {
+    if (table.alreadyApplied(batchId)) return
+    val batchBits = DedupQueries.shingleRows(docs)
+      .select(explode(DedupQueries.bloomPosCols).as("pos"))
+      .distinct()
+    val merged = table.read() match {
+      case Some(prev) => prev.select("pos").unionByName(batchBits).distinct()
+      case None       => batchBits
+    }
+    table.publish(merged, Some(batchId))
+    ()
+  }
+
+  /** Bloom membership probe: each distinct (doc_id, shingle) of `docs` gets
+    * maybe = 1 iff ALL its k bit positions are set (0 is a guaranteed
+    * non-member). The bits side is ≤ BloomBits rows — broadcast at any
+    * corpus size; exact verification downstream touches only maybe = 1.
+    */
+  def bloomMaybe(table: KeyedTable, docs: DataFrame): DataFrame = {
+    val bits = table.read()
+      .getOrElse(throw new IllegalStateException("empty bloom table"))
+      .select("pos")
+    DedupQueries.shingleRows(docs)
+      .select(col("doc_id"), col("shingle"), explode(DedupQueries.bloomPosCols).as("pos"))
+      .join(broadcast(bits.withColumn("hit", lit(1L))), Seq("pos"), "left")
+      .groupBy("doc_id", "shingle")
+      .agg(min(coalesce(col("hit"), lit(0L))).as("maybe"))
   }
 }

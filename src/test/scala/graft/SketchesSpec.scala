@@ -48,4 +48,32 @@ class SketchesSpec extends SparkTestBase {
       .collect()(0).getLong(1)
     assert(est == 2L, s"alpha counted $est times (want 2: replay must be skipped)")
   }
+
+  test("streamed bloom bits equal the batch filter and admit every member") {
+    import org.apache.spark.sql.functions.{col, explode}
+    val table = new KeyedTable(spark, tmp("bloom"), "pos")
+    val bench = Tables.documents(spark, dir)
+      .filter($"source" === "src0").select("doc_id", "text")
+    // three arbitrary batches partitioning the benchmark feed
+    (0 until 3).foreach { b =>
+      Sketches.updateBloom(table, bench.filter($"doc_id" % 3 === b), b.toLong)
+    }
+    // union-merged streamed bits == the bits computed over the whole feed
+    // at once (set-union associativity)
+    val got = table.read().get.select("pos").collect().map(_.getLong(0)).toSet
+    val want = graft.queries.DedupQueries.shingleRows(bench)
+      .select(explode(graft.queries.DedupQueries.bloomPosCols).as("pos"))
+      .collect().map(_.getLong(0)).toSet
+    assert(got == want,
+      s"streamed bits diverge from batch bits (${(got diff want).size} extra, ${(want diff got).size} missing)")
+    // no false negatives at any point: every true benchmark shingle must
+    // probe maybe = 1 against the streamed filter
+    val misses = Sketches.bloomMaybe(table, bench)
+      .filter(col("maybe") === 0L).count()
+    assert(misses == 0L, s"$misses benchmark shingles rejected by their own filter")
+    // replay: union is idempotent, but the guard must still skip the batch
+    val versionBefore = table.read().get.select("pos").count()
+    Sketches.updateBloom(table, bench.filter($"doc_id" % 3 === 1), 1L)
+    assert(table.read().get.select("pos").count() == versionBefore)
+  }
 }
