@@ -795,7 +795,9 @@ object DedupQueries {
         val src  = docs.select(col("doc_id"), col("source"))
         // persisted: the bench/bits, candidate, and totals branches all
         // read this lineage (family cache discipline, see line 32)
-        val sh    = shingleRows(docs).join(src, "doc_id").persist()
+        // the signature-family hash column is dead weight here — drop it
+        // before the cache materializes one md5 per shingle row for nothing
+        val sh    = shingleRows(docs).drop("h").join(src, "doc_id").persist()
         val bench = sh.filter(col("source") === "src0").select("shingle").distinct()
         val bits  = bench.select(explode(bloomPosCols).as("pos")).distinct()
         val cand  = sh.filter(col("source") =!= "src0")
@@ -806,8 +808,12 @@ object DedupQueries {
           .join(broadcast(bits.withColumn("hit", lit(1L))), Seq("pos"), "left")
           .groupBy("doc_id", "source", "shingle")
           .agg(min(coalesce(col("hit"), lit(0L))).as("maybe"))
+        // exact verify: un-hinted — the premise of this query is that bench
+        // may be too big to broadcast (the bloom side is the constant-memory
+        // broadcast); survivors are few, so at scale this is a small keyed
+        // shuffle join, and AQE still broadcasts bench when it happens to fit
         val verified = flags.filter(col("maybe") === 1L)
-          .join(broadcast(bench.withColumn("ex", lit(1L))), Seq("shingle"), "left")
+          .join(bench.withColumn("ex", lit(1L)), Seq("shingle"), "left")
           .groupBy("source")
           .agg(count(lit(1)).as("bloom_pass"),
             sum(coalesce(col("ex"), lit(0L))).as("exact_hits"))

@@ -42,6 +42,7 @@ object ScaleSmoke {
     val base   = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val out    = "/tmp/scale_smoke"
     val scales = if (args.nonEmpty) args.toSeq.map(_.toInt) else DefaultScales
+    require(scales.forall(_ >= 1), s"replication factors must be >= 1, got: ${scales.mkString(" ")}")
     val spark = graft.LocalSpark.session("32", "graft-scale-smoke")
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -71,9 +71,12 @@ class SketchesSpec extends SparkTestBase {
     val misses = Sketches.bloomMaybe(table, bench)
       .filter(col("maybe") === 0L).count()
     assert(misses == 0L, s"$misses benchmark shingles rejected by their own filter")
-    // replay: union is idempotent, but the guard must still skip the batch
-    val versionBefore = table.read().get.select("pos").count()
+    // replay: union is idempotent so the CONTENT could not corrupt, which
+    // means a row-count check would pass vacuously — assert on the snapshot
+    // VERSION instead: a skipped batch publishes nothing
+    val versionBefore = table.latestVersion()
     Sketches.updateBloom(table, bench.filter($"doc_id" % 3 === 1), 1L)
-    assert(table.read().get.select("pos").count() == versionBefore)
+    assert(table.latestVersion() == versionBefore,
+      "replayed batch republished the filter (guard must skip it)")
   }
 }
