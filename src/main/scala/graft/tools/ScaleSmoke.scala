@@ -24,7 +24,8 @@ object ScaleSmoke {
     "q_token_quantiles",   // histogram + cumulative window: vocabulary-bound tail
     "q_dedup_minhash",     // shingle→signature→banded buckets: cap-bound pairs
     "q_ngram_jaccard",     // set-similarity join: df-cap must hold under dup inflation
-    "q_dup_span_coverage") // positional shingles + islands merge: window-heavy
+    "q_dup_span_coverage", // positional shingles + islands merge: window-heavy
+    "q_bloom_decontaminate") // bloom prefilter: bits stay <= m as bench grows
 
   /** Offset keys so replicas do not collide; every other column repeats. */
   private def replicate(spark: SparkSession, base: String, dir: String, r: Int): Unit = {
