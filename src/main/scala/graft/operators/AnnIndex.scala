@@ -108,4 +108,80 @@ object AnnIndex {
   /** The graded probe workload (fixed literal ids) as a search input. */
   def probeWorkload(s: SparkSession, sfDir: String): DataFrame =
     corpus(s, sfDir).filter(col("vec_id").isin(SQ.ProbeIds: _*))
+
+  // ---------------------------------------------------------------------
+  // Persisted LSH index — the SERVED form of the graded `q_ann_lsh` scan,
+  // and the third instance of the store-partitioned-by-derived-key pattern
+  // (IVF lists above, IncrementalDedup band buckets). buildLsh bucketizes
+  // every vector with the graded NTables×BitsPerTable sign-bit construction
+  // and writes one row PER TABLE partitioned by the composite key
+  // pb = t·2^bits + bucket (the L-fold copy is inherent to multi-table LSH —
+  // disk trades for the OR-amplified recall); searchLsh expands each
+  // probe's Hamming-1 multi-probe set and prunes the scan to exactly those
+  // pb partitions — a probe touches NTables·(1+BitsPerTable) of the
+  // NTables·2^bits directories no matter how large the corpus grows.
+  // ---------------------------------------------------------------------
+
+  private def lshPath(dir: String) = dir + "/lsh"
+
+  private val BucketSpan = 1L << SQ.BitsPerTable
+
+  /** (vec_id, q, n2, t, bucket, pb) — one row per (vector, table). */
+  private def lshRows(vectors: DataFrame): DataFrame =
+    vectors
+      .withColumn("bs", SQ.bucketsCol)
+      .select(col("vec_id"), col("q"), col("n2"),
+        posexplode(col("bs")).as(Seq("t", "bucket")))
+      .withColumn("pb", col("t") * BucketSpan + col("bucket"))
+
+  def buildLsh(s: SparkSession, sfDir: String, indexDir: String): Unit =
+    lshRows(corpus(s, sfDir))
+      .write.mode("overwrite")
+      .partitionBy("pb")
+      .parquet(lshPath(indexDir))
+
+  /** Each probe exploded to its Hamming-1 multi-probe (t, bucket) set —
+    * the own bucket plus every single-bit flip, as in the graded query.
+    */
+  private def probeBuckets(probes: DataFrame): DataFrame = {
+    val masks = lit(0L) +: (0 until SQ.BitsPerTable).map(i => lit(1L << i))
+    lshRows(probes)
+      .select(col("vec_id").as("qid"), col("q").as("qq"), col("n2").as("qn"),
+        col("t"),
+        explode(array(masks.map(m => col("bucket").bitwiseXOR(m)): _*)).as("bucket"))
+      .withColumn("pb", col("t") * BucketSpan + col("bucket"))
+  }
+
+  /** The pb partitions a probe workload touches — bounded by
+    * probes × NTables × (1 + BitsPerTable), never the corpus.
+    */
+  private[graft] def touchedBuckets(probes: DataFrame): Seq[Long] =
+    probeBuckets(probes).select("pb").distinct().collect().map(_.getLong(0)).toSeq
+
+  /** The pruned bucket scan: only the `pb=` partitions in `touched`. */
+  private[graft] def bucketScan(s: SparkSession, indexDir: String, touched: Seq[Long]): DataFrame =
+    s.read.parquet(lshPath(indexDir))
+      .filter(col("pb").isin(touched: _*))
+
+  /** Top-3 cosine neighbors against the stored LSH index — matches
+    * `q_ann_lsh` row-for-row when probes and corpus come from the same
+    * table (candidates OR across tables, scored once, exact within bucket).
+    */
+  def searchLsh(s: SparkSession, indexDir: String, probes: DataFrame): DataFrame = {
+    val pb      = probeBuckets(probes)
+    val touched = pb.select("pb").distinct().collect().map(_.getLong(0)).toSeq
+    bucketScan(s, indexDir, touched)
+      .select("pb", "vec_id", "q", "n2")
+      .join(pb.select("pb", "qid", "qq", "qn"), "pb")
+      .filter(col("vec_id") =!= col("qid"))
+      .dropDuplicates("qid", "vec_id")
+      .withColumn("cos", dotLong(col("qq"), col("q")).cast("double") /
+        (sqrt(col("qn").cast("double")) * sqrt(col("n2").cast("double"))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor"), round(col("cos"), 4).as("cos_r"))
+      .orderBy("qid", "rank")
+  }
 }

@@ -56,8 +56,8 @@ object SimilarityQueries {
     * the same literals; a cluster deployment derives k from the catalog's
     * row-count statistics at plan time.
     */
-  private[queries] val BitsPerTable = 4
-  private[queries] val NTables      = 4
+  private[graft] val BitsPerTable = 4
+  private[graft] val NTables      = 4
   private val NPlanes      = BitsPerTable * NTables
 
   /** Target members per LSH bucket — the constant that keeps per-probe
@@ -109,7 +109,7 @@ object SimilarityQueries {
     * dot per hyperplane against a literal component array): table `t` uses
     * planes [t*k, t*k+k).
     */
-  private[queries] def bucketsCol: Column =
+  private[graft] def bucketsCol: Column =
     array((0 until NTables).map { t =>
       (0 until BitsPerTable).map { i =>
         shiftleft(
