@@ -88,12 +88,13 @@ object AnnIndex {
     s.read.parquet(vectorsPath(indexDir))
       .filter(col("cid").isin(touched: _*))
 
-  def search(s: SparkSession, indexDir: String, probes: DataFrame): DataFrame = {
-    val cents     = codebook(s, indexDir)
-    val probeCids = probeCidsOf(probes, cents)
-    val touched   = probeCids.select("cid").distinct().collect().map(_.getInt(0)).toSeq
-    listScan(s, indexDir, touched)
-      .join(probeCids, "cid")
+  /** The exact-scoring tail both indexes share: per-probe cosine over the
+    * candidate rows, top-3 by (cos desc, id asc), the graded output shape.
+    * One source — a tie-break or rounding change must move BOTH indexes and
+    * their graded twins together.
+    */
+  private def scoreTop3(candidates: DataFrame): DataFrame =
+    candidates
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("cos", dotLong(col("qq"), col("q")).cast("double") /
         (sqrt(col("qn").cast("double")) * sqrt(col("n2").cast("double"))))
@@ -103,6 +104,15 @@ object AnnIndex {
       .select(col("qid"), col("rank").cast("long").as("rank"),
         col("vec_id").as("neighbor"), round(col("cos"), 4).as("cos_r"))
       .orderBy("qid", "rank")
+
+  def search(s: SparkSession, indexDir: String, probes: DataFrame): DataFrame = {
+    val cents = codebook(s, indexDir)
+    // persisted: the touched-list collect AND the join both evaluate this
+    // lineage (which may carry an expensive external probe pipeline); the
+    // caller unpersists via catalog cache eviction (family discipline)
+    val probeCids = probeCidsOf(probes, cents).persist()
+    val touched   = probeCids.select("cid").distinct().collect().map(_.getInt(0)).toSeq
+    scoreTop3(listScan(s, indexDir, touched).join(probeCids, "cid"))
   }
 
   /** The graded probe workload (fixed literal ids) as a search input. */
@@ -168,20 +178,13 @@ object AnnIndex {
     * table (candidates OR across tables, scored once, exact within bucket).
     */
   def searchLsh(s: SparkSession, indexDir: String, probes: DataFrame): DataFrame = {
-    val pb      = probeBuckets(probes)
+    // persisted for the same collect+join double evaluation as search
+    val pb      = probeBuckets(probes).persist()
     val touched = pb.select("pb").distinct().collect().map(_.getLong(0)).toSeq
-    bucketScan(s, indexDir, touched)
-      .select("pb", "vec_id", "q", "n2")
-      .join(pb.select("pb", "qid", "qq", "qn"), "pb")
-      .filter(col("vec_id") =!= col("qid"))
-      .dropDuplicates("qid", "vec_id")
-      .withColumn("cos", dotLong(col("qq"), col("q")).cast("double") /
-        (sqrt(col("qn").cast("double")) * sqrt(col("n2").cast("double"))))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)))
-      .filter(col("rank") <= 3)
-      .select(col("qid"), col("rank").cast("long").as("rank"),
-        col("vec_id").as("neighbor"), round(col("cos"), 4).as("cos_r"))
-      .orderBy("qid", "rank")
+    scoreTop3(
+      bucketScan(s, indexDir, touched)
+        .select("pb", "vec_id", "q", "n2")
+        .join(pb.select("pb", "qid", "qq", "qn"), "pb")
+        .dropDuplicates("qid", "vec_id")) // OR across tables, score once
   }
 }

@@ -77,7 +77,7 @@ object TextQueries {
     * the test corpus yields multiple packs per source; a deployment sets its
     * model's context length here.
     */
-  private val PackBudget = 1024L
+  private[graft] val PackBudget = 1024L
 
   /** Shard fan-out for the deterministic training-order shuffle — the
     * parallel unit of the two-level (shard, in-shard rank) global order. A

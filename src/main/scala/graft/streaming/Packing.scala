@@ -29,7 +29,9 @@ object Packing {
     */
   def packStream(
       docs: org.apache.spark.sql.Dataset[(String, Long, Long)],
-      budget: Long = 1024L): org.apache.spark.sql.Dataset[Packed] = {
+      // default shared with the graded batch query — a retuned PackBudget
+      // must move both, or batch-parity silently breaks for default callers
+      budget: Long = graft.queries.TextQueries.PackBudget): org.apache.spark.sql.Dataset[Packed] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import docs.sparkSession.implicits._
     docs

@@ -28,7 +28,15 @@ class AnnIndexSpec extends SparkTestBase {
     val touched = AnnIndex.touchedLists(spark, idx, probes)
     assert(touched.nonEmpty && touched.size <= 3,
       s"one probe touched ${touched.size} lists (max NProbe=3)")
-    val files = AnnIndex.listScan(spark, idx, touched)
+    val scan = AnnIndex.listScan(spark, idx, touched)
+    // input_file_name on surviving rows is necessary but NOT sufficient (a
+    // defeated pruning still filters rows post-read) — also assert the
+    // predicate landed in the scan's PartitionFilters, i.e. non-touched
+    // directories are never listed or read
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cid"),
+      s"cid predicate did not reach the partition filters:\n${plan.take(1500)}")
+    val files = scan
       .select(org.apache.spark.sql.functions.input_file_name()).distinct()
       .collect().map(_.getString(0))
     assert(files.nonEmpty)
@@ -58,7 +66,13 @@ class AnnIndexSpec extends SparkTestBase {
     val touched = AnnIndex.touchedBuckets(oneProbe)
     assert(touched.nonEmpty && touched.size <= 4 * (1 + 4),
       s"one probe touched ${touched.size} buckets (max NTables*(1+bits)=20)")
-    val files = AnnIndex.bucketScan(spark, idx, touched)
+    val scan = AnnIndex.bucketScan(spark, idx, touched)
+    // same sufficiency argument as the IVF test: the predicate must be a
+    // PARTITION filter, not a post-read row filter
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [pb"),
+      s"pb predicate did not reach the partition filters:\n${plan.take(1500)}")
+    val files = scan
       .select(input_file_name()).distinct().collect().map(_.getString(0))
     assert(files.nonEmpty)
     assert(files.forall(f => touched.exists(t => f.contains(s"pb=$t"))),
