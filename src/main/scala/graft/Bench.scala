@@ -127,6 +127,13 @@ object Bench {
     }).toSeq ++ loadAvg1().map(l => s""""loadavg1":$l""").toSeq
     val loadJson = load.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","repeats":$Repeats,"queries":$qs,"errors":$errs,"load":$loadJson,"sf":"$sfDir"}""")
+    // The full line above grows with the query count and the driver keeps
+    // only the tail of the output, so every round's headline total was lost
+    // to truncation (BENCH_r*.json "parsed": null, VERDICT r6 #4). Repeat
+    // the headline fields on a second SHORT line: tails survive, and a
+    // JSON-per-line consumer parses whichever it kept.
+    val failed = timed.count(_._3.isDefined)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","repeats":$Repeats,"queries_run":${names.length},"queries_failed":$failed,"load":$loadJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

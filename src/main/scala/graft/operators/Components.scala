@@ -82,36 +82,44 @@ object Components {
     * MapReduce and Beyond") — the scale upgrade over [[connected]]'s
     * diameter-bound propagation: a path graph of length 10^6 converges in
     * ~20 rounds instead of 10^6. Each round is two keyed aggregates + a
-    * join, all hash-partitioned on node id; convergence is an
-    * order-insensitive edge-checksum comparison (one single-row aggregate).
+    * join, all hash-partitioned on node id.
     *
     * large-star: every node points its LARGER neighbors at the minimum of
     * its neighborhood (including itself); small-star: re-points its
     * smaller-or-equal neighbors likewise. At the fixpoint every edge is
     * (node → component minimum).
+    *
+    * Round economy (VERDICT r6 next-step #1): the loop is seeded with ONE
+    * small-star pass — on the per-bucket min-label star edges dedup feeds it
+    * this single keyed aggregate collapses every near-clique cluster — and
+    * convergence is detected STRUCTURALLY instead of by comparing two
+    * consecutive edge checksums. An edge set is the fixpoint iff it is a
+    * star forest: every child has exactly one parent and no node is both
+    * parent and child (small-star orients every edge larger → smaller, so a
+    * star forest's roots are their components' minima). The structural test
+    * is one keyed aggregate over the CURRENT edge set, so a converged graph
+    * is recognized immediately — the checksum form needed one extra full
+    * contraction round just to observe "nothing changed".
     */
   def connectedAlternating(nodes: DataFrame, edges: DataFrame,
       maxRounds: Int = 60): DataFrame = {
     checkShapes(nodes, edges)
     val Seq(ac, bc) = edges.columns.toSeq.map(edges(_))
-    // drop self-loops; orient arbitrarily — both passes re-symmetrize
-    var e = edges.select(ac.as("a"), bc.as("b")).filter(col("a") =!= col("b"))
-      .distinct().persist()
-    // (hash-sum, count) pair: sum alone could collide across different edge
-    // sets; with the count alongside, a false convergence needs a same-size
-    // same-sum collision — vanishing odds, one single-row aggregate
-    def checksum(df: DataFrame): (java.math.BigDecimal, Long) = {
-      val r = df.agg(sum(xxhash64(col("a"), col("b")).cast("decimal(38,0)")),
-        count(lit(1))).head
-      (Option(r.getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO), r.getLong(1))
-    }
+    // drop self-loops; orient arbitrarily — both passes re-symmetrize.
+    // NO standalone distinct: duplicate input edges change nothing in the
+    // seeding pass (the keyed min ignores them, its trailing distinct drops
+    // them) and a distinct here would be one more full shuffle of the raw
+    // edge set before the identical shuffle inside smallStar.
+    val e0 = edges.select(ac.as("a"), bc.as("b")).filter(col("a") =!= col("b"))
     def largeStar(in: DataFrame): DataFrame = {
       val sym = in.union(in.select(col("b").as("a"), col("a").as("b")))
       val m = sym.groupBy("a").agg(least(min("b"), first("a")).as("m"))
+      // no trailing distinct: smallStar dedups its own output, and the
+      // duplicates this pass can emit are bounded by |sym| = 2|in|
       sym.join(m, "a")
         .filter(col("b") > col("a"))
         .select(col("b").as("a"), col("m").as("b"))
-        .filter(col("a") =!= col("b")).distinct()
+        .filter(col("a") =!= col("b"))
     }
     def smallStar(in: DataFrame): DataFrame = {
       // orient (hi, lo): every edge as (u, v) with v < u
@@ -123,30 +131,68 @@ object Components {
         .union(m.select(col("a"), col("m").as("b")))
         .filter(col("a") =!= col("b")).distinct()
     }
-    var cur     = checksum(e)
-    var changed = cur._2 > 0
-    var rounds  = 0
-    while (changed) {
+    /** Star-forest test (= fixpoint test, see scaladoc): no node with two
+      * parents, no node both parent and child. One union + one keyed
+      * aggregate + an isEmpty probe — all hash-partitioned on node id.
+      */
+    def converged(in: DataFrame): Boolean =
+      in.select(col("a").as("n"), lit(1L).as("c"), lit(0L).as("p"))
+        .union(in.select(col("b").as("n"), lit(0L).as("c"), lit(1L).as("p")))
+        .groupBy("n").agg(sum("c").as("nc"), sum("p").as("np"))
+        .filter(col("nc") > 1 || (col("nc") > 0 && col("np") > 0))
+        .isEmpty
+    // localCheckpoint, not persist: each star pass references its input ~3x,
+    // so the logical plan would grow ~6x per round — checkpointing truncates
+    // the plan each round and caches the data. LAZY (eager=false): the
+    // convergence test right after is the materializing action, so each
+    // round is ONE Spark job (checkpoint-then-test would be two). On a
+    // cluster, a reliable checkpoint() (or persist + replication) is the
+    // fault-tolerant form.
+    // persist the raw edges across the seeding pass: smallStar references
+    // its input twice (the keyed min and the join), and without a persist
+    // each reference would re-run the caller's whole edge pipeline
+    val dbg = sys.env.contains("GRAFT_CC_DEBUG")
+    def tdbg[A](n: String)(f: => A): A =
+      if (!dbg) f else {
+        val t0 = System.nanoTime(); val r = f
+        System.err.println(f"[cc] $n ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+      }
+    val ep = e0.persist()
+    // seeding pass: one small-star, then one pointer-jump composition —
+    // every edge (a → b) whose parent b is itself a child is re-pointed at
+    // b's MINIMUM parent (a → minparent(b)). The jump is one keyed min +
+    // one self-join and collapses the pure chains a small-star cannot (it
+    // only re-points children at the min of their DIRECT parents), so
+    // near-clique inputs typically reach the fixpoint with no full
+    // alternating round at all. Jumping to the min parent (not every
+    // parent) keeps |edges| non-increasing, and connectivity is preserved:
+    // b stays connected to minparent(b) by the same rule one level up, by
+    // induction down to the roots (edges always point at smaller ids, so
+    // parent chains are finite and acyclic).
+    val seeded = smallStar(ep).persist()
+    val gp = seeded.groupBy("a").agg(min("b").as("g"))
+      .select(col("a").as("b"), col("g"))
+    var e = tdbg("seed ckpt")(
+      seeded.join(gp, Seq("b"), "left")
+        .select(col("a"), coalesce(col("g"), col("b")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+        .localCheckpoint(false))
+    var done = tdbg("seed test")(converged(e)) // materializes the seed checkpoint
+    seeded.unpersist()
+    ep.unpersist()
+    var rounds = 0
+    while (!done) {
       rounds += 1
       require(rounds <= maxRounds,
         s"alternating contraction did not converge in $maxRounds rounds")
-      // localCheckpoint for the same lineage-explosion reason as above —
-      // each star pass references its input 3x, so the plan tree would grow
-      // ~6x per round
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
-      val nextSum = checksum(next)
-      changed = nextSum != cur
-      cur = nextSum
-      e.unpersist()
-      e = next
+      e = tdbg(s"round $rounds ckpt")(smallStar(largeStar(e)).localCheckpoint(false))
+      done = tdbg(s"round $rounds test")(converged(e))
     }
     // fixpoint edges are (node → component min); singletons label themselves
     val roots = e.groupBy("a").agg(min("b").as("lbl"))
       .select(col("a").as("id"), col("lbl"))
     val ids = nodes.select(nodes.columns.map(nodes(_)).head.as("id"))
-    val out = ids.join(roots, Seq("id"), "left")
+    ids.join(roots, Seq("id"), "left")
       .select(col("id"), coalesce(col("lbl"), col("id")).as("lbl"))
-    e.unpersist()
-    out
   }
 }
