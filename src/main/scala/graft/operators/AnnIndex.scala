@@ -19,40 +19,125 @@ import graft.queries.{Dialect, SimilarityQueries => SQ}
   * index; the index is derived data over the embeddings table, rebuilt by
   * re-running [[build]].
   *
-  * Layout: `<dir>/vectors/cid=<list>/` (vec_id, q, n2 per row) and
-  * `<dir>/codebook/` ((cid, cq) — k rows, read to the driver at search
-  * time so probe-side dots are literal expressions, same as the graded
-  * query).
+  * Layout: `<dir>/vectors/batch=<id>/cid=<list>/` (vec_id, q, n2 per row;
+  * batch −1 is the full-build base layer, one layer per incremental
+  * [[appendBatch]]) and `<dir>/codebook/` ((cid, cq) — k rows, read to the
+  * driver at search time so probe-side dots are literal expressions, same
+  * as the graded query).
   */
 object AnnIndex {
 
   private def vectorsPath(dir: String)  = dir + "/vectors"
   private def codebookPath(dir: String) = dir + "/codebook"
 
-  /** (vec_id, q, n2) — the quantized, norm-filtered corpus projection the
-    * whole E2 family scans (well-formed vectors only).
+  /** (vec_id, q, n2) — the quantized, norm-filtered projection of any
+    * embeddings-shaped frame (well-formed vectors only).
     */
-  private def corpus(s: SparkSession, sfDir: String): DataFrame =
-    Tables.embeddings(s, sfDir)
+  private[graft] def corpusOf(vectors: DataFrame): DataFrame =
+    vectors
       .filter(size(col("embedding")) === SQ.Dim)
       .withColumn("q", expr(Dialect.quantSql))
       .withColumn("n2", dotLong(col("q"), col("q")))
       .filter(col("n2") > 0)
       .select("vec_id", "q", "n2")
 
-  /** Train (2 fixed Lloyd iterations from the deterministic seeds), assign,
-    * and write the index under `indexDir`.
+  /** The whole-corpus projection the graded E2 family scans. */
+  private def corpus(s: SparkSession, sfDir: String): DataFrame =
+    corpusOf(Tables.embeddings(s, sfDir))
+
+  // --- incremental-append batch protocol (VERDICT r6 next-step #2) -------
+  //
+  // Both stores are laid out `batch=<id>/<derived key>=<v>`: a full build
+  // writes one base layer `batch=-1`, [[appendBatch]]/[[appendBatchLsh]]
+  // add one layer per micro-batch with dynamic partition overwrite scoped
+  // to their own batch id (the IncrementalDedup.processBatch move), and a
+  // `_APPLIED` pointer file — published tmp + ATOMIC_MOVE like KeyedTable's
+  // `_LATEST` — records the highest applied batch id. Replay of an applied
+  // id is a no-op; a crash BETWEEN the layer write and the pointer swap is
+  // healed by the replay overwriting exactly its own partitions with the
+  // same deterministically-assigned rows. Spark readers ignore `_`-prefixed
+  // files, so the pointer can live inside the store directory.
+  //
+  // Appends keep the build-time codebook/planes FIXED (an IVF list grows,
+  // its centroid does not move) — search cost per probe stays O(1) in the
+  // corpus while update cost drops from O(corpus) to O(batch). A re-appended
+  // vec_id adds a second row for the same key (append-only, like the dedup
+  // band index); search dedups candidates by (probe, vec_id), and a full
+  // [[build]]/[[buildLsh]] is the compaction that restores exactness.
+
+  private def appliedPtr(store: String) =
+    java.nio.file.Paths.get(store, "_APPLIED")
+
+  private def lastApplied(store: String): Long = {
+    val p = appliedPtr(store)
+    if (java.nio.file.Files.exists(p))
+      new String(java.nio.file.Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+    else -1L
+  }
+
+  private def markApplied(store: String, batchId: Long): Unit = {
+    val p   = appliedPtr(store)
+    val tmp = p.resolveSibling(s"_APPLIED.tmp.$batchId")
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(tmp,
+      batchId.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Assign under a FIXED codebook and write one batch layer. Shared by the
+    * full build (layer −1, static overwrite clears everything else) and the
+    * incremental appends (dynamic overwrite of own partitions only).
     */
-  def build(s: SparkSession, sfDir: String, indexDir: String): Unit = {
-    val cents = SQ.trainCodebook(s, sfDir)
-    corpus(s, sfDir)
-      .withColumn("cid", SQ.cidColOf(cents.map(_._2)))
+  private def writeIvfLayer(vectors: DataFrame, cents: Seq[Seq[Long]],
+      indexDir: String, batchId: Long, full: Boolean): Unit = {
+    val w = vectors
+      .withColumn("cid", SQ.cidColOf(cents))
+      .withColumn("batch", lit(batchId))
       .write.mode("overwrite")
-      .partitionBy("cid")
+    (if (full) w else w.option("partitionOverwriteMode", "dynamic"))
+      .partitionBy("batch", "cid")
       .parquet(vectorsPath(indexDir))
+  }
+
+  /** Full build from an explicit corpus frame under an explicit codebook —
+    * the base-layer writer [[build]] delegates to, and the spec's honest
+    * rebuild-for-comparison path (append parity only holds under the SAME
+    * codebook; a retrained codebook may re-list vectors).
+    */
+  private[graft] def buildFrom(s: SparkSession, vectorsRaw: DataFrame,
+      cents: Seq[(Int, Seq[Long])], indexDir: String): Unit = {
+    writeIvfLayer(corpusOf(vectorsRaw), cents.map(_._2), indexDir, -1L, full = true)
+    markApplied(vectorsPath(indexDir), -1L)
     import s.implicits._
     cents.toDF("cid", "cq")
       .coalesce(1).write.mode("overwrite").parquet(codebookPath(indexDir))
+  }
+
+  /** Train (2 fixed Lloyd iterations from the deterministic seeds), assign,
+    * and write the index under `indexDir` — also the COMPACTION for a store
+    * that has accumulated append layers (static overwrite folds them into
+    * the fresh base layer, and the applied pointer resets with the store).
+    */
+  def build(s: SparkSession, sfDir: String, indexDir: String): Unit =
+    buildFrom(s, Tables.embeddings(s, sfDir), SQ.trainCodebook(s, sfDir), indexDir)
+
+  /** Index one micro-batch of new vectors (embeddings-shaped frame) into the
+    * existing IVF store under the batch protocol above. Returns false (and
+    * writes nothing) for an already-applied batch id.
+    */
+  def appendBatch(s: SparkSession, indexDir: String, vectors: DataFrame,
+      batchId: Long): Boolean = {
+    val store = vectorsPath(indexDir)
+    if (lastApplied(store) >= batchId) false
+    else {
+      writeIvfLayer(corpusOf(vectors), codebook(s, indexDir), indexDir,
+        batchId, full = false)
+      markApplied(store, batchId)
+      true
+    }
   }
 
   /** Top-3 cosine neighbors for `probes` (vec_id, q, n2 — the external query
@@ -108,11 +193,19 @@ object AnnIndex {
   def search(s: SparkSession, indexDir: String, probes: DataFrame): DataFrame = {
     val cents = codebook(s, indexDir)
     // persisted: the touched-list collect AND the join both evaluate this
-    // lineage (which may carry an expensive external probe pipeline); the
-    // caller unpersists via catalog cache eviction (family discipline)
+    // lineage (which may carry an expensive external probe pipeline)
     val probeCids = probeCidsOf(probes, cents).persist()
     val touched   = probeCids.select("cid").distinct().collect().map(_.getInt(0)).toSeq
-    scoreTop3(listScan(s, indexDir, touched).join(probeCids, "cid"))
+    // dropDuplicates: a re-appended vec_id has one row per append layer (all
+    // in the same cid partition under the fixed codebook) and must score once
+    val out = scoreTop3(listScan(s, indexDir, touched).join(probeCids, "cid")
+      .dropDuplicates("qid", "vec_id"))
+      // eager localCheckpoint (top-3 × probes rows) so the probe lineage can
+      // be unpersisted HERE — a long-lived session calling search repeatedly
+      // must not accumulate one cached dataset per call (ADVICE r6)
+      .localCheckpoint(true)
+    probeCids.unpersist()
+    out
   }
 
   /** The graded probe workload (fixed literal ids) as a search input. */
@@ -144,11 +237,39 @@ object AnnIndex {
         posexplode(col("bs")).as(Seq("t", "bucket")))
       .withColumn("pb", col("t") * BucketSpan + col("bucket"))
 
-  def buildLsh(s: SparkSession, sfDir: String, indexDir: String): Unit =
-    lshRows(corpus(s, sfDir))
+  /** One batch layer of the LSH store — same shape as [[writeIvfLayer]];
+    * bucketization is the fixed sign-plane construction, so no codebook.
+    */
+  private def writeLshLayer(vectors: DataFrame, indexDir: String,
+      batchId: Long, full: Boolean): Unit = {
+    val w = lshRows(vectors)
+      .withColumn("batch", lit(batchId))
       .write.mode("overwrite")
-      .partitionBy("pb")
+    (if (full) w else w.option("partitionOverwriteMode", "dynamic"))
+      .partitionBy("batch", "pb")
       .parquet(lshPath(indexDir))
+  }
+
+  /** Full LSH build from an explicit corpus frame — see [[buildFrom]]. */
+  private[graft] def buildLshFrom(vectorsRaw: DataFrame, indexDir: String): Unit = {
+    writeLshLayer(corpusOf(vectorsRaw), indexDir, -1L, full = true)
+    markApplied(lshPath(indexDir), -1L)
+  }
+
+  def buildLsh(s: SparkSession, sfDir: String, indexDir: String): Unit =
+    buildLshFrom(Tables.embeddings(s, sfDir), indexDir)
+
+  /** Incremental LSH append — the batch protocol documented above. */
+  def appendBatchLsh(s: SparkSession, indexDir: String, vectors: DataFrame,
+      batchId: Long): Boolean = {
+    val store = lshPath(indexDir)
+    if (lastApplied(store) >= batchId) false
+    else {
+      writeLshLayer(corpusOf(vectors), indexDir, batchId, full = false)
+      markApplied(store, batchId)
+      true
+    }
+  }
 
   /** Each probe exploded to its Hamming-1 multi-probe (t, bucket) set —
     * the own bucket plus every single-bit flip, as in the graded query.
@@ -181,10 +302,13 @@ object AnnIndex {
     // persisted for the same collect+join double evaluation as search
     val pb      = probeBuckets(probes).persist()
     val touched = pb.select("pb").distinct().collect().map(_.getLong(0)).toSeq
-    scoreTop3(
+    val out = scoreTop3(
       bucketScan(s, indexDir, touched)
         .select("pb", "vec_id", "q", "n2")
         .join(pb.select("pb", "qid", "qq", "qn"), "pb")
         .dropDuplicates("qid", "vec_id")) // OR across tables, score once
+      .localCheckpoint(true) // see search: frees the probe cache eagerly
+    pb.unpersist()
+    out
   }
 }

@@ -26,12 +26,17 @@ object Funnels {
     */
   final case class StageReached(user_id: Long, stage: Int, at_us: Long)
 
-  /** Input rows: (user_id, event micros, event_type). `stepUs` is the
-    * per-stage deadline (next stage strictly after the previous, within
-    * stepUs of it) — the batch query's constant.
+  /** Input rows: (user_id, event micros, event_id, event_type). `stepUs` is
+    * the per-stage deadline (next stage strictly after the previous, within
+    * stepUs of it) — the batch query's constant. event_id is carried for the
+    * within-batch sort only: the batch query orders by (us, event_id), and
+    * sorting by the same tuple keeps replay determinism structural rather
+    * than an accident of arrival order on same-timestamp ties (ADVICE r6) —
+    * today every deadline comparison is strict so ties cannot change the
+    * emitted state, but the parity argument should not depend on that.
     */
   def funnelStream(
-      events: org.apache.spark.sql.Dataset[(Long, Long, String)],
+      events: org.apache.spark.sql.Dataset[(Long, Long, Long, String)],
       stepUs: Long): org.apache.spark.sql.Dataset[StageReached] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import events.sparkSession.implicits._
@@ -39,10 +44,10 @@ object Funnels {
       .groupByKey(_._1)
       .flatMapGroupsWithState[FunnelState, StageReached](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (user: Long, rows: Iterator[(Long, Long, String)], state: GroupState[FunnelState]) =>
+        (user: Long, rows: Iterator[(Long, Long, Long, String)], state: GroupState[FunnelState]) =>
           var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
           val out = scala.collection.mutable.ArrayBuffer.empty[StageReached]
-          rows.toSeq.sortBy(_._2).foreach { case (_, us, tpe) =>
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, us, _, tpe) =>
             tpe match {
               case "view" if st.tView < 0 =>
                 st = st.copy(tView = us); out += StageReached(user, 1, us)

@@ -3,15 +3,22 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Dev tool: measure how the heavy graded pipelines SCALE, not just how fast
-  * they are at one size. Replicates the sf dir's `documents` and `lineitem`
-  * tables at 2× and 4× (ids offset per replica so keys stay unique; text is
-  * repeated verbatim, which stresses the dedup paths' hot-bucket caps exactly
-  * the way near-duplicate-heavy corpora do at 100 TB), then times a
-  * representative query set through the unchanged graded code path at each
-  * scale. Output: one JSON line per (query, scale) with seconds and rows —
-  * a pipeline whose time grows super-linearly here has a stage that will not
-  * survive the next 100×.
+/** Measure how the heavy graded pipelines SCALE, not just how fast they are
+  * at one size — and, behind an env flag, FAIL when growth is super-linear
+  * (VERDICT r6 next-step #3: a smoke curve nobody asserts on is advisory;
+  * this is a regression gate). Replicates the sf dir's `documents` and
+  * `lineitem` tables at 2× and 4× (ids offset per replica so keys stay
+  * unique; text is repeated verbatim, which stresses the dedup paths'
+  * hot-bucket caps exactly the way near-duplicate-heavy corpora do at
+  * 100 TB), then times a representative query set through the unchanged
+  * graded code path at each scale.
+  *
+  * Gate semantics: per query, metric(max scale) / metric(1×) must stay
+  * within [[DefaultBound]] (time budget for a 4× data step ≈ linear growth
+  * plus headroom for fixed overheads). `GRAFT_SCALE_GATE=1` turns
+  * violations into a non-zero exit; ScaleGateSpec proves the gate's
+  * SENSITIVITY by pushing an uncapped pair expansion through the same
+  * [[violations]] logic and asserting it trips.
   *
   * Replicas live under /tmp (derived scratch data; the read-only testdata is
   * never touched).
@@ -19,34 +26,86 @@ import org.apache.spark.sql.functions._
 object ScaleSmoke {
 
   private val DefaultScales = Seq(1, 2, 4)
+
+  /** 4×/1× growth budget — generous vs linear so hypervisor noise does not
+    * page anyone, tight enough that a quadratic stage (16× work at 4×)
+    * cannot hide.
+    */
+  private[graft] val DefaultBound = 6.0
+
   private val Queries = Seq(
     "q_scan_project",      // pushdown + projection: must scale with bytes read
     "q_token_quantiles",   // histogram + cumulative window: vocabulary-bound tail
     "q_dedup_minhash",     // shingle→signature→banded buckets: cap-bound pairs
     "q_ngram_jaccard",     // set-similarity join: df-cap must hold under dup inflation
     "q_dup_span_coverage", // positional shingles + islands merge: window-heavy
-    "q_bloom_decontaminate") // bloom prefilter: bits stay <= m as bench grows
+    "q_bloom_decontaminate", // bloom prefilter: bits stay <= m as bench grows
+    "q_dup_clusters",      // star edges + seeded contraction: rounds must stay flat
+    "q_source_overlap")    // per-shingle source pairs: bounded by #sources², never corpus²
 
-  /** Offset keys so replicas do not collide; every other column repeats. */
+  /** One (query, scale) observation. */
+  final case class Point(query: String, scale: Int, sec: Double, rows: Long)
+
+  /** The gate: per query, metric at the LARGEST scale must stay within
+    * `bound` × metric at the smallest. Pure over the observations so the
+    * spec can feed it adversarial curves; `metric` defaults to seconds (the
+    * CI gate) — the mutation check uses rows, the deterministic work proxy
+    * the caps bound. A query with a zero/absent baseline is skipped rather
+    * than divided by.
+    */
+  private[graft] def violations(points: Seq[Point], bound: Double = DefaultBound,
+      metric: Point => Double = _.sec): Seq[String] =
+    points.groupBy(_.query).toSeq.sortBy(_._1).flatMap { case (q, ps) =>
+      val s = ps.sortBy(_.scale)
+      val lo = metric(s.head)
+      val hi = metric(s.last)
+      if (lo <= 0.0 || s.size < 2) None
+      else if (hi <= bound * lo) None
+      else Some(f"$q: ${hi / lo}%.1fx growth across ${s.head.scale}x -> " +
+        f"${s.last.scale}x data (bound $bound%.1f)")
+    }
+
+  /** Offset keys so replicas do not collide. The offset is DERIVED from the
+    * base table's max id (ADVICE r6: a fixed 1e8 offset would silently
+    * collide on a base corpus whose ids reach it and corrupt the curves).
+    */
   private def replicate(spark: SparkSession, base: String, dir: String, r: Int): Unit = {
-    val docs = spark.read.parquet(s"$base/documents.parquet")
-    (0 until r).map(i => docs.withColumn("doc_id", col("doc_id") + lit(i * 100000000L)))
-      .reduce(_ unionAll _)
-      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    val li = spark.read.parquet(s"$base/lineitem.parquet")
-    (0 until r).map(i => li.withColumn("l_orderkey", col("l_orderkey") + lit(i * 100000000L)))
-      .reduce(_ unionAll _)
-      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    def rep(file: String, key: String): Unit = {
+      val df = spark.read.parquet(s"$base/$file")
+      val offset = df.agg(max(col(key))).head.getLong(0) + 1L
+      (0 until r).map(i => df.withColumn(key, col(key) + lit(i * offset)))
+        .reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$dir/$file")
+    }
+    rep("documents.parquet", "doc_id")
+    rep("lineitem.parquet", "l_orderkey")
   }
 
-  def main(args: Array[String]): Unit = {
-    val base   = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val out    = "/tmp/scale_smoke"
-    val scales = if (args.nonEmpty) args.toSeq.map(_.toInt) else DefaultScales
-    require(scales.forall(_ >= 1), s"replication factors must be >= 1, got: ${scales.mkString(" ")}")
-    val spark = graft.LocalSpark.session("32", "graft-scale-smoke")
-    spark.sparkContext.setLogLevel("ERROR")
+  /** Time the graded query set at every scale (per-query warm-up at base
+    * scale first, so scale 1 — always timed first — does not eat the one-off
+    * codegen cost and flatten the curve).
+    */
+  private[graft] def measure(spark: SparkSession, dirs: Map[Int, String],
+      queries: Seq[String]): Seq[Point] =
+    queries.flatMap { q =>
+      spark.catalog.clearCache()
+      graft.SparkEntry.queries(q)(spark, dirs(dirs.keys.min)).count()
+      dirs.keys.toSeq.sorted.map { r =>
+        spark.catalog.clearCache()
+        val t0   = System.nanoTime()
+        val rows = graft.SparkEntry.queries(q)(spark, dirs(r)).count()
+        Point(q, r, (System.nanoTime() - t0) / 1e9, rows)
+      }
+    }
 
+  /** Replicate, measure, print the curve, and return the gate violations —
+    * the whole run minus session lifecycle, so the env-flagged spec can
+    * drive it on the shared test session without stopping it.
+    */
+  private[graft] def run(spark: SparkSession, base: String,
+      scales: Seq[Int]): Seq[String] = {
+    require(scales.forall(_ >= 1), s"replication factors must be >= 1, got: ${scales.mkString(" ")}")
+    val out = "/tmp/scale_smoke"
     val dirs: Map[Int, String] = scales.map { r =>
       if (r == 1) r -> base
       else {
@@ -55,24 +114,26 @@ object ScaleSmoke {
         r -> dir
       }
     }.toMap
-
-    for (q <- Queries) {
-      // per-query warm-up at base scale absorbs planning/codegen cost, so the
-      // timed runs measure data work only (otherwise scale 1, always timed
-      // first, eats each query's one-time codegen and the curve reads flat)
-      spark.catalog.clearCache()
-      graft.SparkEntry.queries(q)(spark, base).count()
-      for (r <- scales) {
-        spark.catalog.clearCache()
-        val t0   = System.nanoTime()
-        val rows = graft.SparkEntry.queries(q)(spark, dirs(r)).count()
-        // Locale.ROOT: the f-interpolator follows the JVM default locale,
-        // and a comma decimal separator would emit invalid JSON
-        val sec = String.format(java.util.Locale.ROOT, "%.2f",
-          Double.box((System.nanoTime() - t0) / 1e9))
-        println(s"""{"query":"$q","scale":$r,"sec":$sec,"rows":$rows}""")
-      }
+    val points = measure(spark, dirs, Queries)
+    points.foreach { p =>
+      // Locale.ROOT: the f-interpolator follows the JVM default locale, and
+      // a comma decimal separator would emit invalid JSON
+      val sec = String.format(java.util.Locale.ROOT, "%.2f", Double.box(p.sec))
+      println(s"""{"query":"${p.query}","scale":${p.scale},"sec":$sec,"rows":${p.rows}}""")
     }
+    val viol = violations(points)
+    viol.foreach(v => System.err.println(s"[scale-gate] VIOLATION $v"))
+    viol
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base   = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val scales = if (args.nonEmpty) args.toSeq.map(_.toInt) else DefaultScales
+    val spark = graft.LocalSpark.session("32", "graft-scale-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+    val viol = run(spark, base, scales)
+    if (sys.env.contains("GRAFT_SCALE_GATE"))
+      require(viol.isEmpty, s"super-linear scaling detected:\n${viol.mkString("\n")}")
     spark.stop()
   }
 }

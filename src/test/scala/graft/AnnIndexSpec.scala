@@ -40,7 +40,9 @@ class AnnIndexSpec extends SparkTestBase {
       .select(org.apache.spark.sql.functions.input_file_name()).distinct()
       .collect().map(_.getString(0))
     assert(files.nonEmpty)
-    assert(files.forall(f => touched.exists(t => f.contains(s"cid=$t"))),
+    // full path segment, not substring: "cid=1" would also accept cid=12
+    // (ADVICE r6) — every partition dir is followed by a file separator
+    assert(files.forall(f => touched.exists(t => f.contains(s"/cid=$t/"))),
       s"scan escaped the probed lists: ${files.mkString("\n")}")
     val allCids = spark.read.parquet(s"$idx/vectors").select("cid").distinct()
       .collect().map(_.getInt(0)).toSet
@@ -75,12 +77,81 @@ class AnnIndexSpec extends SparkTestBase {
     val files = scan
       .select(input_file_name()).distinct().collect().map(_.getString(0))
     assert(files.nonEmpty)
-    assert(files.forall(f => touched.exists(t => f.contains(s"pb=$t"))),
+    // full path segment, not substring (ADVICE r6 — see the IVF pin)
+    assert(files.forall(f => touched.exists(t => f.contains(s"/pb=$t/"))),
       s"scan escaped the probed buckets: ${files.mkString("\n")}")
     // partition-dir values read back as int — cast for the comparison
     val allPbs = spark.read.parquet(s"$idx/lsh").select(col("pb").cast("long")).distinct()
       .collect().map(_.getLong(0)).toSet
     assert(touched.toSet.size < allPbs.size,
       s"one probe's buckets cover every partition ($touched of $allPbs) — pin is vacuous")
+  }
+
+  // --- incremental appendBatch maintenance (VERDICT r6 next-step #2) ------
+
+  private def top3(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+
+  test("IVF appendBatch: search-after-appends equals search-after-rebuild; replay is a no-op") {
+    import org.apache.spark.sql.functions.col
+    val raw   = Tables.embeddings(spark, dir)
+    val base  = raw.filter(col("vec_id") % 3 =!= 0)
+    val b0    = raw.filter(col("vec_id") % 3 === 0 && col("vec_id") % 2 === 0)
+    val b1    = raw.filter(col("vec_id") % 3 === 0 && col("vec_id") % 2 =!= 0)
+    // the codebook is fixed at build time and shared by the rebuild — append
+    // parity is only claimed under the same codebook (retraining may re-list)
+    val cents = graft.queries.SimilarityQueries.trainCodebook(spark, dir)
+    val probes = AnnIndex.probeWorkload(spark, dir)
+
+    val inc = java.nio.file.Files.createTempDirectory("ann_inc").toString
+    AnnIndex.buildFrom(spark, base, cents, inc)
+    assert(AnnIndex.appendBatch(spark, inc, b0, 0L))
+    assert(AnnIndex.appendBatch(spark, inc, b1, 1L))
+
+    val reb = java.nio.file.Files.createTempDirectory("ann_reb").toString
+    AnnIndex.buildFrom(spark, raw, cents, reb)
+
+    val afterAppends = top3(AnnIndex.search(spark, inc, probes))
+    assert(afterAppends == top3(AnnIndex.search(spark, reb, probes)),
+      "incrementally-appended index diverged from the same-codebook rebuild")
+
+    // replayed batch id: refused, nothing written, results unchanged
+    assert(!AnnIndex.appendBatch(spark, inc, b1, 1L))
+    assert(!AnnIndex.appendBatch(spark, inc, b1, 0L))
+    assert(top3(AnnIndex.search(spark, inc, probes)) == afterAppends)
+    // non-vacuous: the appends actually contribute neighbors
+    assert(afterAppends != top3(AnnIndex.search(spark, {
+      val baseOnly = java.nio.file.Files.createTempDirectory("ann_base").toString
+      AnnIndex.buildFrom(spark, base, cents, baseOnly); baseOnly
+    }, probes)), "append batches changed nothing — parity pin is vacuous")
+  }
+
+  test("LSH appendBatchLsh: search-after-appends equals search-after-rebuild; replay is a no-op") {
+    import org.apache.spark.sql.functions.col
+    val raw  = Tables.embeddings(spark, dir)
+    val base = raw.filter(col("vec_id") % 3 =!= 0)
+    val b0   = raw.filter(col("vec_id") % 3 === 0 && col("vec_id") % 2 === 0)
+    val b1   = raw.filter(col("vec_id") % 3 === 0 && col("vec_id") % 2 =!= 0)
+    val probes = AnnIndex.probeWorkload(spark, dir)
+
+    val inc = java.nio.file.Files.createTempDirectory("lsh_inc").toString
+    AnnIndex.buildLshFrom(base, inc)
+    assert(AnnIndex.appendBatchLsh(spark, inc, b0, 0L))
+    assert(AnnIndex.appendBatchLsh(spark, inc, b1, 1L))
+
+    val reb = java.nio.file.Files.createTempDirectory("lsh_reb").toString
+    AnnIndex.buildLshFrom(raw, reb)
+
+    val afterAppends = top3(AnnIndex.searchLsh(spark, inc, probes))
+    assert(afterAppends == top3(AnnIndex.searchLsh(spark, reb, probes)),
+      "incrementally-appended LSH index diverged from the rebuild")
+
+    assert(!AnnIndex.appendBatchLsh(spark, inc, b1, 1L))
+    assert(top3(AnnIndex.searchLsh(spark, inc, probes)) == afterAppends)
+
+    // a re-appended vector (same embedding, later batch) scores exactly once
+    assert(AnnIndex.appendBatchLsh(spark, inc, b0, 2L))
+    assert(top3(AnnIndex.searchLsh(spark, inc, probes)) == afterAppends,
+      "duplicate rows from a re-appended batch leaked into the top-3")
   }
 }

@@ -19,11 +19,11 @@ class FunnelStreamSpec extends SparkTestBase {
   test("time-ordered streamed events reproduce the batch funnel stages") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val events = Tables.events(spark, dir)
-      .selectExpr("user_id", "unix_micros(ts) AS us", "event_type")
-      .as[(Long, Long, String)]
+      .selectExpr("user_id", "unix_micros(ts) AS us", "event_id", "event_type")
+      .as[(Long, Long, Long, String)]
       .collect()
-      .sortBy(_._2)
-    val in = MemoryStream[(Long, Long, String)]
+      .sortBy(r => (r._2, r._3))
+    val in = MemoryStream[(Long, Long, Long, String)]
     val q = Funnels.funnelStream(in.toDS(), StepUs).writeStream
       .format("memory").queryName("funnel_out").outputMode("append").start()
     try {

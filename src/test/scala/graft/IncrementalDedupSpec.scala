@@ -82,7 +82,9 @@ class IncrementalDedupSpec extends SparkTestBase {
     val files = df.select(org.apache.spark.sql.functions.input_file_name())
       .distinct().collect().map(_.getString(0))
     assert(files.nonEmpty)
-    assert(files.forall(_.contains(s"pb=${touched.head}")),
+    // full path segment, not substring: "pb=1" would also accept pb=12
+    // (ADVICE r6)
+    assert(files.forall(_.contains(s"/pb=${touched.head}/")),
       s"read escaped the touched partition: ${files.mkString("\n")}")
     // the current batch's own (crash-replay) partitions are never "stored"
     assert(IncrementalDedup.storedBands(spark, bands, allPbs, 0L).count() == 0)
