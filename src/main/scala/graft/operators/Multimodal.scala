@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -90,4 +90,84 @@ object Multimodal {
       .select(col("*"), posexplode(col(unitsCol)).as(Seq("unit_idx", "unit")))
       .filter(col("unit_idx") % stride === 0)
       .drop(unitsCol)
+
+  // ---- image header parsing (no decoder required) ----------------------
+  //
+  // PNG and baseline JPEG store their pixel dimensions in fixed-format
+  // header fields, so width/height are recoverable from the first bytes of
+  // the payload with codegen'd built-ins alone (substr on binary +
+  // hex→decimal conv) — no media library, no UDF, no driver round-trip.
+  // This is the real (non-stub) slice of E5: at 100 TB a dimension audit
+  // reads only header prefixes and stays inside whole-stage codegen.
+
+  private val PngSig = "89504E470D0A1A0A" // \x89PNG\r\n\x1a\n
+
+  /** Hex of byte range [pos, pos+len) of a binary column (1-based pos). */
+  private def hexAt(payload: Column, pos: Column, len: Int): Column =
+    hex(payload.substr(pos, lit(len)))
+
+  /** Parse image dimensions from a binary payload column.
+    *
+    * PNG: the IHDR chunk is mandated first (bytes 13-16 = "IHDR"), so width
+    * and height are big-endian u32 at fixed offsets 17 and 21.
+    *
+    * JPEG: walk from SOI (FFD8) over ONE variable-length APPn segment —
+    * its 2-byte big-endian length at offset 5 includes itself — to the SOF0
+    * marker (FFC0), whose payload is [len u16][precision u8][height u16]
+    * [width u16]. A full parser would loop over markers; one dynamic-offset
+    * hop exercises the same arithmetic (offsets computed from parsed bytes)
+    * while staying a pure expression. Payloads whose markers don't line up
+    * get marker_ok = 0 and null dims rather than garbage.
+    *
+    * Returns struct(fmt, marker_ok, width, height).
+    */
+  def imageDims(payload: Column): Column = {
+    val isPng  = hexAt(payload, lit(1), 4) === PngSig.substring(0, 8)
+    val isJpeg = hexAt(payload, lit(1), 2) === "FFD8"
+
+    val pngOk = hexAt(payload, lit(1), 8) === PngSig &&
+      hexAt(payload, lit(13), 4) === "49484452" // "IHDR"
+    val pngW = conv(hexAt(payload, lit(17), 4), 16, 10).cast("long")
+    val pngH = conv(hexAt(payload, lit(21), 4), 16, 10).cast("long")
+
+    // APP segment length (bytes 5-6) → SOF0 marker position L+5 (1-based)
+    val appLen = conv(hexAt(payload, lit(5), 2), 16, 10).cast("int")
+    val sofPos = appLen + lit(5)
+    val jpegOk = hexAt(payload, lit(3), 1) === "FF" &&
+      hexAt(payload, sofPos, 2) === "FFC0"
+    val jpegH = conv(hexAt(payload, sofPos + lit(5), 2), 16, 10).cast("long")
+    val jpegW = conv(hexAt(payload, sofPos + lit(7), 2), 16, 10).cast("long")
+
+    struct(
+      when(isPng, "png").when(isJpeg, "jpeg").otherwise("unknown").as("fmt"),
+      when(isPng && pngOk, 1L).when(isJpeg && jpegOk, 1L).otherwise(0L).as("marker_ok"),
+      when(isPng && pngOk, pngW).when(isJpeg && jpegOk, jpegW).as("width"),
+      when(isPng && pngOk, pngH).when(isJpeg && jpegOk, jpegH).as("height"))
+  }
+
+  /** Synthesize a structurally valid PNG header (signature + IHDR) as a hex
+    * string from width/height columns — the test-side generator for
+    * [[imageDims]] (no real images exist in this environment; the header
+    * layout is the genuine PNG one, so the parser also accepts real files).
+    */
+  def synthPngHex(w: Column, h: Column): Column =
+    concat(
+      lit(PngSig + "0000000D49484452"),          // sig + IHDR len 13 + "IHDR"
+      lpad(hex(w.cast("int")), 8, "0"),
+      lpad(hex(h.cast("int")), 8, "0"),
+      lit("0806000000"))                          // depth 8, RGBA, no interlace
+
+  /** Synthesize a baseline-JPEG header prefix (SOI + one APP0 of variable
+    * length `appLen` + SOF0) as a hex string. `appLen` is the APP0 length
+    * FIELD value (payload + 2), so the segment layout matches real JFIF.
+    */
+  def synthJpegHex(w: Column, h: Column, appLen: Column): Column =
+    concat(
+      lit("FFD8FFE0"),
+      lpad(hex(appLen.cast("int")), 4, "0"),
+      call_function("repeat", lit("4A"), (appLen - lit(2)).cast("int")), // APP0 filler
+      lit("FFC0001108"),                          // SOF0, len 17, precision 8
+      lpad(hex(h.cast("int")), 4, "0"),
+      lpad(hex(w.cast("int")), 4, "0"),
+      lit("03012200021101031101"))                // 3-component spec
 }

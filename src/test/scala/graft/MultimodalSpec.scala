@@ -33,6 +33,48 @@ class MultimodalSpec extends SparkTestBase {
     assert((out.getInt(0), out.getInt(1), out.getLong(2)) == ((w, h, c)))
   }
 
+  test("imageDims parses real PNG and JFIF header bytes (not synth-shaped)") {
+    // Hand-written headers with REAL structure: the PNG is the exact prefix
+    // every PNG file starts with (3×2 RGBA); the JPEG carries a genuine
+    // 16-byte JFIF APP0 ("JFIF\0", version 1.1, no thumbnail) before SOF0
+    // for 640×480 — so the parser is checked against real-file layout, not
+    // just the synthesizer's own output.
+    val png = ("89504E470D0A1A0A" + "0000000D49484452" +
+      "00000003" + "00000002" + "0806000000")
+    val jfif = ("FFD8" + "FFE0" + "0010" + "4A46494600010100000100010000" +
+      "FFC0" + "0011" + "08" + "01E0" + "0280" + "03012200021101031101")
+    val df = Seq(("png", png), ("jpeg", jfif)).toDF("kind", "hx")
+      .select(col("kind"), Multimodal.imageDims(unhex(col("hx"))).as("d"))
+      .select("kind", "d.fmt", "d.marker_ok", "d.width", "d.height")
+    val rows = df.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(rows == Set(("png", "png", 1L, 3L, 2L), ("jpeg", "jpeg", 1L, 640L, 480L)))
+  }
+
+  test("imageDims flags corrupt markers instead of emitting garbage dims") {
+    val bad = Seq(
+      "89504E470D0A1A0A" + "0000000D49484454" + "00000003" + "00000002", // "IHDT" not IHDR
+      "FFD8" + "FFE0" + "0004" + "0000" + "FFDB" + "0011" + "080001000103", // SOF missing
+      "0000") // neither signature
+    val out = bad.zipWithIndex.map { case (h, i) => (i.toLong, h) }
+      .toDF("id", "hx")
+      .select(col("id"), Multimodal.imageDims(unhex(col("hx"))).as("d"))
+      .select("id", "d.marker_ok", "d.width")
+      .collect()
+    assert(out.forall(r => r.getLong(1) == 0L && r.isNullAt(2)))
+  }
+
+  test("synth headers round-trip through imageDims") {
+    val df = Seq((5L, 123, 45, 18), (6L, 1024, 768, 22)).toDF("id", "w", "h", "al")
+      .select(col("id"),
+        Multimodal.imageDims(unhex(Multimodal.synthPngHex(col("w"), col("h")))).as("p"),
+        Multimodal.imageDims(unhex(Multimodal.synthJpegHex(col("w"), col("h"), col("al")))).as("j"))
+    val rows = df.orderBy("id")
+      .select("p.width", "p.height", "j.width", "j.height", "p.marker_ok", "j.marker_ok")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.toSeq == Seq((123L, 45L, 123L, 45L, 1L, 1L), (1024L, 768L, 1024L, 768L, 1L, 1L)))
+  }
+
   test("sampleUnits keeps every stride-th frame") {
     val df  = Seq((1L, Seq("f0", "f1", "f2", "f3", "f4"))).toDF("id", "frames")
     val out = Multimodal.sampleUnits(df, "frames", stride = 2)
