@@ -136,6 +136,76 @@ object Relational {
     saltedBig.join(saltedSmall, Seq(key, "__graft_salt")).drop("__graft_salt")
   }
 
+  /** The salt fan-out formula shared by the skew REPORT (`q_skew_report`)
+    * and the skew JOIN ([[autoSalted]]): replicas needed so one key's rows
+    * spread across averagely-loaded partitions of a `targetTasks`-wide
+    * stage — `ceil(cnt · targetTasks / total)`, floored at 1 (= no salting).
+    * Integer-only (`div`), per the engine's oracle-parity conventions.
+    * `cnt`/`total` are column NAMES resolved in the caller's frame.
+    */
+  def saltFanoutSql(cnt: String, total: String, targetTasks: Long): String =
+    s"greatest(1L, ($cnt * $targetTasks + $total - 1) div $total)"
+
+  /** Skew join with MEASURED per-key fan-out — [[saltedJoin]] driven by the
+    * `q_skew_report` histogram instead of a caller-guessed constant, and
+    * salting ONLY the keys that need it.
+    *
+    * Plan: one partial-aggregated keyed count over `big` (the histogram any
+    * skew decision needs), keep just the keys whose [[saltFanoutSql]]
+    * fan-out exceeds 1 — by construction at most `targetTasks` such keys
+    * can exist (each holds > total/targetTasks rows), so the heavy set is
+    * always broadcastable no matter the corpus size. Both sides pick up
+    * their key's fan-out from that broadcast (absent ⇒ 1): big-side rows
+    * spread position-mod-n, small-side rows replicate n×. Cold keys pay
+    * zero replication; the join runs on (key, salt).
+    *
+    * vs AQE skew-join: AQE splits skewed SORT-MERGE partitions reactively;
+    * this is the proactive form that also covers broadcast-ineligible
+    * downstream aggregations and keeps working when the skew is in the
+    * grouping that FOLLOWS the join. Result is bag-equal to a plain inner
+    * equi-join (AutoSaltedSpec pins it, plus the bounded-task property).
+    */
+  def autoSalted(big: DataFrame, small: DataFrame, key: String, targetTasks: Long = 256L): DataFrame = {
+    require(targetTasks > 0, "targetTasks must be positive")
+    require(!big.columns.contains("__graft_salt") && !small.columns.contains("__graft_salt"),
+      "__graft_salt column name is reserved by autoSalted")
+    val (saltedBig, saltedSmall) = saltedSides(big, small, key, targetTasks)
+    saltedBig.join(saltedSmall, Seq(key, "__graft_salt")).drop("__graft_salt")
+  }
+
+  /** The two salted inputs of [[autoSalted]] — package-private so the
+    * bounded-task property (max rows per (key, salt) cell) is assertable
+    * directly rather than inferred from the joined output.
+    */
+  private[graft] def saltedSides(
+      big: DataFrame, small: DataFrame, key: String, targetTasks: Long): (DataFrame, DataFrame) = {
+    val heavy = heavyKeyFanout(big, key, targetTasks)
+    val withN = coalesce(col("__salt_n"), lit(1L))
+    val saltedBig = big.join(broadcast(heavy), Seq(key), "left")
+      .withColumn("__graft_salt",
+        pmod(monotonically_increasing_id(), withN).cast("int"))
+      .drop("__salt_n")
+    val saltedSmall = small.join(broadcast(heavy), Seq(key), "left")
+      .withColumn("__graft_salt",
+        explode(sequence(lit(0), withN.cast("int") - 1)))
+      .drop("__salt_n")
+    (saltedBig, saltedSmall)
+  }
+
+  /** The heavy-key slice of the skew histogram: (key, __salt_n) for keys
+    * whose fan-out > 1 — ≤ targetTasks rows, the broadcastable core of
+    * [[autoSalted]]. Exposed for tests and for callers that want to reuse
+    * one histogram across several joins on the same key.
+    */
+  private[graft] def heavyKeyFanout(big: DataFrame, key: String, targetTasks: Long): DataFrame = {
+    val counts = big.groupBy(col(key)).agg(count(lit(1)).as("__cnt"))
+    val tot    = counts.agg(sum(col("__cnt")).as("__total"))
+    counts.crossJoin(broadcast(tot))
+      .select(col(key),
+        expr(saltFanoutSql("__cnt", "__total", targetTasks)).as("__salt_n"))
+      .filter(col("__salt_n") > 1)
+  }
+
   /** Top-k per group (the reference's 12-links-per-page cap,
     * link_scraper.py:100-113). `orderCols` must be a total order within the
     * partition for determinism.

@@ -4,6 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.operators.Relational
 
 /** E4 sessionization (SURVEY.md §2.11) over the `events` table: gap-based
   * sessions — a new session starts when a user's inter-event gap exceeds the
@@ -203,7 +204,9 @@ object EventQueries {
         counts.crossJoin(broadcast(tot))
           .select(col("user_id"), col("cnt"),
             expr("(cnt * 10000) div total").as("share_bp"),
-            expr(s"greatest(1L, (cnt * $SaltTasks + total - 1) div total)").as("salt_n"))
+            // the same formula autoSalted executes — the report IS the
+            // join's planning input (Relational.saltFanoutSql)
+            expr(Relational.saltFanoutSql("cnt", "total", SaltTasks)).as("salt_n"))
           .orderBy(col("cnt").desc, col("user_id").asc)
           .limit(10)
       },
