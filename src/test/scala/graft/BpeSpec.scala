@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Bpe
+import graft.operators.Bpe.Merge
+
+/** The k-merge BPE training loop (VERDICT r6 #7): a 10-merge run must
+  * reproduce a merge table computed BY HAND on the classic 4-word corpus
+  * (low×5, lower×2, newest×6, widest×3 — the worked example of the public
+  * BPE paper), pinning both the argmax tie-break (freq desc, left asc,
+  * right asc) and the leftmost-greedy merge application.
+  */
+class BpeSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def hist(rows: (String, Long)*) = rows.toSeq.toDF("w", "wc")
+
+  test("k=10 merges reproduce the hand-computed fixture merge table") {
+    val corpus = hist(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+    val (merges, finalHist) = Bpe.train(corpus, 10)
+    // Hand derivation: initial pair counts put (e,s)=9 and (s,t)=9 at the
+    // top — left-asc tie-break picks (e,s); after es, (es,t)=9 wins; then
+    // (l,o)=7 ties (o,w)=7 → (l,o); (lo,w)=7; then the 6-row: (e,w) beats
+    // (n,e)/(w,est) on left asc; (ew,est) beats (n,ew); (n,ewest); then the
+    // 3-tier: (d,est) < (i,d) < (w,i) by left asc at freq 3, and each merge
+    // re-exposes the next: (i,dest), (w,idest).
+    val expected = Seq(
+      Merge(1, "e", "s", 9L), Merge(2, "es", "t", 9L),
+      Merge(3, "l", "o", 7L), Merge(4, "lo", "w", 7L),
+      Merge(5, "e", "w", 6L), Merge(6, "ew", "est", 6L),
+      Merge(7, "n", "ewest", 6L), Merge(8, "d", "est", 3L),
+      Merge(9, "i", "dest", 3L), Merge(10, "w", "idest", 3L))
+    assert(merges == expected)
+    // final vocabulary: three words fully fused, "lower" = low + e + r
+    val syms = finalHist.select(concat_ws("|", col("syms")), col("wc"))
+      .as[(String, Long)].collect().toSet
+    assert(syms == Set(("low", 5L), ("low|e|r", 2L), ("newest", 6L), ("widest", 3L)))
+  }
+
+  test("applyMerge is leftmost-greedy on overlapping pairs") {
+    val corpus = hist(("aaa", 1L))
+    val (merges, finalHist) = Bpe.train(corpus, 2)
+    // "aaa" under (a,a): leftmost pair fuses first → [aa, a]; second round
+    // the only adjacency is (aa, a)
+    assert(merges == Seq(Merge(1, "a", "a", 2L), Merge(2, "aa", "a", 1L)))
+    assert(finalHist.select(concat_ws("|", col("syms"))).as[String].collect().toSeq
+      == Seq("aaa"))
+  }
+
+  test("training stops early when every word is fully fused") {
+    val corpus = hist(("ab", 4L))
+    val (merges, _) = Bpe.train(corpus, 10)
+    assert(merges == Seq(Merge(1, "a", "b", 4L)))
+  }
+
+  test("wordHistogram + train runs end-to-end on the documents table") {
+    val docs = Seq("the cat sat", "the cat", "a hat").toDF("text")
+    val h = Bpe.wordHistogram(docs, graft.queries.Dialect.wordsSql)
+    assert(h.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("the" -> 2L, "cat" -> 2L, "sat" -> 1L, "a" -> 1L, "hat" -> 1L))
+    val (merges, _) = Bpe.train(h, 3)
+    // (a,t)=4 [cat×2, sat, hat]; then the freq-2 tie (c,at)/(h,e)/(t,h)
+    // resolves left-asc: (c,at); then (h,e) beats (t,h)
+    assert(merges == Seq(
+      Merge(1, "a", "t", 4L), Merge(2, "c", "at", 2L), Merge(3, "h", "e", 2L)))
+  }
+}
