@@ -23,6 +23,53 @@ object Packing {
   final case class Packed(source: String, doc_id: Long, tok: Long,
       pack_id: Long, pack_off: Long)
 
+  /** foreachBatch-protocol packing over a [[KeyedTable]] — the third member
+    * of the shared-batch trio (dedup index, CMS, packing) a training-data
+    * pipeline updates per micro-batch. Reads each source's next free token
+    * offset from the published assignments (max end-offset — no separate
+    * state table to drift), assigns the batch with the SAME windowed cumsum
+    * as the graded `q_pack_sequences`, appends, republishes. Replay-safe by
+    * the batch protocol: an already-applied id is a no-op, so the
+    * append-then-publish cannot double-assign.
+    *
+    * Ordering contract (same as [[packStream]]): docs pack in arrival
+    * order, doc_id order within a batch — a stream fed in doc_id order
+    * reproduces the batch query exactly.
+    */
+  def updatePacked(table: KeyedTable, docs: org.apache.spark.sql.DataFrame, batchId: Long,
+      budget: Long = graft.queries.TextQueries.PackBudget): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    if (table.alreadyApplied(batchId)) return
+    val toks = docs
+      .withColumn("tok", expr(s"cast(size(${graft.queries.Dialect.wordsSql}) as bigint)"))
+      .select("source", "doc_id", "tok")
+    val prev = table.read().map(_.select("source", "doc_id", "tok", "pack_id", "pack_off"))
+    // next free offset per source = end of its last assigned doc; the base
+    // frame is ≤ #sources rows — broadcastable at any stream length
+    val based = prev match {
+      case Some(p) =>
+        val bases = p.groupBy("source")
+          .agg(max(col("pack_id") * budget + col("pack_off") + col("tok")).as("base"))
+        toks.join(broadcast(bases), Seq("source"), "left")
+          .withColumn("base", coalesce(col("base"), lit(0L)))
+      case None => toks.withColumn("base", lit(0L))
+    }
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val assigned = based
+      .withColumn("off", col("base") + coalesce(sum("tok").over(w), lit(0L)))
+      .select(col("source"), col("doc_id"), col("tok"),
+        expr(s"off div $budget").as("pack_id"),
+        expr(s"off % $budget").as("pack_off"))
+    val merged = prev match {
+      case Some(p) => p.unionByName(assigned)
+      case None    => assigned
+    }
+    table.publish(merged, Some(batchId))
+    ()
+  }
+
   /** Input rows: (source, doc_id, token count). State per source: the next
     * free token offset. Works unchanged on batch datasets (state starts
     * empty), which gives the spec its one-shot parity check.
