@@ -79,6 +79,19 @@ object TextQueries {
     */
   private[graft] val PackBudget = 1024L
 
+  /** Top-k depth of the vocabulary coverage curve (q_vocab_coverage): the
+    * CovK most frequent words get rank + running coverage; bounded, so the
+    * cumsum runs on a constant-size frame at any corpus size.
+    */
+  private val CovK = 30
+
+  /** Exact-df ceiling of the document-frequency histogram
+    * (q_df_histogram): df values above this pool into one overflow bucket
+    * (df-threshold tuning cares about the small-df shape; the heavy tail
+    * only needs its mass).
+    */
+  private val DfCap = 32L
+
   /** Shard fan-out for the deterministic training-order shuffle — the
     * parallel unit of the two-level (shard, in-shard rank) global order. A
     * deployment sizes this to its reader parallelism (shards stay
@@ -988,6 +1001,93 @@ object TextQueries {
               |       least(start + $ChunkW, n) AS chunk_end,
               |       least($ChunkW, n - start) AS n_tokens
               |FROM c ORDER BY doc_id, chunk_id""".stripMargin)
+    ),
+
+    // E3w top-k vocabulary coverage curve: what share of all corpus tokens
+    // the k most frequent words cover, for k = 1..CovK — the tokenizer/
+    // vocab-sizing metric (diminishing-returns curve for vocab truncation).
+    //
+    // Scale shape: one vocab-cardinality shuffle (the word histogram), a
+    // TakeOrderedAndProject top-CovK, a 1-row totals broadcast, and a
+    // triangular self-join over the CovK survivors for rank + running sum —
+    // the engine's standard bounded-cumsum move (same as paginate's offsets;
+    // a partition-less running window is the one plan shape this engine
+    // bans, even over 30 rows). Integer basis points; count ties broken by
+    // word so both engines rank identically.
+    GraftQuery(
+      "q_vocab_coverage",
+      s"cumulative token coverage (bp) of the top-$CovK vocabulary words",
+      (s, dir) => {
+        val hist = Tables.documents(s, dir)
+          .select(explode(expr(wordsSql)).as("w"))
+          .filter(col("w") =!= "")
+          .groupBy("w").agg(count(lit(1)).as("freq"))
+        val tot = hist.agg(sum("freq").as("total"))
+        val top = hist.orderBy(col("freq").desc, col("w")).limit(CovK)
+        val a = top.alias("a")
+        val b = top.alias("b")
+        a.join(b,
+            col("b.freq") > col("a.freq") ||
+              (col("b.freq") === col("a.freq") && col("b.w") < col("a.w")),
+            "left")
+          .groupBy(col("a.w").as("w"), col("a.freq").as("freq"))
+          .agg(
+            (count(col("b.w")) + 1L).as("rank"),
+            coalesce(sum(col("b.freq")), lit(0L)).as("prev_sum"))
+          .withColumn("cum", col("prev_sum") + col("freq"))
+          .crossJoin(broadcast(tot))
+          .select(col("rank"), col("w"), col("freq"),
+            expr("(cum * 10000) div total").as("cum_bp"))
+          .orderBy("rank")
+      },
+      Some(s"""WITH wx AS (SELECT unnest($duckWordsSql) AS w FROM documents),
+              |wf AS (SELECT w, count(*) AS freq FROM wx WHERE w <> '' GROUP BY w),
+              |t AS (SELECT CAST(sum(freq) AS BIGINT) AS total FROM wf),
+              |top AS (SELECT w, freq FROM wf ORDER BY freq DESC, w LIMIT $CovK)
+              |SELECT CAST(row_number() OVER (ORDER BY freq DESC, w) AS BIGINT) AS rank,
+              |       w, CAST(freq AS BIGINT) AS freq,
+              |       (CAST(sum(freq) OVER (ORDER BY freq DESC, w
+              |          ROWS UNBOUNDED PRECEDING) AS BIGINT) * 10000) // total AS cum_bp
+              |FROM top, t ORDER BY rank""".stripMargin)
+    ),
+
+    // E3x document-frequency histogram over 2-gram shingles: how many
+    // distinct grams appear in exactly k documents (k capped at DfCap,
+    // heavier grams pooled into the overflow bucket). This is the tuning
+    // input for the engine's own df-thresholded stages — the stop-gram cap
+    // (q_ngram_jaccard drops grams with df > 50) and IDF floors pick their
+    // thresholds off exactly this curve. Grams, not words: the thresholds
+    // they tune are gram-level, and gram cardinality gives the histogram a
+    // real small-df shape.
+    //
+    // Scale shape: per-doc distinct grams build ROW-LOCALLY (transform over
+    // the words array — no pre-aggregate shuffle), then one gram-cardinality
+    // df count and a ≤ DfCap+1-row histogram; partial aggregation before
+    // both exchanges, nothing wider than the gram vocabulary after the
+    // first shuffle.
+    GraftQuery(
+      "q_df_histogram",
+      s"document-frequency histogram of 2-grams: n_grams per df (df capped at $DfCap+overflow)",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"), expr(wordsSql).as("words"))
+          .filter(size(col("words")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "array_distinct(transform(sequence(1, size(words) - 1), " +
+              "i -> concat_ws(' ', words[i-1], words[i])))")).as("gram"))
+          .groupBy("gram").agg(count(lit(1)).as("df"))
+          .groupBy(least(col("df"), lit(DfCap + 1L)).as("df_bucket"))
+          .agg(count(lit(1)).as("n_grams"), sum("df").as("doc_hits"))
+          .orderBy("df_bucket"),
+      Some(s"""WITH gx AS (
+              |  SELECT DISTINCT doc_id, gram FROM (
+              |    SELECT doc_id, unnest(list_distinct($duckGramsSql)) AS gram
+              |    FROM (SELECT doc_id, $duckWordsSql AS words FROM documents) w
+              |    WHERE len(words) >= 2) g),
+              |gf AS (SELECT gram, count(*) AS df FROM gx GROUP BY gram)
+              |SELECT CAST(least(df, ${DfCap + 1}) AS BIGINT) AS df_bucket,
+              |       count(*) AS n_grams, CAST(sum(df) AS BIGINT) AS doc_hits
+              |FROM gf GROUP BY df_bucket ORDER BY df_bucket""".stripMargin)
     )
   )
 }

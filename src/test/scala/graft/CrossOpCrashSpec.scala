@@ -3,15 +3,16 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.operators.AnnIndex
 import graft.streaming.{IncrementalDedup, KeyedTable, Packing, Sketches}
 
-/** Cross-operator crash consistency (VERDICT r6 #8): three KeyedTable
-  * operators — incremental dedup index, CMS, packing — share ONE
-  * foreachBatch body. A crash BETWEEN two publishes leaves the tables at
+/** Cross-operator crash consistency (VERDICT r6 #8): four incremental
+  * operators — dedup band index, CMS, packing, LSH ANN index — share ONE
+  * foreachBatch body. A crash BETWEEN two publishes leaves the stores at
   * DIFFERENT applied-batch ids; on the replay foreachBatch guarantees
-  * (same batch id, same data), each operator's own `alreadyApplied` guard
-  * must let the already-published operators skip and the interrupted ones
-  * apply — converging every table to the uninterrupted run's end state.
+  * (same batch id, same data), each operator's own applied guard must let
+  * the already-published operators skip and the interrupted ones apply —
+  * converging every store to the uninterrupted run's end state.
   */
 class CrossOpCrashSpec extends SparkTestBase {
 
@@ -19,26 +20,31 @@ class CrossOpCrashSpec extends SparkTestBase {
 
   private final class InjectedCrash extends RuntimeException("kill between publishes")
 
-  private case class Trio(dedup: KeyedTable, cms: KeyedTable, pack: KeyedTable)
+  private case class Quad(dedup: KeyedTable, cms: KeyedTable, pack: KeyedTable,
+      annDir: String)
 
-  private def mkTrio(tag: String): Trio = {
+  private def mkQuad(tag: String): Quad = {
     def tmp(op: String) =
       java.nio.file.Files.createTempDirectory(s"xop_${tag}_$op").toString
-    Trio(
+    Quad(
       new KeyedTable(spark, tmp("dedup"), "doc_id"),
       new KeyedTable(spark, tmp("cms"), "cell"),
-      new KeyedTable(spark, tmp("pack"), "doc_id"))
+      new KeyedTable(spark, tmp("pack"), "doc_id"),
+      tmp("ann"))
   }
 
-  /** The shared batch body: three publishes in a fixed order, with an
+  /** The shared batch body: four publishes in a fixed order, with an
     * optional injected crash after the k-th (0 = run to completion).
     */
-  private def runBatch(t: Trio, docs: DataFrame, id: Long, crashAfter: Int = 0): Unit = {
+  private def runBatch(t: Quad, docs: DataFrame, id: Long, crashAfter: Int = 0): Unit = {
     IncrementalDedup.processBatch(t.dedup, docs, id).unpersist()
     if (crashAfter == 1) throw new InjectedCrash
     Sketches.updateCms(t.cms, docs, id)
     if (crashAfter == 2) throw new InjectedCrash
     Packing.updatePacked(t.pack, docs, id)
+    if (crashAfter == 3) throw new InjectedCrash
+    AnnIndex.appendBatchLsh(spark, t.annDir, vecBatch(id), id)
+    ()
   }
 
   // doc_id-range batches: ordered across batches per source, so the packing
@@ -47,39 +53,50 @@ class CrossOpCrashSpec extends SparkTestBase {
     Tables.documents(spark, dir)
       .filter(col("doc_id") >= i * 170 && col("doc_id") < (i + 1) * 170)
 
-  private def endState(t: Trio): (Seq[String], Seq[String], Seq[String]) = {
+  private def vecBatch(i: Long): DataFrame =
+    Tables.embeddings(spark, dir)
+      .filter(col("vec_id") >= i * 170 && col("vec_id") < (i + 1) * 170)
+
+  private def probes: DataFrame =
+    AnnIndex.probeWorkload(spark, dir)
+
+  private def endState(t: Quad): Seq[Seq[String]] = {
     def rows(df: DataFrame) = df.collect().map(_.toString).sorted.toSeq
-    (rows(t.dedup.read().get),
+    Seq(rows(t.dedup.read().get),
       rows(t.cms.read().get.select("r", "bucket", "cnt")),
-      rows(t.pack.read().get))
+      rows(t.pack.read().get),
+      rows(AnnIndex.searchLsh(spark, t.annDir, probes)))
   }
 
-  private def runWithCrash(crashAfter: Int): Trio = {
-    val t = mkTrio(s"crash$crashAfter")
+  private def runWithCrash(crashAfter: Int): Quad = {
+    val t = mkQuad(s"crash$crashAfter")
     runBatch(t, batch(0), 0L)
     intercept[InjectedCrash] { runBatch(t, batch(1), 1L, crashAfter) }
     // the crash must really have split the batch across publishes: every
     // operator before the kill recorded batch 1, every one after did not
     assert(t.dedup.alreadyApplied(1L))
-    assert(t.cms.alreadyApplied(1L) == (crashAfter == 2))
-    assert(!t.pack.alreadyApplied(1L))
+    assert(t.cms.alreadyApplied(1L) == (crashAfter >= 2))
+    assert(t.pack.alreadyApplied(1L) == (crashAfter >= 3))
+    // the ann append always ran last, so after any injected crash it must
+    // still accept batch 1 on replay (appendBatchLsh returns true = applied)
     runBatch(t, batch(1), 1L) // foreachBatch replay: same id, same data
     runBatch(t, batch(2), 2L)
     t
   }
 
-  test("kill between publishes, resume: all three end states match the uninterrupted run") {
-    val base = mkTrio("base")
+  test("kill between publishes, resume: all four end states match the uninterrupted run") {
+    val base = mkQuad("base")
     (0L to 2L).foreach(i => runBatch(base, batch(i), i))
     val want = endState(base)
     assert(endState(runWithCrash(1)) == want) // died after dedup publish
     assert(endState(runWithCrash(2)) == want) // died after cms publish
-    // sanity: the run produced real state, not three empty tables
-    assert(want._1.nonEmpty && want._2.nonEmpty && want._3.nonEmpty)
+    assert(endState(runWithCrash(3)) == want) // died after packing publish
+    // sanity: the run produced real state, not four empty stores
+    assert(want.forall(_.nonEmpty))
   }
 
   test("streamed packing end state equals the graded batch query's assignment") {
-    val t = mkTrio("parity")
+    val t = mkQuad("parity")
     (0L to 2L).foreach(i => runBatch(t, batch(i), i))
     val got = t.pack.read().get
       .select("source", "doc_id", "tok", "pack_id", "pack_off")
