@@ -215,6 +215,38 @@ object EventQueries {
               |SELECT user_id, cnt, (cnt * 10000) // total AS share_bp,
               |       greatest(1, (cnt * $SaltTasks + total - 1) // total) AS salt_n
               |FROM c, t ORDER BY cnt DESC, user_id LIMIT 10""".stripMargin)
+    ),
+
+    // E4g the skew join itself, graded: autoSalted(events ⋈ per-user dim)
+    // must produce EXACTLY the rows of the plain inner equi-join the oracle
+    // runs — DuckDB knows nothing about salting, so any error in the
+    // fan-out map, the position-mod spread, or the small-side replication
+    // (a key joined 0× or 2× per salt) breaks the hash, not just a spec.
+    // The small side is the per-user event count — the natural "user
+    // features" dim a behavioral pipeline joins against its event log, and
+    // the same histogram q_skew_report tops.
+    //
+    // Scale shape: one keyed partial-agg histogram inside autoSalted (≤
+    // SaltTasks heavy keys broadcast), the join shuffles on (user_id,
+    // salt) — a hot user's rows land in salt_n tasks instead of one — and
+    // the downstream per-type aggregate is partial before its exchange.
+    GraftQuery(
+      "q_salted_join",
+      "autoSalted events ⋈ per-user totals, aggregated per event type",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select("user_id", "event_type")
+        val userDim = ev.groupBy("user_id").agg(count(lit(1)).as("user_events"))
+        Relational.autoSalted(ev, userDim, "user_id", SaltTasks)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("user_events").as("weight"))
+          .orderBy("event_type")
+      },
+      Some("""WITH d AS (SELECT user_id, count(*) AS user_events
+             |           FROM events GROUP BY user_id)
+             |SELECT e.event_type, count(*) AS n,
+             |       CAST(sum(d.user_events) AS BIGINT) AS weight
+             |FROM events e JOIN d USING (user_id)
+             |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin)
     )
   )
 }
