@@ -170,4 +170,60 @@ object Multimodal {
       lpad(hex(h.cast("int")), 4, "0"),
       lpad(hex(w.cast("int")), 4, "0"),
       lit("03012200021101031101"))                // 3-component spec
+
+  // ---- WAV (RIFF) header parsing — the LITTLE-endian audio twin --------
+
+  /** Little-endian unsigned int read: byte at `pos`+i contributes << 8i.
+    * PNG/JPEG fields are big-endian; RIFF is little-endian, so the audio
+    * parser exercises the opposite byte order through the same codegen'd
+    * substr + hex machinery.
+    */
+  private def leIntAt(payload: Column, pos: Int, nBytes: Int): Column =
+    (0 until nBytes).map { i =>
+      conv(hexAt(payload, lit(pos + i), 1), 16, 10).cast("long") * lit(1L << (8 * i))
+    }.reduce(_ + _)
+
+  /** Little-endian hex of the low `nBytes` bytes of an int column. */
+  private def leHex(v: Column, nBytes: Int): Column =
+    concat((0 until nBytes).map(i =>
+      lpad(hex(pmod(shiftright(v.cast("long"), 8 * i), lit(256)).cast("int")), 2, "0")): _*)
+
+  /** Parse a PCM WAV header: RIFF/WAVE/fmt magics + audio format 1 checked
+    * (riff_ok = 0 and null fields otherwise), then channels (u16 LE @23),
+    * sample rate (u32 LE @25), byte rate (u32 LE @29) and bits per sample
+    * (u16 LE @35) — the canonical 44-byte PCM layout.
+    *
+    * Returns struct(riff_ok, channels, sample_rate, byte_rate, bits).
+    */
+  def wavMeta(payload: Column): Column = {
+    val ok = hexAt(payload, lit(1), 4) === "52494646" &&   // "RIFF"
+      hexAt(payload, lit(9), 4) === "57415645" &&          // "WAVE"
+      hexAt(payload, lit(13), 4) === "666D7420" &&         // "fmt "
+      leIntAt(payload, 21, 2) === 1L                       // PCM
+    struct(
+      when(ok, 1L).otherwise(0L).as("riff_ok"),
+      when(ok, leIntAt(payload, 23, 2)).as("channels"),
+      when(ok, leIntAt(payload, 25, 4)).as("sample_rate"),
+      when(ok, leIntAt(payload, 29, 4)).as("byte_rate"),
+      when(ok, leIntAt(payload, 35, 2)).as("bits"))
+  }
+
+  /** Synthesize a canonical 44-byte PCM WAV header (empty data chunk) as a
+    * hex string; byte rate and block align are DERIVED (rate·ch·bits/8), so
+    * the parsed byte_rate doubles as an internal-consistency check.
+    */
+  def synthWavHex(channels: Column, sampleRate: Column, bits: Column): Column = {
+    val blockAlign = (channels * bits / lit(8)).cast("long")
+    val byteRate   = (sampleRate.cast("long") * blockAlign)
+    concat(
+      lit("52494646"), leHex(lit(36L), 4),        // "RIFF", riff size (no data)
+      lit("57415645666D7420"), leHex(lit(16L), 4), // "WAVE" + "fmt " + fmt size
+      leHex(lit(1L), 2),                          // PCM
+      leHex(channels, 2),
+      leHex(sampleRate, 4),
+      leHex(byteRate, 4),
+      leHex(blockAlign, 2),
+      leHex(bits, 2),
+      lit("64617461"), leHex(lit(0L), 4))         // "data", size 0
+  }
 }

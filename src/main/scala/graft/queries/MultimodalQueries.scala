@@ -105,6 +105,78 @@ object MultimodalQueries {
              |       WHEN is_jpeg THEN ('0x' || substr(hx, 2 * jl + 19, 4))::BIGINT
              |  END AS height
              |FROM parsed ORDER BY doc_id""".stripMargin)
+    ),
+
+    // The audio twin of q_image_dims: canonical 44-byte PCM WAV headers
+    // synthesized from doc_id-derived (channels, rate, bits), then parsed
+    // back from the BYTES alone by Multimodal.wavMeta — RIFF is
+    // LITTLE-endian, so this grades the opposite byte order through the
+    // same substr+hex machinery (byte_rate is derived rate·ch·bits/8 at
+    // synthesis and re-read at parse, an internal consistency check). The
+    // oracle synthesizes the identical hex string and parses it with
+    // reversed-byte-pair concatenation at the string level.
+    GraftQuery(
+      "q_wav_meta",
+      "parse channels/rate/bits from synthesized PCM WAV headers (little-endian)",
+      (s, dir) => {
+        val ch   = (lit(1) + pmod(col("doc_id"), lit(2))).cast("int")
+        val rate = expr("CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 8000 WHEN 1 THEN 16000 " +
+          "WHEN 2 THEN 22050 WHEN 3 THEN 44100 ELSE 48000 END")
+        val bits = expr("CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 8 WHEN 1 THEN 16 ELSE 24 END")
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            unhex(Multimodal.synthWavHex(ch, rate, bits)).as("payload"))
+          .select(col("doc_id"), Multimodal.wavMeta(col("payload")).as("m"))
+          .select(col("doc_id"), col("m.riff_ok").as("riff_ok"),
+            col("m.channels").as("channels"), col("m.sample_rate").as("sample_rate"),
+            col("m.byte_rate").as("byte_rate"), col("m.bits").as("bits"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id,
+             |         1 + doc_id % 2 AS ch,
+             |         CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+             |              WHEN 2 THEN 22050 WHEN 3 THEN 44100 ELSE 48000 END AS rate,
+             |         CASE doc_id % 3 WHEN 0 THEN 8 WHEN 1 THEN 16 ELSE 24 END AS bits
+             |  FROM documents),
+             |d AS (SELECT doc_id, ch, rate, bits,
+             |             ch * bits // 8 AS ba,
+             |             rate * (ch * bits // 8) AS br FROM base),
+             |syn AS (
+             |  SELECT doc_id,
+             |    '52494646' || '24000000' || '57415645666D7420' || '10000000' || '0100'
+             |      || lpad(upper(to_hex(ch % 256)), 2, '0')
+             |      || lpad(upper(to_hex(ch // 256)), 2, '0')
+             |      || lpad(upper(to_hex(rate % 256)), 2, '0')
+             |      || lpad(upper(to_hex((rate // 256) % 256)), 2, '0')
+             |      || lpad(upper(to_hex((rate // 65536) % 256)), 2, '0')
+             |      || lpad(upper(to_hex((rate // 16777216) % 256)), 2, '0')
+             |      || lpad(upper(to_hex(br % 256)), 2, '0')
+             |      || lpad(upper(to_hex((br // 256) % 256)), 2, '0')
+             |      || lpad(upper(to_hex((br // 65536) % 256)), 2, '0')
+             |      || lpad(upper(to_hex((br // 16777216) % 256)), 2, '0')
+             |      || lpad(upper(to_hex(ba % 256)), 2, '0')
+             |      || lpad(upper(to_hex(ba // 256)), 2, '0')
+             |      || lpad(upper(to_hex(bits % 256)), 2, '0')
+             |      || lpad(upper(to_hex(bits // 256)), 2, '0')
+             |      || '6461746100000000' AS hx
+             |  FROM d),
+             |parsed AS (
+             |  SELECT doc_id, hx,
+             |         substr(hx, 1, 8) = '52494646'
+             |           AND substr(hx, 17, 8) = '57415645'
+             |           AND substr(hx, 25, 8) = '666D7420'
+             |           AND ('0x' || substr(hx, 43, 2) || substr(hx, 41, 2))::BIGINT = 1 AS ok
+             |  FROM syn)
+             |SELECT doc_id,
+             |  CAST(CASE WHEN ok THEN 1 ELSE 0 END AS BIGINT) AS riff_ok,
+             |  CASE WHEN ok THEN ('0x' || substr(hx, 47, 2) || substr(hx, 45, 2))::BIGINT END AS channels,
+             |  CASE WHEN ok THEN ('0x' || substr(hx, 55, 2) || substr(hx, 53, 2)
+             |    || substr(hx, 51, 2) || substr(hx, 49, 2))::BIGINT END AS sample_rate,
+             |  CASE WHEN ok THEN ('0x' || substr(hx, 63, 2) || substr(hx, 61, 2)
+             |    || substr(hx, 59, 2) || substr(hx, 57, 2))::BIGINT END AS byte_rate,
+             |  CASE WHEN ok THEN ('0x' || substr(hx, 71, 2) || substr(hx, 69, 2))::BIGINT END AS bits
+             |FROM parsed ORDER BY doc_id""".stripMargin)
     )
   )
 }

@@ -41,7 +41,10 @@ object ScaleSmoke {
     "q_dup_span_coverage", // positional shingles + islands merge: window-heavy
     "q_bloom_decontaminate", // bloom prefilter: bits stay <= m as bench grows
     "q_dup_clusters",      // star edges + seeded contraction: rounds must stay flat
-    "q_source_overlap")    // per-shingle source pairs: bounded by #sources², never corpus²
+    "q_source_overlap",    // per-shingle source pairs: bounded by #sources², never corpus²
+    "q_df_histogram",      // row-local grams → gram-vocab df count: vocab-bound tail
+    "q_vocab_coverage",    // histogram + constant-k triangular cumsum: top-k stays fixed
+    "q_salted_join")       // measured-fan-out skew join: salting cost must stay linear
 
   /** One (query, scale) observation. */
   final case class Point(query: String, scale: Int, sec: Double, rows: Long)
@@ -79,6 +82,11 @@ object ScaleSmoke {
     }
     rep("documents.parquet", "doc_id")
     rep("lineitem.parquet", "l_orderkey")
+    // events: offset the unique event_id but SHARE user_ids across replicas,
+    // so each replica makes every user's history r× heavier — hot keys get
+    // hotter, which is exactly the regime the salted-join curve must survive
+    // (offsetting user_id would only widen the key space at constant skew)
+    rep("events.parquet", "event_id")
   }
 
   /** Time the graded query set at every scale (per-query warm-up at base

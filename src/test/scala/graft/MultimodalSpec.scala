@@ -75,6 +75,42 @@ class MultimodalSpec extends SparkTestBase {
     assert(rows.toSeq == Seq((123L, 45L, 123L, 45L, 1L, 1L), (1024L, 768L, 1024L, 768L, 1L, 1L)))
   }
 
+  test("wavMeta parses a real canonical 44-byte PCM header and flags non-PCM") {
+    // hand-written CD-audio header (stereo, 44100 Hz, 16-bit): the exact
+    // byte layout every PCM .wav file starts with — little-endian fields
+    val cd = "52494646" + "24080000" + "57415645" + "666D7420" + "10000000" +
+      "0100" + "0200" + "44AC0000" + "10B10200" + "0400" + "1000" +
+      "64617461" + "00080000"
+    // same header but audio format 3 (IEEE float) — must be rejected as
+    // non-PCM with null fields
+    val flt = cd.replaceFirst("10000000" + "0100", "10000000" + "0300")
+    val out = Seq(("cd", cd), ("float", flt)).toDF("kind", "hx")
+      .select(col("kind"), Multimodal.wavMeta(unhex(col("hx"))).as("m"))
+      .select("kind", "m.riff_ok", "m.channels", "m.sample_rate", "m.byte_rate", "m.bits")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(out("cd") == ((1L, 2L, 44100L)))
+    assert(out("float") == ((0L, -1L, -1L)))
+    val full = Seq(("cd", cd)).toDF("kind", "hx")
+      .select(Multimodal.wavMeta(unhex(col("hx"))).as("m")).select("m.byte_rate", "m.bits")
+      .collect()(0)
+    assert((full.getLong(0), full.getLong(1)) == ((176400L, 16L)))
+  }
+
+  test("synth WAV headers round-trip through wavMeta with derived byte rate") {
+    val df = Seq((1, 8000, 8), (2, 48000, 24)).toDF("ch", "rate", "bits")
+      .select(col("ch"), col("rate"), col("bits"),
+        Multimodal.wavMeta(unhex(Multimodal.synthWavHex(
+          col("ch"), col("rate"), col("bits")))).as("m"))
+    val rows = df.orderBy("rate")
+      .select("m.riff_ok", "m.channels", "m.sample_rate", "m.byte_rate", "m.bits")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.toSeq == Seq(
+      (1L, 1L, 8000L, 8000L, 8L),       // mono 8-bit: byte rate = rate
+      (1L, 2L, 48000L, 288000L, 24L)))  // stereo 24-bit: rate * 6
+  }
+
   test("sampleUnits keeps every stride-th frame") {
     val df  = Seq((1L, Seq("f0", "f1", "f2", "f3", "f4"))).toDF("id", "frames")
     val out = Multimodal.sampleUnits(df, "frames", stride = 2)
