@@ -2,8 +2,10 @@ package graft.operators
 
 import scala.collection.mutable.ArrayBuffer
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** BPE tokenizer training loop (VERDICT r6 #7 — the k-merge driver over the
   * one-step pair count `q_bpe_pair_counts` exposes).
@@ -78,17 +80,34 @@ object Bpe {
     symHist.select(fused.as("syms"), col("wc"))
   }
 
+  /** Materialize a frame into an explicitly-owned persisted RDD and rebuild
+    * a DataFrame leaf over it — the iterative-algorithm checkpoint that
+    * both truncates lineage AND hands back a handle that `unpersist()`
+    * actually frees. (`Dataset.localCheckpoint` pins its internal RDD
+    * outside the CacheManager, so `Dataset.unpersist` on the result is a
+    * silent no-op and k rounds would pin k vocab-sized block sets — r7
+    * review finding.) The eager `count()` is what makes it safe to free the
+    * PREVIOUS round's RDD: once this one is computed, nothing reads it.
+    */
+  private def materialize(df: DataFrame): (DataFrame, RDD[Row]) = {
+    val rdd = df.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    rdd.count()
+    (df.sparkSession.createDataFrame(rdd, df.schema), rdd)
+  }
+
   /** Run `k` merge rounds from a (w, wc) histogram. Returns the ordered
     * merge table and the final symbolized histogram (syms, wc). Stops early
     * when no adjacent pair remains (every word fully fused).
     *
-    * Memory ownership: each round's `localCheckpoint` replaces the
-    * previous one; intermediate blocks are dropped eagerly so peak storage
-    * is one vocab-sized table regardless of k.
+    * Memory ownership: each round materializes the fused histogram and
+    * frees the previous round's blocks immediately, so peak storage is two
+    * vocab-sized tables (old + new, transiently) regardless of k. The FINAL
+    * histogram stays persisted for the caller and is released by GC with
+    * the returned frame.
     */
   def train(hist: DataFrame, k: Int): (Seq[Merge], DataFrame) = {
     require(k >= 0, "k must be non-negative")
-    var cur = initSymbols(hist).localCheckpoint()
+    var (cur, curRdd) = materialize(initSymbols(hist))
     val merges = ArrayBuffer.empty[Merge]
     var exhausted = false
     var rank = 1
@@ -100,9 +119,10 @@ object Bpe {
       else {
         val (l, r, f) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += Merge(rank, l, r, f)
-        val next = applyMerge(cur, l, r).localCheckpoint()
-        cur.unpersist()
+        val (next, nextRdd) = materialize(applyMerge(cur, l, r))
+        curRdd.unpersist()
         cur = next
+        curRdd = nextRdd
         rank += 1
       }
     }

@@ -167,8 +167,9 @@ object Relational {
     */
   def autoSalted(big: DataFrame, small: DataFrame, key: String, targetTasks: Long = 256L): DataFrame = {
     require(targetTasks > 0, "targetTasks must be positive")
-    require(!big.columns.contains("__graft_salt") && !small.columns.contains("__graft_salt"),
-      "__graft_salt column name is reserved by autoSalted")
+    for (c <- Seq("__graft_salt", "__salt_n"))
+      require(!big.columns.contains(c) && !small.columns.contains(c),
+        s"$c column name is reserved by autoSalted")
     val (saltedBig, saltedSmall) = saltedSides(big, small, key, targetTasks)
     saltedBig.join(saltedSmall, Seq(key, "__graft_salt")).drop("__graft_salt")
   }
@@ -179,7 +180,14 @@ object Relational {
     */
   private[graft] def saltedSides(
       big: DataFrame, small: DataFrame, key: String, targetTasks: Long): (DataFrame, DataFrame) = {
-    val heavy = heavyKeyFanout(big, key, targetTasks)
+    // both joins consume the fan-out map; the LAZY checkpoint computes the
+    // histogram aggregate over `big` — the expensive part — once at first
+    // action instead of once per join, truncates its lineage out of both
+    // join plans, and keeps autoSalted itself side-effect-free to construct
+    // (an eager checkpoint would run a job just to build the frame — r7
+    // review). The pinned blocks are ≤ targetTasks rows per call, freed by
+    // GC with the returned frame.
+    val heavy = heavyKeyFanout(big, key, targetTasks).localCheckpoint(eager = false)
     val withN = coalesce(col("__salt_n"), lit(1L))
     val saltedBig = big.join(broadcast(heavy), Seq(key), "left")
       .withColumn("__graft_salt",

@@ -1018,10 +1018,9 @@ object TextQueries {
       "q_vocab_coverage",
       s"cumulative token coverage (bp) of the top-$CovK vocabulary words",
       (s, dir) => {
-        val hist = Tables.documents(s, dir)
-          .select(explode(expr(wordsSql)).as("w"))
-          .filter(col("w") =!= "")
-          .groupBy("w").agg(count(lit(1)).as("freq"))
+        // the same histogram the BPE trainer folds over — one construction
+        val hist = graft.operators.Bpe.wordHistogram(Tables.documents(s, dir), wordsSql)
+          .withColumnRenamed("wc", "freq")
         val tot = hist.agg(sum("freq").as("total"))
         val top = hist.orderBy(col("freq").desc, col("w")).limit(CovK)
         val a = top.alias("a")

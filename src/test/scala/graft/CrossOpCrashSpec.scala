@@ -64,7 +64,8 @@ class CrossOpCrashSpec extends SparkTestBase {
     def rows(df: DataFrame) = df.collect().map(_.toString).sorted.toSeq
     Seq(rows(t.dedup.read().get),
       rows(t.cms.read().get.select("r", "bucket", "cnt")),
-      rows(t.pack.read().get),
+      rows(t.pack.read().get),            // per-source offsets snapshot
+      rows(Packing.readPacked(spark, t.pack).get), // assignment layers
       rows(AnnIndex.searchLsh(spark, t.annDir, probes)))
   }
 
@@ -98,7 +99,7 @@ class CrossOpCrashSpec extends SparkTestBase {
   test("streamed packing end state equals the graded batch query's assignment") {
     val t = mkQuad("parity")
     (0L to 2L).foreach(i => runBatch(t, batch(i), i))
-    val got = t.pack.read().get
+    val got = Packing.readPacked(spark, t.pack).get
       .select("source", "doc_id", "tok", "pack_id", "pack_off")
       .collect().map(_.toString).sorted.toSeq
     val want = SparkEntry.queries("q_pack_sequences")(spark, dir)
