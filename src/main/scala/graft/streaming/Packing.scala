@@ -90,13 +90,59 @@ object Packing {
     ()
   }
 
-  /** All pack assignments so far — the union of batch layers. */
+  /** Fold the accumulated `batch=` layers into one — the small-files
+    * control a long-running packer schedules between streaming epochs (the
+    * [[IncrementalDedup.compactBands]] move, same generational crash
+    * safety): write a FRESH reserved layer `batch=-g` (next unused negative
+    * id — real batch ids are ≥ 0) and only after it commits sweep every
+    * other layer. A crash mid-write leaves staged files invisible and old
+    * layers intact; mid-sweep leaves the complete new layer plus survivors
+    * whose rows are exact duplicates of new-layer rows — [[readPacked]]'s
+    * per-doc dropDuplicates makes that state read-equivalent, and the next
+    * compaction folds it away. The offsets snapshot and applied pointer are
+    * untouched.
+    */
+  def compactPacks(spark: org.apache.spark.sql.SparkSession, table: KeyedTable): Unit = {
+    import org.apache.spark.sql.functions.lit
+    readPacked(spark, table).foreach { packs =>
+      val root = java.nio.file.Paths.get(packsPath(table))
+      val existing = layerIds(root)
+      val gen = existing.filter(_ < 0).minOption.getOrElse(0L) - 1L
+      packs.withColumn("batch", lit(gen))
+        .write.mode("append")
+        .partitionBy("batch")
+        .parquet(packsPath(table))
+      layerIds(root).filter(_ != gen).foreach { v =>
+        Fs.deleteRecursively(root.resolve(s"batch=$v"))
+      }
+    }
+  }
+
+  /** Batch-layer ids present under the packs root (dirs `batch=<id>`). */
+  private def layerIds(root: java.nio.file.Path): Seq[Long] =
+    if (!java.nio.file.Files.isDirectory(root)) Seq.empty
+    else {
+      val s = java.nio.file.Files.list(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .collect { case n if n.matches("batch=-?\\d+") => n.drop(6).toLong }
+          .toSeq
+      } finally s.close()
+    }
+
+  /** All pack assignments so far — the union of batch layers. The per-doc
+    * dropDuplicates is exact (an assignment is immutable, so any cross-layer
+    * duplicate left by a crashed compaction sweep is row-identical) and
+    * keeps post-crash reads equivalent to the clean state.
+    */
   def readPacked(spark: org.apache.spark.sql.SparkSession,
       table: KeyedTable): Option[org.apache.spark.sql.DataFrame] = {
     val path = packsPath(table)
     if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(path))) None
     else Some(spark.read.parquet(path)
-      .select("source", "doc_id", "tok", "pack_id", "pack_off"))
+      .select("source", "doc_id", "tok", "pack_id", "pack_off")
+      .dropDuplicates("source", "doc_id"))
   }
 
   private def packsPath(table: KeyedTable): String = table.dir + "/packs"

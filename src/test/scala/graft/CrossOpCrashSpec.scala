@@ -96,6 +96,32 @@ class CrossOpCrashSpec extends SparkTestBase {
     assert(want.forall(_.nonEmpty))
   }
 
+  test("compactPacks folds layers without changing assignments; interrupted sweep reads clean") {
+    val t = mkQuad("compact")
+    (0L to 2L).foreach(i => runBatch(t, batch(i), i))
+    def packRows = Packing.readPacked(spark, t.pack).get
+      .collect().map(_.toString).sorted.toSeq
+    val before = packRows
+    Packing.compactPacks(spark, t.pack)
+    assert(packRows == before)
+    // one folded layer remains
+    val root = java.nio.file.Paths.get(t.pack.dir + "/packs")
+    def layers = java.nio.file.Files.list(root).toArray.map(_.toString)
+      .filter(_.contains("batch=")).toSeq
+    assert(layers.size == 1 && layers.head.contains("batch=-1"))
+    // simulate a crashed sweep: a stale duplicate layer next to the folded
+    // one — reads must stay equivalent, and the next compaction folds it
+    val stale = root.resolve("batch=9")
+    org.apache.commons.io.FileUtils.copyDirectory(root.resolve("batch=-1").toFile, stale.toFile)
+    assert(packRows == before)
+    Packing.compactPacks(spark, t.pack)
+    assert(packRows == before)
+    assert(layers.size == 1 && layers.head.contains("batch=-2"))
+    // further batches keep appending on top of the folded layer
+    runBatch(t, batch(3), 3L)
+    assert(Packing.readPacked(spark, t.pack).get.count() >= before.size)
+  }
+
   test("streamed packing end state equals the graded batch query's assignment") {
     val t = mkQuad("parity")
     (0L to 2L).foreach(i => runBatch(t, batch(i), i))

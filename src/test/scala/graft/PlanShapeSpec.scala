@@ -189,6 +189,59 @@ class PlanShapeSpec extends SparkTestBase {
     assert(forced == 1, s"q_revenue_monthly forces $forced broadcasts (want nation only)")
   }
 
+  test("header parsers are single-scan row maps inside whole-stage codegen") {
+    // q_image_dims / q_wav_meta synthesize + parse header bytes as one
+    // expression pipeline over the documents scan — a dimension audit costs
+    // exactly one 100 TB scan. A join/window/aggregate creeping in, or the
+    // byte math falling out of codegen (an interpreted expression or UDF),
+    // multiplies that.
+    Seq("q_image_dims", "q_wav_meta").foreach { name =>
+      // AQE's initial plan carries no codegen stages — materialize first
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.collect()
+      // executed AQE plans print Final + Initial sections; pin the final one
+      val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      assert(!p.contains("Join") && !p.contains("Window") && !p.contains("HashAggregate"),
+        s"$name grew a non-map operator:\n${p.take(1500)}")
+      assert("Exchange".r.findAllIn(p).length == 1,
+        s"$name has more than the final-sort exchange:\n${p.take(1500)}")
+      assert(p.contains("*("), s"$name fell out of whole-stage codegen:\n${p.take(1500)}")
+    }
+  }
+
+  test("q_vocab_coverage takes its top-k pre-shuffle and broadcasts the totals") {
+    // the coverage curve must rank the vocab with TakeOrderedAndProject
+    // (never a global histogram sort); the triangular cumsum and the totals
+    // join then run on constant-size frames, so every join must be a
+    // broadcast — a shuffle join there means a corpus-sized side leaked in.
+    val p = plan("q_vocab_coverage")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q_vocab_coverage lost its top-k:\n${p.take(1500)}")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"q_vocab_coverage lost its broadcast joins:\n${p.take(1500)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"q_vocab_coverage shuffles a join that must broadcast:\n${p.take(1500)}")
+  }
+
+  test("q_df_histogram is scan plus aggregates (no join, no window)") {
+    // row-local gram generation then two keyed aggregates — a join or
+    // window would mean the df count stopped being a pure histogram fold.
+    val p = plan("q_df_histogram")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"q_df_histogram grew a join/window:\n${p.take(1500)}")
+  }
+
+  test("q_salted_join broadcasts the fan-out map on both salted sides") {
+    // the heavy-key map (≤ targetTasks rows by construction) must reach
+    // each side as a broadcast — if it ever shuffles, the histogram has
+    // stopped being the bounded planning input and become a join subject.
+    val p = plan("q_salted_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"q_salted_join lost a fan-out broadcast:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"q_salted_join grew a pairwise stage:\n${p.take(1500)}")
+  }
+
   test("the flagship entry forces broadcast on the three dims only") {
     // AQE may legitimately broadcast MORE at tiny scale factors (the whole
     // dims-join output fits); what must never regress is the set of FORCED
