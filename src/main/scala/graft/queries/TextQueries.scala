@@ -1087,6 +1087,63 @@ object TextQueries {
               |SELECT CAST(least(df, ${DfCap + 1}) AS BIGINT) AS df_bucket,
               |       count(*) AS n_grams, CAST(sum(df) AS BIGINT) AS doc_hits
               |FROM gf GROUP BY df_bucket ORDER BY df_bucket""".stripMargin)
+    ),
+
+    // E3y's APPLICATION side, graded: tokenize every document with a fixed
+    // BPE merge list. The leftmost-greedy non-overlapping fuse every BPE
+    // tokenizer runs is EXACTLY non-overlapping replace-all over
+    // delimiter-wrapped symbols — wrap each char as ␟c␟ (chr(31), outside
+    // the corpus alphabet), then each merge (l, r) is one literal
+    // replace(␟l␟␟r␟ → ␟lr␟), and the token count is half the remaining
+    // delimiter count. "aaaa" under (a,a) correctly yields [aa][aa], and
+    // "xl r" can never false-match inside "l r" (the delimiters block
+    // cross-symbol matches). Merges are FIXED literals so the oracle is
+    // scale-independent; a trained list comes from Bpe.train.
+    //
+    // Scale shape: entirely ROW-LOCAL string expressions inside one scan —
+    // no shuffle before the output sort; the tokenizer cost is O(corpus
+    // chars), the same scan a real tokenization pass pays.
+    GraftQuery(
+      "q_bpe_tokenize",
+      "apply a fixed 3-merge BPE list per document, count resulting tokens",
+      (s, dir) => {
+        val fused = BpeApply.fusedSql(
+          "regexp_replace(w, '(.)', chr(31) || '$1' || chr(31))")
+        Tables.documents(s, dir)
+          .select(col("doc_id"), expr(
+            s"aggregate($wordsSql, cast(0 as bigint), (acc, w) -> acc + " +
+              s"(char_length($fused) - char_length(replace($fused, chr(31), ''))) div 2)")
+            .as("n_tokens"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val fused = BpeApply.fusedSql(
+          """regexp_replace(w, '(.)', chr(31) || '\1' || chr(31), 'g')""")
+        s"""SELECT doc_id,
+           |  CAST(coalesce(list_sum(list_transform($duckWordsSql, w ->
+           |    (len($fused) - len(replace($fused, chr(31), ''))) // 2)), 0) AS BIGINT)
+           |    AS n_tokens
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }
     )
   )
+}
+
+/** The fixed merge list of q_bpe_tokenize and its dialect-shared fuse
+  * construction — one source so the Spark side and the DuckDB oracle apply
+  * the SAME merges in the SAME order to the SAME wrapped form.
+  */
+private[graft] object BpeApply {
+
+  /** (left, right) merges, applied in order — th, the, an. */
+  val Merges: Seq[(String, String)] = Seq(("t", "h"), ("th", "e"), ("a", "n"))
+
+  /** Chain of non-overlapping replaces over a wrapped-symbols expression:
+    * ␟l␟␟r␟ → ␟lr␟ per merge (chr(31) is the symbol delimiter).
+    */
+  def fusedSql(wrapped: String): String =
+    Merges.foldLeft(wrapped) { case (x, (l, r)) =>
+      s"replace($x, chr(31) || '$l' || chr(31) || chr(31) || '$r' || chr(31), " +
+        s"chr(31) || '$l$r' || chr(31))"
+    }
 }

@@ -55,6 +55,34 @@ class BpeSpec extends SparkTestBase {
     assert(merges == Seq(Merge(1, "a", "b", 4L)))
   }
 
+  test("the graded replace-apply form agrees with applyMerge's fold") {
+    // q_bpe_tokenize applies merges as delimiter-wrapped replace-all; the
+    // trainer applies them as a typed fold. Same merges, same words ⇒ same
+    // token counts — incl. the overlap cases (aaa, aaaa) where a naive
+    // space-joined replace would diverge.
+    val words = Seq("the", "than", "aaa", "aaaa", "tthhee", "x", "")
+    val merges = graft.queries.BpeApply.Merges
+    // fold side: run each word through applyMerge in order
+    var hist = Bpe.initSymbols(words.filter(_.nonEmpty).map((_, 1L)).toDF("w", "wc"))
+    merges.foreach { case (l, r) => hist = Bpe.applyMerge(hist, l, r) }
+    val foldCounts = hist.select(size(col("syms"))).as[Int].collect().sorted.toSeq
+    // replace side: the graded construction over the same words
+    val fused = graft.queries.BpeApply.fusedSql(
+      "regexp_replace(w, '(.)', chr(31) || '$1' || chr(31))")
+    val sqlCounts = words.filter(_.nonEmpty).toDF("w")
+      .select(expr(
+        s"(char_length($fused) - char_length(replace($fused, chr(31), ''))) div 2"))
+      .as[Long].collect().map(_.toInt).sorted.toSeq
+    assert(sqlCounts == foldCounts)
+    // spot-check the values themselves: th+e fuses "the"→1 token,
+    // "than"→[th,an]→2, "aaa"→3 (no a-merges in the list), "tthhee"→[t,th,h,e,e]→...
+    val byWord = words.filter(_.nonEmpty).toDF("w")
+      .select(col("w"), expr(
+        s"(char_length($fused) - char_length(replace($fused, chr(31), ''))) div 2").as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(byWord("the") == 1L && byWord("than") == 2L && byWord("aaa") == 3L)
+  }
+
   test("wordHistogram + train runs end-to-end on the documents table") {
     val docs = Seq("the cat sat", "the cat", "a hat").toDF("text")
     val h = Bpe.wordHistogram(docs, graft.queries.Dialect.wordsSql)
