@@ -1107,12 +1107,14 @@ object TextQueries {
       "q_bpe_tokenize",
       "apply a fixed 3-merge BPE list per document, count resulting tokens",
       (s, dir) => {
+        // len(fused) = len(w) + 2·tokens (merges only ever remove delimiter
+        // pairs), so ONE evaluation of the fused chain counts the tokens
         val fused = BpeApply.fusedSql(
           "regexp_replace(w, '(.)', chr(31) || '$1' || chr(31))")
         Tables.documents(s, dir)
           .select(col("doc_id"), expr(
             s"aggregate($wordsSql, cast(0 as bigint), (acc, w) -> acc + " +
-              s"(char_length($fused) - char_length(replace($fused, chr(31), ''))) div 2)")
+              s"(char_length($fused) - char_length(w)) div 2)")
             .as("n_tokens"))
           .orderBy("doc_id")
       },
@@ -1121,8 +1123,7 @@ object TextQueries {
           """regexp_replace(w, '(.)', chr(31) || '\1' || chr(31), 'g')""")
         s"""SELECT doc_id,
            |  CAST(coalesce(list_sum(list_transform($duckWordsSql, w ->
-           |    (len($fused) - len(replace($fused, chr(31), ''))) // 2)), 0) AS BIGINT)
-           |    AS n_tokens
+           |    (len($fused) - len(w)) // 2)), 0) AS BIGINT) AS n_tokens
            |FROM documents ORDER BY doc_id""".stripMargin
       }
     )
