@@ -44,7 +44,8 @@ object ScaleSmoke {
     "q_source_overlap",    // per-shingle source pairs: bounded by #sources², never corpus²
     "q_df_histogram",      // row-local grams → gram-vocab df count: vocab-bound tail
     "q_vocab_coverage",    // histogram + constant-k triangular cumsum: top-k stays fixed
-    "q_salted_join")       // measured-fan-out skew join: salting cost must stay linear
+    "q_salted_join",       // measured-fan-out skew join: salting cost must stay linear
+    "q_bpe_tokenize")      // row-local replace-chain tokenizer: pure scan, must stay linear
 
   /** One (query, scale) observation. */
   final case class Point(query: String, scale: Int, sec: Double, rows: Long)
