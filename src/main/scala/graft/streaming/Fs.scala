@@ -6,6 +6,22 @@ package graft.streaming
   */
 private[graft] object Fs {
 
+  /** Batch-layer ids present under a layer root (dirs named `batch=<id>`)
+    * — shared by the band index and the pack store, whose append-only
+    * layer layouts are deliberately identical.
+    */
+  def layerIds(root: java.nio.file.Path): Seq[Long] =
+    if (!java.nio.file.Files.isDirectory(root)) Seq.empty
+    else {
+      val s = java.nio.file.Files.list(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .collect { case n if n.matches("batch=-?\\d+") => n.drop(6).toLong }
+          .toSeq
+      } finally s.close()
+    }
+
   def deleteRecursively(p: java.nio.file.Path): Unit = {
     if (java.nio.file.Files.isDirectory(p)) {
       val s = java.nio.file.Files.list(p)

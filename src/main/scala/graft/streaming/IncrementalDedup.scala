@@ -113,7 +113,7 @@ object IncrementalDedup {
     table.read().foreach { sig =>
       val bands = bandsPath(table)
       val root  = java.nio.file.Paths.get(bands)
-      val existing = listLayers(root)
+      val existing = Fs.layerIds(root)
       val gen = existing.filter(_ < 0).minOption.getOrElse(0L) - 1L
       withPb(DedupQueries.bandRows(sig))
         .withColumn("batch", lit(gen))
@@ -123,22 +123,9 @@ object IncrementalDedup {
       // sweep ALL superseded layers (old compaction generations included —
       // that is what drops stale re-index rows) only AFTER the new layer
       // committed; best-effort, a survivor is stale-but-safe (see above)
-      listLayers(root).filter(_ != gen).foreach { v =>
+      Fs.layerIds(root).filter(_ != gen).foreach { v =>
         Fs.deleteRecursively(root.resolve(s"batch=$v"))
       }
-    }
-
-  /** Batch-layer ids present under the bands root (dirs named `batch=<id>`). */
-  private def listLayers(root: java.nio.file.Path): Seq[Long] =
-    if (!java.nio.file.Files.isDirectory(root)) Seq.empty
-    else {
-      val s = java.nio.file.Files.list(root)
-      try {
-        import scala.jdk.CollectionConverters._
-        s.iterator().asScala.map(_.getFileName.toString)
-          .collect { case n if n.matches("batch=-?\\d+") => n.drop(6).toLong }
-          .toSeq
-      } finally s.close()
     }
 
   /** Index `docs` (doc_id, text, ...) under `batchId` and return the near-dup

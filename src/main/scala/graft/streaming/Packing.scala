@@ -56,20 +56,28 @@ object Packing {
     val toks = docs
       .withColumn("tok", expr(s"cast(size(${graft.queries.Dialect.wordsSql}) as bigint)"))
       .select("source", "doc_id", "tok")
+    // ONE snapshot read for both uses below (base lookup + offset advance):
+    // resolving the pointer twice is wasted IO and, under a concurrent
+    // publisher, could even mix versions
+    val prevBases = table.read().map(_.select("source", "base"))
     // next free offset per source: the tiny snapshot, not a history scan
-    val based = table.read() match {
+    val based = prevBases match {
       case Some(bases) =>
-        toks.join(broadcast(bases.select("source", "base")), Seq("source"), "left")
+        toks.join(broadcast(bases), Seq("source"), "left")
           .withColumn("base", coalesce(col("base"), lit(0L)))
       case None => toks.withColumn("base", lit(0L))
     }
     val w = Window.partitionBy("source").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
+    // persisted because BOTH the layer write and the offset advance consume
+    // it (the processBatch move) — without it the per-source window runs
+    // twice per batch
     val assigned = based
       .withColumn("off", col("base") + coalesce(sum("tok").over(w), lit(0L)))
       .select(col("source"), col("doc_id"), col("tok"),
         expr(s"off div $budget").as("pack_id"),
         expr(s"off % $budget").as("pack_off"))
+      .persist()
     assigned
       .withColumn("batch", lit(batchId))
       .write.mode("overwrite")
@@ -79,14 +87,14 @@ object Packing {
     // new offsets = old bases advanced by this batch's token mass per source
     val batchEnds = assigned.groupBy("source")
       .agg(max(col("pack_id") * budget + col("pack_off") + col("tok")).as("end"))
-    val newBases = table.read() match {
+    val newBases = prevBases match {
       case Some(bases) =>
-        bases.select("source", "base").unionByName(
-          batchEnds.select(col("source"), col("end").as("base")))
+        bases.unionByName(batchEnds.select(col("source"), col("end").as("base")))
           .groupBy("source").agg(max("base").as("base"))
       case None => batchEnds.select(col("source"), col("end").as("base"))
     }
     table.publish(newBases, Some(batchId))
+    assigned.unpersist()
     ()
   }
 
@@ -106,30 +114,17 @@ object Packing {
     import org.apache.spark.sql.functions.lit
     readPacked(spark, table).foreach { packs =>
       val root = java.nio.file.Paths.get(packsPath(table))
-      val existing = layerIds(root)
+      val existing = Fs.layerIds(root)
       val gen = existing.filter(_ < 0).minOption.getOrElse(0L) - 1L
       packs.withColumn("batch", lit(gen))
         .write.mode("append")
         .partitionBy("batch")
         .parquet(packsPath(table))
-      layerIds(root).filter(_ != gen).foreach { v =>
+      Fs.layerIds(root).filter(_ != gen).foreach { v =>
         Fs.deleteRecursively(root.resolve(s"batch=$v"))
       }
     }
   }
-
-  /** Batch-layer ids present under the packs root (dirs `batch=<id>`). */
-  private def layerIds(root: java.nio.file.Path): Seq[Long] =
-    if (!java.nio.file.Files.isDirectory(root)) Seq.empty
-    else {
-      val s = java.nio.file.Files.list(root)
-      try {
-        import scala.jdk.CollectionConverters._
-        s.iterator().asScala.map(_.getFileName.toString)
-          .collect { case n if n.matches("batch=-?\\d+") => n.drop(6).toLong }
-          .toSeq
-      } finally s.close()
-    }
 
   /** All pack assignments so far — the union of batch layers. The per-doc
     * dropDuplicates is exact (an assignment is immutable, so any cross-layer
