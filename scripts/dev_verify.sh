@@ -24,3 +24,20 @@ java $ADD_OPENS -Xmx8g \
   -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
   graft.Verify "$SF" "$OUT" 2>&1 | grep -vE '^(2[0-9]|WARN|INFO)' || true
 python3 scripts/check_oracle.py "$SF" "$OUT"
+# Scale regression gate (VERDICT r7 #7): always-on in the dev loop, at
+# sf0.001 so it costs seconds — a removed hot-bucket cap shows up as
+# super-linear 1x->4x growth here long before the sf0.1 smoke would run.
+# GRAFT_SCALE_SMOKE_SKIP=1 opts out (e.g. when iterating on one query).
+if [ -z "$GRAFT_SCALE_SMOKE_SKIP" ]; then
+  set +e
+  GRAFT_SCALE_GATE=1 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 \
+  java $ADD_OPENS -Xmx8g \
+    -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+    -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
+    graft.tools.ScaleSmoke 1 4 > /tmp/scale_gate.log 2>&1
+  rc=$?
+  set -e
+  grep -vE '^(2[0-9]|WARN|INFO)' /tmp/scale_gate.log || true
+  [ $rc -eq 0 ] || { echo "SCALE GATE FAILED"; exit 1; }
+  echo "scale gate OK (sf0.001, 1x->4x)"
+fi

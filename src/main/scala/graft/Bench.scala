@@ -130,10 +130,17 @@ object Bench {
     // The full line above grows with the query count and the driver keeps
     // only the tail of the output, so every round's headline total was lost
     // to truncation (BENCH_r*.json "parsed": null, VERDICT r6 #4). Repeat
-    // the headline fields on a second SHORT line: tails survive, and a
-    // JSON-per-line consumer parses whichever it kept.
+    // the headline fields on two SHORT lines that the tail always keeps:
+    // the top-10 slowest per-query timings (r7's truncation cut the head of
+    // the full map, losing exactly the queries anyone tracks round-over-
+    // round — VERDICT r7 #8), then the total. Distinct metric names so a
+    // JSON-lines consumer filtering metric=="total" never double-counts
+    // (ADVICE r7).
+    val slowest = timed.filter(_._3.isEmpty).sortBy(-_._2).take(10)
+      .map { case (k, v, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    println(s"""{"metric":"slowest10","unit":"sec","queries":$slowest,"sf":"$sfDir"}""")
     val failed = timed.count(_._3.isDefined)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","repeats":$Repeats,"queries_run":${names.length},"queries_failed":$failed,"load":$loadJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_short","value":$total,"unit":"sec","repeats":$Repeats,"queries_run":${names.length},"queries_failed":$failed,"load":$loadJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

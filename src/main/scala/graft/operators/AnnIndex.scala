@@ -195,17 +195,19 @@ object AnnIndex {
     // persisted: the touched-list collect AND the join both evaluate this
     // lineage (which may carry an expensive external probe pipeline)
     val probeCids = probeCidsOf(probes, cents).persist()
-    val touched   = probeCids.select("cid").distinct().collect().map(_.getInt(0)).toSeq
-    // dropDuplicates: a re-appended vec_id has one row per append layer (all
-    // in the same cid partition under the fixed codebook) and must score once
-    val out = scoreTop3(listScan(s, indexDir, touched).join(probeCids, "cid")
-      .dropDuplicates("qid", "vec_id"))
-      // eager localCheckpoint (top-3 × probes rows) so the probe lineage can
-      // be unpersisted HERE — a long-lived session calling search repeatedly
-      // must not accumulate one cached dataset per call (ADVICE r6)
-      .localCheckpoint(true)
-    probeCids.unpersist()
-    out
+    // try/finally: a failure in the collect or the checkpoint must not leak
+    // the probe cache across a long-lived session's retries (ADVICE r7)
+    try {
+      val touched = probeCids.select("cid").distinct().collect().map(_.getInt(0)).toSeq
+      // dropDuplicates: a re-appended vec_id has one row per append layer (all
+      // in the same cid partition under the fixed codebook) and must score once
+      scoreTop3(listScan(s, indexDir, touched).join(probeCids, "cid")
+        .dropDuplicates("qid", "vec_id"))
+        // eager localCheckpoint (top-3 × probes rows) so the probe lineage can
+        // be unpersisted HERE — a long-lived session calling search repeatedly
+        // must not accumulate one cached dataset per call (ADVICE r6)
+        .localCheckpoint(true)
+    } finally probeCids.unpersist()
   }
 
   /** The graded probe workload (fixed literal ids) as a search input. */
@@ -299,16 +301,17 @@ object AnnIndex {
     * table (candidates OR across tables, scored once, exact within bucket).
     */
   def searchLsh(s: SparkSession, indexDir: String, probes: DataFrame): DataFrame = {
-    // persisted for the same collect+join double evaluation as search
-    val pb      = probeBuckets(probes).persist()
-    val touched = pb.select("pb").distinct().collect().map(_.getLong(0)).toSeq
-    val out = scoreTop3(
-      bucketScan(s, indexDir, touched)
-        .select("pb", "vec_id", "q", "n2")
-        .join(pb.select("pb", "qid", "qq", "qn"), "pb")
-        .dropDuplicates("qid", "vec_id")) // OR across tables, score once
-      .localCheckpoint(true) // see search: frees the probe cache eagerly
-    pb.unpersist()
-    out
+    // persisted for the same collect+join double evaluation as search;
+    // try/finally for the same exception-path leak (ADVICE r7)
+    val pb = probeBuckets(probes).persist()
+    try {
+      val touched = pb.select("pb").distinct().collect().map(_.getLong(0)).toSeq
+      scoreTop3(
+        bucketScan(s, indexDir, touched)
+          .select("pb", "vec_id", "q", "n2")
+          .join(pb.select("pb", "qid", "qq", "qn"), "pb")
+          .dropDuplicates("qid", "vec_id")) // OR across tables, score once
+        .localCheckpoint(true) // see search: frees the probe cache eagerly
+    } finally pb.unpersist()
   }
 }

@@ -2,10 +2,8 @@ package graft.operators
 
 import scala.collection.mutable.ArrayBuffer
 
-import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** BPE tokenizer training loop (VERDICT r6 #7 — the k-merge driver over the
   * one-step pair count `q_bpe_pair_counts` exposes).
@@ -18,8 +16,8 @@ import org.apache.spark.storage.StorageLevel
   *
   * Scale posture (100 TB): per round, one vocab-sized aggregate + a 1-row
   * collect (the argmax — inherently global, and the only driver data) + one
-  * vocab-sized map. `localCheckpoint` truncates lineage each round so k
-  * rounds stay k flat jobs instead of one k-deep expression tree. Merge
+  * vocab-sized map. [[Lineage.materialize]] truncates lineage each round so
+  * k rounds stay k flat jobs instead of one k-deep expression tree. Merge
   * order is fully deterministic: (freq desc, left asc, right asc).
   */
 object Bpe {
@@ -80,21 +78,6 @@ object Bpe {
     symHist.select(fused.as("syms"), col("wc"))
   }
 
-  /** Materialize a frame into an explicitly-owned persisted RDD and rebuild
-    * a DataFrame leaf over it — the iterative-algorithm checkpoint that
-    * both truncates lineage AND hands back a handle that `unpersist()`
-    * actually frees. (`Dataset.localCheckpoint` pins its internal RDD
-    * outside the CacheManager, so `Dataset.unpersist` on the result is a
-    * silent no-op and k rounds would pin k vocab-sized block sets — r7
-    * review finding.) The eager `count()` is what makes it safe to free the
-    * PREVIOUS round's RDD: once this one is computed, nothing reads it.
-    */
-  private def materialize(df: DataFrame): (DataFrame, RDD[Row]) = {
-    val rdd = df.rdd.persist(StorageLevel.MEMORY_AND_DISK)
-    rdd.count()
-    (df.sparkSession.createDataFrame(rdd, df.schema), rdd)
-  }
-
   /** Run `k` merge rounds from a (w, wc) histogram. Returns the ordered
     * merge table and the final symbolized histogram (syms, wc). Stops early
     * when no adjacent pair remains (every word fully fused).
@@ -107,7 +90,7 @@ object Bpe {
     */
   def train(hist: DataFrame, k: Int): (Seq[Merge], DataFrame) = {
     require(k >= 0, "k must be non-negative")
-    var (cur, curRdd) = materialize(initSymbols(hist))
+    var (cur, curRdd) = Lineage.materialize(initSymbols(hist))
     val merges = ArrayBuffer.empty[Merge]
     var exhausted = false
     var rank = 1
@@ -119,7 +102,7 @@ object Bpe {
       else {
         val (l, r, f) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += Merge(rank, l, r, f)
-        val (next, nextRdd) = materialize(applyMerge(cur, l, r))
+        val (next, nextRdd) = Lineage.materialize(applyMerge(cur, l, r))
         curRdd.unpersist()
         cur = next
         curRdd = nextRdd

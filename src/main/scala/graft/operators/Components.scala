@@ -42,9 +42,9 @@ object Components {
     val Seq(ac, bc) = edges.columns.toSeq.map(edges(_))
     val e   = edges.select(ac.as("a"), bc.as("b")).persist()
     val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
-    var labels = nodes.select(nodes.columns.map(nodes(_)).head.as("id"))
-      .withColumn("lbl", col("id"))
-      .persist()
+    var (labels, labelsRdd) = Lineage.materializeLazy(
+      nodes.select(nodes.columns.map(nodes(_)).head.as("id"))
+        .withColumn("lbl", col("id")))
     // sum() over zero rows is NULL — normalize so an empty node set reads
     // as already-converged instead of NPE-ing on compareTo
     def labelSum(df: DataFrame): java.math.BigDecimal =
@@ -59,21 +59,27 @@ object Components {
         s"component propagation did not converge in $maxRounds rounds")
       val msgs = sym.join(labels, sym("a") === labels("id"))
         .select(sym("b").as("id"), col("lbl"))
-      // localCheckpoint, not persist: each round's LOGICAL PLAN embeds the
-      // previous round's tree several times, so lineage grows exponentially
-      // with rounds (plan printing alone OOMs) — checkpointing truncates
-      // the plan each round and caches the data. On a cluster, a reliable
-      // checkpoint() (or persist + replication) is the fault-tolerant form.
-      val next = labels.union(msgs)
-        .groupBy("id").agg(min("lbl").as("lbl"))
-        .localCheckpoint(true)
+      // Lineage.materializeLazy, not localCheckpoint: each round's LOGICAL
+      // PLAN embeds the previous round's tree several times, so lineage
+      // grows exponentially with rounds (plan printing alone OOMs) — the
+      // owned-RDD leaf truncates the plan each round AND the explicit
+      // unpersist below actually frees the superseded round's blocks
+      // (Dataset.unpersist after localCheckpoint is a silent no-op —
+      // ADVICE r7, see [[Lineage]]). The labelSum right after is the
+      // materializing action. On a cluster, a reliable checkpoint() (or
+      // persist + replication) is the fault-tolerant form.
+      val (next, nextRdd) = Lineage.materializeLazy(
+        labels.union(msgs).groupBy("id").agg(min("lbl").as("lbl")))
       val nextSum = labelSum(next)
       changed = nextSum.compareTo(curSum) != 0
       curSum = nextSum
-      labels.unpersist()
+      labelsRdd.unpersist()
       labels = next
+      labelsRdd = nextRdd
     }
     e.unpersist()
+    // the FINAL round's RDD stays persisted for the caller (released by GC
+    // with the returned frame) — same convention as Bpe.train
     labels
   }
 
@@ -141,13 +147,15 @@ object Components {
         .groupBy("n").agg(sum("c").as("nc"), sum("p").as("np"))
         .filter(col("nc") > 1 || (col("nc") > 0 && col("np") > 0))
         .isEmpty
-    // localCheckpoint, not persist: each star pass references its input ~3x,
-    // so the logical plan would grow ~6x per round — checkpointing truncates
-    // the plan each round and caches the data. LAZY (eager=false): the
-    // convergence test right after is the materializing action, so each
-    // round is ONE Spark job (checkpoint-then-test would be two). On a
-    // cluster, a reliable checkpoint() (or persist + replication) is the
-    // fault-tolerant form.
+    // Lineage.materializeLazy per round: each star pass references its input
+    // ~3x, so the logical plan would grow ~6x per round — the owned-RDD leaf
+    // truncates the plan AND (unlike localCheckpoint, whose pinned blocks
+    // Dataset.unpersist cannot free — ADVICE r7, see [[Lineage]]) the
+    // explicit per-round unpersist keeps peak storage at two edge-set
+    // generations regardless of round count. LAZY: the convergence test
+    // right after is the materializing action, so each round is ONE Spark
+    // job. On a cluster, a reliable checkpoint() (or persist + replication)
+    // is the fault-tolerant form.
     // persist the raw edges across the seeding pass: smallStar references
     // its input twice (the keyed min and the join), and without a persist
     // each reference would re-run the caller's whole edge pipeline
@@ -172,12 +180,11 @@ object Components {
     val seeded = smallStar(ep).persist()
     val gp = seeded.groupBy("a").agg(min("b").as("g"))
       .select(col("a").as("b"), col("g"))
-    var e = tdbg("seed ckpt")(
+    var (e, eRdd) = Lineage.materializeLazy(
       seeded.join(gp, Seq("b"), "left")
         .select(col("a"), coalesce(col("g"), col("b")).as("b"))
-        .filter(col("a") =!= col("b")).distinct()
-        .localCheckpoint(false))
-    var done = tdbg("seed test")(converged(e)) // materializes the seed checkpoint
+        .filter(col("a") =!= col("b")).distinct())
+    var done = tdbg("seed test")(converged(e)) // materializes the seed RDD
     seeded.unpersist()
     ep.unpersist()
     var rounds = 0
@@ -185,8 +192,11 @@ object Components {
       rounds += 1
       require(rounds <= maxRounds,
         s"alternating contraction did not converge in $maxRounds rounds")
-      e = tdbg(s"round $rounds ckpt")(smallStar(largeStar(e)).localCheckpoint(false))
-      done = tdbg(s"round $rounds test")(converged(e))
+      val (next, nextRdd) = Lineage.materializeLazy(smallStar(largeStar(e)))
+      done = tdbg(s"round $rounds test")(converged(next))
+      eRdd.unpersist() // next is computed (the test above); nothing reads e now
+      e = next
+      eRdd = nextRdd
     }
     // fixpoint edges are (node → component min); singletons label themselves
     val roots = e.groupBy("a").agg(min("b").as("lbl"))

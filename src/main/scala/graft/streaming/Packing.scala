@@ -78,24 +78,31 @@ object Packing {
         expr(s"off div $budget").as("pack_id"),
         expr(s"off % $budget").as("pack_off"))
       .persist()
-    assigned
-      .withColumn("batch", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch")
-      .parquet(packsPath(table))
-    // new offsets = old bases advanced by this batch's token mass per source
-    val batchEnds = assigned.groupBy("source")
-      .agg(max(col("pack_id") * budget + col("pack_off") + col("tok")).as("end"))
-    val newBases = prevBases match {
-      case Some(bases) =>
-        bases.unionByName(batchEnds.select(col("source"), col("end").as("base")))
-          .groupBy("source").agg(max("base").as("base"))
-      case None => batchEnds.select(col("source"), col("end").as("base"))
+    // try/finally: a transient failure in the layer write or the publish
+    // must not leak the cached batch — a long-running foreachBatch driver
+    // retries batches, and an exception-path leak accumulates one cached
+    // dataset per retry (ADVICE r7)
+    try {
+      assigned
+        .withColumn("batch", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch")
+        .parquet(packsPath(table))
+      // new offsets = old bases advanced by this batch's token mass per source
+      val batchEnds = assigned.groupBy("source")
+        .agg(max(col("pack_id") * budget + col("pack_off") + col("tok")).as("end"))
+      val newBases = prevBases match {
+        case Some(bases) =>
+          bases.unionByName(batchEnds.select(col("source"), col("end").as("base")))
+            .groupBy("source").agg(max("base").as("base"))
+        case None => batchEnds.select(col("source"), col("end").as("base"))
+      }
+      table.publish(newBases, Some(batchId))
+    } finally {
+      assigned.unpersist()
+      ()
     }
-    table.publish(newBases, Some(batchId))
-    assigned.unpersist()
-    ()
   }
 
   /** Fold the accumulated `batch=` layers into one — the small-files

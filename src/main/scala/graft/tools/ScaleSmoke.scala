@@ -76,7 +76,11 @@ object ScaleSmoke {
   private def replicate(spark: SparkSession, base: String, dir: String, r: Int): Unit = {
     def rep(file: String, key: String): Unit = {
       val df = spark.read.parquet(s"$base/$file")
-      val offset = df.agg(max(col(key))).head.getLong(0) + 1L
+      // max over an EMPTY table is null — default to offset 1 instead of
+      // NPE-ing before any curve prints (ADVICE r7); the cast keeps a
+      // non-long key column from throwing a ClassCastException here too
+      val offset = Option(df.agg(max(col(key).cast("long"))).head.getAs[java.lang.Long](0))
+        .map(_.longValue).getOrElse(0L) + 1L
       (0 until r).map(i => df.withColumn(key, col(key) + lit(i * offset)))
         .reduce(_ unionAll _)
         .write.mode("overwrite").parquet(s"$dir/$file")

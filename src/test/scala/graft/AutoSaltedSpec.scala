@@ -63,8 +63,8 @@ class AutoSaltedSpec extends SparkTestBase {
     val cellMax = saltedBig.groupBy("k", "__graft_salt").count()
       .agg(max("count")).collect()(0).getLong(0)
     // a cell averages cnt/salt_n ≤ total/Target rows; allow 1.5× for the
-    // position-mod distribution's fluctuation. Unsalted, the hot cell would
-    // hold ~70% of the table — an order of magnitude over this bound.
+    // content-hash-mod distribution's fluctuation. Unsalted, the hot cell
+    // would hold ~70% of the table — an order of magnitude over this bound.
     assert(cellMax <= total * 3 / (Target * 2),
       s"cellMax=$cellMax total=$total target=$Target")
     // small side replicates exactly fan-out× per heavy key, 1× otherwise
@@ -77,6 +77,19 @@ class AutoSaltedSpec extends SparkTestBase {
     assert(repl(("warm", "W")) == heavy("warm"))
     assert(repl(("cold3", "C")) == 1L)
     assert(repl(("smallonly", "S")) == 1L)
+  }
+
+  test("big-side salt derives from row content: invariant under repartitioning") {
+    // a positional salt (monotonically_increasing_id) changes with the
+    // physical row layout — exactly what a stage retry perturbs (ADVICE r7);
+    // a content hash must assign every row the same salt no matter how the
+    // input happens to be partitioned
+    val big = skewedBig(1000).toDF("k", "v")
+    def salts(df: org.apache.spark.sql.DataFrame) =
+      Relational.saltedSides(df, small, "k", Target)._1
+        .select("k", "v", "__graft_salt").collect()
+        .map(r => (r.getString(0), r.getInt(1)) -> r.getInt(2)).toMap
+    assert(salts(big.repartition(7)) == salts(big.repartition(3)))
   }
 
   test("cold-only data takes the degenerate path: no heavy keys, plain join") {
