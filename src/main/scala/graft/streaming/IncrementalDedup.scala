@@ -111,9 +111,9 @@ object IncrementalDedup {
     */
   def compactBands(table: KeyedTable): Unit =
     table.read().foreach { sig =>
+      val spark = table.session
       val bands = bandsPath(table)
-      val root  = java.nio.file.Paths.get(bands)
-      val existing = Fs.layerIds(root)
+      val existing = Fs.layerIds(spark, bands)
       val gen = existing.filter(_ < 0).minOption.getOrElse(0L) - 1L
       withPb(DedupQueries.bandRows(sig))
         .withColumn("batch", lit(gen))
@@ -123,8 +123,8 @@ object IncrementalDedup {
       // sweep ALL superseded layers (old compaction generations included —
       // that is what drops stale re-index rows) only AFTER the new layer
       // committed; best-effort, a survivor is stale-but-safe (see above)
-      Fs.layerIds(root).filter(_ != gen).foreach { v =>
-        Fs.deleteRecursively(root.resolve(s"batch=$v"))
+      Fs.layerIds(spark, bands).filter(_ != gen).foreach { v =>
+        Fs.deleteRecursively(spark, s"$bands/batch=$v")
       }
     }
 

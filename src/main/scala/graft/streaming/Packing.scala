@@ -120,15 +120,15 @@ object Packing {
   def compactPacks(spark: org.apache.spark.sql.SparkSession, table: KeyedTable): Unit = {
     import org.apache.spark.sql.functions.lit
     readPacked(spark, table).foreach { packs =>
-      val root = java.nio.file.Paths.get(packsPath(table))
-      val existing = Fs.layerIds(root)
+      val root = packsPath(table)
+      val existing = Fs.layerIds(spark, root)
       val gen = existing.filter(_ < 0).minOption.getOrElse(0L) - 1L
       packs.withColumn("batch", lit(gen))
         .write.mode("append")
         .partitionBy("batch")
-        .parquet(packsPath(table))
-      Fs.layerIds(root).filter(_ != gen).foreach { v =>
-        Fs.deleteRecursively(root.resolve(s"batch=$v"))
+        .parquet(root)
+      Fs.layerIds(spark, root).filter(_ != gen).foreach { v =>
+        Fs.deleteRecursively(spark, s"$root/batch=$v")
       }
     }
   }
@@ -141,7 +141,7 @@ object Packing {
   def readPacked(spark: org.apache.spark.sql.SparkSession,
       table: KeyedTable): Option[org.apache.spark.sql.DataFrame] = {
     val path = packsPath(table)
-    if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(path))) None
+    if (!Fs.isDirectory(spark, path)) None
     else Some(spark.read.parquet(path)
       .select("source", "doc_id", "tok", "pack_id", "pack_off")
       .dropDuplicates("source", "doc_id"))
