@@ -83,6 +83,39 @@ class BpeSpec extends SparkTestBase {
     assert(byWord("the") == 1L && byWord("than") == 2L && byWord("aaa") == 3L)
   }
 
+  test("tokenize with a TRAINED merge table equals the trainer's own fold") {
+    // VERDICT r7 #2: train(k) → tokenize must reproduce the applyMerge
+    // fold's fixpoint — the final symbolized histogram IS that fold, so the
+    // trained tokenizer's per-word token sequences must match it exactly
+    val corpus = hist(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+    val (merges, _) = Bpe.train(corpus, 10)
+    val docs = Seq("low lower", "newest widest").toDF("text")
+    val toks = Bpe.tokenize(docs, merges, graft.queries.Dialect.wordsSql)
+      .select(col("text"), concat_ws("|", col("tokens")))
+      .as[(String, String)].collect().toMap
+    assert(toks == Map(
+      "low lower" -> "low|low|e|r",
+      "newest widest" -> "newest|widest"))
+  }
+
+  test("trained tokenize stays leftmost-greedy and survives quoted symbols") {
+    // overlap: under the single trained merge (a,a), "aaaa"→[aa,aa],
+    // "aaa"→[aa,a] — the replace-all construction must not re-match across
+    // an already-fused pair
+    val (m1, _) = Bpe.train(hist(("aaa", 1L)), 1)
+    assert(m1.map(m => (m.left, m.right)) == Seq(("a", "a")))
+    val t = Bpe.tokenize(Seq("aaaa aaa a").toDF("text"), m1,
+      graft.queries.Dialect.wordsSql)
+      .select(concat_ws("|", col("tokens"))).as[String].collect().head
+    assert(t == "aa|aa|aa|a|a")
+    // symbols containing quotes ride as Column literals, not SQL text
+    val (mq, _) = Bpe.train(hist(("d'n", 2L)), 2)
+    val tq = Bpe.tokenize(Seq("d'n").toDF("text"), mq,
+      graft.queries.Dialect.wordsSql)
+      .select(concat_ws("|", col("tokens"))).as[String].collect().head
+    assert(tq == "d'n")
+  }
+
   test("wordHistogram + train runs end-to-end on the documents table") {
     val docs = Seq("the cat sat", "the cat", "a hat").toDF("text")
     val h = Bpe.wordHistogram(docs, graft.queries.Dialect.wordsSql)
