@@ -79,6 +79,47 @@ object AnnIndex {
     graft.streaming.Fs.renameOverwrite(s, tmp, appliedPtr(store))
   }
 
+  /** Generational small-files compaction for an appended store (VERDICT r7
+    * #4): [[appendBatch]]/[[appendBatchLsh]] accumulate one file-set per
+    * batch inside each `cid=`/`pb=` partition forever — this folds every
+    * layer into ONE fresh reserved layer `batch=-g` (next unused negative
+    * id, like compactBands/compactPacks) and only then sweeps the others.
+    * Crash anywhere leaves a read-equivalent SUPERSET: mid-write, staged
+    * files are invisible and old layers intact; mid-sweep, survivors'
+    * rows are exact duplicates of new-layer rows, which search's
+    * per-(probe, vec_id) dedup already tolerates, and the next compaction
+    * folds away. The full-row dropDuplicates collapses identical
+    * re-appended rows; a CHANGED re-appended vector keeps both its rows —
+    * the store's documented staleness, restored to exact by a full
+    * [[build]]/[[buildLsh]]. The `_APPLIED` pointer is untouched, so the
+    * replay protocol continues across compactions.
+    */
+  private[graft] def compactStore(s: SparkSession, store: String,
+      partCols: Seq[String], sweep: Boolean): Unit = {
+    if (!graft.streaming.Fs.isDirectory(s, store)) return
+    val existing = graft.streaming.Fs.layerIds(s, store)
+    if (existing.isEmpty) return
+    val gen = existing.filter(_ < 0).minOption.getOrElse(0L) - 1L
+    s.read.parquet(store)
+      .drop("batch").dropDuplicates()
+      .withColumn("batch", lit(gen))
+      .write.mode("append")
+      .partitionBy("batch" +: partCols: _*)
+      .parquet(store)
+    if (sweep)
+      graft.streaming.Fs.layerIds(s, store).filter(_ != gen).foreach { v =>
+        graft.streaming.Fs.deleteRecursively(s, s"$store/batch=$v")
+      }
+  }
+
+  /** Fold the IVF store's batch layers into one generation. */
+  def compactIndex(s: SparkSession, indexDir: String): Unit =
+    compactStore(s, vectorsPath(indexDir), Seq("cid"), sweep = true)
+
+  /** Fold the LSH store's batch layers into one generation. */
+  def compactIndexLsh(s: SparkSession, indexDir: String): Unit =
+    compactStore(s, lshPath(indexDir), Seq("pb"), sweep = true)
+
   /** Assign under a FIXED codebook and write one batch layer. Shared by the
     * full build (layer −1, static overwrite clears everything else) and the
     * incremental appends (dynamic overwrite of own partitions only).

@@ -126,6 +126,61 @@ class AnnIndexSpec extends SparkTestBase {
     }, probes)), "append batches changed nothing — parity pin is vacuous")
   }
 
+  test("IVF compactIndex: one generation layer, search unchanged, crashed sweep read-equivalent") {
+    import org.apache.spark.sql.functions.col
+    val raw   = Tables.embeddings(spark, dir)
+    val base  = raw.filter(col("vec_id") % 3 =!= 0)
+    val b0    = raw.filter(col("vec_id") % 3 === 0 && col("vec_id") % 2 === 0)
+    val b1    = raw.filter(col("vec_id") % 3 === 0 && col("vec_id") % 2 =!= 0)
+    val cents = graft.queries.SimilarityQueries.trainCodebook(spark, dir)
+    val probes = AnnIndex.probeWorkload(spark, dir)
+    val idx = java.nio.file.Files.createTempDirectory("ann_cmp").toString
+    AnnIndex.buildFrom(spark, base, cents, idx)
+    assert(AnnIndex.appendBatch(spark, idx, b0, 0L))
+    assert(AnnIndex.appendBatch(spark, idx, b1, 1L))
+    val before = top3(AnnIndex.search(spark, idx, probes))
+    assert(graft.streaming.Fs.layerIds(spark, s"$idx/vectors").size == 3)
+
+    // CRASHED sweep: the fold layer committed but every old layer survives —
+    // the store is a superset whose duplicates search must tolerate
+    AnnIndex.compactStore(spark, s"$idx/vectors", Seq("cid"), sweep = false)
+    assert(graft.streaming.Fs.layerIds(spark, s"$idx/vectors").size == 4)
+    assert(top3(AnnIndex.search(spark, idx, probes)) == before,
+      "crashed-sweep state diverged from the pre-compaction search")
+
+    // the finishing compaction folds everything into the next generation
+    AnnIndex.compactIndex(spark, idx)
+    val layers = graft.streaming.Fs.layerIds(spark, s"$idx/vectors")
+    assert(layers.size == 1 && layers.head < 0, s"layers after compaction: $layers")
+    assert(top3(AnnIndex.search(spark, idx, probes)) == before,
+      "search after compaction diverged")
+    // the applied pointer survives the sweep: replays still refused
+    assert(!AnnIndex.appendBatch(spark, idx, b1, 1L))
+  }
+
+  test("LSH compactIndexLsh: one generation layer, search unchanged") {
+    import org.apache.spark.sql.functions.col
+    val raw  = Tables.embeddings(spark, dir)
+    val base = raw.filter(col("vec_id") % 3 =!= 0)
+    val b0   = raw.filter(col("vec_id") % 3 === 0)
+    val probes = AnnIndex.probeWorkload(spark, dir)
+    val idx = java.nio.file.Files.createTempDirectory("lsh_cmp").toString
+    AnnIndex.buildLshFrom(base, idx)
+    assert(AnnIndex.appendBatchLsh(spark, idx, b0, 0L))
+    // re-append the same vectors under a new id: identical rows must FOLD
+    // (full-row dedup), not survive as layer duplicates
+    assert(AnnIndex.appendBatchLsh(spark, idx, b0, 1L))
+    val before = top3(AnnIndex.searchLsh(spark, idx, probes))
+    AnnIndex.compactIndexLsh(spark, idx)
+    val layers = graft.streaming.Fs.layerIds(spark, s"$idx/lsh")
+    assert(layers.size == 1 && layers.head < 0, s"layers after compaction: $layers")
+    assert(top3(AnnIndex.searchLsh(spark, idx, probes)) == before)
+    val perKey = spark.read.parquet(s"$idx/lsh")
+      .groupBy("vec_id", "t").count()
+      .agg(org.apache.spark.sql.functions.max("count")).collect()(0).getLong(0)
+    assert(perKey == 1L, s"re-appended duplicate rows survived compaction (max $perKey)")
+  }
+
   test("LSH appendBatchLsh: search-after-appends equals search-after-rebuild; replay is a no-op") {
     import org.apache.spark.sql.functions.col
     val raw  = Tables.embeddings(spark, dir)
