@@ -26,8 +26,9 @@ class AnnIndexSpec extends SparkTestBase {
     val probes = AnnIndex.probeWorkload(spark, dir)
       .filter(org.apache.spark.sql.functions.col("vec_id") === 0L)
     val touched = AnnIndex.touchedLists(spark, idx, probes)
-    assert(touched.nonEmpty && touched.size <= 3,
-      s"one probe touched ${touched.size} lists (max NProbe=3)")
+    val nProbe = graft.queries.SimilarityQueries.NProbe
+    assert(touched.nonEmpty && touched.size <= nProbe,
+      s"one probe touched ${touched.size} lists (max NProbe=$nProbe)")
     val scan = AnnIndex.listScan(spark, idx, touched)
     // input_file_name on surviving rows is necessary but NOT sufficient (a
     // defeated pruning still filters rows post-read) — also assert the

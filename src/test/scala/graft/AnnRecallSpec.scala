@@ -30,7 +30,7 @@ class AnnRecallSpec extends SparkTestBase {
     // recall is deterministic (fixed data, fixed codebooks): pin the current
     // levels with small slack so a hash/codebook regression fails loudly
     assert(rLsh >= 0.70, s"LSH recall regressed below pinned floor: $rLsh (was 0.833 with Hamming-1 multi-probe)")
-    assert(rIvf >= 0.45, s"IVF recall regressed below pinned floor: $rIvf (was 0.533 with the 2-iteration-trained codebook, 3 probe lists)")
+    assert(rIvf >= 0.60, s"IVF recall regressed below pinned floor: $rIvf (was 0.700 with the 2-iteration-trained codebook, 4 probe lists)")
     // structural cap: at most 3 ranked rows per probe in every variant
     Seq("q_cosine_topk", "q_ann_lsh", "q_ann_ivf").foreach { name =>
       val maxPerProbe = SparkEntry.queries(name)(spark, dir)
