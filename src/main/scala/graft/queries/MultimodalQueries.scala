@@ -37,74 +37,98 @@ object MultimodalQueries {
     ),
 
     // Round-trip image-dimension audit: synthesize structurally real PNG /
-    // JPEG headers from doc_id-derived dims, then recover the dims from the
-    // BYTES alone via Multimodal.imageDims (binary substr + hex math — the
-    // non-stub slice of E5). The oracle synthesizes the identical hex string
-    // and parses it at the string level, so any off-by-one in the binary
-    // marker walk (fixed PNG offsets, dynamic APP0-length hop for JPEG)
-    // breaks the hash. Scale: header-prefix reads, whole-stage codegen, no
-    // decoder, no shuffle beyond the final sort.
+    // JPEG headers from doc_id-derived dims — JPEG rows carry 1–3 leading
+    // APP0/APP1/APP13 segments (the JFIF/EXIF/IPTC trio; VERDICT r7 #6) —
+    // then recover the dims from the BYTES alone via Multimodal.imageDims'
+    // bounded marker walk (binary substr + hex math, fold-state position).
+    // The oracle synthesizes the identical hex string and replays the SAME
+    // walk at the string level as an unrolled CTE chain, so any off-by-one
+    // in any hop breaks the hash. Scale: header-prefix reads, single scan,
+    // no decoder, no shuffle beyond the final sort.
     GraftQuery(
       "q_image_dims",
-      "parse width/height from synthesized PNG/JPEG header bytes",
+      "parse width/height from synthesized PNG/multi-APPn-JPEG header bytes",
       (s, dir) =>
         Tables.documents(s, dir)
           .select(
             col("doc_id"),
             (lit(16) + pmod(col("doc_id"), lit(1024))).cast("int").as("w0"),
             (lit(16) + pmod(col("doc_id") * 7, lit(768))).cast("int").as("h0"),
-            (lit(16) + pmod(col("doc_id"), lit(8))).cast("int").as("al"))
+            (lit(16) + pmod(col("doc_id"), lit(8))).cast("int").as("al"),
+            (lit(1) + pmod(col("doc_id"), lit(3))).cast("int").as("ns"))
           .withColumn(
             "payload",
             unhex(when(pmod(col("doc_id"), lit(2)) === 0,
                     Multimodal.synthPngHex(col("w0"), col("h0")))
-              .otherwise(Multimodal.synthJpegHex(col("w0"), col("h0"), col("al")))))
-          // parse from bytes only — w0/h0/al must not leak into the output
+              .otherwise(Multimodal.synthJpegMultiHex(
+                col("w0"), col("h0"), col("ns"), col("al")))))
+          // parse from bytes only — w0/h0/al/ns must not leak into the output
           .select(col("doc_id"), Multimodal.imageDims(col("payload")).as("d"))
           .select(
             col("doc_id"), col("d.fmt").as("fmt"), col("d.marker_ok").as("marker_ok"),
             col("d.width").as("width"), col("d.height").as("height"))
           .orderBy("doc_id"),
-      Some("""WITH base AS (
-             |  SELECT doc_id,
-             |         16 + doc_id % 1024 AS w0,
-             |         16 + (doc_id * 7) % 768 AS h0,
-             |         16 + doc_id % 8 AS al
-             |  FROM documents),
-             |syn AS (
-             |  SELECT doc_id,
-             |    CASE WHEN doc_id % 2 = 0 THEN
-             |      '89504E470D0A1A0A0000000D49484452'
-             |        || lpad(upper(to_hex(w0)), 8, '0')
-             |        || lpad(upper(to_hex(h0)), 8, '0') || '0806000000'
-             |    ELSE
-             |      'FFD8FFE0' || lpad(upper(to_hex(al)), 4, '0')
-             |        || repeat('4A', CAST(al - 2 AS INT)) || 'FFC0001108'
-             |        || lpad(upper(to_hex(h0)), 4, '0')
-             |        || lpad(upper(to_hex(w0)), 4, '0') || '03012200021101031101'
-             |    END AS hx
-             |  FROM base),
-             |parsed AS (
-             |  SELECT doc_id, hx,
-             |         substr(hx, 1, 8) = '89504E47' AS is_png,
-             |         substr(hx, 1, 4) = 'FFD8' AS is_jpeg,
-             |         ('0x' || substr(hx, 9, 4))::BIGINT AS jl
-             |  FROM syn)
-             |SELECT doc_id,
-             |  CASE WHEN is_png THEN 'png' WHEN is_jpeg THEN 'jpeg'
-             |       ELSE 'unknown' END AS fmt,
-             |  CAST(CASE WHEN (is_png AND substr(hx, 1, 16) = '89504E470D0A1A0A'
-             |                  AND substr(hx, 25, 8) = '49484452')
-             |              OR (is_jpeg AND substr(hx, 5, 2) = 'FF'
-             |                  AND substr(hx, 2 * jl + 9, 4) = 'FFC0')
-             |            THEN 1 ELSE 0 END AS BIGINT) AS marker_ok,
-             |  CASE WHEN is_png THEN ('0x' || substr(hx, 33, 8))::BIGINT
-             |       WHEN is_jpeg THEN ('0x' || substr(hx, 2 * jl + 23, 4))::BIGINT
-             |  END AS width,
-             |  CASE WHEN is_png THEN ('0x' || substr(hx, 41, 8))::BIGINT
-             |       WHEN is_jpeg THEN ('0x' || substr(hx, 2 * jl + 19, 4))::BIGINT
-             |  END AS height
-             |FROM parsed ORDER BY doc_id""".stripMargin)
+      Some {
+        // the walk, unrolled: each step either stays (SOF0 / non-marker —
+        // hex-string positions, marker at char mp) or hops 4 + 2·len chars
+        val hops = (1 to Multimodal.MaxSegHops).map { i =>
+          s"""mw$i AS (SELECT doc_id, hx, is_png, is_jpeg,
+             |  CASE WHEN substr(hx, CAST(mp AS INT), 4) = 'FFC0'
+             |         OR substr(hx, CAST(mp AS INT), 2) <> 'FF' THEN mp
+             |       ELSE mp + 4 + 2 * TRY_CAST(
+             |         '0x' || substr(hx, CAST(mp AS INT) + 4, 4) AS BIGINT) END AS mp
+             |  FROM mw${i - 1})""".stripMargin
+        }.mkString(",\n")
+        s"""WITH base AS (
+           |  SELECT doc_id,
+           |         16 + doc_id % 1024 AS w0,
+           |         16 + (doc_id * 7) % 768 AS h0,
+           |         16 + doc_id % 8 AS al,
+           |         1 + doc_id % 3 AS ns
+           |  FROM documents),
+           |syn AS (
+           |  SELECT doc_id,
+           |    CASE WHEN doc_id % 2 = 0 THEN
+           |      '89504E470D0A1A0A0000000D49484452'
+           |        || lpad(upper(to_hex(w0)), 8, '0')
+           |        || lpad(upper(to_hex(h0)), 8, '0') || '0806000000'
+           |    ELSE
+           |      'FFD8'
+           |        || CASE WHEN ns > 0 THEN 'FFE0' || lpad(upper(to_hex(al)), 4, '0')
+           |             || repeat('4A', CAST(al - 2 AS INT)) ELSE '' END
+           |        || CASE WHEN ns > 1 THEN 'FFE1' || lpad(upper(to_hex(al + 1)), 4, '0')
+           |             || repeat('4A', CAST(al - 1 AS INT)) ELSE '' END
+           |        || CASE WHEN ns > 2 THEN 'FFED' || lpad(upper(to_hex(al + 2)), 4, '0')
+           |             || repeat('4A', CAST(al AS INT)) ELSE '' END
+           |        || 'FFC0001108'
+           |        || lpad(upper(to_hex(h0)), 4, '0')
+           |        || lpad(upper(to_hex(w0)), 4, '0') || '03012200021101031101'
+           |    END AS hx
+           |  FROM base),
+           |mw0 AS (
+           |  SELECT doc_id, hx,
+           |         substr(hx, 1, 8) = '89504E47' AS is_png,
+           |         substr(hx, 1, 4) = 'FFD8' AS is_jpeg,
+           |         5::BIGINT AS mp
+           |  FROM syn),
+           |$hops
+           |SELECT doc_id,
+           |  CASE WHEN is_png THEN 'png' WHEN is_jpeg THEN 'jpeg'
+           |       ELSE 'unknown' END AS fmt,
+           |  CAST(CASE WHEN (is_png AND substr(hx, 1, 16) = '89504E470D0A1A0A'
+           |                  AND substr(hx, 25, 8) = '49484452')
+           |              OR (is_jpeg AND substr(hx, CAST(mp AS INT), 4) = 'FFC0')
+           |            THEN 1 ELSE 0 END AS BIGINT) AS marker_ok,
+           |  CASE WHEN is_png THEN ('0x' || substr(hx, 33, 8))::BIGINT
+           |       WHEN is_jpeg AND substr(hx, CAST(mp AS INT), 4) = 'FFC0'
+           |         THEN ('0x' || substr(hx, CAST(mp AS INT) + 14, 4))::BIGINT
+           |  END AS width,
+           |  CASE WHEN is_png THEN ('0x' || substr(hx, 41, 8))::BIGINT
+           |       WHEN is_jpeg AND substr(hx, CAST(mp AS INT), 4) = 'FFC0'
+           |         THEN ('0x' || substr(hx, CAST(mp AS INT) + 10, 4))::BIGINT
+           |  END AS height
+           |FROM mw${Multimodal.MaxSegHops} ORDER BY doc_id""".stripMargin
+      }
     ),
 
     // The audio twin of q_image_dims: canonical 44-byte PCM WAV headers

@@ -51,6 +51,32 @@ class MultimodalSpec extends SparkTestBase {
     assert(rows == Set(("png", "png", 1L, 3L, 2L), ("jpeg", "jpeg", 1L, 640L, 480L)))
   }
 
+  test("imageDims walks real multi-segment JFIF+EXIF layouts to SOF0") {
+    // the layout a phone camera actually writes: APP0 (16-byte JFIF) +
+    // APP1 (EXIF: "Exif\0\0" + a TIFF stub — length field 0x001C = 28) +
+    // DQT (length 0x0043 = 67, quant table id 0 + 64 coefficients) before
+    // SOF0 for 320×240 — three hops, two of them non-APPn (VERDICT r7 #6:
+    // the single-hop parser returned marker_ok = 0 on exactly this shape)
+    val exif = "FFD8" +
+      "FFE0" + "0010" + "4A46494600010100000100010000" +           // APP0 JFIF
+      "FFE1" + "001C" + "457869660000" + "4D4D002A0000000800000000" +
+        "0000000000000000" +                                       // APP1 EXIF (TIFF stub)
+      "FFDB" + "0043" + "00" + "10" * 64 +                         // DQT
+      "FFC0" + "0011" + "08" + "00F0" + "0140" +                   // SOF0 h=240 w=320
+      "03012200021101031101"
+    // SOF0 immediately after SOI (no leading segments at all) also parses
+    val bare = "FFD8" + "FFC0" + "0011" + "08" + "0002" + "0003" +
+      "03012200021101031101"
+    val rows = Seq(("exif", exif), ("bare", bare)).toDF("kind", "hx")
+      .select(col("kind"), Multimodal.imageDims(unhex(col("hx"))).as("d"))
+      .select("kind", "d.fmt", "d.marker_ok", "d.width", "d.height")
+      .collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(rows == Set(
+      ("exif", "jpeg", 1L, 320L, 240L),
+      ("bare", "jpeg", 1L, 3L, 2L)))
+  }
+
   test("imageDims flags corrupt markers instead of emitting garbage dims") {
     val bad = Seq(
       "89504E470D0A1A0A" + "0000000D49484454" + "00000003" + "00000002", // "IHDT" not IHDR
