@@ -38,4 +38,18 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** Spread a scan whose SPLIT COUNT cannot feed the available task slots —
+    * the single-file/single-row-group layout of the local test tables puts
+    * an entire compute-heavy first stage (per-shingle md5s, minhash folds)
+    * on ONE core. Strictly a no-op whenever the source already has at least
+    * a quarter of `defaultParallelism` splits, so a real multi-split corpus
+    * NEVER pays the injected round-robin shuffle — this is the local/dev
+    * twin of what a 100 TB deployment gets for free from its file count.
+    * The split check costs planning only (no job).
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val slots = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 4 <= slots) df.repartition(slots) else df
+  }
 }

@@ -166,6 +166,9 @@ object Components {
         System.err.println(f"[cc] $n ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
       }
     val ep = e0.persist()
+    // debug-only phase breakdown: materialize each cache layer as its own
+    // timed job (changes job boundaries, not results — profiling aid)
+    if (dbg) tdbg("e0 pipeline")(ep.count())
     // seeding pass: one small-star, then one pointer-jump composition —
     // every edge (a → b) whose parent b is itself a child is re-pointed at
     // b's MINIMUM parent (a → minparent(b)). The jump is one keyed min +
@@ -178,6 +181,7 @@ object Components {
     // induction down to the roots (edges always point at smaller ids, so
     // parent chains are finite and acyclic).
     val seeded = smallStar(ep).persist()
+    if (dbg) tdbg("seeded smallStar")(seeded.count())
     val gp = seeded.groupBy("a").agg(min("b").as("g"))
       .select(col("a").as("b"), col("g"))
     var (e, eRdd) = Lineage.materializeLazy(

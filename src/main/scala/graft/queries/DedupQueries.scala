@@ -964,9 +964,12 @@ object DedupQueries {
       "q_dup_clusters",
       "connected-component canonical doc per minhash near-dup cluster",
       (s, dir) =>
+        // Tables.spread: the per-shingle md5 + minhash fold is the hot
+        // stage; on the single-split local files it would otherwise run on
+        // one core (no-op on real multi-split inputs — r8 profile)
         graft.operators.Components.connectedAlternating(
           Tables.documents(s, dir).select("doc_id"),
-          bucketStarEdges(arraySignatures(Tables.documents(s, dir))))
+          bucketStarEdges(arraySignatures(Tables.spread(Tables.documents(s, dir)))))
           .select(col("id").as("doc_id"), col("lbl").as("canon"))
           .orderBy("doc_id"),
       // Independent oracle algorithm: transitive closure by recursive CTE —
