@@ -383,7 +383,7 @@ object DedupQueries {
     GraftQuery(
       "q_dedup_minhash",
       "MinHash-LSH candidate near-dup pairs (3-shingles, 8 xor-perm hashes, 4 bands)",
-      (s, dir) => minhashCandidates(shingleRows(Tables.documents(s, dir))).orderBy("a", "b"),
+      (s, dir) => minhashCandidates(shingleRows(Tables.spread(Tables.documents(s, dir)))).orderBy("a", "b"),
       Some(s"""WITH $duckMinhashCtes
               |SELECT a, b FROM cand ORDER BY a, b""".stripMargin)
     ),
@@ -405,7 +405,7 @@ object DedupQueries {
         // move ADVICE r2 asked for; on a cluster this is the same persist).
         // sz rides inside the signature aggregate, so set sizes cost no
         // extra pass.
-        val shingles = shingleRows(Tables.documents(s, dir)).persist()
+        val shingles = shingleRows(Tables.spread(Tables.documents(s, dir))).persist()
         val sig      = signatures(shingles).persist()
         val cand     = candidatePairs(sig).persist()
         val inter = cand
@@ -584,7 +584,7 @@ object DedupQueries {
         // surviving (doc, gram) exactly once), an agg instead of a
         // sort-based window. Semantics unchanged: both sizes and pairs see
         // exactly the surviving-gram sets.
-        val buckets = gramRows(Tables.documents(s, dir), Seq("source"))
+        val buckets = gramRows(Tables.spread(Tables.documents(s, dir)), Seq("source"))
           .groupBy("source", "gram")
           .agg(array_sort(collect_set(col("doc_id"))).as("ids"))
           .filter(size(col("ids")) <= MaxBucket)
@@ -749,7 +749,7 @@ object DedupQueries {
         // lead-window pipeline (same materialize-once rule as
         // q_minhash_verified; honest per-query bench timing made the 3×
         // re-evaluation visible)
-        val sh = shingleRows(Tables.documents(s, dir)).drop("h")
+        val sh = shingleRows(Tables.spread(Tables.documents(s, dir))).drop("h")
           .join(Tables.documents(s, dir).select("doc_id", "source"), "doc_id")
           .persist()
         val bench = sh.filter(col("source") === "src0").select("shingle").distinct()
@@ -803,7 +803,7 @@ object DedupQueries {
       "q_span_decontaminate",
       "contiguous token spans of candidate docs overlapping the src0 benchmark 3-grams",
       (s, dir) => {
-        val ps = positionalShingles(Tables.documents(s, dir), Seq("source")).persist()
+        val ps = positionalShingles(Tables.spread(Tables.documents(s, dir)), Seq("source")).persist()
         val bench = ps.filter(col("source") === "src0").select("shingle").distinct()
         val matched = ps.filter(col("source") =!= "src0")
           .join(bench, Seq("shingle"), "left_semi")
@@ -856,7 +856,7 @@ object DedupQueries {
         // read this lineage (family cache discipline, see line 32)
         // the signature-family hash column is dead weight here — drop it
         // before the cache materializes one md5 per shingle row for nothing
-        val sh    = shingleRows(docs).drop("h").join(src, "doc_id").persist()
+        val sh    = shingleRows(Tables.spread(docs)).drop("h").join(src, "doc_id").persist()
         val bench = sh.filter(col("source") === "src0").select("shingle").distinct()
         val bits  = bench.select(explode(bloomPosCols).as("pos")).distinct()
         val cand  = sh.filter(col("source") =!= "src0")
@@ -928,7 +928,7 @@ object DedupQueries {
       (s, dir) => {
         val docs = Tables.documents(s, dir)
         val src  = docs.select(col("doc_id"), col("source"))
-        minhashCandidates(shingleRows(docs))
+        minhashCandidates(shingleRows(Tables.spread(docs)))
           .join(src.select(col("doc_id").as("a"), col("source").as("sa")), "a")
           .join(src.select(col("doc_id").as("b"), col("source").as("sb")), "b")
           .select(least(col("sa"), col("sb")).as("s1"),
@@ -1002,7 +1002,7 @@ object DedupQueries {
       "q_dup_span_coverage",
       "per-source token coverage (bp) of 3-gram spans duplicated across docs",
       (s, dir) => {
-        val ps = positionalShingles(Tables.documents(s, dir), Nil).persist()
+        val ps = positionalShingles(Tables.spread(Tables.documents(s, dir)), Nil).persist()
         val dup = ps.groupBy("shingle")
           .agg(countDistinct(col("doc_id")).as("df"))
           .filter(col("df") >= 2)
@@ -1064,7 +1064,7 @@ object DedupQueries {
       "q_source_overlap",
       "pairwise source 3-gram-set Jaccard overlap matrix, in basis points",
       (s, dir) => {
-        val sh = Tables.documents(s, dir)
+        val sh = Tables.spread(Tables.documents(s, dir))
           .withColumn("ws", expr(wordsSql))
           .filter(size(col("ws")) >= 3)
           .withColumn("a1", slice(col("ws"), lit(1), size(col("ws")) - 2))
