@@ -119,10 +119,27 @@ object DedupQueries {
 
   /** Raw ordered 2-gram rows (doc_id, carry..., gram) — the exploded gram
     * pipeline shared by the jaccard set-similarity join (which dedups them)
-    * and the repetition score (which counts repeats). One source for the
-    * posexplode + lead construction, mirroring [[Dialect.duckGramsSql]].
+    * and the repetition score (which counts repeats). ARRAY-NATIVE: grams
+    * are built as a row-local transform over the words array and exploded —
+    * the posexplode + lead-window form this replaced paid a full-corpus
+    * sort+shuffle just to look one word ahead (r8 profile; value parity
+    * pinned in DedupInternalsSpec against the window form). Mirrors
+    * [[Dialect.duckGramsSql]].
     */
   private[queries] def gramRows(docs: DataFrame, carry: Seq[String]): DataFrame = {
+    val keep = col("doc_id") +: carry.map(col)
+    docs
+      .select(keep :+ expr(wordsSql).as("words"): _*)
+      .filter(expr("size(words) >= 2"))
+      .select(keep :+ explode(expr(
+        "transform(sequence(1, size(words) - 1), " +
+          "i -> concat_ws(' ', words[i - 1], words[i]))")).as("gram"): _*)
+  }
+
+  /** The lead-window form [[gramRows]] replaced — kept as the parity
+    * reference for DedupInternalsSpec only.
+    */
+  private[graft] def gramRowsViaWindow(docs: DataFrame, carry: Seq[String]): DataFrame = {
     val w    = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val keep = col("doc_id") +: carry.map(col)
     docs
@@ -134,8 +151,26 @@ object DedupQueries {
 
   /** Distinct (doc_id, shingle, h) rows — the 3-gram shingle pipeline shared
     * by the MinHash signature, candidate generation, and exact verification.
+    * ARRAY-NATIVE (see [[gramRows]]): the shingle strings are a row-local
+    * transform over the words array, so the only shuffle left is the
+    * distinct the contract requires — the double-lead window form paid a
+    * full-corpus sort+shuffle before it (value parity pinned in
+    * DedupInternalsSpec).
     */
-  private[graft] def shingleRows(docs: DataFrame): DataFrame = {
+  private[graft] def shingleRows(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), expr(wordsSql).as("words"))
+      .filter(expr("size(words) >= 3"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(words) - 2), " +
+          "i -> concat_ws(' ', words[i - 1], words[i], words[i + 1]))")).as("shingle"))
+      .distinct()
+      .withColumn("h", expr(hash60Sql("shingle")))
+
+  /** The double-lead window form [[shingleRows]] replaced — parity
+    * reference for DedupInternalsSpec only.
+    */
+  private[graft] def shingleRowsViaWindow(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     docs
       .select(col("doc_id"), posexplode(expr(wordsSql)).as(Seq("pos", "w")))
@@ -154,7 +189,24 @@ object DedupQueries {
     * posexplode + double-lead construction shared by the two span queries
     * (q_span_decontaminate, q_dup_span_coverage).
     */
-  private def positionalShingles(docs: DataFrame, carry: Seq[String]): DataFrame = {
+  private[graft] def positionalShingles(docs: DataFrame, carry: Seq[String]): DataFrame = {
+    // array-native (see gramRows): posexplode over the row-local shingle
+    // array reproduces the word-position pos (0-based start of each
+    // shingle) without the double-lead window's corpus sort+shuffle
+    val keep = col("doc_id") +: carry.map(col)
+    docs
+      .select(keep :+ expr(wordsSql).as("words"): _*)
+      .filter(expr("size(words) >= 3"))
+      .select(keep :+ posexplode(expr(
+        "transform(sequence(1, size(words) - 2), " +
+          "i -> concat_ws(' ', words[i - 1], words[i], words[i + 1]))"))
+        .as(Seq("pos", "shingle")): _*)
+  }
+
+  /** Window form of [[positionalShingles]] — parity reference for
+    * DedupInternalsSpec only.
+    */
+  private[graft] def positionalShinglesViaWindow(docs: DataFrame, carry: Seq[String]): DataFrame = {
     val w    = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val keep = col("doc_id") +: carry.map(col)
     docs

@@ -21,6 +21,26 @@ class DedupInternalsSpec extends SparkTestBase {
     assert(a.count() > 0) // non-vacuous: the fixture has shingled docs
   }
 
+  test("array-native gram/shingle builders equal their window forms exactly") {
+    // the r8 rewrite removed the corpus sort+shuffle the lead-windows paid;
+    // the VALUES (multisets — gramRows keeps repeats) must be identical
+    def bagEqual(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame): Boolean =
+      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+    assert(bagEqual(
+      DedupQueries.shingleRows(docs),
+      DedupQueries.shingleRowsViaWindow(docs)))
+    assert(bagEqual(
+      DedupQueries.positionalShingles(docs, Seq("source")),
+      DedupQueries.positionalShinglesViaWindow(docs, Seq("source"))))
+    assert(bagEqual(
+      DedupQueries.gramRows(docs, Seq("source")),
+      DedupQueries.gramRowsViaWindow(docs, Seq("source"))))
+    assert(bagEqual(
+      DedupQueries.gramRows(docs, Nil),
+      DedupQueries.gramRowsViaWindow(docs, Nil)))
+    assert(DedupQueries.shingleRows(docs).count() > 0) // non-vacuous
+  }
+
   test("bucketStarEdges connects exactly the candidate-pair components") {
     // star edges are a different EDGE SET by design (O(size) per bucket) —
     // what must match is the component structure the graded query derives
