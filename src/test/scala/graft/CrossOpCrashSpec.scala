@@ -122,6 +122,28 @@ class CrossOpCrashSpec extends SparkTestBase {
     assert(Packing.readPacked(spark, t.pack).get.count() >= before.size)
   }
 
+  test("a maintenance epoch (compact every store) between batches is invisible") {
+    // the T7 interleave at the store level: after batch 1, run ALL the
+    // generational compactions — band index, pack layers, LSH ANN — then
+    // continue with batch 2. Every end state must equal the uninterrupted
+    // run's: compaction is maintenance, never semantics, and the applied
+    // pointers must survive it so replay refusal keeps working.
+    val base = mkQuad("mbase")
+    (0L to 2L).foreach(i => runBatch(base, batch(i), i))
+    val want = endState(base)
+    val t = mkQuad("maint")
+    runBatch(t, batch(0), 0L)
+    runBatch(t, batch(1), 1L)
+    IncrementalDedup.compactBands(t.dedup)
+    Packing.compactPacks(spark, t.pack)
+    AnnIndex.compactIndexLsh(spark, t.annDir)
+    // replay of an applied id after compaction is still refused
+    assert(t.dedup.alreadyApplied(1L) && t.pack.alreadyApplied(1L))
+    assert(!AnnIndex.appendBatchLsh(spark, t.annDir, vecBatch(1L), 1L))
+    runBatch(t, batch(2), 2L)
+    assert(endState(t) == want)
+  }
+
   test("streamed packing end state equals the graded batch query's assignment") {
     val t = mkQuad("parity")
     (0L to 2L).foreach(i => runBatch(t, batch(i), i))
