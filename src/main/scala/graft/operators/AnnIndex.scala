@@ -51,8 +51,9 @@ object AnnIndex {
   // writes one base layer `batch=-1`, [[appendBatch]]/[[appendBatchLsh]]
   // add one layer per micro-batch with dynamic partition overwrite scoped
   // to their own batch id (the IncrementalDedup.processBatch move), and a
-  // `_APPLIED` pointer file — published tmp + ATOMIC_MOVE like KeyedTable's
-  // `_LATEST` — records the highest applied batch id. Replay of an applied
+  // `_APPLIED` pointer file — published tmp + atomic rename-overwrite
+  // through the Hadoop FileSystem API like KeyedTable's `_LATEST` — records
+  // the highest applied batch id. Replay of an applied
   // id is a no-op; a crash BETWEEN the layer write and the pointer swap is
   // healed by the replay overwriting exactly its own partitions with the
   // same deterministically-assigned rows. Spark readers ignore `_`-prefixed

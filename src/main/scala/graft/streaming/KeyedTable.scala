@@ -11,7 +11,7 @@ import graft.operators.Relational
   * (pet_scraper.py:468-498, server.py:299-307).
   *
   * Layout: `dir/v<version>/` parquet snapshots plus a tiny `_LATEST` pointer
-  * file, itself published atomically (tmp + ATOMIC_MOVE — the same
+  * file, itself published atomically (tmp + rename-overwrite — the same
   * publish-then-swap the reference uses). The pointer carries BOTH the
   * current snapshot version and the highest APPLIED STREAMING BATCH id, as
   * one atomic unit: snapshot versions are a private monotonic counter
