@@ -46,7 +46,10 @@ object Tables {
     * a quarter of `defaultParallelism` splits, so a real multi-split corpus
     * NEVER pays the injected round-robin shuffle — this is the local/dev
     * twin of what a 100 TB deployment gets for free from its file count.
-    * The split check costs planning only (no job).
+    * Call on SCAN-STAGE frames only: the split check (`df.rdd`) is pure
+    * planning for an exchange-free plan, but under AQE it would EAGERLY
+    * execute the upstream stages of a frame that already contains shuffles
+    * (every call site here passes a raw table scan).
     */
   def spread(df: DataFrame): DataFrame = {
     val slots = df.sparkSession.sparkContext.defaultParallelism
