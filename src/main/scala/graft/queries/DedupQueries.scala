@@ -913,12 +913,17 @@ object DedupQueries {
         val bits  = bench.select(explode(bloomPosCols).as("pos")).distinct()
         val cand  = sh.filter(col("source") =!= "src0")
           .select("doc_id", "source", "shingle")
-        val flags = cand
-          .select(col("doc_id"), col("source"), col("shingle"),
-            explode(bloomPosCols).as("pos"))
+        // bloom membership is a function of the SHINGLE alone — test each
+        // distinct shingle once and join the verdict back, instead of
+        // exploding k probe positions per (doc, shingle) occurrence: on a
+        // dedup-heavy corpus (the 100 TB norm) a boilerplate shingle shared
+        // by a million docs costs one bloom evaluation, not a million
+        val maybeBy = cand.select("shingle").distinct()
+          .select(col("shingle"), explode(bloomPosCols).as("pos"))
           .join(broadcast(bits.withColumn("hit", lit(1L))), Seq("pos"), "left")
-          .groupBy("doc_id", "source", "shingle")
+          .groupBy("shingle")
           .agg(min(coalesce(col("hit"), lit(0L))).as("maybe"))
+        val flags = cand.join(maybeBy, Seq("shingle"))
         // exact verify: un-hinted — the premise of this query is that bench
         // may be too big to broadcast (the bloom side is the constant-memory
         // broadcast); survivors are few, so at scale this is a small keyed
