@@ -92,6 +92,17 @@ class AutoSaltedSpec extends SparkTestBase {
     assert(salts(big.repartition(7)) == salts(big.repartition(3)))
   }
 
+  test("literal duplicate rows share a salt but never break bag-equality") {
+    // the content hash's documented limitation: rows identical in EVERY
+    // column land on one salt (no spread for them) — correctness must be
+    // untouched, the join stays bag-equal with duplicate multiplicity kept
+    val big = (skewedBig(500) ++ Seq.fill(200)(("hot", 1))).toDF("k", "v")
+    def bag(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "v", "tag").collect().map(_.toSeq)
+        .groupBy(identity).view.mapValues(_.length).toMap
+    assert(bag(Relational.autoSalted(big, small, "k", Target)) == bag(big.join(small, "k")))
+  }
+
   test("cold-only data takes the degenerate path: no heavy keys, plain join") {
     val big = (1 to 100).map(i => (s"k${i % 50}", i)).toDF("k", "v")
     assert(Relational.heavyKeyFanout(big, "k", Target).isEmpty)

@@ -116,6 +116,32 @@ class BpeSpec extends SparkTestBase {
     assert(tq == "d'n")
   }
 
+  test("tokenize equals the trainer's final vocabulary on randomized corpora") {
+    // seeded random two-letter corpora: the trainer's final symbolized
+    // histogram IS the fold fixpoint, so tokenize under the trained merges
+    // must reproduce each word's symbol sequence exactly — overlap-heavy
+    // words (aa/ab runs) are exactly where a fused-replace tokenizer and a
+    // fold can drift
+    val rng = new scala.util.Random(11)
+    (1 to 3).foreach { round =>
+      val words = Seq.fill(8)(
+        (0 to rng.nextInt(5)).map(_ => if (rng.nextBoolean()) "a" else "b").mkString)
+        .filter(_.nonEmpty)
+      val h = words.groupBy(identity).map { case (w, g) => (w, g.size.toLong) }
+        .toSeq.toDF("w", "wc")
+      val (merges, fin) = Bpe.train(h, 3)
+      val toks = Bpe.tokenize(words.distinct.toDF("text"), merges,
+        graft.queries.Dialect.wordsSql)
+        .select(col("text"), concat_ws("|", col("tokens")))
+        .as[(String, String)].collect().toMap
+      val want = fin.select(concat_ws("", col("syms")), concat_ws("|", col("syms")))
+        .as[(String, String)].collect().toMap
+      words.distinct.foreach { w =>
+        assert(toks(w) == want(w), s"round $round word '$w': ${toks(w)} != ${want(w)}")
+      }
+    }
+  }
+
   test("wordHistogram + train runs end-to-end on the documents table") {
     val docs = Seq("the cat sat", "the cat", "a hat").toDF("text")
     val h = Bpe.wordHistogram(docs, graft.queries.Dialect.wordsSql)
