@@ -1126,6 +1126,66 @@ object TextQueries {
            |    (len($fused) - len(w)) // 2)), 0) AS BIGINT) AS n_tokens
            |FROM documents ORDER BY doc_id""".stripMargin
       }
+    ),
+
+    // E3z bigram-LM surprisal scoring: self-train a bigram LM on the corpus
+    // (unigram + bigram occurrence counts, add-one smoothing), then score
+    // each document by its average per-bigram surprisal in integer
+    // floor-log2 bits: bits(w1 w2) = floor(log2((c1(w1) + V) div (c12 + 1)))
+    // — the integer skeleton of -log2 P(w2 | w1). This is the
+    // perplexity-style quality filter of CCNet/Gopher-class pipelines
+    // (documents that surprise a corpus-trained LM are boilerplate, noise,
+    // or wrong-language) re-expressed in exact arithmetic: floor(log2 n) is
+    // length(bin(n)) - 1 in BOTH engines, so the score never touches a
+    // transcendental libm call two engines could round differently.
+    // c12 <= c1 (every bigram occurrence contains a w1 occurrence) and
+    // V >= 1 keep the quotient >= 1, so bin never sees 0.
+    //
+    // Scale shape: two vocabulary-keyed count aggregates (map-side
+    // combined), a 1-row V broadcast, two vocabulary-keyed equi-joins to
+    // score occurrences, one doc-keyed re-aggregate. Every stage is linear
+    // in the corpus; every shuffle key is vocab- or doc-cardinality. No
+    // windows, no pair expansion, no driver state beyond the 1-row V.
+    GraftQuery(
+      "q_lm_score",
+      "avg bigram-LM surprisal per document (integer milli-bits), self-trained",
+      (s, dir) => {
+        val d = Tables.spread(Tables.documents(s, dir))
+          .select(col("doc_id"), expr(wordsSql).as("words"))
+        val uni = d.select(explode(col("words")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("c1"))
+        val vRow = uni.agg(count(lit(1)).as("v"))
+        val g = d.filter(expr("size(words) >= 2"))
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(words) - 1), " +
+              "i -> concat_ws(' ', words[i - 1], words[i]))")).as("gram"))
+        val bi = g.groupBy("gram").agg(count(lit(1)).as("c12"))
+        g.join(bi, "gram")
+          .withColumn("w", substring_index(col("gram"), " ", 1))
+          .join(uni, "w")
+          .crossJoin(broadcast(vRow))
+          .withColumn("bits",
+            expr("cast(length(bin((c1 + v) div (c12 + 1))) - 1 as bigint)"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).as("total_bits"))
+          .withColumn("milli_bits", expr("(1000 * total_bits) div n_bigrams"))
+          .select("doc_id", "n_bigrams", "total_bits", "milli_bits")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, $duckWordsSql AS words FROM documents),
+              |u AS (SELECT w, count(*) AS c1
+              |      FROM (SELECT unnest(words) AS w FROM d) GROUP BY w),
+              |v AS (SELECT count(*) AS v FROM u),
+              |g AS (SELECT doc_id, unnest($duckGramsSql) AS gram
+              |      FROM d WHERE len(words) >= 2),
+              |b AS (SELECT gram, count(*) AS c12 FROM g GROUP BY gram),
+              |s AS (SELECT g.doc_id,
+              |             length(bin((u.c1 + v.v) // (b.c12 + 1))) - 1 AS bits
+              |      FROM g JOIN b USING (gram) JOIN u ON u.w = split_part(g.gram, ' ', 1), v)
+              |SELECT doc_id, count(*) AS n_bigrams,
+              |       CAST(sum(bits) AS BIGINT) AS total_bits,
+              |       (1000 * CAST(sum(bits) AS BIGINT)) // count(*) AS milli_bits
+              |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin)
     )
   )
 }

@@ -242,6 +242,20 @@ class PlanShapeSpec extends SparkTestBase {
       s"q_salted_join grew a pairwise stage:\n${p.take(1500)}")
   }
 
+  test("q_lm_score joins on vocabulary keys only (no pairwise stage)") {
+    // surprisal scoring = two vocab-keyed count joins + a doc-keyed
+    // re-aggregate; the only sanctioned nested-loop join is the 1-row V
+    // broadcast. A CartesianProduct or a second nested loop means a
+    // corpus-sized side leaked into a pairwise stage.
+    val p = plan("q_lm_score")
+    assert(!p.contains("CartesianProduct"),
+      s"q_lm_score grew a cartesian stage:\n${p.take(1500)}")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1,
+      s"q_lm_score has more than the 1-row V nested-loop broadcast:\n${p.take(2000)}")
+    assert(!p.contains("Window"),
+      s"q_lm_score grew a window:\n${p.take(1500)}")
+  }
+
   test("the flagship entry forces broadcast on the three dims only") {
     // AQE may legitimately broadcast MORE at tiny scale factors (the whole
     // dims-join output fits); what must never regress is the set of FORCED
