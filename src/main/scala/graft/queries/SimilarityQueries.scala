@@ -159,6 +159,14 @@ object SimilarityQueries {
     */
   private val TrainIters = 2
 
+  /** SemDeDup cosine threshold: vectors with an earlier in-cluster neighbor
+    * at or above this are pruned. Sized to this corpus's similarity
+    * distribution (within-cluster cosines top out near 0.51); a deployment
+    * sets its embedder's near-duplicate knee here (the paper uses ~0.95+ on
+    * CLIP-space image embeddings).
+    */
+  private val SemTau = 0.35
+
   /** Per-centroid dot products of quantized vector column `q`, as an array. */
   private[graft] def dotsColOf(cents: Seq[Seq[Long]]): Column =
     array(cents.map(c => dotLong(col("q"), array(c.map(lit(_)): _*))): _*)
@@ -446,6 +454,76 @@ object SimilarityQueries {
               |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor) AS rank
               |  FROM scored) r
               |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin)
+    ),
+
+    // E1l SemDeDup semantic dedup (Abbas et al. 2023): k-means-cluster the
+    // embedding space with the SAME trained coarse quantizer the IVF index
+    // uses, then prune every vector that has an EARLIER (smaller-id)
+    // neighbor with cosine >= SemTau inside its cluster — semantic
+    // duplicates that share no n-grams (paraphrases, templated rewrites)
+    // and so slip every lexical dedup stage. Output is the prune list with
+    // provenance: the pruned vector, its cluster, the keeper (minimal
+    // earlier id), and that pair's cosine.
+    //
+    // Scale shape: training is the q_ann_ivf loop (k×Dim driver sync,
+    // constant in the corpus); assignment is the same horizontal argmax
+    // projection (no explode, no window over the corpus); the pair stage is
+    // ONE shuffle on cid with in-cluster expansion — and cluster population
+    // is a CONSTANT of the design, not the corpus: SemDeDup sizes k
+    // proportional to N (the paper runs 50k clusters for LAION-scale
+    // corpora; planBits is this repo's same rule for LSH bits), so
+    // per-cluster pair work stays flat as the corpus grows. The exact
+    // within-cluster form here is the E1e/E1e2 "exact member of the family";
+    // the LSH-blocked variant remains the capped-bucket scale path.
+    GraftQuery(
+      "q_semdedup",
+      s"SemDeDup prune list: earlier cosine >= $SemTau neighbor in the same trained cluster",
+      (s, dir) => {
+        val cents = trainCodebook(s, dir).map(_._2)
+        val base = Tables.embeddings(s, dir)
+          .filter(size(col("embedding")) === Dim)
+          .withColumn("q", expr(quantSql))
+          .withColumn("n2", dotLong(col("q"), col("q")))
+          .filter(col("n2") > 0)
+          .select("vec_id", "q", "n2")
+        val assigned = base.withColumn("cid", cidColOf(cents))
+        val l = assigned.select(col("cid"), col("vec_id").as("a"),
+          col("q").as("qa"), col("n2").as("na"))
+        val r = assigned.select(col("cid"), col("vec_id").as("b"),
+          col("q").as("qb"), col("n2").as("nb"))
+        l.join(r, "cid")
+          .filter(col("a") < col("b"))
+          .withColumn("cos", cosine(col("qa"), col("qb"), col("na"), col("nb")))
+          .filter(col("cos") >= SemTau)
+          // keeper = minimal earlier id; the struct min carries that pair's
+          // cosine along (a is unique per group, so the lexicographic min
+          // IS arg_min by a)
+          .groupBy(col("b"), col("cid"))
+          .agg(min(struct(col("a"), col("cos"))).as("k"))
+          .select(col("b").as("vec_id"), col("cid").cast("long").as("cid"),
+            col("k.a").as("kept_by"), round(col("k.cos"), 4).as("cos_r"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH n AS (
+              |  SELECT vec_id, q, list_dot_product(q::DOUBLE[], q::DOUBLE[]) AS n2
+              |  FROM (SELECT vec_id,
+              |               $duckQuantSql AS q
+              |        FROM embeddings WHERE len(embedding) = $Dim) t
+              |  WHERE list_dot_product(q::DOUBLE[], q::DOUBLE[]) > 0),
+              |$duckTrainCtes,
+              |ranked AS (
+              |  SELECT n.vec_id, n.q, n.n2, c.cid,
+              |         row_number() OVER (PARTITION BY n.vec_id
+              |           ORDER BY list_dot_product(n.q::DOUBLE[], c.cq::DOUBLE[]) DESC, c.cid) AS rk
+              |  FROM n, c$TrainIters c),
+              |assigned AS (SELECT vec_id, q, n2, cid FROM ranked WHERE rk = 1),
+              |pairs AS (
+              |  SELECT l.vec_id AS a, r.vec_id AS b, r.cid,
+              |         list_dot_product(l.q::DOUBLE[], r.q::DOUBLE[]) / (sqrt(l.n2) * sqrt(r.n2)) AS cos
+              |  FROM assigned l JOIN assigned r ON l.cid = r.cid AND l.vec_id < r.vec_id)
+              |SELECT b AS vec_id, CAST(cid AS BIGINT) AS cid, min(a) AS kept_by,
+              |       round(arg_min(cos, a), 4) AS cos_r
+              |FROM pairs WHERE cos >= $SemTau GROUP BY b, cid ORDER BY vec_id""".stripMargin)
     ),
 
     // E2d centroid training: the element-wise per-label mean embedding — the

@@ -256,6 +256,15 @@ class PlanShapeSpec extends SparkTestBase {
       s"q_lm_score grew a window:\n${p.take(1500)}")
   }
 
+  test("q_semdedup pairs only within a cluster (cid equi-join, no cartesian)") {
+    // the in-cluster pair stage must be a cid-keyed equi-join — a cartesian
+    // or nested-loop join means the cluster blocking got lost and the
+    // corpus self-join came back.
+    val p = plan("q_semdedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"q_semdedup grew a pairwise corpus stage:\n${p.take(1500)}")
+  }
+
   test("the flagship entry forces broadcast on the three dims only") {
     // AQE may legitimately broadcast MORE at tiny scale factors (the whole
     // dims-join output fits); what must never regress is the set of FORCED
