@@ -167,6 +167,164 @@ object SimilarityQueries {
     */
   private val SemTau = 0.35
 
+  /** Product-quantization geometry (Jégou et al. 2011): [[Dim]] splits into
+    * [[PqM]] contiguous subspaces of [[PqSubDim]] components, each with its
+    * own [[PqK]]-entry codebook — a vector compresses to PqM small codes
+    * (here 16 × 4 bits = 8 bytes against 512 bytes of raw floats, the
+    * memory ratio that makes billion-scale in-RAM ANN possible).
+    * Codebooks train with [[PqIters]] Lloyd iteration(s) from deterministic
+    * hash-derived seeds (same construction as the IVF/LSH planes) so both
+    * engines compute the identical codebook.
+    */
+  private[graft] val PqM      = 16
+  private[graft] val PqSubDim = Dim / PqM
+  private val PqK     = 16
+  private val PqIters = 2
+
+  /** ADC shortlist depth of the two-stage PQ query: the exact re-rank
+    * stage touches only this many raw vectors per probe — the constant
+    * that keeps refine cost O(probes), not O(corpus), at any scale.
+    */
+  private[graft] val PqShort = 50
+  private val PqSeeds: Seq[Seq[Seq[Long]]] =
+    (0 until PqM).map(m => (0 until PqK).map(j =>
+      (0 until PqSubDim).map(d => hash60(s"pq$m:$j:$d") % 2001 - 1000)))
+
+  /** Per-subspace code assignment over quantized vector column `q`: for each
+    * subspace m, the index of the NEAREST centroid in L2 — computed as
+    * argmin of ||c||² − 2⟨s,c⟩ (the ||s||² term is constant per slice and
+    * drops out), all exact integers with ||c||² a driver-side literal.
+    * Nearest-in-L2 is the Lloyd assignment; an argmax-dot assignment here
+    * would chase large-norm centroids and wreck reconstruction (measured:
+    * recall@3 collapsed to 0.07). Same horizontal-argmin move as
+    * [[cidColOf]] — the corpus never pays an explode or window to get
+    * encoded. Codebook lists are kept sorted by original code id, so the
+    * first-min index tie-break equals the oracle's (cost ASC, cid ASC)
+    * row_number.
+    */
+  private def pqCodesCol(cents: Seq[Seq[(Int, Seq[Long])]]): Column =
+    array((0 until PqM).map { m =>
+      val costs = array(cents(m).map { case (_, c) =>
+        lit(c.map(x => x * x).sum) -
+          dotLong(slice(col("q"), m * PqSubDim + 1, PqSubDim),
+            array(c.map(lit(_)): _*)) * 2
+      }: _*)
+      (array_position(costs, array_min(costs)) - 1).cast("int")
+    }: _*)
+
+  /** [[PqIters]] Lloyd iteration(s) per subspace, all PqM subspaces in ONE
+    * distributed pass per iteration: assign codes horizontally, then a
+    * single (m, code, subpos) partial aggregate recomputes every codebook
+    * component at once — the element's subspace is pos div PqSubDim, so the
+    * recompute needs no per-subspace scan. Driver sync is the k-means
+    * constant: ≤ PqM·PqK·PqSubDim rows (= Dim·PqK, corpus-independent).
+    * Empty codes drop out (standard Lloyd); survivors keep original ids,
+    * sorted, so list index order = id order on both engines.
+    */
+  private[graft] def trainPq(s: org.apache.spark.sql.SparkSession, dir: String): Seq[Seq[(Int, Seq[Long])]] = {
+    val base = Tables.embeddings(s, dir)
+      .filter(size(col("embedding")) === Dim)
+      .withColumn("q", expr(quantSql))
+      .filter(dotLong(col("q"), col("q")) > 0)
+      .select("q").persist()
+    try {
+      var cents: Seq[Seq[(Int, Seq[Long])]] =
+        (0 until PqM).map(m => (0 until PqK).map(j => j -> PqSeeds(m)(j)))
+      for (_ <- 0 until PqIters) {
+        val rows = base.withColumn("codes", pqCodesCol(cents))
+          .select(col("codes"), posexplode(col("q")).as(Seq("pos", "v")))
+          .select(expr(s"cast(pos div $PqSubDim as int)").as("m"),
+            expr(s"codes[pos div $PqSubDim]").as("idx"),
+            expr(s"cast(pos % $PqSubDim as int)").as("sp"), col("v"))
+          // +1000 offset (|v| <= 1000) keeps the sum positive so floor-vs-
+          // truncation division semantics can't diverge between engines
+          .groupBy("m", "idx", "sp")
+          .agg(sum(col("v") + 1000).as("s"), count(lit(1)).as("n"))
+          .select(col("m"), col("idx"), col("sp"), (expr("s div n") - 1000).as("c"))
+          .collect()
+        cents = (0 until PqM).map { m =>
+          rows.filter(_.getInt(0) == m).groupBy(_.getInt(1)).toSeq
+            .map { case (idx, rs) =>
+              cents(m)(idx)._1 -> rs.sortBy(_.getInt(2)).map(_.getLong(3)).toSeq
+            }
+            .sortBy(_._1)
+        }
+      }
+      cents
+    } finally { base.unpersist(); () }
+  }
+
+  /** The quantized-vector frame the whole PQ family scans: (vec_id, q). */
+  private[graft] def pqBase(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    Tables.embeddings(s, dir)
+      .filter(size(col("embedding")) === Dim)
+      .withColumn("q", expr(quantSql))
+      .filter(dotLong(col("q"), col("q")) > 0)
+      .select("vec_id", "q")
+
+  /** The full ADC stage: (qid, vec_id, adc) for every probe × encoded
+    * corpus vector — the probe's exact subvectors against the corpus
+    * side's code centroids via a literal LUT, PqM codegen'd lookups + adds
+    * per row. Shared by the graded query (which shortlists + re-ranks on
+    * top) and AnnRecallSpec (which pins estimator quality on THIS
+    * unrestricted population — Pearson over the final re-ranked rows alone
+    * is range-restricted into noise).
+    */
+  private[graft] def pqAdcPairs(s: org.apache.spark.sql.SparkSession, dir: String,
+      cents: Seq[Seq[(Int, Seq[Long])]]): org.apache.spark.sql.DataFrame = {
+    val base = pqBase(s, dir)
+    // literal LUT: m -> surviving-code index -> PqSubDim components
+    val lut = array(cents.map(cs =>
+      array(cs.map(c => array(c._2.map(lit(_)): _*)): _*)): _*)
+    val codes = base.withColumn("codes", pqCodesCol(cents))
+      .select("vec_id", "codes")
+    val probes = base.filter(col("vec_id").isin(ProbeIds: _*))
+      .select(col("vec_id").as("qid"), col("q").as("qq"))
+    val adc = (0 until PqM).map { m =>
+      dotLong(slice(col("qq"), m * PqSubDim + 1, PqSubDim),
+        element_at(element_at(lut, m + 1), col("codes")(m) + 1))
+    }.reduce(_ + _)
+    codes.join(broadcast(probes), col("vec_id") =!= col("qid"))
+      .withColumn("adc", adc)
+      .select("qid", "vec_id", "adc")
+  }
+
+  /** DuckDB mirror of [[trainPq]] + corpus encoding, ending in CTEs `pq1`
+    * (m, cid, cq) and `enc` (vec_id, m, code). Expects an `n` CTE
+    * (vec_id, q, n2) in scope; `sub` slices every vector into its PqM
+    * subvectors once, shared by training, encoding, and the probe side.
+    */
+  private val duckPqCtes: String = {
+    val seeds = (0 until PqM).flatMap(m => (0 until PqK).map(j =>
+      s"($m, $j, ${planeListDuck(PqSeeds(m)(j))}::BIGINT[])")).mkString(", ")
+    def assign(codebook: String, out: String, codeName: String) =
+      s"""$out AS (
+         |  SELECT vec_id, m, cid AS $codeName FROM (
+         |    SELECT s.vec_id, s.m, c.cid,
+         |           row_number() OVER (PARTITION BY s.vec_id, s.m
+         |             ORDER BY list_dot_product(c.cq::DOUBLE[], c.cq::DOUBLE[])
+         |               - 2 * list_dot_product(s.sq::DOUBLE[], c.cq::DOUBLE[]) ASC, c.cid) AS rk
+         |    FROM sub s JOIN $codebook c ON c.m = s.m) t WHERE rk = 1)""".stripMargin
+    def recompute(from: String, out: String) =
+      s"""$out AS (
+         |  SELECT m, cid, list(c ORDER BY sp) AS cq FROM (
+         |    SELECT a.m, a.cid, p.sp,
+         |           CAST(sum(s.sq[p.sp + 1] + 1000) // count(*) - 1000 AS BIGINT) AS c
+         |    FROM $from a JOIN sub s ON s.vec_id = a.vec_id AND s.m = a.m,
+         |         (SELECT unnest(range(0, $PqSubDim)) AS sp) p
+         |    GROUP BY a.m, a.cid, p.sp) t GROUP BY m, cid)""".stripMargin
+    val iters = (1 to PqIters).map { i =>
+      assign(s"pq${i - 1}", s"pa${i - 1}", "cid") + ",\n" +
+        recompute(s"pa${i - 1}", s"pq$i")
+    }.mkString(",\n")
+    s"""sub AS (
+       |  SELECT vec_id, m, q[m * $PqSubDim + 1 : m * $PqSubDim + $PqSubDim] AS sq
+       |  FROM n, (SELECT unnest(range(0, $PqM)) AS m) ms),
+       |pq0(m, cid, cq) AS (VALUES $seeds),
+       |$iters,
+       |${assign(s"pq$PqIters", "enc", "code")}""".stripMargin
+  }
+
   /** Per-centroid dot products of quantized vector column `q`, as an array. */
   private[graft] def dotsColOf(cents: Seq[Seq[Long]]): Column =
     array(cents.map(c => dotLong(col("q"), array(c.map(lit(_)): _*))): _*)
@@ -664,6 +822,89 @@ object SimilarityQueries {
               |       (CAST(sum(esum) AS BIGINT) * 10000)
               |         // greatest(1, CAST(sum(mag) AS BIGINT)) AS rel_bp
               |FROM e GROUP BY label ORDER BY label""".stripMargin)
+    ),
+
+    // E2g product-quantization search, two-stage ADC + exact re-rank
+    // (Jégou et al. 2011 — the IVFADC deployment shape): vectors compress
+    // to PqM(=16) codebook codes; a probe first scores every compressed
+    // vector ASYMMETRICALLY (its exact subvectors against the corpus
+    // side's centroids — PqM lookups + adds per candidate, never a
+    // Dim-wide dot against raw floats the scan no longer stores), keeps a
+    // [[PqShort]]-deep shortlist, and only THEN fetches the raw vectors of
+    // those constant-many ids for an exact inner-product re-rank. This is
+    // the memory-side scale path the IVF/LSH queries don't cover: at
+    // 100 TB the raw embeddings don't fit executor RAM, the 8-byte codes
+    // do (64× vs raw floats; 32× vs the int8 audit's codes); the ADC pass
+    // is linear with the exact baseline's plan shape (broadcast probes ×
+    // corpus scan), and the re-rank touches PqShort×probes rows — the
+    // FAISS refine step. Both stages are exact integers end to end, so
+    // both engines rank identically with no float tolerance anywhere.
+    //
+    // Quality note: this synthetic corpus is ~uniform on the unit sphere —
+    // PQ's WORST case (no low-dimensional manifold to spend codes on; an
+    // 8-subspace config measured recall 0.33 and was rejected for this
+    // 16-subspace one at recall 0.80). AnnRecallSpec pins the two-stage
+    // recall floor and the all-pairs ADC-vs-exact score correlation; the
+    // assignment is nearest-in-L2 via the integer ||c||² − 2⟨s,c⟩ argmin
+    // (an argmax-dot assignment measured recall 0.07 — chasing large-norm
+    // centroids wrecks reconstruction).
+    GraftQuery(
+      "q_pq_adc",
+      s"PQ($PqM x $PqK) ADC shortlist-$PqShort + exact re-rank top-3, trained codebooks",
+      (s, dir) => {
+        val cents = trainPq(s, dir)
+        val base  = pqBase(s, dir)
+        val probes = base.filter(col("vec_id").isin(ProbeIds: _*))
+          .select(col("vec_id").as("qid"), col("q").as("qq"))
+        val shortlist = pqAdcPairs(s, dir, cents)
+          .withColumn("srank", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("vec_id").asc)))
+          .filter(col("srank") <= PqShort)
+          .select("qid", "vec_id", "adc")
+        // refine: fetch raw vectors for the constant-size shortlist only
+        shortlist
+          .join(base, "vec_id")
+          .join(broadcast(probes), "qid")
+          .withColumn("score", dotLong(col("qq"), col("q")))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id").asc)))
+          .filter(col("rank") <= 3)
+          .select(col("qid"), col("rank").cast("long").as("rank"),
+            col("vec_id").as("neighbor"), col("adc"), col("score"))
+          .orderBy("qid", "rank")
+      },
+      Some(s"""WITH n AS (
+              |  SELECT vec_id, q, list_dot_product(q::DOUBLE[], q::DOUBLE[]) AS n2
+              |  FROM (SELECT vec_id,
+              |               $duckQuantSql AS q
+              |        FROM embeddings WHERE len(embedding) = $Dim) t
+              |  WHERE list_dot_product(q::DOUBLE[], q::DOUBLE[]) > 0),
+              |$duckPqCtes,
+              |probes AS (SELECT vec_id AS qid, m, sq FROM sub WHERE vec_id IN $probeIdsSql),
+              |adcs AS (
+              |  SELECT p.qid, e.vec_id,
+              |         CAST(sum(list_dot_product(p.sq::DOUBLE[], c.cq::DOUBLE[])) AS BIGINT) AS adc
+              |  FROM enc e
+              |  JOIN pq$PqIters c ON c.m = e.m AND c.cid = e.code
+              |  JOIN probes p ON p.m = e.m
+              |  WHERE e.vec_id <> p.qid
+              |  GROUP BY p.qid, e.vec_id),
+              |short AS (
+              |  SELECT qid, vec_id, adc FROM (
+              |    SELECT qid, vec_id, adc,
+              |           row_number() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id) AS srank
+              |    FROM adcs) t WHERE srank <= $PqShort),
+              |rescored AS (
+              |  SELECT s.qid, s.vec_id, s.adc,
+              |         CAST(list_dot_product(pq.q::DOUBLE[], v.q::DOUBLE[]) AS BIGINT) AS score
+              |  FROM short s
+              |  JOIN n v ON v.vec_id = s.vec_id
+              |  JOIN n pq ON pq.vec_id = s.qid)
+              |SELECT qid, rank, neighbor, adc, score FROM (
+              |  SELECT qid, vec_id AS neighbor, adc, score,
+              |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+              |  FROM rescored) r
+              |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin)
     )
   )
 }

@@ -12,6 +12,14 @@ class AnnRecallSpec extends SparkTestBase {
 
   private val dir = "/root/testdata/sf0.001"
 
+  /** Pinned below the observed two-stage PQ recall (see the test's info
+    * line). This corpus is ~uniform on the unit sphere — PQ's worst case
+    * (no manifold to spend codes on) — which is why the 16×16 config was
+    * chosen over 8×16 (measured 0.80 vs 0.33); the companion correlation
+    * pin guards the ADC estimator itself.
+    */
+  private val RecallFloorPq = 0.60
+
   private def resultSet(name: String): Set[(Long, Long)] =
     SparkEntry.queries(name)(spark, dir)
       .select("qid", "neighbor").as[(Long, Long)].collect().toSet
@@ -38,6 +46,53 @@ class AnnRecallSpec extends SparkTestBase {
         .collect()(0).getLong(0)
       assert(maxPerProbe <= 3, s"$name emitted $maxPerProbe rows for one probe")
     }
+  }
+
+  test("PQ ADC recall vs the exact inner-product top-3") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import graft.expressions.DotProductLong.dotLong
+    // exact MIPS baseline over the same quantized vectors (PQ approximates
+    // the inner product, not the cosine, so the fair reference is dot-rank)
+    val base = Tables.embeddings(spark, dir)
+      .filter(size(col("embedding")) === 64)
+      .withColumn("q", expr(graft.queries.Dialect.quantSql))
+      .filter(dotLong(col("q"), col("q")) > 0)
+      .select("vec_id", "q")
+    val probes = base.filter(col("vec_id").isin(graft.queries.SimilarityQueries.ProbeIds: _*))
+      .select(col("vec_id").as("qid"), col("q").as("qq"))
+    val exact = base.join(broadcast(probes), col("vec_id") =!= col("qid"))
+      .withColumn("score", dotLong(col("qq"), col("q")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id").asc)))
+      .filter(col("rank") <= 3)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    val pqDf = SparkEntry.queries("q_pq_adc")(spark, dir)
+    val pq = pqDf.select("qid", "neighbor").as[(Long, Long)].collect().toSet
+    val r = pq.intersect(exact).size.toDouble / exact.size
+    info(f"PQ two-stage recall@3 vs exact dot: $r%.3f over ${exact.size} pairs")
+    assert(r >= RecallFloorPq,
+      s"PQ recall regressed below pinned floor: $r")
+    // the ADC estimator must track the exact inner product tightly over
+    // the UNRESTRICTED probe × corpus population (Pearson over the final
+    // re-ranked rows alone is range-restricted into noise) — an
+    // assignment/LUT regression (e.g. the argmax-dot assignment bug this
+    // pin was born from) craters it
+    import graft.queries.SimilarityQueries.{pqAdcPairs, trainPq}
+    val allPairs = pqAdcPairs(spark, dir, trainPq(spark, dir))
+      .join(base.select(col("vec_id"), col("q").as("vq")), "vec_id")
+      .join(probes, "qid")
+      .withColumn("score", dotLong(col("qq"), col("vq")).cast("double"))
+      .withColumn("adc_d", col("adc").cast("double"))
+    val corr = allPairs.stat.corr("adc_d", "score")
+    info(f"ADC-vs-exact score correlation (all pairs): $corr%.3f")
+    // observed 0.64 with the 16×16×2-iteration codebook on this
+    // incompressible corpus (0.43 at 8×16×1) — pinned with slack
+    assert(corr >= 0.50, s"ADC score correlation regressed: $corr")
+    val maxPerProbe = pqDf
+      .groupBy("qid").count().agg(max("count")).collect()(0).getLong(0)
+    assert(maxPerProbe <= 3, s"q_pq_adc emitted $maxPerProbe rows for one probe")
   }
 
   test("planBits sizes LSH bits-per-table with the corpus (executable deployment knob)") {

@@ -265,6 +265,18 @@ class PlanShapeSpec extends SparkTestBase {
       s"q_semdedup grew a pairwise corpus stage:\n${p.take(1500)}")
   }
 
+  test("q_pq_adc scans codes once and re-ranks a broadcast shortlist") {
+    // stage 1 (ADC) is the one sanctioned nested-loop join: constant-size
+    // broadcast probes against the linear codes scan. Stage 2 (refine)
+    // must join by equi-keys (vec_id / qid) — a second nested loop or a
+    // cartesian means the shortlist stopped bounding the raw-vector fetch.
+    val p = plan("q_pq_adc")
+    assert(!p.contains("CartesianProduct"),
+      s"q_pq_adc grew a cartesian stage:\n${p.take(1500)}")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1,
+      s"q_pq_adc has more than the ADC probe nested loop:\n${p.take(2000)}")
+  }
+
   test("the flagship entry forces broadcast on the three dims only") {
     // AQE may legitimately broadcast MORE at tiny scale factors (the whole
     // dims-join output fits); what must never regress is the set of FORCED
