@@ -477,6 +477,64 @@ object SimilarityQueries {
               |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin)
     ),
 
+    // E2h hard-example mining for contrastive training: for each anchor
+    // (probe), the 3 hardest NEGATIVES (highest-cosine vectors of a
+    // DIFFERENT label — the impostors a contrastive loss must push away)
+    // and the 3 hardest POSITIVES (lowest-cosine vectors of the SAME label
+    // — the strays it must pull in). This is the triplet/InfoNCE mining
+    // pass of embedding-model training pipelines. One broadcast-probes ×
+    // linear-scan pass (the E2a shape), one window partitioned by
+    // (anchor, kind) with a per-kind sort polarity folded into the key —
+    // no second scan for the positive side.
+    GraftQuery(
+      "q_hard_examples",
+      "3 hardest negatives (closest other-label) + 3 hardest positives (farthest same-label) per anchor",
+      (s, dir) => {
+        val base = Tables.embeddings(s, dir)
+          .filter(size(col("embedding")) === Dim)
+          .withColumn("q", expr(quantSql))
+          .withColumn("n2", dotLong(col("q"), col("q")))
+          .filter(col("n2") > 0)
+          .select("vec_id", "label", "q", "n2")
+        val probes = base.filter(col("vec_id").isin(ProbeIds: _*))
+          .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+            col("q").as("qq"), col("n2").as("qn"))
+        base.join(broadcast(probes), col("vec_id") =!= col("qid"))
+          .withColumn("cos", cosine(col("qq"), col("q"), col("qn"), col("n2")))
+          .withColumn("kind",
+            when(col("label") === col("qlabel"), lit("pos")).otherwise(lit("neg")))
+          // negatives mine DESC (closest impostor first), positives ASC
+          // (farthest stray first): one window, polarity in the sort key
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(col("qid"), col("kind"))
+              .orderBy(expr("CASE WHEN kind = 'neg' THEN -cos ELSE cos END").asc,
+                col("vec_id").asc)))
+          .filter(col("rank") <= 3)
+          .select(col("qid"), col("kind"), col("rank").cast("long").as("rank"),
+            col("vec_id").as("neighbor"), round(col("cos"), 4).as("cos_r"))
+          .orderBy("qid", "kind", "rank")
+      },
+      Some(s"""WITH n AS (
+              |  SELECT vec_id, label, q, list_dot_product(q::DOUBLE[], q::DOUBLE[]) AS n2
+              |  FROM (SELECT vec_id, label,
+              |               $duckQuantSql AS q
+              |        FROM embeddings WHERE len(embedding) = $Dim) t
+              |  WHERE list_dot_product(q::DOUBLE[], q::DOUBLE[]) > 0),
+              |probes AS (SELECT vec_id AS qid, label AS qlabel, q AS qq, n2 AS qn
+              |           FROM n WHERE vec_id IN $probeIdsSql),
+              |scored AS (
+              |  SELECT p.qid, v.vec_id,
+              |         CASE WHEN v.label = p.qlabel THEN 'pos' ELSE 'neg' END AS kind,
+              |         list_dot_product(p.qq::DOUBLE[], v.q::DOUBLE[]) / (sqrt(p.qn) * sqrt(v.n2)) AS cos
+              |  FROM n v, probes p WHERE v.vec_id <> p.qid)
+              |SELECT qid, kind, rank, neighbor, cos_r FROM (
+              |  SELECT qid, kind, vec_id AS neighbor, round(cos, 4) AS cos_r,
+              |         row_number() OVER (PARTITION BY qid, kind
+              |           ORDER BY CASE WHEN kind = 'neg' THEN -cos ELSE cos END ASC, vec_id) AS rank
+              |  FROM scored) r
+              |WHERE rank <= 3 ORDER BY qid, kind, rank""".stripMargin)
+    ),
+
     // E2b sign-bit LSH ANN, OR-amplified + multi-probe: 4 hash tables of 4
     // hyperplane sign bits each; a vector is a candidate for a probe if it
     // sits in the probe's bucket OR any Hamming-1 neighbor of it, in ANY

@@ -277,6 +277,21 @@ class PlanShapeSpec extends SparkTestBase {
       s"q_pq_adc has more than the ADC probe nested loop:\n${p.take(2000)}")
   }
 
+  test("q_hard_examples mines both polarities from one scan and one window") {
+    // the probe join is the one sanctioned nested loop: constant-size
+    // broadcast probes against the linear corpus scan (the E2a shape). A
+    // second nested loop or a cartesian means the positive side grew its
+    // own scan; the single (qid, kind)-partitioned window is the proof
+    // both mining polarities ride one sort.
+    val p = plan("q_hard_examples")
+    assert(!p.contains("CartesianProduct"),
+      s"q_hard_examples grew a cartesian stage:\n${p.take(1500)}")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1,
+      s"q_hard_examples has more than the probe nested loop:\n${p.take(2000)}")
+    assert("windowspecdefinition".r.findAllIn(p).length <= 1,
+      s"q_hard_examples grew a second window:\n${p.take(2000)}")
+  }
+
   test("the flagship entry forces broadcast on the three dims only") {
     // AQE may legitimately broadcast MORE at tiny scale factors (the whole
     // dims-join output fits); what must never regress is the set of FORCED
