@@ -1186,6 +1186,73 @@ object TextQueries {
               |       CAST(sum(bits) AS BIGINT) AS total_bits,
               |       (1000 * CAST(sum(bits) AS BIGINT)) // count(*) AS milli_bits
               |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    ),
+
+    // E3aa DSIR-style importance selection (Xie et al. 2023, "Data Selection
+    // for Language Models via Importance Resampling"): score every document
+    // by how much its hashed-bigram features look like a TARGET domain
+    // (here: the lang='en' slice) relative to the raw corpus, and keep the
+    // top-k. Features are bigrams hashed into 256 buckets (the paper's
+    // hashed n-gram generative model); the per-bucket importance weight is
+    // the integer floor-log2 skeleton of log(p_target/p_raw):
+    //   lam_b = 64 + floor(log2(t_b + 1)) - floor(log2(r_b + 1))
+    // (+64 keeps every per-gram weight >= 1 so the per-gram milli-average
+    // never divides a negative — Spark `div` truncates while DuckDB `//`
+    // floors, and they disagree exactly on negatives; a constant per-gram
+    // offset shifts every average by the same 64000 and preserves the
+    // ranking). floor(log2 n) = length(bin(n)) - 1 in both engines, so no
+    // transcendental ever runs.
+    //
+    // Scale shape: one explode pass feeds BOTH the 256-row bucket histogram
+    // (map-side combined — the importance model is CONSTANT-size no matter
+    // the corpus) and the scoring join, which broadcasts those 256 weights
+    // back onto the gram stream; one doc-keyed re-aggregate; global top-25
+    // via TakeOrderedAndProject (no partition-less window). Every shuffle
+    // is bucket- or doc-keyed; nothing pairwise.
+    GraftQuery(
+      "q_dsir_select",
+      "DSIR importance selection: top-25 docs by hashed-bigram target/raw log-ratio",
+      (s, dir) => {
+        val d = Tables.spread(Tables.documents(s, dir))
+          .select(col("doc_id"), col("lang"), expr(wordsSql).as("words"))
+          .filter(expr("size(words) >= 2"))
+        val g = d.select(col("doc_id"),
+            expr("if(lang = 'en', cast(1 as bigint), cast(0 as bigint))").as("is_t"),
+            explode(expr(
+              "transform(sequence(1, size(words) - 1), " +
+                "i -> concat_ws(' ', words[i - 1], words[i]))")).as("gram"))
+          .withColumn("bucket", expr(s"${hash60Sql("gram")} % 256"))
+          .select("doc_id", "is_t", "bucket")
+        val lam = g.groupBy("bucket")
+          .agg(count(lit(1)).as("r_b"), sum(col("is_t")).as("t_b"))
+          .withColumn("lam", expr(
+            "cast(64 + (length(bin(t_b + 1)) - 1) - (length(bin(r_b + 1)) - 1) as bigint)"))
+          .select("bucket", "lam")
+        g.join(broadcast(lam), "bucket")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"), sum(col("lam")).as("score"))
+          .withColumn("avg_milli", expr("(1000 * score) div n_grams"))
+          .select("doc_id", "n_grams", "score", "avg_milli")
+          .orderBy(col("avg_milli").desc, col("doc_id"))
+          .limit(25)
+      },
+      Some(s"""WITH d AS (
+              |  SELECT doc_id, lang, $duckWordsSql AS words FROM documents),
+              |g AS (
+              |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t,
+              |         ${duckHash60Sql("gram")} % 256 AS bucket
+              |  FROM (SELECT doc_id, lang, unnest($duckGramsSql) AS gram
+              |        FROM d WHERE len(words) >= 2)),
+              |lam AS (
+              |  SELECT bucket,
+              |         64 + (length(bin(CAST(sum(is_t) AS BIGINT) + 1)) - 1)
+              |            - (length(bin(count(*) + 1)) - 1) AS lam
+              |  FROM g GROUP BY bucket),
+              |s AS (
+              |  SELECT doc_id, count(*) AS n_grams, CAST(sum(lam) AS BIGINT) AS score
+              |  FROM g JOIN lam USING (bucket) GROUP BY doc_id)
+              |SELECT doc_id, n_grams, score, (1000 * score) // n_grams AS avg_milli
+              |FROM s ORDER BY avg_milli DESC, doc_id LIMIT 25""".stripMargin)
     )
   )
 }

@@ -292,6 +292,21 @@ class PlanShapeSpec extends SparkTestBase {
       s"q_hard_examples grew a second window:\n${p.take(2000)}")
   }
 
+  test("q_dsir_select broadcasts the 256-bucket importance model") {
+    // the importance weights are a constant-size (≤256-row) table no matter
+    // the corpus — they must come back onto the gram stream as a broadcast
+    // hash join. A shuffled join means the model table got treated as
+    // corpus-sized; a window means the top-k stopped being
+    // TakeOrderedAndProject.
+    val p = plan("q_dsir_select")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q_dsir_select lost the importance-model broadcast:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"q_dsir_select grew a pairwise stage:\n${p.take(1500)}")
+    assert(!p.contains("Window") && p.contains("TakeOrderedAndProject"),
+      s"q_dsir_select top-k is not TakeOrderedAndProject:\n${p.take(2000)}")
+  }
+
   test("the flagship entry forces broadcast on the three dims only") {
     // AQE may legitimately broadcast MORE at tiny scale factors (the whole
     // dims-join output fits); what must never regress is the set of FORCED
