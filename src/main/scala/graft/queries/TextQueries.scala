@@ -1253,6 +1253,68 @@ object TextQueries {
               |  FROM g JOIN lam USING (bucket) GROUP BY doc_id)
               |SELECT doc_id, n_grams, score, (1000 * score) // n_grams AS avg_milli
               |FROM s ORDER BY avg_milli DESC, doc_id LIMIT 25""".stripMargin)
+    ),
+
+    // E3ab tokenizer fertility audit: the per-language efficiency report
+    // every multilingual-tokenizer evaluation runs — fertility (tokens
+    // emitted per whitespace word) and compression (bytes per token) for
+    // BOTH the BPE-ish pre-tokenizer regex and the graded 3-merge BPE
+    // tokenizer (the E3y/q_bpe_tokenize fuse, so this audits the SAME
+    // tokenizer the engine grades). High fertility on a language = the
+    // vocab under-serves it (the GPT-2-on-non-English effect); the report
+    // is the steering input for vocab rebalancing. All ratios in exact
+    // integer milli-units (operands nonnegative, so Spark `div` and DuckDB
+    // `//` agree).
+    //
+    // Scale shape: every signal is a row-local string expression inside the
+    // one documents scan; ONE #langs-row partial-aggregated groupBy. No
+    // joins, no windows, no second pass.
+    GraftQuery(
+      "q_tokenizer_fertility",
+      "per-language fertility (tokens per word) + bytes-per-token for regex and BPE tokenizers",
+      (s, dir) => {
+        val fused = BpeApply.fusedSql(
+          "regexp_replace(w, '(.)', chr(31) || '$1' || chr(31))")
+        Tables.documents(s, dir)
+          .withColumn("ws", expr(s"cast(size($wordsSql) as bigint)"))
+          .withColumn("re", expr(s"cast(size(regexp_extract_all(coalesce(text, ''), '$TokenRe', 0)) as bigint)"))
+          .withColumn("bpe", expr(
+            s"aggregate($wordsSql, cast(0 as bigint), (acc, w) -> acc + " +
+              s"(char_length($fused) - char_length(w)) div 2)"))
+          .withColumn("bytes", expr("cast(octet_length(coalesce(text, '')) as bigint)"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum("ws").as("ws_tokens"),
+            sum("re").as("re_tokens"), sum("bpe").as("bpe_tokens"),
+            sum("bytes").as("bytes"))
+          .withColumn("fert_re_milli", expr("(1000 * re_tokens) div ws_tokens"))
+          .withColumn("fert_bpe_milli", expr("(1000 * bpe_tokens) div ws_tokens"))
+          .withColumn("bytes_per_bpe_milli",
+            expr("(1000 * bytes) div greatest(bpe_tokens, cast(1 as bigint))"))
+          .select("lang", "n_docs", "ws_tokens", "re_tokens", "bpe_tokens",
+            "bytes", "fert_re_milli", "fert_bpe_milli", "bytes_per_bpe_milli")
+          .orderBy("lang")
+      },
+      Some {
+        val fused = BpeApply.fusedSql(
+          """regexp_replace(w, '(.)', chr(31) || '\1' || chr(31), 'g')""")
+        s"""WITH p AS (
+           |  SELECT lang, len($duckWordsSql) AS ws,
+           |         len(regexp_extract_all(coalesce(text, ''), '$TokenRe')) AS re,
+           |         coalesce(list_sum(list_transform($duckWordsSql, w ->
+           |           (len($fused) - len(w)) // 2)), 0) AS bpe,
+           |         strlen(coalesce(text, '')) AS bytes
+           |  FROM documents)
+           |SELECT lang, count(*) AS n_docs,
+           |       CAST(sum(ws) AS BIGINT) AS ws_tokens,
+           |       CAST(sum(re) AS BIGINT) AS re_tokens,
+           |       CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+           |       CAST(sum(bytes) AS BIGINT) AS bytes,
+           |       (1000 * CAST(sum(re) AS BIGINT)) // CAST(sum(ws) AS BIGINT) AS fert_re_milli,
+           |       (1000 * CAST(sum(bpe) AS BIGINT)) // CAST(sum(ws) AS BIGINT) AS fert_bpe_milli,
+           |       (1000 * CAST(sum(bytes) AS BIGINT))
+           |         // greatest(CAST(sum(bpe) AS BIGINT), 1) AS bytes_per_bpe_milli
+           |FROM p GROUP BY lang ORDER BY lang""".stripMargin
+      }
     )
   )
 }

@@ -307,6 +307,15 @@ class PlanShapeSpec extends SparkTestBase {
       s"q_dsir_select top-k is not TakeOrderedAndProject:\n${p.take(2000)}")
   }
 
+  test("q_tokenizer_fertility is one scan and one aggregate") {
+    // every tokenizer signal is a row-local expression; the only shuffle is
+    // the #langs-row groupBy. A join or window means a per-doc signal
+    // stopped being row-local.
+    val p = plan("q_tokenizer_fertility")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"q_tokenizer_fertility grew a join/window:\n${p.take(1500)}")
+  }
+
   test("the flagship entry forces broadcast on the three dims only") {
     // AQE may legitimately broadcast MORE at tiny scale factors (the whole
     // dims-join output fits); what must never regress is the set of FORCED
