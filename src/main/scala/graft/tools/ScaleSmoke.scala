@@ -45,7 +45,17 @@ object ScaleSmoke {
     "q_df_histogram",      // row-local grams → gram-vocab df count: vocab-bound tail
     "q_vocab_coverage",    // histogram + constant-k triangular cumsum: top-k stays fixed
     "q_salted_join",       // measured-fan-out skew join: salting cost must stay linear
-    "q_bpe_tokenize")      // row-local replace-chain tokenizer: pure scan, must stay linear
+    "q_bpe_tokenize",      // row-local replace-chain tokenizer: pure scan, must stay linear
+    "q_lm_score",          // bigram-LM scoring: vocab-keyed joins, occurrences 4x at constant vocab
+    "q_dsir_select",       // DSIR selection: constant 256-bucket model, gram stream must stay linear
+    "q_tokenizer_fertility", // row-local tokenizer signals + #langs groupBy: pure scan
+    "q_pq_adc",            // PQ ADC scan + constant shortlist re-rank: linear in codes
+    "q_hard_examples")     // broadcast probes x corpus scan: linear in vectors
+  // q_semdedup is deliberately NOT gated: its 100 TB story is "cluster count
+  // k scales with N" (SemDeDup's 50k-cluster rule), but the graded query
+  // fixes k=16, so replica inflation grows cluster populations — and the
+  // in-cluster pair stage — quadratically BY DESIGN of the fixture, not by
+  // defect of the operator.
 
   /** One (query, scale) observation. */
   final case class Point(query: String, scale: Int, sec: Double, rows: Long)
@@ -92,6 +102,10 @@ object ScaleSmoke {
     // hotter, which is exactly the regime the salted-join curve must survive
     // (offsetting user_id would only widen the key space at constant skew)
     rep("events.parquet", "event_id")
+    // embeddings: replicated verbatim (ids offset), so every vector gains
+    // r-1 exact twins — the ANN/PQ curves must stay linear even when the
+    // corpus is saturated with duplicates
+    rep("embeddings.parquet", "vec_id")
   }
 
   /** Time the graded query set at every scale (per-query warm-up at base
