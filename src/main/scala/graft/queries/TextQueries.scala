@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -1213,28 +1214,8 @@ object TextQueries {
       "q_dsir_select",
       "DSIR importance selection: top-25 docs by hashed-bigram target/raw log-ratio",
       (s, dir) => {
-        val d = Tables.spread(Tables.documents(s, dir))
-          .select(col("doc_id"), col("lang"), expr(wordsSql).as("words"))
-          .filter(expr("size(words) >= 2"))
-        val g = d.select(col("doc_id"),
-            expr("if(lang = 'en', cast(1 as bigint), cast(0 as bigint))").as("is_t"),
-            explode(expr(
-              "transform(sequence(1, size(words) - 1), " +
-                "i -> concat_ws(' ', words[i - 1], words[i]))")).as("gram"))
-          .withColumn("bucket", expr(s"${hash60Sql("gram")} % 256"))
-          .select("doc_id", "is_t", "bucket")
-        val lam = g.groupBy("bucket")
-          .agg(count(lit(1)).as("r_b"), sum(col("is_t")).as("t_b"))
-          .withColumn("lam", expr(
-            "cast(64 + (length(bin(t_b + 1)) - 1) - (length(bin(r_b + 1)) - 1) as bigint)"))
-          .select("bucket", "lam")
-        g.join(broadcast(lam), "bucket")
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_grams"), sum(col("lam")).as("score"))
-          .withColumn("avg_milli", expr("(1000 * score) div n_grams"))
-          .select("doc_id", "n_grams", "score", "avg_milli")
-          .orderBy(col("avg_milli").desc, col("doc_id"))
-          .limit(25)
+        val g = dsirGrams(Tables.spread(Tables.documents(s, dir)))
+        dsirScore(g, dsirModel(g), 25)
       },
       Some(s"""WITH d AS (
               |  SELECT doc_id, lang, $duckWordsSql AS words FROM documents),
@@ -1317,6 +1298,55 @@ object TextQueries {
       }
     )
   )
+
+  /** The DSIR gram stream: (doc_id, is_t, bucket) — one row per bigram, is_t
+    * flags the target-domain (lang='en') slice, bucket is the shared 60-bit
+    * hash folded into the 256-bucket feature space. Single-sourced so the
+    * graded query and the streaming model ([[graft.streaming.Sketches
+    * .updateDsirModel]]) cannot drift on the feature construction.
+    */
+  private[graft] def dsirGrams(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("lang"), expr(Dialect.wordsSql).as("words"))
+      .filter(expr("size(words) >= 2"))
+      .select(col("doc_id"),
+        expr("if(lang = 'en', cast(1 as bigint), cast(0 as bigint))").as("is_t"),
+        explode(expr(
+          "transform(sequence(1, size(words) - 1), " +
+            "i -> concat_ws(' ', words[i - 1], words[i]))")).as("gram"))
+      .withColumn("bucket", expr(s"${Dialect.hash60Sql("gram")} % 256"))
+      .select("doc_id", "is_t", "bucket")
+
+  /** The constant-size importance model: per-bucket raw and target counts
+    * (≤ 256 rows no matter the corpus). Counts form an addition monoid, so
+    * streamed batch models merge associatively — the property the streaming
+    * form rides.
+    */
+  private[graft] def dsirModel(grams: DataFrame): DataFrame =
+    grams.groupBy("bucket")
+      .agg(count(lit(1)).as("r_b"), sum(col("is_t")).as("t_b"))
+
+  /** Integer floor-log2 skeleton of log(p_target/p_raw) over a (bucket,
+    * r_b, t_b) model row — the +64 offset keeps every per-gram weight
+    * positive (see the q_dsir_select commentary on div-vs-floor).
+    */
+  private[graft] val dsirLambdaSql =
+    "cast(64 + (length(bin(t_b + 1)) - 1) - (length(bin(r_b + 1)) - 1) as bigint)"
+
+  /** Score `grams` against `model` and keep the top `k` documents by
+    * per-gram milli-average — the model comes back onto the gram stream as
+    * a broadcast (≤ 256 rows), the top-k is TakeOrderedAndProject.
+    */
+  private[graft] def dsirScore(grams: DataFrame, model: DataFrame, k: Int): DataFrame =
+    grams
+      .join(broadcast(model.withColumn("lam", expr(dsirLambdaSql))
+        .select("bucket", "lam")), "bucket")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), sum(col("lam")).as("score"))
+      .withColumn("avg_milli", expr("(1000 * score) div n_grams"))
+      .select("doc_id", "n_grams", "score", "avg_milli")
+      .orderBy(col("avg_milli").desc, col("doc_id"))
+      .limit(k)
 }
 
 /** The fixed merge list of q_bpe_tokenize and its dialect-shared fuse

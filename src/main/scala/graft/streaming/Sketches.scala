@@ -90,6 +90,40 @@ object Sketches {
     ()
   }
 
+  /** Streaming DSIR importance model (the incremental form of
+    * `q_dsir_select`'s training side): each micro-batch's 256-bucket
+    * (raw, target) gram counts are merged BY ADDITION into the persisted
+    * model — the same commutative-monoid property the CMS rides, so batches
+    * merge associatively and old text is never re-featurized. State is ≤ 256
+    * rows forever; the replay guard makes the non-idempotent addition
+    * exactly-once. Feature construction is single-sourced with the graded
+    * query ([[TextQueries.dsirGrams]]/[[TextQueries.dsirModel]]).
+    */
+  def updateDsirModel(table: KeyedTable, docs: DataFrame, batchId: Long): Unit = {
+    if (table.alreadyApplied(batchId)) return
+    val batch = TextQueries.dsirModel(TextQueries.dsirGrams(docs))
+    val merged = table.read() match {
+      case Some(prev) => prev.select("bucket", "r_b", "t_b").unionByName(batch)
+        .groupBy("bucket")
+        .agg(sum("r_b").as("r_b"), sum("t_b").as("t_b"))
+      case None => batch
+    }
+    table.publish(merged, Some(batchId))
+    ()
+  }
+
+  /** Importance-select the top `k` of `docs` against the CURRENT model
+    * snapshot — the deployment shape of DSIR: train the model on the full
+    * stream (cheap, constant state), then score any candidate slice against
+    * it. One snapshot read; the model side is ≤ 256 rows — broadcast at any
+    * corpus size.
+    */
+  def dsirSelect(table: KeyedTable, docs: DataFrame, k: Int): DataFrame = {
+    val model = table.read()
+      .getOrElse(throw new IllegalStateException("empty dsir model table"))
+    TextQueries.dsirScore(TextQueries.dsirGrams(docs), model, k)
+  }
+
   /** Bloom membership probe: each distinct (doc_id, shingle) of `docs` gets
     * maybe = 1 iff ALL its k bit positions are set (0 is a guaranteed
     * non-member). The bits side is ≤ BloomBits rows — broadcast at any

@@ -49,6 +49,35 @@ class SketchesSpec extends SparkTestBase {
     assert(est == 2L, s"alpha counted $est times (want 2: replay must be skipped)")
   }
 
+  test("streamed dsir model equals the batch model and reproduces the graded selection") {
+    import graft.queries.TextQueries
+    val table = new KeyedTable(spark, tmp("dsir"), "bucket")
+    val docs = Tables.documents(spark, dir).select("doc_id", "lang", "text")
+    // three arbitrary batches partitioning the corpus
+    (0 until 3).foreach { b =>
+      Sketches.updateDsirModel(table, docs.filter($"doc_id" % 3 === b), b.toLong)
+    }
+    // addition-merged streamed counts == the model trained on the whole
+    // corpus at once (associativity of the count monoid)
+    val got = table.read().get.select("bucket", "r_b", "t_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = TextQueries.dsirModel(TextQueries.dsirGrams(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want,
+      s"streamed model diverges (${(got diff want).size} extra, ${(want diff got).size} missing)")
+    // selection against the streamed model == the graded query (which
+    // trains and scores on the same corpus in one plan)
+    val sel = Sketches.dsirSelect(table, docs, 25).collect().map(_.toSeq).toSeq
+    val graded = SparkEntry.queries("q_dsir_select")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(sel == graded, s"selection diverges from the graded query")
+    // replay: addition is not idempotent, so the guard is load-bearing
+    val before = table.latestVersion()
+    Sketches.updateDsirModel(table, docs.filter($"doc_id" % 3 === 1), 1L)
+    assert(table.latestVersion() == before,
+      "replayed batch republished the model (guard must skip it)")
+  }
+
   test("streamed bloom bits equal the batch filter and admit every member") {
     import org.apache.spark.sql.functions.{col, explode}
     val table = new KeyedTable(spark, tmp("bloom"), "pos")
