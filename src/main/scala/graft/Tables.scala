@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.expr
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver's read-only parquet test tables (TESTDATA.md).
   *
@@ -23,17 +23,25 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark cannot read
-    * natively; with `spark.sql.legacy.parquet.nanosAsLong=true` (set in
-    * Verify/Bench/tests) it arrives as a long we truncate to microseconds —
-    * exactly what DuckDB does when it reads the same file, so oracle parity
-    * holds.
+  /** `events.ts` arrives in whatever physical flavor the generator used —
+    * the three seen so far are normalized here to a session-zone TIMESTAMP so
+    * every query downstream (`unix_micros`, window math) sees one type:
+    *  - TIMESTAMP(NANOS): unreadable natively; with
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` (set in LocalSpark) it
+    *    arrives as a long we truncate to microseconds — exactly what DuckDB
+    *    does reading the same file, so oracle parity holds;
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): arrives TIMESTAMP_NTZ,
+    *    which `unix_micros` rejects; cast to TIMESTAMP interprets the naive
+    *    value in the session zone (pinned UTC in LocalSpark) — the same
+    *    micros DuckDB's naive `epoch_us(ts)` yields;
+    *  - TIMESTAMP(MICROS, adjusted): already the target type.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val df = load(spark, dir, "events")
     df.schema("ts").dataType match {
-      case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case _        => df
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", df("ts").cast(TimestampType))
+      case _                => df
     }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
