@@ -203,6 +203,82 @@ object Multimodal {
       lit("03012200021101031101")): _*)           // 3-component spec
   }
 
+  // ---- BMP / GIF header parsing — the little-endian IMAGE twins --------
+  //
+  // Same design as imageDims/wavMeta: dimensions live at fixed offsets in
+  // the first bytes, so a 100 TB format audit reads header prefixes only.
+  // Both formats are little-endian; BMP's height is SIGNED (negative =
+  // top-down row order), so this parser also exercises two's-complement
+  // reconstruction — the one integer shape PNG/JPEG/WAV didn't cover.
+
+  /** Parse BMP (BITMAPINFOHEADER) / GIF (87a/89a) dimensions.
+    *
+    * BMP: "BM" magic, u32 LE DIB-header size at byte 15 must be ≥ 40
+    * (BITMAPINFOHEADER and its V2–V5 extensions all place width/height at
+    * the same offsets; the 12-byte BITMAPCOREHEADER lays them out
+    * differently and is rejected), width s32 LE at 19, height s32 LE at
+    * 23 — height < 0 means top-down rows; we report |height| plus a
+    * `topdown` flag, like real decoders do.
+    * GIF: "GIF87a"/"GIF89a" magic, logical-screen width u16 LE at 7,
+    * height u16 LE at 9 (always bottom-up → topdown = 0).
+    *
+    * Returns struct(fmt, hdr_ok, width, height, topdown); malformed
+    * payloads get hdr_ok = 0 and null fields, never garbage.
+    */
+  def bmpGifDims(payload: Column): Column = {
+    val isBmp = hexAt(payload, lit(1), 2) === "424D"                    // "BM"
+    val isGif = hexAt(payload, lit(1), 4) === "47494638" &&             // "GIF8"
+      (hexAt(payload, lit(5), 2) === "3761" || hexAt(payload, lit(5), 2) === "3961")
+
+    val bmpOk   = isBmp && leIntAt(payload, 15, 4) >= 40L               // BITMAPINFOHEADER..V5
+    val bmpW    = leIntAt(payload, 19, 4)
+    val rawH    = leIntAt(payload, 23, 4)
+    // s32 two's complement: values >= 2^31 are negative (top-down BMP)
+    val bmpDown = rawH >= lit(2147483648L)
+    val bmpH    = when(bmpDown, lit(4294967296L) - rawH).otherwise(rawH)
+
+    val gifW = leIntAt(payload, 7, 2)
+    val gifH = leIntAt(payload, 9, 2)
+
+    struct(
+      when(isBmp, "bmp").when(isGif, "gif").otherwise("unknown").as("fmt"),
+      when(bmpOk || isGif, 1L).otherwise(0L).as("hdr_ok"),
+      when(bmpOk, bmpW).when(isGif, gifW).as("width"),
+      when(bmpOk, bmpH).when(isGif, gifH).as("height"),
+      when(bmpOk, when(bmpDown, 1L).otherwise(0L)).when(isGif, 0L).as("topdown"))
+  }
+
+  /** Synthesize a 54-byte BMP file header + BITMAPINFOHEADER (no pixel
+    * data, like [[synthWavHex]]'s empty data chunk) as a hex string.
+    * `topdown` stores height as its 32-bit two's complement — the layout
+    * real top-down BMPs use.
+    */
+  def synthBmpHex(w: Column, h: Column, topdown: Column): Column = {
+    val storedH = when(topdown === 1, lit(4294967296L) - h.cast("long"))
+      .otherwise(h.cast("long"))
+    concat(
+      lit("424D"), leHex(lit(54L), 4),            // "BM", file size (headers only)
+      lit("00000000"), leHex(lit(54L), 4),        // reserved, pixel-data offset
+      leHex(lit(40L), 4),                         // DIB header size
+      leHex(w.cast("long"), 4),
+      leHex(storedH, 4),
+      leHex(lit(1L), 2), leHex(lit(24L), 2),      // planes, bpp
+      leHex(lit(0L), 4), leHex(lit(0L), 4),       // compression, image size
+      leHex(lit(0L), 4), leHex(lit(0L), 4),       // x/y pixels-per-meter
+      leHex(lit(0L), 4), leHex(lit(0L), 4))       // palette colors, important
+  }
+
+  /** Synthesize a GIF header + logical screen descriptor (13 bytes) as a
+    * hex string; `v89` = 1 emits "GIF89a", else "GIF87a".
+    */
+  def synthGifHex(w: Column, h: Column, v89: Column): Column =
+    concat(
+      lit("47494638"),
+      when(v89 === 1, "3961").otherwise("3761"),  // "9a" / "7a"
+      leHex(w.cast("long"), 2),
+      leHex(h.cast("long"), 2),
+      lit("F70000"))                              // packed fields, bg, aspect
+
   // ---- WAV (RIFF) header parsing — the LITTLE-endian audio twin --------
 
   /** Little-endian unsigned int read: byte at `pos`+i contributes << 8i.

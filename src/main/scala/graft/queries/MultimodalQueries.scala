@@ -131,6 +131,90 @@ object MultimodalQueries {
       }
     ),
 
+    // E5d little-endian image twins: BMP (BITMAPINFOHEADER) and GIF
+    // (87a/89a) dimensions from synthesized headers — fixed-offset reads,
+    // no marker walk, but BMP's SIGNED height (negative = top-down rows)
+    // adds the two's-complement reconstruction no other header query
+    // exercises. Same round-trip discipline as q_image_dims: the oracle
+    // synthesizes the identical hex string and replays the parse at the
+    // string level, so a wrong offset or an unsigned-height shortcut in
+    // either engine breaks the hash. Single scan, header prefixes only.
+    GraftQuery(
+      "q_bmp_gif_dims",
+      "parse width/height/topdown from synthesized BMP + GIF header bytes",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(
+            col("doc_id"),
+            (lit(16) + pmod(col("doc_id"), lit(1024))).cast("int").as("w0"),
+            (lit(16) + pmod(col("doc_id") * 7, lit(768))).cast("int").as("h0"),
+            pmod(col("doc_id"), lit(4)).cast("int").as("m4"))
+          .withColumn(
+            "payload",
+            unhex(when(pmod(col("m4"), lit(2)) === 0,
+                Multimodal.synthBmpHex(col("w0"), col("h0"),
+                  when(col("m4") === 2, lit(1)).otherwise(lit(0))))
+              .otherwise(Multimodal.synthGifHex(col("w0"), col("h0"),
+                when(col("m4") === 1, lit(1)).otherwise(lit(0))))))
+          // parse from bytes only — w0/h0/m4 must not leak into the output
+          .select(col("doc_id"), Multimodal.bmpGifDims(col("payload")).as("d"))
+          .select(
+            col("doc_id"), col("d.fmt").as("fmt"), col("d.hdr_ok").as("hdr_ok"),
+            col("d.width").as("width"), col("d.height").as("height"),
+            col("d.topdown").as("topdown"))
+          .orderBy("doc_id"),
+      Some("""WITH base AS (
+             |  SELECT doc_id,
+             |         16 + doc_id % 1024 AS w0,
+             |         16 + (doc_id * 7) % 768 AS h0,
+             |         doc_id % 4 AS m4
+             |  FROM documents),
+             |syn AS (
+             |  SELECT doc_id,
+             |    CASE WHEN m4 % 2 = 0 THEN
+             |      '424D' || '36000000' || '00000000' || '36000000' || '28000000'
+             |      || lpad(upper(to_hex(w0 % 256)), 2, '0')
+             |      || lpad(upper(to_hex((w0 // 256) % 256)), 2, '0') || '0000'
+             |      || lpad(upper(to_hex((CASE WHEN m4 = 2 THEN 4294967296 - h0 ELSE h0 END) % 256)), 2, '0')
+             |      || lpad(upper(to_hex(((CASE WHEN m4 = 2 THEN 4294967296 - h0 ELSE h0 END) // 256) % 256)), 2, '0')
+             |      || lpad(upper(to_hex(((CASE WHEN m4 = 2 THEN 4294967296 - h0 ELSE h0 END) // 65536) % 256)), 2, '0')
+             |      || lpad(upper(to_hex(((CASE WHEN m4 = 2 THEN 4294967296 - h0 ELSE h0 END) // 16777216) % 256)), 2, '0')
+             |      || '0100' || '1800' || '00000000' || '00000000'
+             |      || '00000000' || '00000000' || '00000000' || '00000000'
+             |    ELSE
+             |      '47494638' || CASE WHEN m4 = 1 THEN '3961' ELSE '3761' END
+             |      || lpad(upper(to_hex(w0 % 256)), 2, '0')
+             |      || lpad(upper(to_hex((w0 // 256) % 256)), 2, '0')
+             |      || lpad(upper(to_hex(h0 % 256)), 2, '0')
+             |      || lpad(upper(to_hex((h0 // 256) % 256)), 2, '0')
+             |      || 'F70000'
+             |    END AS hx
+             |  FROM base),
+             |parsed AS (
+             |  SELECT doc_id, hx,
+             |    substr(hx, 1, 4) = '424D' AS is_bmp,
+             |    substr(hx, 1, 8) = '47494638'
+             |      AND substr(hx, 9, 4) IN ('3761', '3961') AS is_gif,
+             |    substr(hx, 1, 4) = '424D' AND TRY_CAST('0x' || substr(hx, 35, 2) || substr(hx, 33, 2)
+             |      || substr(hx, 31, 2) || substr(hx, 29, 2) AS BIGINT) >= 40 AS bmp_ok,
+             |    TRY_CAST('0x' || substr(hx, 43, 2) || substr(hx, 41, 2)
+             |      || substr(hx, 39, 2) || substr(hx, 37, 2) AS BIGINT) AS bmp_w,
+             |    TRY_CAST('0x' || substr(hx, 51, 2) || substr(hx, 49, 2)
+             |      || substr(hx, 47, 2) || substr(hx, 45, 2) AS BIGINT) AS bmp_rawh,
+             |    TRY_CAST('0x' || substr(hx, 15, 2) || substr(hx, 13, 2) AS BIGINT) AS gif_w,
+             |    TRY_CAST('0x' || substr(hx, 19, 2) || substr(hx, 17, 2) AS BIGINT) AS gif_h
+             |  FROM syn)
+             |SELECT doc_id,
+             |  CASE WHEN is_bmp THEN 'bmp' WHEN is_gif THEN 'gif' ELSE 'unknown' END AS fmt,
+             |  CAST(CASE WHEN bmp_ok OR is_gif THEN 1 ELSE 0 END AS BIGINT) AS hdr_ok,
+             |  CASE WHEN bmp_ok THEN bmp_w WHEN is_gif THEN gif_w END AS width,
+             |  CASE WHEN bmp_ok THEN (CASE WHEN bmp_rawh >= 2147483648 THEN 4294967296 - bmp_rawh ELSE bmp_rawh END)
+             |       WHEN is_gif THEN gif_h END AS height,
+             |  CAST(CASE WHEN bmp_ok THEN (CASE WHEN bmp_rawh >= 2147483648 THEN 1 ELSE 0 END)
+             |            WHEN is_gif THEN 0 END AS BIGINT) AS topdown
+             |FROM parsed ORDER BY doc_id""".stripMargin)
+    ),
+
     // The audio twin of q_image_dims: canonical 44-byte PCM WAV headers
     // synthesized from doc_id-derived (channels, rate, bits), then parsed
     // back from the BYTES alone by Multimodal.wavMeta — RIFF is

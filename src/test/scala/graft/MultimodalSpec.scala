@@ -137,6 +137,57 @@ class MultimodalSpec extends SparkTestBase {
       (1L, 2L, 48000L, 288000L, 24L)))  // stereo 24-bit: rate * 6
   }
 
+  test("bmpGifDims parses real BMP (incl. top-down + V5 DIB) and GIF layouts") {
+    // 2x2 24-bit bottom-up BMP as mspaint/PIL write it: BITMAPINFOHEADER,
+    // 2835 ppm resolution, 16 bytes of padded pixel data
+    val bmpUp = "424D" + "46000000" + "00000000" + "36000000" +
+      "28000000" + "02000000" + "02000000" + "0100" + "1800" +
+      "00000000" + "10000000" + "130B0000" + "130B0000" + "00000000" + "00000000"
+    // same image stored top-down: height = -2 = 0xFFFFFFFE little-endian
+    val bmpDown = bmpUp.replace("02000000" + "02000000", "02000000" + "FEFFFFFF")
+    // V5 header (dib size 124): width/height offsets unchanged — must parse
+    val bmpV5 = bmpUp.replace("36000000" + "28000000", "36000000" + "7C000000")
+    // OS/2 BITMAPCOREHEADER (dib size 12): different layout — must reject
+    val bmpCore = bmpUp.replace("36000000" + "28000000", "36000000" + "0C000000")
+    // canonical 10x8 GIF89a / GIF87a logical screen descriptors
+    val gif89 = "474946383961" + "0A00" + "0800" + "F70000"
+    val gif87 = "474946383761" + "0A00" + "0800" + "910000"
+    val junk  = "DEADBEEF00112233"
+    val out = Seq(
+      ("bmp_up", bmpUp), ("bmp_down", bmpDown), ("bmp_v5", bmpV5),
+      ("bmp_core", bmpCore), ("gif89", gif89), ("gif87", gif87), ("junk", junk))
+      .toDF("kind", "hx")
+      .select(col("kind"), Multimodal.bmpGifDims(unhex(col("hx"))).as("d"))
+      .select("kind", "d.fmt", "d.hdr_ok", "d.width", "d.height", "d.topdown")
+      .collect().map { r =>
+        def nl(i: Int) = if (r.isNullAt(i)) -1L else r.getLong(i)
+        r.getString(0) -> ((r.getString(1), r.getLong(2), nl(3), nl(4), nl(5)))
+      }.toMap
+    assert(out("bmp_up") == (("bmp", 1L, 2L, 2L, 0L)))
+    assert(out("bmp_down") == (("bmp", 1L, 2L, 2L, 1L)))
+    assert(out("bmp_v5") == (("bmp", 1L, 2L, 2L, 0L)))
+    assert(out("bmp_core") == (("bmp", 0L, -1L, -1L, -1L)))
+    assert(out("gif89") == (("gif", 1L, 10L, 8L, 0L)))
+    assert(out("gif87") == (("gif", 1L, 10L, 8L, 0L)))
+    assert(out("junk") == (("unknown", 0L, -1L, -1L, -1L)))
+  }
+
+  test("synth BMP/GIF headers round-trip through bmpGifDims") {
+    val df = Seq((640, 480, 0, 0), (1920, 1080, 1, 0), (320, 200, 0, 1))
+      .toDF("w", "h", "td", "isGif")
+      .select(col("w"), col("h"), col("td"),
+        Multimodal.bmpGifDims(unhex(
+          when(col("isGif") === 1, Multimodal.synthGifHex(col("w"), col("h"), lit(1)))
+            .otherwise(Multimodal.synthBmpHex(col("w"), col("h"), col("td"))))).as("d"))
+    val rows = df.orderBy("w")
+      .select("d.fmt", "d.hdr_ok", "d.width", "d.height", "d.topdown")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.toSeq == Seq(
+      ("gif", 1L, 320L, 200L, 0L),
+      ("bmp", 1L, 640L, 480L, 0L),
+      ("bmp", 1L, 1920L, 1080L, 1L)))
+  }
+
   test("sampleUnits keeps every stride-th frame") {
     val df  = Seq((1L, Seq("f0", "f1", "f2", "f3", "f4"))).toDF("id", "frames")
     val out = Multimodal.sampleUnits(df, "frames", stride = 2)
