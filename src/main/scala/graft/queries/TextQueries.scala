@@ -1296,6 +1296,95 @@ object TextQueries {
            |         // greatest(CAST(sum(bpe) AS BIGINT), 1) AS bytes_per_bpe_milli
            |FROM p GROUP BY lang ORDER BY lang""".stripMargin
       }
+    ),
+
+    // E3ac UniMax budget allocation (Chung et al. 2023): distribute a total
+    // token budget across mixture units ((lang, source) corpora here) with
+    // a per-unit epoch cap — the sampling-mixture computation every
+    // multilingual/multi-source pretraining run does. Each unit may
+    // contribute at most epochs·tokens; the remaining budget waterfills
+    // uniformly over the uncapped units at level θ.
+    //
+    // The waterfilling threshold in ONE pass over the unit table, no loop:
+    // sort units by cap ascending — the capped set is then a PREFIX (unit i
+    // is capped iff cap_i·R_i ≤ B−S_i with R_i units remaining and S_i the
+    // cap-sum of earlier units; equal caps get identical conditions, so
+    // ties can't split) — count it, and θ = (B − Σ capped caps) div
+    // (#uncapped). Integer floor keeps θ ≥ the largest capped cap, and
+    // Σ alloc ≤ B with slack < #uncapped (reported as a per-row invariant
+    // via eff_epochs_bp = 10000·alloc div tokens ≤ 10000·epochs).
+    //
+    // Scale shape: the ONLY corpus-sized work is the per-unit token count
+    // (one partial-aggregated groupBy); everything after runs on #units
+    // rows (windows over a ≤ #langs·#sources frame). At 100 TB the unit
+    // table is still tiny — the algorithm is exactly as driver-friendly as
+    // the 256-bucket DSIR model above.
+    GraftQuery(
+      "q_unimax_alloc",
+      "UniMax epoch-capped token-budget waterfilling across (lang, source) units",
+      (s, dir) => {
+        // the window runs on the #units aggregate (≤ #langs·#sources rows
+        // by construction) — partitioned by a constant so the plan doesn't
+        // carry a partition-less WindowExec (the paginate rule; here the
+        // single partition is the design, not an accident)
+        val W  = org.apache.spark.sql.expressions.Window
+        val w  = W.partitionBy(lit(0)).orderBy(col("cap"), col("lang"), col("source"))
+        val wp = w.rowsBetween(W.unboundedPreceding, -1)
+        val units = Tables.documents(s, dir)
+          .withColumn("ws", expr(s"cast(size($wordsSql) as bigint)"))
+          .groupBy("lang", "source")
+          .agg(sum("ws").as("tokens"))
+          .withColumn("epochs",
+            expr(s"1 + ${hash60Sql("concat('epochs:', lang, ':', source)")} % 4"))
+          .withColumn("cap", col("epochs") * col("tokens"))
+        val tot = units.agg(
+          sum("tokens").as("budget"), count(lit(1)).as("n_units"))
+        val flagged = units.crossJoin(broadcast(tot))
+          .withColumn("i", row_number().over(w).cast("long"))
+          .withColumn("s_before", coalesce(sum("cap").over(wp), lit(0L)))
+          .withColumn("capped",
+            (col("cap") * (col("n_units") - col("i") + 1) <=
+              col("budget") - col("s_before")).cast("long"))
+        val level = flagged
+          .agg(sum(expr("capped * cap")).as("cap_sum"), sum("capped").as("m"),
+            first("budget").as("b"), first("n_units").as("n"))
+          .select(expr("if(n > m, (b - cap_sum) div (n - m), null)").as("theta"))
+        flagged.crossJoin(broadcast(level))
+          .withColumn("alloc", expr("if(capped = 1, cap, theta)"))
+          .withColumn("eff_epochs_bp", expr("(10000 * alloc) div tokens"))
+          .select("lang", "source", "tokens", "epochs", "cap", "capped",
+            "alloc", "eff_epochs_bp")
+          .orderBy("lang", "source")
+      },
+      Some(s"""WITH u AS (
+              |  SELECT lang, source, CAST(sum(len($duckWordsSql)) AS BIGINT) AS tokens
+              |  FROM documents GROUP BY lang, source),
+              |caps AS (
+              |  SELECT lang, source, tokens,
+              |         1 + ${duckHash60Sql("'epochs:' || lang || ':' || source")} % 4 AS epochs,
+              |         (1 + ${duckHash60Sql("'epochs:' || lang || ':' || source")} % 4) * tokens AS cap
+              |  FROM u),
+              |tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS budget,
+              |               count(*) AS n_units FROM caps),
+              |flagged AS (
+              |  SELECT c.*, t.budget, t.n_units,
+              |         row_number() OVER (ORDER BY cap, lang, source) AS i,
+              |         coalesce(sum(cap) OVER (ORDER BY cap, lang, source
+              |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s_before
+              |  FROM caps c, tot t),
+              |fl AS (
+              |  SELECT *, CASE WHEN cap * (n_units - i + 1) <= budget - s_before
+              |                 THEN 1 ELSE 0 END AS capped FROM flagged),
+              |lvl AS (
+              |  SELECT CASE WHEN max(n_units) > sum(capped)
+              |              THEN (max(budget) - sum(capped * cap)) // (max(n_units) - sum(capped))
+              |         END AS theta
+              |  FROM fl)
+              |SELECT lang, source, tokens, CAST(epochs AS BIGINT) AS epochs, cap,
+              |       CAST(capped AS BIGINT) AS capped,
+              |       CAST(CASE WHEN capped = 1 THEN cap ELSE theta END AS BIGINT) AS alloc,
+              |       (10000 * CAST(CASE WHEN capped = 1 THEN cap ELSE theta END AS BIGINT)) // tokens AS eff_epochs_bp
+              |FROM fl, lvl ORDER BY lang, source""".stripMargin)
     )
   )
 
