@@ -1385,6 +1385,62 @@ object TextQueries {
               |       CAST(CASE WHEN capped = 1 THEN cap ELSE theta END AS BIGINT) AS alloc,
               |       (10000 * CAST(CASE WHEN capped = 1 THEN cap ELSE theta END AS BIGINT)) // tokens AS eff_epochs_bp
               |FROM fl, lvl ORDER BY lang, source""".stripMargin)
+    ),
+
+    // E3ad score calibration: quantile-normalize the heuristic quality
+    // score (stopword density) into a percentile calibration TABLE — the
+    // stage that makes a threshold transferable across corpora ("drop the
+    // bottom 30%" instead of "drop score < 130", which means different
+    // things on different crawls). Histogram-FIRST, the scale-safe form: a
+    // global percentile window over raw docs would funnel the corpus
+    // through one sort; quantizing the score into 250-bp-wide buckets
+    // first makes the cumulative window run over ≤ 41 bucket rows
+    // regardless of corpus size, and a 100 TB run broadcasts the resulting
+    // table back to assign per-doc percentiles. Same altitude as
+    // q_token_quantiles but the inverse direction: that reads quantile →
+    // value, this reads value → percentile.
+    GraftQuery(
+      "q_score_calibrate",
+      "percentile calibration table of the stopword-density quality score",
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val w = W.partitionBy(lit(0)).orderBy(col("bucket"))
+          .rowsBetween(W.unboundedPreceding, W.currentRow)
+        val allStops = Markers.flatMap(_._2).distinct
+        val hist = Tables.documents(s, dir)
+          .withColumn("words", expr(wordsSql))
+          .withColumn("score_bp", expr(
+            s"(10000 * ${scoreSql(allStops)}) div greatest(size(words), 1)"))
+          .groupBy(expr("cast(score_bp div 250 as bigint)").as("bucket"))
+          .agg(count(lit(1)).as("n"))
+        val tot = hist.agg(sum("n").as("n_docs"))
+        hist.crossJoin(broadcast(tot))
+          .withColumn("cum_n", sum("n").over(w))
+          .withColumn("pctl_lo_bp", expr("(10000 * (cum_n - n)) div n_docs"))
+          .withColumn("pctl_hi_bp", expr("(10000 * cum_n) div n_docs"))
+          .select("bucket", "n", "cum_n", "pctl_lo_bp", "pctl_hi_bp")
+          .orderBy("bucket")
+      },
+      Some {
+        val allStops = Markers.flatMap(_._2).distinct
+        s"""WITH d AS (
+           |  SELECT (10000 * ${duckScoreSql(allStops)})
+           |           // greatest(len(words), 1) AS score_bp
+           |  FROM (SELECT $duckWordsSql AS words FROM documents) t),
+           |hist AS (
+           |  SELECT CAST(score_bp // 250 AS BIGINT) AS bucket,
+           |         count(*) AS n
+           |  FROM d GROUP BY 1),
+           |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_docs FROM hist)
+           |SELECT bucket, n,
+           |       CAST(sum(n) OVER (ORDER BY bucket
+           |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
+           |       (10000 * (CAST(sum(n) OVER (ORDER BY bucket
+           |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n)) // n_docs AS pctl_lo_bp,
+           |       (10000 * CAST(sum(n) OVER (ORDER BY bucket
+           |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)) // n_docs AS pctl_hi_bp
+           |FROM hist, tot ORDER BY bucket""".stripMargin
+      }
     )
   )
 
