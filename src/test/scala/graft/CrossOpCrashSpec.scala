@@ -6,13 +6,16 @@ import org.apache.spark.sql.functions._
 import graft.operators.AnnIndex
 import graft.streaming.{IncrementalDedup, KeyedTable, Packing, Sketches}
 
-/** Cross-operator crash consistency (VERDICT r6 #8): four incremental
-  * operators — dedup band index, CMS, packing, LSH ANN index — share ONE
-  * foreachBatch body. A crash BETWEEN two publishes leaves the stores at
-  * DIFFERENT applied-batch ids; on the replay foreachBatch guarantees
-  * (same batch id, same data), each operator's own applied guard must let
-  * the already-published operators skip and the interrupted ones apply —
-  * converging every store to the uninterrupted run's end state.
+/** Cross-operator crash consistency (VERDICT r6 #8): five incremental
+  * operators — dedup band index, CMS, DSIR importance model, packing, LSH
+  * ANN index — share ONE foreachBatch body. A crash BETWEEN two publishes
+  * leaves the stores at DIFFERENT applied-batch ids; on the replay
+  * foreachBatch guarantees (same batch id, same data), each operator's own
+  * applied guard must let the already-published operators skip and the
+  * interrupted ones apply — converging every store to the uninterrupted
+  * run's end state. The DSIR model is the sharpest case: its merge is
+  * ADDITION (non-idempotent), so a replay slipping past the guard
+  * double-counts rather than no-ops.
   */
 class CrossOpCrashSpec extends SparkTestBase {
 
@@ -20,8 +23,8 @@ class CrossOpCrashSpec extends SparkTestBase {
 
   private final class InjectedCrash extends RuntimeException("kill between publishes")
 
-  private case class Quad(dedup: KeyedTable, cms: KeyedTable, pack: KeyedTable,
-      annDir: String)
+  private case class Quad(dedup: KeyedTable, cms: KeyedTable, dsir: KeyedTable,
+      pack: KeyedTable, annDir: String)
 
   private def mkQuad(tag: String): Quad = {
     def tmp(op: String) =
@@ -29,11 +32,12 @@ class CrossOpCrashSpec extends SparkTestBase {
     Quad(
       new KeyedTable(spark, tmp("dedup"), "doc_id"),
       new KeyedTable(spark, tmp("cms"), "cell"),
+      new KeyedTable(spark, tmp("dsir"), "bucket"),
       new KeyedTable(spark, tmp("pack"), "doc_id"),
       tmp("ann"))
   }
 
-  /** The shared batch body: four publishes in a fixed order, with an
+  /** The shared batch body: five publishes in a fixed order, with an
     * optional injected crash after the k-th (0 = run to completion).
     */
   private def runBatch(t: Quad, docs: DataFrame, id: Long, crashAfter: Int = 0): Unit = {
@@ -41,8 +45,10 @@ class CrossOpCrashSpec extends SparkTestBase {
     if (crashAfter == 1) throw new InjectedCrash
     Sketches.updateCms(t.cms, docs, id)
     if (crashAfter == 2) throw new InjectedCrash
-    Packing.updatePacked(t.pack, docs, id)
+    Sketches.updateDsirModel(t.dsir, docs, id)
     if (crashAfter == 3) throw new InjectedCrash
+    Packing.updatePacked(t.pack, docs, id)
+    if (crashAfter == 4) throw new InjectedCrash
     AnnIndex.appendBatchLsh(spark, t.annDir, vecBatch(id), id)
     ()
   }
@@ -64,6 +70,7 @@ class CrossOpCrashSpec extends SparkTestBase {
     def rows(df: DataFrame) = df.collect().map(_.toString).sorted.toSeq
     Seq(rows(t.dedup.read().get),
       rows(t.cms.read().get.select("r", "bucket", "cnt")),
+      rows(t.dsir.read().get.select("bucket", "r_b", "t_b")),
       rows(t.pack.read().get),            // per-source offsets snapshot
       rows(Packing.readPacked(spark, t.pack).get), // assignment layers
       rows(AnnIndex.searchLsh(spark, t.annDir, probes)))
@@ -77,7 +84,8 @@ class CrossOpCrashSpec extends SparkTestBase {
     // operator before the kill recorded batch 1, every one after did not
     assert(t.dedup.alreadyApplied(1L))
     assert(t.cms.alreadyApplied(1L) == (crashAfter >= 2))
-    assert(t.pack.alreadyApplied(1L) == (crashAfter >= 3))
+    assert(t.dsir.alreadyApplied(1L) == (crashAfter >= 3))
+    assert(t.pack.alreadyApplied(1L) == (crashAfter >= 4))
     // the ann append always ran last, so after any injected crash it must
     // still accept batch 1 on replay (appendBatchLsh returns true = applied)
     runBatch(t, batch(1), 1L) // foreachBatch replay: same id, same data
@@ -85,14 +93,15 @@ class CrossOpCrashSpec extends SparkTestBase {
     t
   }
 
-  test("kill between publishes, resume: all four end states match the uninterrupted run") {
+  test("kill between publishes, resume: all five end states match the uninterrupted run") {
     val base = mkQuad("base")
     (0L to 2L).foreach(i => runBatch(base, batch(i), i))
     val want = endState(base)
     assert(endState(runWithCrash(1)) == want) // died after dedup publish
     assert(endState(runWithCrash(2)) == want) // died after cms publish
-    assert(endState(runWithCrash(3)) == want) // died after packing publish
-    // sanity: the run produced real state, not four empty stores
+    assert(endState(runWithCrash(3)) == want) // died after dsir publish
+    assert(endState(runWithCrash(4)) == want) // died after packing publish
+    // sanity: the run produced real state, not five empty stores
     assert(want.forall(_.nonEmpty))
   }
 
