@@ -50,7 +50,10 @@ object ScaleSmoke {
     "q_dsir_select",       // DSIR selection: constant 256-bucket model, gram stream must stay linear
     "q_tokenizer_fertility", // row-local tokenizer signals + #langs groupBy: pure scan
     "q_pq_adc",            // PQ ADC scan + constant shortlist re-rank: linear in codes
-    "q_hard_examples")     // broadcast probes x corpus scan: linear in vectors
+    "q_hard_examples",     // broadcast probes x corpus scan: linear in vectors
+    "q_unimax_alloc",      // per-unit token count: one linear groupBy, waterfilling on the tiny unit table
+    "q_score_calibrate",   // 250-bp score histogram: bounded buckets, cumulative window stays <= 41 rows
+    "q_bmp_gif_dims")      // header synth+parse: row-local byte math, pure scan
   // q_semdedup is deliberately NOT gated: its 100 TB story is "cluster count
   // k scales with N" (SemDeDup's 50k-cluster rule), but the graded query
   // fixes k=16, so replica inflation grows cluster populations — and the
