@@ -1330,6 +1330,11 @@ object TextQueries {
         val W  = org.apache.spark.sql.expressions.Window
         val w  = W.partitionBy(lit(0)).orderBy(col("cap"), col("lang"), col("source"))
         val wp = w.rowsBetween(W.unboundedPreceding, -1)
+        // the unit table is consumed by three branches (totals, flagging,
+        // final output) — LAZY checkpoints truncate the lineage so the
+        // corpus-sized token count runs ONCE at first action, not once per
+        // branch (the saltedSides discipline); both pinned frames are
+        // ≤ #langs·#sources rows, freed with the result by GC
         val units = Tables.documents(s, dir)
           .withColumn("ws", expr(s"cast(size($wordsSql) as bigint)"))
           .groupBy("lang", "source")
@@ -1337,6 +1342,7 @@ object TextQueries {
           .withColumn("epochs",
             expr(s"1 + ${hash60Sql("concat('epochs:', lang, ':', source)")} % 4"))
           .withColumn("cap", col("epochs") * col("tokens"))
+          .localCheckpoint(eager = false)
         val tot = units.agg(
           sum("tokens").as("budget"), count(lit(1)).as("n_units"))
         val flagged = units.crossJoin(broadcast(tot))
@@ -1345,6 +1351,7 @@ object TextQueries {
           .withColumn("capped",
             (col("cap") * (col("n_units") - col("i") + 1) <=
               col("budget") - col("s_before")).cast("long"))
+          .localCheckpoint(eager = false)
         val level = flagged
           .agg(sum(expr("capped * cap")).as("cap_sum"), sum("capped").as("m"),
             first("budget").as("b"), first("n_units").as("n"))
@@ -1407,12 +1414,15 @@ object TextQueries {
         val w = W.partitionBy(lit(0)).orderBy(col("bucket"))
           .rowsBetween(W.unboundedPreceding, W.currentRow)
         val allStops = Markers.flatMap(_._2).distinct
+        // hist feeds both the totals branch and the calibration rows — the
+        // lazy checkpoint (≤ 41 bucket rows) keeps the corpus scan single
         val hist = Tables.documents(s, dir)
           .withColumn("words", expr(wordsSql))
           .withColumn("score_bp", expr(
             s"(10000 * ${scoreSql(allStops)}) div greatest(size(words), 1)"))
           .groupBy(expr("cast(score_bp div 250 as bigint)").as("bucket"))
           .agg(count(lit(1)).as("n"))
+          .localCheckpoint(eager = false)
         val tot = hist.agg(sum("n").as("n_docs"))
         hist.crossJoin(broadcast(tot))
           .withColumn("cum_n", sum("n").over(w))
