@@ -205,9 +205,13 @@ object SimilarityQueries {
   private def pqCodesCol(cents: Seq[Seq[(Int, Seq[Long])]]): Column =
     array((0 until PqM).map { m =>
       val costs = array(cents(m).map { case (_, c) =>
+        // typedlit: ONE Literal node per centroid vector instead of a
+        // CreateArray of PqSubDim lits — the codebook expressions carry
+        // PqM·PqK vectors, and at nested-lit size the optimizer's tree
+        // walks (not execution) dominated the query's wall time
         lit(c.map(x => x * x).sum) -
           dotLong(slice(col("q"), m * PqSubDim + 1, PqSubDim),
-            array(c.map(lit(_)): _*)) * 2
+            typedlit(c)) * 2
       }: _*)
       (array_position(costs, array_min(costs)) - 1).cast("int")
     }: _*)
@@ -273,9 +277,10 @@ object SimilarityQueries {
   private[graft] def pqAdcPairs(s: org.apache.spark.sql.SparkSession, dir: String,
       cents: Seq[Seq[(Int, Seq[Long])]]): org.apache.spark.sql.DataFrame = {
     val base = pqBase(s, dir)
-    // literal LUT: m -> surviving-code index -> PqSubDim components
-    val lut = array(cents.map(cs =>
-      array(cs.map(c => array(c._2.map(lit(_)): _*)): _*)): _*)
+    // literal LUT: m -> surviving-code index -> PqSubDim components — a
+    // single typedlit Literal (Dim·PqK longs of DATA, one tree NODE), not
+    // nested CreateArrays of individual lits (see pqCodesCol)
+    val lut = typedlit(cents.map(_.map(_._2)))
     val codes = base.withColumn("codes", pqCodesCol(cents))
       .select("vec_id", "codes")
     val probes = base.filter(col("vec_id").isin(ProbeIds: _*))
