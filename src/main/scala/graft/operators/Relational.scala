@@ -66,6 +66,14 @@ object Relational {
     * existing value — P3), append otherwise. Exactly-one-row-per-key invariant
     * holds if it held for both inputs.
     *
+    * Additive schema evolution: a column present in `updates` but NOT in
+    * `existing` is appended to the output (existing rows get null) instead
+    * of silently dropped — the long-running-store case where a new field
+    * starts arriving mid-stream and the snapshot schema must widen without
+    * a rebuild. Columns never narrow: existing columns absent from the
+    * update keep their values, so replaying old (narrow) batches after an
+    * evolution cannot un-evolve the table.
+    *
     * Deliberate deviation from the reference: a column PRESENT in the update
     * but null keeps the existing value here ("null means no value"), whereas
     * pet_scraper.py:436-446 stringifies present-but-None to "" and overwrites.
@@ -86,12 +94,16 @@ object Relational {
     val valueCols = existing.columns.filterNot(_ == key)
     val merged = e.join(u, col(s"e.$key") === col(s"u.$key"), "full_outer")
     val updateCols = updates.columns.toSet
+    val existingCols = existing.columns.toSet
+    // schema evolution: update-only columns append after the existing ones
+    // (stable order: update's own column order), null on unmatched rows
+    val newCols = updates.columns.filter(c => c != key && !existingCols(c))
     merged.select(
       coalesce(col(s"u.$key"), col(s"e.$key")).as(key) +:
-        valueCols.map { c =>
+        (valueCols.map { c =>
           if (updateCols(c)) coalesce(col(s"u.$c"), col(s"e.$c")).as(c)
           else col(s"e.$c").as(c)
-        }: _*
+        } ++ newCols.map(c => col(s"u.$c").as(c))): _*
     )
   }
 

@@ -55,6 +55,21 @@ class RelationalSpec extends SparkTestBase {
     assert(out(1) == Row("b", "Bella", 5))
   }
 
+  test("upsertMerge: a new update column widens the schema additively") {
+    val existing = Seq(("a", "Rex"), ("b", "Bella")).toDF("link", "name")
+    val updates  = Seq(("b", "Bee", 5), ("c", "Cat", 2)).toDF("link", "name", "age")
+    val out = Relational.upsertMerge(existing, updates, "link")
+    // new column appends after the existing ones; untouched rows get null
+    assert(out.columns.toSeq == Seq("link", "name", "age"))
+    assert(out.orderBy("link").collect().toSeq == Seq(
+      Row("a", "Rex", null), Row("b", "Bee", 5), Row("c", "Cat", 2)))
+    // a later NARROW batch must not un-evolve the schema or null the data
+    val narrow = Relational.upsertMerge(out, Seq(("a", "Ace")).toDF("link", "name"), "link")
+    assert(narrow.columns.toSeq == Seq("link", "name", "age"))
+    assert(narrow.orderBy("link").collect().toSeq == Seq(
+      Row("a", "Ace", null), Row("b", "Bee", 5), Row("c", "Cat", 2)))
+  }
+
   test("upsertMerge: re-merging the same batch is a fixpoint (J3+J4 idempotence)") {
     val existing = Seq(("a", "1"), ("b", "2")).toDF("link", "v")
     val updates  = Seq(("b", "9"), ("c", "3")).toDF("link", "v")

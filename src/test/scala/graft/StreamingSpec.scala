@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -73,6 +74,23 @@ class StreamingSpec extends SparkTestBase {
     table.merge(Seq(("a", "1")).toDF("link", "v"), batchId = 0L)
     table.merge(Seq(("a", "CLOBBER")).toDF("link", "v"), batchId = 0L) // replay
     assert(table.read().get.collect()(0).getString(1) == "1")
+  }
+
+  test("schema evolution: a new column arriving mid-stream widens the snapshot") {
+    val table = new KeyedTable(spark, tmp("evolve"), "link")
+    table.merge(Seq(("a", "1"), ("b", "2")).toDF("link", "v"), batchId = 0L)
+    // batch 1 starts carrying a new field: snapshot widens, old rows null
+    table.merge(Seq(("b", "9", "x"), ("c", "3", "y")).toDF("link", "v", "tag"), batchId = 1L)
+    val wide = table.read().get
+    assert(wide.columns.toSeq == Seq("link", "v", "tag"))
+    assert(wide.orderBy("link").collect().toSeq ==
+      Seq(Row("a", "1", null), Row("b", "9", "x"), Row("c", "3", "y")))
+    // a replayed NARROW batch id is refused before it could narrow anything
+    table.merge(Seq(("a", "CLOBBER")).toDF("link", "v"), batchId = 0L)
+    // and a fresh narrow batch merges fine against the evolved snapshot
+    table.merge(Seq(("a", "4")).toDF("link", "v"), batchId = 2L)
+    assert(table.read().get.orderBy("link").collect().toSeq ==
+      Seq(Row("a", "4", null), Row("b", "9", "x"), Row("c", "3", "y")))
   }
 
   test("T7 compact: delete-by-predicate republishes atomically with counts") {
