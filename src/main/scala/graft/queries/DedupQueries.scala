@@ -485,6 +485,56 @@ object DedupQueries {
               |SELECT a, b, jac FROM ver WHERE jac >= 0.5 ORDER BY a, b""".stripMargin)
     ),
 
+    // E1b3 the dedup OPERATING CURVE: how many pairs fire and how many
+    // documents would be removed at each candidate similarity threshold —
+    // the artifact a pipeline team actually tunes against before picking
+    // "0.7" (too low deletes paraphrases, too high keeps templates). One
+    // exact-jaccard pass over the capped candidate set (the expensive
+    // stage runs ONCE, not once per threshold), in integer basis points;
+    // removal counts use the keep-lowest-id convention (a doc is removed
+    // iff it appears as the HIGHER id of a firing pair) — the same greedy
+    // rule q_dedup_exact's keeper choice uses. Four threshold rows via a
+    // 4-literal explode over the tiny verified-pair set.
+    GraftQuery(
+      "q_dedup_curve",
+      "pairs fired + docs removed at jaccard thresholds 0.3/0.5/0.7/0.9",
+      (s, dir) => {
+        val shingles = shingleRows(Tables.spread(Tables.documents(s, dir))).persist()
+        val sig      = signatures(shingles).persist()
+        val cand     = candidatePairs(sig).persist()
+        val inter = cand
+          .join(shingles.select(col("doc_id").as("a"), col("shingle")), "a")
+          .join(shingles.select(col("doc_id").as("b"), col("shingle")), Seq("b", "shingle"))
+          .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+        cand
+          .join(inter, Seq("a", "b"), "left")
+          .join(sig.select(col("doc_id").as("a"), col("sz").as("sa")), "a")
+          .join(sig.select(col("doc_id").as("b"), col("sz").as("sb")), "b")
+          .withColumn("jac_bp", expr(
+            "(10000 * coalesce(inter, 0L)) div (sa + sb - coalesce(inter, 0L))"))
+          .select(explode(typedlit(Seq(3000L, 5000L, 7000L, 9000L))).as("thr_bp"),
+            col("b"), col("jac_bp"))
+          .groupBy("thr_bp")
+          .agg(
+            sum(when(col("jac_bp") >= col("thr_bp"), 1L).otherwise(0L)).as("n_pairs"),
+            countDistinct(when(col("jac_bp") >= col("thr_bp"), col("b"))).as("n_removed"))
+          .orderBy("thr_bp")
+      },
+      Some(s"""WITH $duckMinhashCtes,
+              |ver AS (
+              |  SELECT c.a, c.b,
+              |         (10000 * len(list_intersect(x.shingles, y.shingles)))
+              |           // len(list_distinct(list_concat(x.shingles, y.shingles))) AS jac_bp
+              |  FROM cand c
+              |  JOIN sh x ON x.doc_id = c.a
+              |  JOIN sh y ON y.doc_id = c.b)
+              |SELECT CAST(thr_bp AS BIGINT) AS thr_bp,
+              |       CAST(sum(CASE WHEN jac_bp >= thr_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
+              |       CAST(count(DISTINCT CASE WHEN jac_bp >= thr_bp THEN b END) AS BIGINT) AS n_removed
+              |FROM ver, (VALUES (3000), (5000), (7000), (9000)) t(thr_bp)
+              |GROUP BY thr_bp ORDER BY thr_bp""".stripMargin)
+    ),
+
     // E1c SimHash: 32-bit fingerprint from per-word 60-bit hashes — bit b of
     // the fingerprint is set iff the +1/-1 vote of all distinct words' bit b
     // is positive. Relational form: distinct (doc, word) rows → one md5 per
