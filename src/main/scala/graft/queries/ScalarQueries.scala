@@ -162,6 +162,63 @@ object ScalarQueries {
              |          list_slice(string_split_regex(trim(coalesce(text,'')), ' +'), 1, 12) AS toks
              |        FROM documents) s) t
              |WHERE length(tok) > 0 ORDER BY doc_id, pos""".stripMargin)
+    ),
+
+    // X9 Unicode text normalization, round-tripped: deterministically
+    // DIRTY each document (accent substitutions by doc_id class, a NBSP +
+    // control-char suffix — real crawl noise), then normalize it back with
+    // accent folding (translate), control stripping (regexp), whitespace
+    // collapse, and casefold. The only query whose data leaves ASCII: the
+    // multibyte_extra column (UTF-8 bytes minus chars of the dirty form)
+    // pins that BOTH engines agree on character-vs-byte semantics for
+    // 2-byte codepoints end to end through parquet — an encoding-parity
+    // gap nothing else in the suite would catch. All row-local, one scan.
+    GraftQuery(
+      "q_text_normalize",
+      "accent-fold + control-strip + space-collapse + casefold, with UTF-8 byte audit",
+      (s, dir) => {
+        val dirty =
+          "concat(case cast(doc_id % 3 as int) " +
+            "when 0 then translate(text, 'ae', 'áé') " +
+            "when 1 then translate(text, 'ou', 'óü') " +
+            "else translate(text, 'n', 'ñ') end, " +
+            "'  X', char(9), char(13))"
+        val norm =
+          "lower(trim(regexp_replace(regexp_replace(" +
+            "translate(dirty, 'áéóüñ ', 'aeoun '), " +
+            "'[\\\\x00-\\\\x1F]', ''), ' +', ' ')))"
+        Tables.documents(s, dir)
+          .filter(col("text").isNotNull)
+          .withColumn("dirty", expr(dirty))
+          .withColumn("multibyte_extra",
+            expr("cast(octet_length(dirty) - char_length(dirty) as bigint)"))
+          .withColumn("norm", expr(norm))
+          .select(col("doc_id"), col("multibyte_extra"),
+            expr("cast(char_length(norm) as bigint)").as("norm_len"),
+            expr("substring(norm, 1, 40)").as("norm_prefix"),
+            md5(col("norm")).as("norm_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |         (CASE doc_id % 3
+             |            WHEN 0 THEN translate(text, 'ae', 'áé')
+             |            WHEN 1 THEN translate(text, 'ou', 'óü')
+             |            ELSE translate(text, 'n', 'ñ') END)
+             |           || '  X' || chr(9) || chr(13) AS dirty
+             |  FROM documents WHERE text IS NOT NULL),
+             |n AS (
+             |  SELECT doc_id,
+             |         CAST(octet_length(encode(dirty)) - length(dirty) AS BIGINT) AS multibyte_extra,
+             |         lower(trim(regexp_replace(regexp_replace(
+             |           translate(dirty, 'áéóüñ ', 'aeoun '),
+             |           '[\x00-\x1F]', '', 'g'), ' +', ' ', 'g'))) AS norm
+             |  FROM d)
+             |SELECT doc_id, multibyte_extra,
+             |       CAST(length(norm) AS BIGINT) AS norm_len,
+             |       substring(norm, 1, 40) AS norm_prefix,
+             |       md5(norm) AS norm_md5
+             |FROM n ORDER BY doc_id""".stripMargin)
     )
   )
 }
