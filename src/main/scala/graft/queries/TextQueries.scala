@@ -1409,28 +1409,11 @@ object TextQueries {
     GraftQuery(
       "q_score_calibrate",
       "percentile calibration table of the stopword-density quality score",
-      (s, dir) => {
-        val W = org.apache.spark.sql.expressions.Window
-        val w = W.partitionBy(lit(0)).orderBy(col("bucket"))
-          .rowsBetween(W.unboundedPreceding, W.currentRow)
-        val allStops = Markers.flatMap(_._2).distinct
+      (s, dir) =>
         // hist feeds both the totals branch and the calibration rows — the
         // lazy checkpoint (≤ 41 bucket rows) keeps the corpus scan single
-        val hist = Tables.documents(s, dir)
-          .withColumn("words", expr(wordsSql))
-          .withColumn("score_bp", expr(
-            s"(10000 * ${scoreSql(allStops)}) div greatest(size(words), 1)"))
-          .groupBy(expr("cast(score_bp div 250 as bigint)").as("bucket"))
-          .agg(count(lit(1)).as("n"))
-          .localCheckpoint(eager = false)
-        val tot = hist.agg(sum("n").as("n_docs"))
-        hist.crossJoin(broadcast(tot))
-          .withColumn("cum_n", sum("n").over(w))
-          .withColumn("pctl_lo_bp", expr("(10000 * (cum_n - n)) div n_docs"))
-          .withColumn("pctl_hi_bp", expr("(10000 * cum_n) div n_docs"))
-          .select("bucket", "n", "cum_n", "pctl_lo_bp", "pctl_hi_bp")
-          .orderBy("bucket")
-      },
+        calibrationFrom(
+          scoreHistogram(Tables.documents(s, dir)).localCheckpoint(eager = false)),
       Some {
         val allStops = Markers.flatMap(_._2).distinct
         s"""WITH d AS (
@@ -1453,6 +1436,38 @@ object TextQueries {
       }
     )
   )
+
+  /** The 250-bp score-bucket histogram of `docs` (any frame with a `text`
+    * column): (bucket, n), ≤ 41 rows. Single-sourced between the graded
+    * calibration query and the streaming form
+    * ([[graft.streaming.Sketches.updateScoreHist]]) — counts are an
+    * addition monoid, so streamed batch histograms merge associatively.
+    */
+  private[graft] def scoreHistogram(docs: DataFrame): DataFrame = {
+    val allStops = Markers.flatMap(_._2).distinct
+    docs
+      .withColumn("words", expr(wordsSql))
+      .withColumn("score_bp", expr(
+        s"(10000 * ${scoreSql(allStops)}) div greatest(size(words), 1)"))
+      .groupBy(expr("cast(score_bp div 250 as bigint)").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** The calibration table over a (bucket, n) histogram frame — cumulative
+    * counts and percentile bounds, all windows on the ≤ 41 bucket rows.
+    */
+  private[graft] def calibrationFrom(hist: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy(lit(0)).orderBy(col("bucket"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val tot = hist.agg(sum("n").as("n_docs"))
+    hist.crossJoin(broadcast(tot))
+      .withColumn("cum_n", sum("n").over(w))
+      .withColumn("pctl_lo_bp", expr("(10000 * (cum_n - n)) div n_docs"))
+      .withColumn("pctl_hi_bp", expr("(10000 * cum_n) div n_docs"))
+      .select("bucket", "n", "cum_n", "pctl_lo_bp", "pctl_hi_bp")
+      .orderBy("bucket")
+  }
 
   /** The DSIR gram stream: (doc_id, is_t, bucket) — one row per bigram, is_t
     * flags the target-domain (lang='en') slice, bucket is the shared 60-bit

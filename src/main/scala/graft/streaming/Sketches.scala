@@ -90,6 +90,35 @@ object Sketches {
     ()
   }
 
+  /** Streaming quality-score histogram (the incremental form of
+    * `q_score_calibrate`'s training side): each micro-batch's 250-bp score
+    * buckets merge BY ADDITION into the persisted histogram — counts are a
+    * commutative monoid, so old documents are never re-scored and state
+    * stays ≤ 41 rows forever. Replay-guarded like the CMS (addition is not
+    * idempotent). Bucket construction is single-sourced with the graded
+    * query ([[TextQueries.scoreHistogram]]).
+    */
+  def updateScoreHist(table: KeyedTable, docs: DataFrame, batchId: Long): Unit = {
+    if (table.alreadyApplied(batchId)) return
+    val batch = TextQueries.scoreHistogram(docs)
+    val merged = table.read() match {
+      case Some(prev) => prev.select("bucket", "n").unionByName(batch)
+        .groupBy("bucket").agg(sum("n").as("n"))
+      case None => batch
+    }
+    table.publish(merged, Some(batchId))
+    ()
+  }
+
+  /** The percentile calibration table from the CURRENT histogram snapshot —
+    * the deployment shape: train the histogram on the full stream (constant
+    * state), then thresholds transfer as percentiles. One snapshot read;
+    * all downstream math runs on the ≤ 41 bucket rows.
+    */
+  def scoreCalibration(table: KeyedTable): DataFrame =
+    TextQueries.calibrationFrom(table.read()
+      .getOrElse(throw new IllegalStateException("empty score histogram table")))
+
   /** Streaming DSIR importance model (the incremental form of
     * `q_dsir_select`'s training side): each micro-batch's 256-bucket
     * (raw, target) gram counts are merged BY ADDITION into the persisted

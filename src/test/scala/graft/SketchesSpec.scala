@@ -78,6 +78,25 @@ class SketchesSpec extends SparkTestBase {
       "replayed batch republished the model (guard must skip it)")
   }
 
+  test("streamed score histogram reproduces the graded calibration table") {
+    val table = new KeyedTable(spark, tmp("shist"), "bucket")
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    (0 until 3).foreach { b =>
+      Sketches.updateScoreHist(table, docs.filter($"doc_id" % 3 === b), b.toLong)
+    }
+    // addition-merged streamed buckets -> calibration == the graded query
+    // computed over the whole corpus in one plan
+    val got = Sketches.scoreCalibration(table).collect().map(_.toSeq).toSeq
+    val want = SparkEntry.queries("q_score_calibrate")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(got == want, "streamed calibration diverges from the graded query")
+    // replay: histogram addition is not idempotent, the guard is load-bearing
+    val before = table.latestVersion()
+    Sketches.updateScoreHist(table, docs.filter($"doc_id" % 3 === 1), 1L)
+    assert(table.latestVersion() == before,
+      "replayed batch republished the histogram (guard must skip it)")
+  }
+
   test("streamed bloom bits equal the batch filter and admit every member") {
     import org.apache.spark.sql.functions.{col, explode}
     val table = new KeyedTable(spark, tmp("bloom"), "pos")
