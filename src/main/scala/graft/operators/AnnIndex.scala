@@ -96,13 +96,15 @@ object AnnIndex {
     * replay protocol continues across compactions.
     */
   private[graft] def compactStore(s: SparkSession, store: String,
-      partCols: Seq[String], sweep: Boolean): Unit = {
+      partCols: Seq[String], sweep: Boolean,
+      minus: Option[DataFrame] = None): Unit = {
     if (!graft.streaming.Fs.isDirectory(s, store)) return
     val existing = graft.streaming.Fs.layerIds(s, store)
     if (existing.isEmpty) return
     val gen = existing.filter(_ < 0).minOption.getOrElse(0L) - 1L
-    s.read.parquet(store)
+    val folded = s.read.parquet(store)
       .drop("batch").dropDuplicates()
+    minus.fold(folded)(t => folded.join(broadcast(t), Seq("vec_id"), "left_anti"))
       .withColumn("batch", lit(gen))
       .write.mode("append")
       .partitionBy("batch" +: partCols: _*)
@@ -113,13 +115,86 @@ object AnnIndex {
       }
   }
 
-  /** Fold the IVF store's batch layers into one generation. */
-  def compactIndex(s: SparkSession, indexDir: String): Unit =
-    compactStore(s, vectorsPath(indexDir), Seq("cid"), sweep = true)
+  /** Fold the IVF store's batch layers into one generation; tombstoned
+    * vectors are physically dropped, then the tombstones cleared.
+    */
+  def compactIndex(s: SparkSession, indexDir: String): Unit = {
+    compactStore(s, vectorsPath(indexDir), Seq("cid"), sweep = true,
+      minus = tombstones(s, indexDir))
+    clearTombstones(s, indexDir)
+  }
 
-  /** Fold the LSH store's batch layers into one generation. */
-  def compactIndexLsh(s: SparkSession, indexDir: String): Unit =
-    compactStore(s, lshPath(indexDir), Seq("pb"), sweep = true)
+  /** Fold the LSH store's batch layers into one generation; tombstoned
+    * vectors are physically dropped, then the tombstones cleared.
+    */
+  def compactIndexLsh(s: SparkSession, indexDir: String): Unit = {
+    compactStore(s, lshPath(indexDir), Seq("pb"), sweep = true,
+      minus = tombstones(s, indexDir))
+    clearTombstones(s, indexDir)
+  }
+
+  // ---- tombstone deletes ------------------------------------------------
+  //
+  // The index's delete path (the takedown/GDPR shape): deletes arrive as
+  // vec_id batches under the same layered protocol as appends — one
+  // `tombs/batch=<id>/` parquet per batch, replay-guarded by the store's
+  // own `_APPLIED` pointer. Search subtracts the tombstone set from the
+  // candidate rows (an anti-join against a ≤ #deletes broadcast side), so
+  // a delete is VISIBLE immediately without touching any data layer;
+  // compaction later drops the rows physically and clears the tombstones.
+  // Crash discipline: the fold writes the cleaned generation first; a crash
+  // before the tombstone clear leaves tombstones whose anti-join is a
+  // no-op over already-clean data. A vec_id re-appended AFTER its delete
+  // stays hidden until a compaction clears the tombstone — delete wins
+  // within a generation, by design (document-level un-delete is a new id).
+
+  private def tombsPath(dir: String) = dir + "/tombs"
+
+  /** Tombstone one batch of vec_ids (any frame with a `vec_id` column).
+    * Returns false for an already-applied batch id.
+    */
+  def deleteIds(s: SparkSession, indexDir: String, ids: DataFrame,
+      batchId: Long): Boolean = {
+    val store = tombsPath(indexDir)
+    if (lastApplied(s, store) >= batchId) false
+    else {
+      ids.select("vec_id").distinct()
+        .withColumn("batch", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch")
+        .parquet(store)
+      markApplied(s, store, batchId)
+      true
+    }
+  }
+
+  /** The current tombstone set, if any — ≤ #deleted rows, broadcastable. */
+  private def tombstones(s: SparkSession, indexDir: String): Option[DataFrame] = {
+    val store = tombsPath(indexDir)
+    if (graft.streaming.Fs.isDirectory(s, store) &&
+        graft.streaming.Fs.layerIds(s, store).nonEmpty)
+      Some(s.read.parquet(store).select("vec_id").distinct())
+    else None
+  }
+
+  /** Drop tombstone LAYERS after a compaction folded them into the data
+    * (the `_APPLIED` pointer survives, so replayed delete batch ids are
+    * still refused after the clear).
+    */
+  private def clearTombstones(s: SparkSession, indexDir: String): Unit = {
+    val store = tombsPath(indexDir)
+    if (graft.streaming.Fs.isDirectory(s, store))
+      graft.streaming.Fs.layerIds(s, store).foreach { v =>
+        graft.streaming.Fs.deleteRecursively(s, s"$store/batch=$v")
+      }
+  }
+
+  /** Subtract the tombstone set from a candidate frame (no-op when none). */
+  private def minusTombs(s: SparkSession, indexDir: String,
+      candidates: DataFrame): DataFrame =
+    tombstones(s, indexDir).fold(candidates)(t =>
+      candidates.join(broadcast(t), Seq("vec_id"), "left_anti"))
 
   /** Assign under a FIXED codebook and write one batch layer. Shared by the
     * full build (layer −1, static overwrite clears everything else) and the
@@ -234,9 +309,12 @@ object AnnIndex {
     try {
       val touched = probeCids.select("cid").distinct().collect().map(_.getInt(0)).toSeq
       // dropDuplicates: a re-appended vec_id has one row per append layer (all
-      // in the same cid partition under the fixed codebook) and must score once
-      scoreTop3(listScan(s, indexDir, touched).join(probeCids, "cid")
-        .dropDuplicates("qid", "vec_id"))
+      // in the same cid partition under the fixed codebook) and must score once;
+      // tombstoned ids leave the candidate set BEFORE ranking (deletes are
+      // visible immediately, later candidates move up)
+      scoreTop3(minusTombs(s, indexDir,
+        listScan(s, indexDir, touched).join(probeCids, "cid")
+          .dropDuplicates("qid", "vec_id")))
         // eager localCheckpoint (top-3 × probes rows) so the probe lineage can
         // be unpersisted HERE — a long-lived session calling search repeatedly
         // must not accumulate one cached dataset per call (ADVICE r6)
@@ -340,11 +418,11 @@ object AnnIndex {
     val pb = probeBuckets(probes).persist()
     try {
       val touched = pb.select("pb").distinct().collect().map(_.getLong(0)).toSeq
-      scoreTop3(
+      scoreTop3(minusTombs(s, indexDir,
         bucketScan(s, indexDir, touched)
           .select("pb", "vec_id", "q", "n2")
           .join(pb.select("pb", "qid", "qq", "qn"), "pb")
-          .dropDuplicates("qid", "vec_id")) // OR across tables, score once
+          .dropDuplicates("qid", "vec_id"))) // OR across tables, score once
         .localCheckpoint(true) // see search: frees the probe cache eagerly
     } finally pb.unpersist()
   }

@@ -210,4 +210,56 @@ class AnnIndexSpec extends SparkTestBase {
     assert(top3(AnnIndex.searchLsh(spark, inc, probes)) == afterAppends,
       "duplicate rows from a re-appended batch leaked into the top-3")
   }
+
+  test("tombstone deletes: visible immediately, rebuild parity, compaction drops + clears") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val raw    = Tables.embeddings(spark, dir)
+    val cents  = graft.queries.SimilarityQueries.trainCodebook(spark, dir)
+    val probes = AnnIndex.probeWorkload(spark, dir)
+
+    val idx = java.nio.file.Files.createTempDirectory("ann_del").toString
+    AnnIndex.buildFrom(spark, raw, cents, idx)
+    val before = top3(AnnIndex.search(spark, idx, probes))
+    // victims = every rank-1 neighbor: guaranteed to change results
+    val victims = before.filter(_._2 == 1L).map(_._3).distinct
+    assert(AnnIndex.deleteIds(spark, idx, victims.toDF("vec_id"), 0L))
+
+    // a delete is visible with no data layer touched, and equals an index
+    // built without the victims under the same codebook
+    val after = top3(AnnIndex.search(spark, idx, probes))
+    assert(after != before, "deleting every rank-1 neighbor changed nothing")
+    val reb = java.nio.file.Files.createTempDirectory("ann_del_reb").toString
+    AnnIndex.buildFrom(spark, raw.filter(!col("vec_id").isin(victims: _*)), cents, reb)
+    assert(after == top3(AnnIndex.search(spark, reb, probes)),
+      "tombstoned search diverges from the victim-free rebuild")
+
+    // replayed delete batch id: refused
+    assert(!AnnIndex.deleteIds(spark, idx, victims.toDF("vec_id"), 0L))
+
+    // compaction physically drops the rows and clears the tombstones;
+    // search is unchanged and the replay guard survives the clear
+    AnnIndex.compactIndex(spark, idx)
+    assert(top3(AnnIndex.search(spark, idx, probes)) == after)
+    val remaining = spark.read.parquet(idx + "/vectors")
+      .select("vec_id").as[Long].collect().toSet
+    assert(victims.forall(v => !remaining.contains(v)),
+      "compaction left tombstoned rows in the data layers")
+    assert(graft.streaming.Fs.layerIds(spark, idx + "/tombs").isEmpty,
+      "compaction did not clear the tombstone layers")
+    assert(!AnnIndex.deleteIds(spark, idx, victims.toDF("vec_id"), 0L),
+      "replayed delete batch accepted after the tombstone clear")
+
+    // the LSH twin honors the same tombstone store
+    val lshIdx = java.nio.file.Files.createTempDirectory("ann_del_lsh").toString
+    AnnIndex.buildLshFrom(raw, lshIdx)
+    val lshBefore = top3(AnnIndex.searchLsh(spark, lshIdx, probes))
+    val lshVictims = lshBefore.filter(_._2 == 1L).map(_._3).distinct
+    assert(AnnIndex.deleteIds(spark, lshIdx, lshVictims.toDF("vec_id"), 0L))
+    val lshReb = java.nio.file.Files.createTempDirectory("ann_del_lshreb").toString
+    AnnIndex.buildLshFrom(raw.filter(!col("vec_id").isin(lshVictims: _*)), lshReb)
+    assert(top3(AnnIndex.searchLsh(spark, lshIdx, probes)) ==
+      top3(AnnIndex.searchLsh(spark, lshReb, probes)),
+      "LSH tombstoned search diverges from the victim-free rebuild")
+  }
 }
