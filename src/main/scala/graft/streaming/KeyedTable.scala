@@ -150,6 +150,33 @@ final class KeyedTable(spark: SparkSession, val dir: String, val key: String,
     * resolved before the merge (server.py:207's intra-batch dedup): highest
     * `seqCol` wins when given, else an arbitrary-but-single row per key.
     */
+  /** What changed between two retained snapshot versions: one row per key
+    * whose state differs — status `added` / `removed` / `changed`
+    * (unchanged keys are dropped; `changed` compares the non-key columns
+    * COMMON to both versions null-safely, so an additively-evolved column
+    * doesn't mark every old row changed). The publish-audit shape: both
+    * sides are plain snapshot scans full-outer-joined on the key, so the
+    * diff distributes like the merge itself. Versions older than
+    * [[KeepSnapshots]] are GC'd — diff what you retain.
+    */
+  def diff(vOld: Long, vNew: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, struct, to_json, when}
+    val o = spark.read.parquet(s"$dir/v$vOld").alias("o")
+    val n = spark.read.parquet(s"$dir/v$vNew").alias("n")
+    val common = o.columns.toSet.intersect(n.columns.toSet) - key
+    val cols   = common.toSeq.sorted
+    val oState = to_json(struct(cols.map(c => col(s"o.$c").as(c)): _*))
+    val nState = to_json(struct(cols.map(c => col(s"n.$c").as(c)): _*))
+    o.join(n, col(s"o.$key") === col(s"n.$key"), "full_outer")
+      .select(
+        org.apache.spark.sql.functions.coalesce(col(s"n.$key"), col(s"o.$key")).as(key),
+        when(col(s"o.$key").isNull, lit("added"))
+          .when(col(s"n.$key").isNull, lit("removed"))
+          .when(oState =!= nState, lit("changed"))
+          .as("status"))
+      .filter(col("status").isNotNull)
+  }
+
   def merge(updates: DataFrame, batchId: Long, seqCol: Option[String] = None): Unit = {
     if (alreadyApplied(batchId)) return
     import org.apache.spark.sql.functions.col

@@ -93,6 +93,22 @@ class StreamingSpec extends SparkTestBase {
       Seq(Row("a", "4", null), Row("b", "9", "x"), Row("c", "3", "y")))
   }
 
+  test("version diff classifies added/changed/removed keys across publishes") {
+    val table = new KeyedTable(spark, tmp("diff"), "link")
+    table.merge(Seq(("a", "1"), ("b", "2")).toDF("link", "v"), batchId = 0L)
+    // b changes, c arrives with a NEW column (schema evolution): the diff
+    // compares common columns only, so a's unchanged state stays invisible
+    table.merge(Seq(("b", "9", "x"), ("c", "3", "y")).toDF("link", "v", "tag"), batchId = 1L)
+    val d01 = table.diff(0L, 1L).orderBy("link")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(d01 == Seq("b" -> "changed", "c" -> "added"))
+    // a compaction that deletes a key shows as removed
+    table.publish(table.read().get.filter(col("link") =!= "a"))
+    val d12 = table.diff(1L, 2L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(d12 == Seq("a" -> "removed"))
+  }
+
   test("T7 compact: delete-by-predicate republishes atomically with counts") {
     val table = new KeyedTable(spark, tmp("compact"), "link")
     table.merge(Seq(("a", 1), ("b", 9), ("c", 2)).toDF("link", "n"), batchId = 0L)
