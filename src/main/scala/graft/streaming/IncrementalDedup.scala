@@ -89,6 +89,48 @@ object IncrementalDedup {
       .filter(col("batch") =!= lit(batchId) && col("pb").isin(touched: _*))
       .select(col("doc_id"), col("band"), col("bh"), lit(false).as("is_new"))
 
+  // ---- document deletes -------------------------------------------------
+  //
+  // The index's takedown path, mirroring AnnIndex's tombstones: the
+  // SIGNATURE table is the source of truth (the delete removes its rows
+  // under the normal batch protocol), but the append-only band index still
+  // holds the deleted docs' rows until the next [[compactBands]] — so a
+  // tombstone layer under `<dir>/tombs` hides them from the stored-side
+  // probe immediately (a broadcast anti-join, bounded by deletes since the
+  // last compaction). compactBands rebuilds the bands from the now-clean
+  // signature table and clears the tombstones.
+
+  private[graft] def tombsPath(table: KeyedTable): String = table.dir + "/tombs"
+
+  /** The current tombstone set, if any. */
+  private def tombstones(table: KeyedTable): Option[DataFrame] = {
+    val spark = table.session
+    val store = tombsPath(table)
+    if (Fs.isDirectory(spark, store) && Fs.layerIds(spark, store).nonEmpty)
+      Some(spark.read.parquet(store).select("doc_id").distinct())
+    else None
+  }
+
+  /** Remove `ids` (any frame with a `doc_id` column) from the index under
+    * `batchId`. Replay-safe: the tombstone write is an idempotent dynamic
+    * overwrite of its own `batch=` partition, and the signature republish
+    * rides the table's applied guard.
+    */
+  def deleteDocs(table: KeyedTable, ids: DataFrame, batchId: Long): Unit = {
+    if (table.alreadyApplied(batchId)) return
+    ids.select("doc_id").distinct()
+      .withColumn("batch", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch")
+      .parquet(tombsPath(table))
+    table.read().foreach { sig =>
+      table.publish(
+        sig.join(broadcast(ids.select("doc_id").distinct()), Seq("doc_id"), "left_anti"),
+        Some(batchId))
+    }
+  }
+
   /** Rebuild the band index from the CURRENT signature table — the
     * maintenance compaction the index's append-only growth calls for: drops
     * band rows from re-indexed documents' previous texts (the documented
@@ -126,6 +168,14 @@ object IncrementalDedup {
       Fs.layerIds(spark, bands).filter(_ != gen).foreach { v =>
         Fs.deleteRecursively(spark, s"$bands/batch=$v")
       }
+      // the rebuild came from the post-delete signature table, so the
+      // tombstones are folded in — clear their layers (a crash before this
+      // leaves tombstones whose anti-join is a no-op over clean bands)
+      val tombs = tombsPath(table)
+      if (Fs.isDirectory(spark, tombs))
+        Fs.layerIds(spark, tombs).foreach { v =>
+          Fs.deleteRecursively(spark, s"$tombs/batch=$v")
+        }
     }
 
   /** Index `docs` (doc_id, text, ...) under `batchId` and return the near-dup
@@ -163,7 +213,16 @@ object IncrementalDedup {
     // inference on a parquet-less directory) — the batch still merges, so
     // its id is recorded as applied
     val allBands = if (touched.isEmpty) newTagged
-      else storedBands(spark, bands, touched, batchId).unionByName(newTagged)
+      else {
+        // deleted docs leave the stored-side probe immediately (tombstones
+        // are bounded by deletes since the last compaction — broadcast
+        // anti-join); constructed only here: with no touched partitions the
+        // bands dir may not exist yet and must not be read
+        val stored0 = storedBands(spark, bands, touched, batchId)
+        tombstones(table).fold(stored0)(t =>
+          stored0.join(broadcast(t), Seq("doc_id"), "left_anti"))
+          .unionByName(newTagged)
+      }
     val pairs = allBands
       // one row per (bucket, doc): a re-indexed doc appears with BOTH tags
       // and must not count twice toward the bucket cap

@@ -1,6 +1,6 @@
 package graft
 
-import graft.streaming.{IncrementalDedup, KeyedTable}
+import graft.streaming.{Fs, IncrementalDedup, KeyedTable}
 
 /** Incremental near-dup indexing ([[IncrementalDedup]]): new batches must
   * find pairs against the stored corpus without reprocessing old text, be
@@ -120,6 +120,45 @@ class IncrementalDedupSpec extends SparkTestBase {
     val gen2 = spark.read.parquet(bands)
     assert(gen2.count() == 12, s"second compaction kept ${gen2.count()} rows (want 3 docs x 4)")
     assert(gen2.select("batch").distinct().collect().map(_.getInt(0)).toSeq == Seq(-2))
+  }
+
+  test("deleteDocs: deleted docs stop pairing immediately; compaction folds the delete") {
+    val table = new KeyedTable(spark, tmp("delete"), "doc_id")
+    val b1 = Seq((1L, base), (2L, base + " tail"),
+      (3L, "completely unrelated words forming another doc")).toDF("doc_id", "text")
+    IncrementalDedup.processBatch(table, b1, 0L).unpersist()
+
+    // delete doc 1: signature row gone, tombstone written
+    IncrementalDedup.deleteDocs(table, Seq(1L).toDF("doc_id"), 1L)
+    assert(table.read().get.select("doc_id").as[Long].collect().toSet == Set(2L, 3L))
+
+    // a new near-dup of the DELETED doc pairs only with the survivor —
+    // the band index still holds doc 1's rows, the tombstone hides them
+    val b2 = Seq((4L, base)).toDF("doc_id", "text")
+    val p2 = IncrementalDedup.processBatch(table, b2, 2L)
+    val got = p2.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    p2.unpersist()
+    assert(got.contains((2L, 4L)), s"survivor pair missed: $got")
+    assert(!got.exists(p => p._1 == 1L || p._2 == 1L), s"deleted doc paired: $got")
+
+    // replayed delete batch id: refused by the table's applied guard
+    IncrementalDedup.deleteDocs(table, Seq(2L).toDF("doc_id"), 1L)
+    assert(table.read().get.count() == 3) // 2, 3, 4 — nothing re-deleted
+
+    // compaction rebuilds bands from the clean signature table and clears
+    // the tombstones; the deleted doc stays gone
+    IncrementalDedup.compactBands(table)
+    assert(Fs.layerIds(spark, IncrementalDedup.tombsPath(table)).isEmpty,
+      "compaction did not clear the tombstone layers")
+    val bandDocs = spark.read.parquet(IncrementalDedup.bandsPath(table))
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(!bandDocs.contains(1L), "compaction kept the deleted doc's band rows")
+    val b3 = Seq((6L, base)).toDF("doc_id", "text")
+    val p3 = IncrementalDedup.processBatch(table, b3, 3L)
+    val got3 = p3.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    p3.unpersist()
+    assert(got3.contains((2L, 6L)) && got3.contains((4L, 6L)), s"post-compact pairs: $got3")
+    assert(!got3.exists(p => p._1 == 1L || p._2 == 1L))
   }
 
   test("a crash between the band write and the signature merge replays cleanly") {
