@@ -426,4 +426,118 @@ object AnnIndex {
         .localCheckpoint(true) // see search: frees the probe cache eagerly
     } finally pb.unpersist()
   }
+
+  // ---------------------------------------------------------------------
+  // Composed IVF+PQ index (the FAISS IVFADC deployment shape): coarse
+  // lists give the probe-time pruning (read NProbe of the k `cid=`
+  // partitions), PQ codes give the memory envelope (8-byte codes instead
+  // of raw vectors — the store a 1000-executor cluster can actually hold
+  // hot). A search ADC-scores ONLY the probed lists' codes against the
+  // stored PQ codebooks, shortlists PqShort per probe, and exact-re-ranks
+  // by fetching raw vectors for the constant-size shortlist from the
+  // caller's base table — so the raw data is touched O(probes), never
+  // O(corpus). Appends and tombstones ride the same batch protocol as the
+  // flat stores; codebooks (coarse + PQ) are FIXED at build time.
+  // ---------------------------------------------------------------------
+
+  private def pqCodesPath(dir: String) = dir + "/pqcodes"
+  private def pqBookPath(dir: String)  = dir + "/pqbook"
+
+  /** One codes layer: (vec_id, codes, cid) under the fixed codebooks. */
+  private def writePqLayer(vectors: DataFrame, coarse: Seq[Seq[Long]],
+      pq: Seq[Seq[(Int, Seq[Long])]], indexDir: String, batchId: Long,
+      full: Boolean): Unit = {
+    val w = vectors
+      .withColumn("cid", SQ.cidColOf(coarse))
+      .withColumn("codes", SQ.pqCodesCol(pq))
+      .select("vec_id", "codes", "cid")
+      .withColumn("batch", lit(batchId))
+      .write.mode("overwrite")
+    (if (full) w else w.option("partitionOverwriteMode", "dynamic"))
+      .partitionBy("batch", "cid")
+      .parquet(pqCodesPath(indexDir))
+  }
+
+  /** Build the composed index from explicit codebooks — also the spec's
+    * rebuild-for-parity path.
+    */
+  private[graft] def buildIvfPqFrom(s: SparkSession, vectorsRaw: DataFrame,
+      coarse: Seq[(Int, Seq[Long])], pq: Seq[Seq[(Int, Seq[Long])]],
+      indexDir: String): Unit = {
+    writePqLayer(corpusOf(vectorsRaw), coarse.map(_._2), pq, indexDir, -1L, full = true)
+    markApplied(s, pqCodesPath(indexDir), -1L)
+    import s.implicits._
+    coarse.toDF("cid", "cq")
+      .coalesce(1).write.mode("overwrite").parquet(codebookPath(indexDir))
+    pq.zipWithIndex
+      .flatMap { case (cs, m) => cs.map { case (c, v) => (m, c, v) } }
+      .toDF("m", "code", "cq")
+      .coalesce(1).write.mode("overwrite").parquet(pqBookPath(indexDir))
+  }
+
+  /** Train both codebooks (the graded queries' own constructions) and
+    * build the composed index.
+    */
+  def buildIvfPq(s: SparkSession, sfDir: String, indexDir: String): Unit =
+    buildIvfPqFrom(s, Tables.embeddings(s, sfDir),
+      SQ.trainCodebook(s, sfDir), SQ.trainPq(s, sfDir), indexDir)
+
+  /** Index one micro-batch of new vectors under the FIXED codebooks. */
+  def appendBatchPq(s: SparkSession, indexDir: String, vectors: DataFrame,
+      batchId: Long): Boolean = {
+    val store = pqCodesPath(indexDir)
+    if (lastApplied(s, store) >= batchId) false
+    else {
+      writePqLayer(corpusOf(vectors), codebook(s, indexDir),
+        pqCodebooks(s, indexDir), indexDir, batchId, full = false)
+      markApplied(s, store, batchId)
+      true
+    }
+  }
+
+  /** Fold the codes store's batch layers; tombstoned vectors drop. */
+  def compactIndexPq(s: SparkSession, indexDir: String): Unit = {
+    compactStore(s, pqCodesPath(indexDir), Seq("cid"), sweep = true,
+      minus = tombstones(s, indexDir))
+    clearTombstones(s, indexDir)
+  }
+
+  /** The stored PQ codebooks, code-id order within each subspace. */
+  private def pqCodebooks(s: SparkSession, indexDir: String): Seq[Seq[(Int, Seq[Long])]] = {
+    val rows = s.read.parquet(pqBookPath(indexDir))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2)))
+    (0 until SQ.PqM).map(m =>
+      rows.filter(_._1 == m).map(r => (r._2, r._3.toSeq)).sortBy(_._1).toSeq)
+  }
+
+  /** Top-3 cosine neighbors against the composed index. `raw` supplies the
+    * (vec_id, q, n2) rows the exact re-rank fetches — only shortlist ids
+    * are ever joined against it.
+    */
+  def searchIvfPq(s: SparkSession, indexDir: String, probes: DataFrame,
+      raw: DataFrame): DataFrame = {
+    val coarse = codebook(s, indexDir)
+    val pq     = pqCodebooks(s, indexDir)
+    val lut    = typedlit(pq.map(_.map(_._2)))
+    val probeCids = probeCidsOf(probes, coarse).persist()
+    try {
+      val touched = probeCids.select("cid").distinct().collect().map(_.getInt(0)).toSeq
+      val codes = s.read.parquet(pqCodesPath(indexDir))
+        .filter(col("cid").isin(touched: _*))
+        .select("cid", "vec_id", "codes")
+      val adc = (0 until SQ.PqM).map { m =>
+        dotLong(slice(col("qq"), m * SQ.PqSubDim + 1, SQ.PqSubDim),
+          element_at(element_at(lut, m + 1), col("codes")(m) + 1))
+      }.reduce(_ + _)
+      val shortlist = minusTombs(s, indexDir,
+        codes.join(probeCids, "cid").dropDuplicates("qid", "vec_id"))
+        .withColumn("adc", adc)
+        .withColumn("srank", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("vec_id").asc)))
+        .filter(col("srank") <= SQ.PqShort)
+        .select("qid", "qq", "qn", "vec_id")
+      scoreTop3(shortlist.join(raw.select("vec_id", "q", "n2"), "vec_id"))
+        .localCheckpoint(true) // frees the probe cache eagerly (see search)
+    } finally probeCids.unpersist()
+  }
 }

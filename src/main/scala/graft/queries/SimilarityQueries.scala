@@ -202,7 +202,7 @@ object SimilarityQueries {
     * first-min index tie-break equals the oracle's (cost ASC, cid ASC)
     * row_number.
     */
-  private def pqCodesCol(cents: Seq[Seq[(Int, Seq[Long])]]): Column =
+  private[graft] def pqCodesCol(cents: Seq[Seq[(Int, Seq[Long])]]): Column =
     array((0 until PqM).map { m =>
       val costs = array(cents(m).map { case (_, c) =>
         // typedlit: ONE Literal node per centroid vector instead of a

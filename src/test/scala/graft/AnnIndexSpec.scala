@@ -211,6 +211,58 @@ class AnnIndexSpec extends SparkTestBase {
       "duplicate rows from a re-appended batch leaked into the top-3")
   }
 
+  test("IVF+PQ composed index: recall floor, determinism, append parity, tombstones") {
+    import org.apache.spark.sql.functions.col
+    val raw    = Tables.embeddings(spark, dir)
+    val rawC   = AnnIndex.corpusOf(raw) // (vec_id, q, n2) for the re-rank fetch
+    val probes = AnnIndex.probeWorkload(spark, dir)
+
+    val idx = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    AnnIndex.buildIvfPq(spark, dir, idx)
+    val got = top3(AnnIndex.searchIvfPq(spark, idx, probes, rawC))
+
+    // recall@3 against the exact brute-force query: probing 4/16 lists AND
+    // ranking compressed codes, on a ~uniform-sphere corpus (PQ's worst
+    // case) — floor well below observed, same convention as AnnRecallSpec
+    val exact = SparkEntry.queries("q_cosine_topk")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+    val mine: Map[Long, Set[Long]] =
+      got.map(r => (r._1, r._3)).groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val recalls = exact.map { case (qid, ex) =>
+      val g = mine.getOrElse(qid, Set.empty[Long])
+      ex.count(e => g.contains(e._2)).toDouble / ex.length
+    }.toSeq
+    val recall = recalls.sum / recalls.size
+    assert(recall >= 0.45, f"IVF+PQ recall@3 $recall%.3f below floor")
+    assert(recall > 0.0, "vacuous recall")
+
+    // determinism: a second search returns the identical ranking
+    assert(top3(AnnIndex.searchIvfPq(spark, idx, probes, rawC)) == got)
+
+    // append parity under the SAME codebooks: build on 2/3, append 1/3
+    val coarse = graft.queries.SimilarityQueries.trainCodebook(spark, dir)
+    val pq     = graft.queries.SimilarityQueries.trainPq(spark, dir)
+    val inc = java.nio.file.Files.createTempDirectory("ivfpq_inc").toString
+    AnnIndex.buildIvfPqFrom(spark, raw.filter(col("vec_id") % 3 =!= 0), coarse, pq, inc)
+    assert(AnnIndex.appendBatchPq(spark, inc, raw.filter(col("vec_id") % 3 === 0), 0L))
+    val reb = java.nio.file.Files.createTempDirectory("ivfpq_reb").toString
+    AnnIndex.buildIvfPqFrom(spark, raw, coarse, pq, reb)
+    assert(top3(AnnIndex.searchIvfPq(spark, inc, probes, rawC)) ==
+      top3(AnnIndex.searchIvfPq(spark, reb, probes, rawC)),
+      "appended IVF+PQ index diverged from the same-codebook rebuild")
+    assert(!AnnIndex.appendBatchPq(spark, inc, raw.filter(col("vec_id") % 3 === 0), 0L))
+
+    // tombstoned ids leave the shortlist before ranking
+    val victims = got.filter(_._2 == 1L).map(_._3).distinct
+    import spark.implicits._
+    assert(AnnIndex.deleteIds(spark, idx, victims.toDF("vec_id"), 0L))
+    val after = top3(AnnIndex.searchIvfPq(spark, idx, probes, rawC))
+    assert(!after.exists(r => victims.contains(r._3)), "deleted id survived in top-3")
+    // compaction folds the delete into the codes store and clears tombs
+    AnnIndex.compactIndexPq(spark, idx)
+    assert(top3(AnnIndex.searchIvfPq(spark, idx, probes, rawC)) == after)
+  }
+
   test("tombstone deletes: visible immediately, rebuild parity, compaction drops + clears") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
