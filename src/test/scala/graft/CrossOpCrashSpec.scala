@@ -153,6 +153,67 @@ class CrossOpCrashSpec extends SparkTestBase {
     assert(endState(t) == want)
   }
 
+  test("deletes interleaved with batches converge to the delete-at-end survivor state") {
+    // the takedown paths (dedup deleteDocs, ANN deleteIds) must commute
+    // with later batches at the STORE level: deleting before batch 2 (so
+    // batch 2 never pairs/ranks against the victims) and deleting after
+    // batch 2 end in the same signature table and the same search results
+    // — pair EMISSION differs by design (that's why you delete early), the
+    // persisted survivor state must not. A maintenance epoch between
+    // guards the delete+compact interaction.
+    import spark.implicits._
+    // deterministic victim sets — an unordered limit() could pick
+    // different rows on each evaluation
+    val docVictims = batch(0).select("doc_id").filter(col("doc_id") < 20)
+    val vecVictims = vecBatch(0L).select(col("vec_id")).filter(col("vec_id") < 20)
+
+    def dedupRows(t: Quad) =
+      t.dedup.read().get.collect().map(_.toString).sorted.toSeq
+    def annRows(t: Quad) =
+      AnnIndex.searchLsh(spark, t.annDir, probes).collect().map(_.toString).sorted.toSeq
+    // runBatch derives the vector slice from the batch id — after the
+    // delete consumed an id, data index and id diverge, so feed the five
+    // ops the data slice explicitly
+    def runBatchAt(t: Quad, dataIdx: Long, id: Long): Unit = {
+      IncrementalDedup.processBatch(t.dedup, batch(dataIdx), id).unpersist()
+      Sketches.updateCms(t.cms, batch(dataIdx), id)
+      Sketches.updateDsirModel(t.dsir, batch(dataIdx), id)
+      Packing.updatePacked(t.pack, batch(dataIdx), id)
+      AnnIndex.appendBatchLsh(spark, t.annDir, vecBatch(dataIdx), id)
+      ()
+    }
+
+    // delete EARLY: after batch 1, with a maintenance epoch before the
+    // last doc batch — the delete consumes the next id in the stream's
+    // sequence (the applied pointer is monotonic; an out-of-order id would
+    // make every later batch look like a replay)
+    val early = mkQuad("delearly")
+    runBatch(early, batch(0), 0L)
+    runBatch(early, batch(1), 1L)
+    IncrementalDedup.deleteDocs(early.dedup, docVictims, 2L)
+    AnnIndex.deleteIds(spark, early.annDir, vecVictims.toDF(), 2L)
+    IncrementalDedup.compactBands(early.dedup)
+    AnnIndex.compactIndexLsh(spark, early.annDir)
+    runBatchAt(early, 2L, 3L)
+
+    // delete LATE: all three batches first, then the same deletes + compact
+    val late = mkQuad("dellate")
+    (0L to 2L).foreach(i => runBatch(late, batch(i), i))
+    IncrementalDedup.deleteDocs(late.dedup, docVictims, 3L)
+    AnnIndex.deleteIds(spark, late.annDir, vecVictims.toDF(), 3L)
+    IncrementalDedup.compactBands(late.dedup)
+    AnnIndex.compactIndexLsh(spark, late.annDir)
+
+    assert(dedupRows(early) == dedupRows(late),
+      "signature tables diverge between delete-early and delete-late")
+    assert(annRows(early) == annRows(late),
+      "ANN results diverge between delete-early and delete-late")
+    // non-vacuous: the victims really were removed
+    val victims = docVictims.as[Long].collect().toSet
+    val kept = late.dedup.read().get.select("doc_id").as[Long].collect().toSet
+    assert(victims.nonEmpty && victims.forall(v => !kept.contains(v)))
+  }
+
   test("streamed packing end state equals the graded batch query's assignment") {
     val t = mkQuad("parity")
     (0L to 2L).foreach(i => runBatch(t, batch(i), i))
