@@ -70,6 +70,15 @@ object DedupQueries {
     array((0 until BloomK).map(j =>
       expr(s"(${hash60Sql(s"concat('bloom$j:', shingle)")}) % $BloomBits")): _*)
 
+  /** Suffix-prefix cap (tokens materialized per suffix) and minimum
+    * reportable span length for the suffix-ordered dup-span query
+    * (q_longest_dup_span). SfxK bounds the per-row payload AND the
+    * reportable span; MinSpan must stay ≥ 2 so the leading-2-gram window
+    * bucketing stays exact (cross-bucket pairs share < 2 tokens < MinSpan).
+    */
+  private[graft] val SfxK    = 12
+  private[graft] val MinSpan = 3
+
   /** SimHash blocking rotations: pass p rotates the 32-bit fingerprint left
     * by this many bits before taking the top-16 block. 0 first (identity —
     * keeps the single-pass result a subset of the multi-pass one), then two
@@ -1211,6 +1220,111 @@ object DedupQueries {
               |       (inter * 10000) // (x.c + y.c - inter) AS jaccard_bp
               |FROM ix JOIN sz x ON x.source = ix.s1 JOIN sz y ON y.source = ix.s2
               |ORDER BY s1, s2""".stripMargin)
+    ),
+
+    // E1m suffix-ordered maximal duplicated span (the suffix-array exact
+    // substring dedup of Lee et al. 2022, "Deduplicating Training Data
+    // Makes Language Models Better", re-expressed relationally): sort every
+    // token suffix (prefix-capped at SfxK tokens), compare each suffix with
+    // its sorted NEIGHBORS from other documents, and report per document
+    // the longest token span that appears verbatim elsewhere — arbitrary
+    // span length in ONE pass, where the shingle approach (E1j) would need
+    // one explode per candidate length.
+    //
+    // Correctness: in token-lexicographic order the other-doc suffix with
+    // the longest common prefix is always reachable through adjacent pairs
+    // (lcp to a non-adjacent row is the min of the adjacent lcps between
+    // them), so a doc's max over its rows' lag/lead comparisons IS the true
+    // max. Space-joined string order equals token order here because ' '
+    // sorts below every token character. The lcp itself is branch-free:
+    // first `false` position in the element-wise equality array of the two
+    // min-length-trimmed prefixes.
+    //
+    // Scale shape: suffixes are O(total tokens) rows carrying a constant
+    // SfxK-token payload; the ONE window partitions by the suffix's leading
+    // 2-gram (vocab²-cardinality buckets — suffix pairs in different
+    // buckets share < 2 leading tokens, so they can never reach the
+    // MinSpan = 3 report threshold) and sorts only within bucket. No pair
+    // expansion anywhere — the sort IS the candidate structure, which is
+    // exactly why suffix arrays beat n-gram explosion at long span lengths.
+    GraftQuery(
+      "q_longest_dup_span",
+      "per-doc longest token span duplicated verbatim in another doc (suffix-ordered)",
+      (s, dir) => {
+        val d = Tables.spread(Tables.documents(s, dir))
+          .select(col("doc_id"), expr(wordsSql).as("ws"))
+        val sfx = d.filter(size(col("ws")) >= MinSpan)
+          .select(col("doc_id"), explode(expr(
+            s"transform(sequence(1, size(ws) - ${MinSpan - 1}), " +
+              s"i -> named_struct('pos', i, 'sfx', slice(ws, i, $SfxK)))")).as("p"))
+          .select(col("doc_id"), col("p.pos").as("pos"), col("p.sfx").as("sfx"))
+          .withColumn("b", expr("concat_ws(' ', sfx[0], sfx[1])"))
+          .withColumn("key", concat_ws(" ", col("sfx")))
+        val w = Window.partitionBy("b").orderBy("key", "doc_id", "pos")
+        val spans = sfx
+          .withColumn("p_sfx", lag(col("sfx"), 1).over(w))
+          .withColumn("p_doc", lag(col("doc_id"), 1).over(w))
+          .withColumn("n_sfx", lead(col("sfx"), 1).over(w))
+          .withColumn("n_doc", lead(col("doc_id"), 1).over(w))
+          .withColumn("span",
+            greatest(expr(lcpSql("sfx", "p_sfx", "p_doc")),
+              expr(lcpSql("sfx", "n_sfx", "n_doc"))))
+          .groupBy("doc_id")
+          .agg(max(expr(s"if(span >= $MinSpan, span, cast(0 as bigint))"))
+            .as("longest_dup"))
+        d.select("doc_id")
+          .join(spans, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("longest_dup"), lit(0L)).as("longest_dup"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, $duckWordsSql AS ws FROM documents),
+              |sfx AS (
+              |  SELECT doc_id, i AS pos, ws[i : i + ${SfxK - 1}] AS sfx
+              |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i
+              |        FROM d WHERE len(ws) >= $MinSpan) t),
+              |s AS (
+              |  SELECT doc_id, pos, sfx, sfx[1] || ' ' || sfx[2] AS b,
+              |         array_to_string(sfx, ' ') AS key
+              |  FROM sfx),
+              |nb AS (
+              |  SELECT doc_id, sfx,
+              |         lag(sfx) OVER w AS p_sfx, lag(doc_id) OVER w AS p_doc,
+              |         lead(sfx) OVER w AS n_sfx, lead(doc_id) OVER w AS n_doc
+              |  FROM s WINDOW w AS (PARTITION BY b ORDER BY key, doc_id, pos)),
+              |v AS (
+              |  SELECT doc_id,
+              |         greatest(${duckLcpSql("sfx", "p_sfx", "p_doc")},
+              |                  ${duckLcpSql("sfx", "n_sfx", "n_doc")}) AS span
+              |  FROM nb),
+              |a AS (
+              |  SELECT doc_id,
+              |         max(CASE WHEN span >= $MinSpan THEN span ELSE 0 END) AS longest_dup
+              |  FROM v GROUP BY doc_id)
+              |SELECT d.doc_id, CAST(coalesce(a.longest_dup, 0) AS BIGINT) AS longest_dup
+              |FROM (SELECT doc_id FROM documents) d LEFT JOIN a USING (doc_id)
+              |ORDER BY doc_id""".stripMargin)
     )
   )
+
+  /** Token-LCP of suffix array columns `a` and `nb` gated on the neighbor
+    * belonging to ANOTHER document (`nbDoc`): 0 when absent or same-doc,
+    * else the 0-based index of the first element-wise mismatch of the two
+    * min-length-trimmed prefixes (no mismatch → the shorter length).
+    */
+  private def lcpSql(a: String, nb: String, nbDoc: String): String =
+    s"if($nb is null or $nbDoc = doc_id, cast(0 as bigint), " +
+      s"cast(coalesce(nullif(array_position(zip_with(slice($a, 1, size($nb)), " +
+      s"slice($nb, 1, size($a)), (x, y) -> x <=> y), false), 0) - 1, " +
+      s"least(size($a), size($nb))) as bigint))"
+
+  /** DuckDB twin of [[lcpSql]] — the same nullif(…, 0) guard as the Spark
+    * side (DuckDB's list_position reports not-found as 0, exactly like
+    * Spark's array_position; an all-equal prefix must fall through to the
+    * min length, not to 0−1 = −1).
+    */
+  private def duckLcpSql(a: String, nb: String, nbDoc: String): String =
+    s"CASE WHEN $nb IS NULL OR $nbDoc = doc_id THEN 0 ELSE " +
+      s"coalesce(nullif(list_position(list_transform(range(1, least(len($a), len($nb)) + 1), " +
+      s"i -> $a[i] = $nb[i]), false), 0) - 1, least(len($a), len($nb))) END"
 }

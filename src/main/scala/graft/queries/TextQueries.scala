@@ -100,6 +100,15 @@ object TextQueries {
     */
   private val NShards = 8L
 
+  /** Gopher-rule thresholds (q_gopher_rules), corpus-scaled — the synthetic
+    * docs run ~10–110 words from a ~40-word vocabulary; the paper's
+    * production values are 50..100k words and a 20% top-word cap.
+    * Constants, not data-derived: the rule battery must stay one scan.
+    */
+  private val GopherMinWords = 20L
+  private val GopherMaxWords = 100L
+  private val GopherTopMilli = 125L
+
   /** Count-min sketch geometry: depth = independent salted hash rows
     * (error probability delta = e^-D), width = counters per row (error
     * eps = e/W of the total count).
@@ -1434,6 +1443,117 @@ object TextQueries {
            |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)) // n_docs AS pctl_hi_bp
            |FROM hist, tot ORDER BY bucket""".stripMargin
       }
+    ),
+
+    // E3af Gopher-style rule filter (Rae et al. 2021, Appendix A1.1): the
+    // battery of cheap per-document heuristics a pre-training corpus is
+    // gated on BEFORE any model-based scoring — word-count bounds, mean
+    // word length bounds, stopword presence, and a top-word repetition cap
+    // — each reported as its own bit so a curation run can audit WHICH rule
+    // killed a document, plus the conjunction. Thresholds are corpus-scaled
+    // constants (a deployment sets the paper's 50..100k etc.); every signal
+    // is exact integer arithmetic (milli-units, no ratios through floats).
+    //
+    // Scale shape: entirely ROW-LOCAL array lambdas inside the one
+    // documents scan — no shuffle before the output sort. The top-word
+    // count is O(|distinct| · |words|) per row, bounded by the document
+    // length squared at worst and by vocab · length in practice.
+    GraftQuery(
+      "q_gopher_rules",
+      "Gopher-style per-doc rule bits: word count, mean word length, stopwords, top-word cap",
+      (s, dir) => {
+        val stops = inList(Markers.flatMap(_._2).distinct.sorted)
+        Tables.documents(s, dir)
+          .withColumn("words", expr(wordsSql))
+          .withColumn("n_words", expr("cast(size(words) as bigint)"))
+          .withColumn("mean_len_milli", expr(
+            "(1000 * aggregate(words, cast(0 as bigint), (acc, w) -> acc + char_length(w)))" +
+              " div greatest(n_words, 1)"))
+          .withColumn("n_stop", expr(
+            s"cast(size(filter(array($stops), sw -> array_contains(words, sw))) as bigint)"))
+          .withColumn("top_milli", expr(
+            "(1000 * cast(array_max(transform(array_distinct(words), " +
+              "u -> size(filter(words, x -> x = u)))) as bigint)) div greatest(n_words, 1)"))
+          .withColumn("r_count", expr(
+            s"cast(if(n_words between $GopherMinWords and $GopherMaxWords, 1, 0) as bigint)"))
+          .withColumn("r_len", expr(
+            "cast(if(mean_len_milli between 3000 and 10000, 1, 0) as bigint)"))
+          .withColumn("r_stop", expr("cast(if(n_stop >= 2, 1, 0) as bigint)"))
+          .withColumn("r_rep", expr(
+            s"cast(if(top_milli <= $GopherTopMilli, 1, 0) as bigint)"))
+          .withColumn("pass", expr("r_count * r_len * r_stop * r_rep"))
+          .select("doc_id", "n_words", "mean_len_milli", "n_stop", "top_milli",
+            "r_count", "r_len", "r_stop", "r_rep", "pass")
+          .orderBy("doc_id")
+      },
+      Some {
+        val stops = inList(Markers.flatMap(_._2).distinct.sorted)
+        s"""WITH d AS (SELECT doc_id, $duckWordsSql AS words FROM documents),
+           |m AS (
+           |  SELECT doc_id,
+           |    CAST(len(words) AS BIGINT) AS n_words,
+           |    (1000 * CAST(coalesce(list_sum(list_transform(words, w -> len(w))), 0) AS BIGINT))
+           |      // greatest(CAST(len(words) AS BIGINT), 1) AS mean_len_milli,
+           |    CAST(len(list_filter([$stops], sw -> list_contains(words, sw))) AS BIGINT) AS n_stop,
+           |    (1000 * CAST(list_max(list_transform(list_distinct(words),
+           |        u -> len(list_filter(words, x -> x = u)))) AS BIGINT))
+           |      // greatest(CAST(len(words) AS BIGINT), 1) AS top_milli
+           |  FROM d)
+           |SELECT doc_id, n_words, mean_len_milli, n_stop, top_milli,
+           |  CAST(CASE WHEN n_words BETWEEN $GopherMinWords AND $GopherMaxWords THEN 1 ELSE 0 END AS BIGINT) AS r_count,
+           |  CAST(CASE WHEN mean_len_milli BETWEEN 3000 AND 10000 THEN 1 ELSE 0 END AS BIGINT) AS r_len,
+           |  CAST(CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS r_stop,
+           |  CAST(CASE WHEN top_milli <= $GopherTopMilli THEN 1 ELSE 0 END AS BIGINT) AS r_rep,
+           |  CAST(CASE WHEN n_words BETWEEN $GopherMinWords AND $GopherMaxWords THEN 1 ELSE 0 END
+           |     * CASE WHEN mean_len_milli BETWEEN 3000 AND 10000 THEN 1 ELSE 0 END
+           |     * CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END
+           |     * CASE WHEN top_milli <= $GopherTopMilli THEN 1 ELSE 0 END AS BIGINT) AS pass
+           |FROM m ORDER BY doc_id""".stripMargin
+      }
+    ),
+
+    // E3ag unigram-entropy diversity score: the integer floor-log2 skeleton
+    // of per-document Shannon entropy over word frequencies —
+    // H ≈ Σ_u c_u · (⌊log2 n⌋ − ⌊log2 c_u⌋) in milli-bits per token. Low
+    // entropy = template/boilerplate text (the complement of E3i's
+    // repeated-2-gram signal: entropy catches "same few words shuffled",
+    // repetition catches "same phrase verbatim"). floor(log2 x) =
+    // length(bin(x)) − 1 in both engines, so like q_lm_score the score
+    // never touches a transcendental two engines could round differently.
+    //
+    // Scale shape: entirely ROW-LOCAL — the frequency histogram is an array
+    // lambda over the words array, never a shuffle; one scan, output sort
+    // only. The E3a-style per-language rollup composes downstream if wanted.
+    GraftQuery(
+      "q_word_entropy",
+      "per-doc unigram diversity: integer-log2 Shannon skeleton, milli-bits per token",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .withColumn("words", expr(wordsSql))
+          .withColumn("n_words", expr("cast(size(words) as bigint)"))
+          .withColumn("n_distinct", expr("cast(size(array_distinct(words)) as bigint)"))
+          .withColumn("ent_total", expr(
+            "aggregate(transform(array_distinct(words), " +
+              "u -> cast(size(filter(words, x -> x = u)) as bigint)), " +
+              "cast(0 as bigint), (acc, c) -> acc + c * " +
+              "((length(bin(n_words)) - 1) - (length(bin(c)) - 1)))"))
+          .withColumn("ent_milli", expr("(1000 * ent_total) div greatest(n_words, 1)"))
+          .select("doc_id", "n_words", "n_distinct", "ent_total", "ent_milli")
+          .orderBy("doc_id"),
+      Some(s"""WITH d AS (SELECT doc_id, $duckWordsSql AS words FROM documents),
+              |m AS (
+              |  SELECT doc_id,
+              |    CAST(len(words) AS BIGINT) AS n_words,
+              |    CAST(len(list_distinct(words)) AS BIGINT) AS n_distinct,
+              |    CAST(coalesce(list_sum(list_transform(
+              |      list_transform(list_distinct(words),
+              |        u -> len(list_filter(words, x -> x = u))),
+              |      c -> c * ((length(bin(CAST(len(words) AS BIGINT))) - 1)
+              |              - (length(bin(CAST(c AS BIGINT))) - 1)))), 0) AS BIGINT) AS ent_total
+              |  FROM d)
+              |SELECT doc_id, n_words, n_distinct, ent_total,
+              |       (1000 * ent_total) // greatest(n_words, 1) AS ent_milli
+              |FROM m ORDER BY doc_id""".stripMargin)
     )
   )
 

@@ -55,7 +55,10 @@ object ScaleSmoke {
     "q_score_calibrate",   // 250-bp score histogram: bounded buckets, cumulative window stays <= 41 rows
     "q_bmp_gif_dims",      // header synth+parse: row-local byte math, pure scan
     "q_dedup_curve",       // one exact-verify pass x 4 threshold folds: cap-bound pairs
-    "q_text_normalize")    // dirty+normalize round-trip: row-local string ops, pure scan
+    "q_text_normalize",    // dirty+normalize round-trip: row-local string ops, pure scan
+    "q_longest_dup_span",  // suffix sort: O(tokens) rows, 2-gram-bucketed window, no pair expansion
+    "q_gopher_rules",      // rule battery: row-local array lambdas, pure scan
+    "q_word_entropy")      // entropy skeleton: row-local frequency lambda, pure scan
   // q_semdedup is deliberately NOT gated: its 100 TB story is "cluster count
   // k scales with N" (SemDeDup's 50k-cluster rule), but the graded query
   // fixes k=16, so replica inflation grows cluster populations — and the
