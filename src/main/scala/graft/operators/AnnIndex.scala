@@ -518,20 +518,27 @@ object AnnIndex {
       raw: DataFrame): DataFrame = {
     val coarse = codebook(s, indexDir)
     val pq     = pqCodebooks(s, indexDir)
-    val lut    = typedlit(pq.map(_.map(_._2)))
-    val probeCids = probeCidsOf(probes, coarse).persist()
+    // per-probe ADC distance table computed ONCE per probe row (PqM·PqK
+    // dots), so the corpus-sized scoring path below is pure table lookups —
+    // same move as the graded q_pq_adc (SQ.pqAdcTableCol scaladoc)
+    val probeCids = probeCidsOf(probes, coarse)
+      .withColumn("tbl", SQ.pqAdcTableCol(pq, col("qq")))
+      .persist()
     try {
       val touched = probeCids.select("cid").distinct().collect().map(_.getInt(0)).toSeq
       val codes = s.read.parquet(pqCodesPath(indexDir))
         .filter(col("cid").isin(touched: _*))
         .select("cid", "vec_id", "codes")
-      val adc = (0 until SQ.PqM).map { m =>
-        dotLong(slice(col("qq"), m * SQ.PqSubDim + 1, SQ.PqSubDim),
-          element_at(element_at(lut, m + 1), col("codes")(m) + 1))
-      }.reduce(_ + _)
+      // adc is computed in the projection straight off the join and `tbl`
+      // dropped in the same breath, so the dedup shuffle and the shortlist
+      // window move slim (qid, vec_id, adc) rows, never the table payload;
+      // adc is deterministic per (qid, vec_id), so dedup-after-score is
+      // equivalent to the score-after-dedup order it replaced
+      val scored = codes.join(probeCids, "cid")
+        .withColumn("adc", SQ.pqAdcLookupCol(col("tbl"), col("codes")))
+        .select("qid", "qq", "qn", "vec_id", "adc")
       val shortlist = minusTombs(s, indexDir,
-        codes.join(probeCids, "cid").dropDuplicates("qid", "vec_id"))
-        .withColumn("adc", adc)
+        scored.dropDuplicates("qid", "vec_id"))
         .withColumn("srank", row_number().over(
           Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("vec_id").asc)))
         .filter(col("srank") <= SQ.PqShort)

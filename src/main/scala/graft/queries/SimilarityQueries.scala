@@ -267,32 +267,81 @@ object SimilarityQueries {
       .select("vec_id", "q")
 
   /** The full ADC stage: (qid, vec_id, adc) for every probe × encoded
-    * corpus vector — the probe's exact subvectors against the corpus
-    * side's code centroids via a literal LUT, PqM codegen'd lookups + adds
-    * per row. Shared by the graded query (which shortlists + re-ranks on
-    * top) and AnnRecallSpec (which pins estimator quality on THIS
-    * unrestricted population — Pearson over the final re-ranked rows alone
-    * is range-restricted into noise).
+    * corpus vector. This is PQ's asymmetric-distance-computation table
+    * trick proper: each probe's subvector dots against every codebook
+    * centroid are precomputed ONCE into a probe-side table (NProbes × PqM ×
+    * PqK longs — bounded by the fixed probe workload, O(1) in the corpus,
+    * the same driver-side constant as the codebooks themselves), so the
+    * per-(probe, vector) work degenerates to PqM table lookups + adds — no
+    * dot products, no array slices on the corpus-sized path. The previous
+    * form evaluated PqM dotLong(slice(qq), centroid) kernels per PAIR,
+    * which profiled ~5× slower (interpreted slice+dot per 40k pairs
+    * dominated the whole graded query). Shared by the graded query (which
+    * shortlists + re-ranks on top) and AnnRecallSpec (which pins estimator
+    * quality on THIS unrestricted population — Pearson over the final
+    * re-ranked rows alone is range-restricted into noise).
     */
   private[graft] def pqAdcPairs(s: org.apache.spark.sql.SparkSession, dir: String,
       cents: Seq[Seq[(Int, Seq[Long])]]): org.apache.spark.sql.DataFrame = {
     val base = pqBase(s, dir)
-    // literal LUT: m -> surviving-code index -> PqSubDim components — a
-    // single typedlit Literal (Dim·PqK longs of DATA, one tree NODE), not
-    // nested CreateArrays of individual lits (see pqCodesCol)
-    val lut = typedlit(cents.map(_.map(_._2)))
+    // probe vectors to the driver: ≤ |ProbeIds| rows of Dim longs — the
+    // probe workload is a fixed literal list, so this is bounded metadata
+    // of the same class as the collected codebook itself. Folding the
+    // probe tables into ONE literal beats the broadcast-join twin
+    // ([[pqAdcTableCol]] on the probe frame, as searchIvfPq must do for
+    // its caller-supplied probes) by ~1 s here: the corpus side pays a
+    // 10-element literal explode instead of a nested-loop broadcast join,
+    // and adc reads a literal, not a joined row.
+    val probeRows = base.filter(col("vec_id").isin(ProbeIds: _*))
+      .select(col("vec_id"), col("q"))
+      .collect()
+      .sortBy(_.getLong(0))
+    val qids: Seq[Long] = probeRows.map(_.getLong(0)).toSeq
+    val tables: Seq[Seq[Seq[Long]]] = probeRows.toSeq.map { r =>
+      val q = r.getSeq[Long](1)
+      (0 until PqM).map(m => cents(m).map { case (_, c) =>
+        (0 until PqSubDim).map(d => q(m * PqSubDim + d) * c(d)).sum
+      })
+    }
+    val lut    = typedlit(tables) // probe index -> m -> code index -> partial dot
+    val qidLit = typedlit(qids)
     val codes = base.withColumn("codes", pqCodesCol(cents))
       .select("vec_id", "codes")
-    val probes = base.filter(col("vec_id").isin(ProbeIds: _*))
-      .select(col("vec_id").as("qid"), col("q").as("qq"))
-    val adc = (0 until PqM).map { m =>
-      dotLong(slice(col("qq"), m * PqSubDim + 1, PqSubDim),
-        element_at(element_at(lut, m + 1), col("codes")(m) + 1))
-    }.reduce(_ + _)
-    codes.join(broadcast(probes), col("vec_id") =!= col("qid"))
-      .withColumn("adc", adc)
+    codes
+      .select(col("vec_id"), col("codes"),
+        explode(typedlit(qids.indices.map(_.toLong))).as("pi"))
+      .withColumn("qid", element_at(qidLit, (col("pi") + 1).cast("int")))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("adc",
+        pqAdcLookupCol(element_at(lut, (col("pi") + 1).cast("int")), col("codes")))
       .select("qid", "vec_id", "adc")
   }
+
+  /** The per-probe ADC distance table (Jégou et al. 2011): all PqM·PqK
+    * probe-subvector × centroid dots, computed ONCE per probe row — so the
+    * per-(probe, vector) scoring path is [[pqAdcLookupCol]]'s PqM table
+    * lookups + adds with NO dot products or slices on the corpus-sized
+    * side. (The per-pair dotLong(slice(qq), centroid) form this replaced
+    * profiled ~5× slower and dominated the graded query's wall time.) The
+    * table rides the broadcast probe side of the join: PqM·PqK longs per
+    * probe, bounded by the probe workload, O(1) in the corpus.
+    */
+  private[graft] def pqAdcTableCol(cents: Seq[Seq[(Int, Seq[Long])]], q: Column): Column =
+    array((0 until PqM).map { m =>
+      array(cents(m).map { case (_, c) =>
+        dotLong(slice(q, m * PqSubDim + 1, PqSubDim), typedlit(c))
+      }: _*)
+    }: _*)
+
+  /** ADC score from a probe-side [[pqAdcTableCol]] table and a corpus-side
+    * [[pqCodesCol]] code vector: Σ_m tbl[m][codes[m]]. Evaluate it in a
+    * projection that immediately drops `tbl`, so downstream sorts/windows
+    * never carry the table payload.
+    */
+  private[graft] def pqAdcLookupCol(tbl: Column, codes: Column): Column =
+    (0 until PqM).map { m =>
+      element_at(element_at(tbl, m + 1), codes(m) + 1)
+    }.reduce(_ + _)
 
   /** DuckDB mirror of [[trainPq]] + corpus encoding, ending in CTEs `pq1`
     * (m, cid, cq) and `enc` (vec_id, m, code). Expects an `n` CTE

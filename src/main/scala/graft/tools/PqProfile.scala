@@ -26,9 +26,19 @@ object PqProfile {
       val n = graft.queries.SimilarityQueries.pqAdcPairs(spark, dir, cents).count()
       val tAdc = (System.nanoTime() - t0) / 1e9
       t0 = System.nanoTime()
+      val sl = {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions._
+        graft.queries.SimilarityQueries.pqAdcPairs(spark, dir, cents)
+          .withColumn("srank", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("vec_id").asc)))
+          .filter(col("srank") <= 50).count()
+      }
+      val tShort = (System.nanoTime() - t0) / 1e9
+      t0 = System.nanoTime()
       val r = graft.SparkEntry.queries("q_pq_adc")(spark, dir).collect().length
       val tFull = (System.nanoTime() - t0) / 1e9
-      println(f"rep=$rep train=$tTrain%.2f adc($n)=$tAdc%.2f full($r)=$tFull%.2f")
+      println(f"rep=$rep train=$tTrain%.2f adc($n)=$tAdc%.2f short($sl)=$tShort%.2f full($r)=$tFull%.2f")
     }
     spark.stop()
   }
