@@ -334,4 +334,57 @@ object Multimodal {
       leHex(bits, 2),
       lit("64617461"), leHex(lit(0L), 4))         // "data", size 0
   }
+
+  // ---- PCM sample decoding — past the header, into the data chunk ------
+
+  /** Synthesize a complete mono 16-bit PCM WAV file (44-byte header + a
+    * REAL data chunk of `nSamples` deterministic samples) as a hex string.
+    * Sample k is ((id·31 + k·17) mod 997) − 498 — signed, so the data chunk
+    * exercises 16-bit two's-complement storage ([[leHex]]'s arithmetic
+    * shiftright + pmod encodes negatives correctly by construction). The
+    * sample run is a HIGHER-ORDER transform over a sequence, not nSamples
+    * unrolled expressions — the unrolled form blew janino's method-size
+    * limit and dumped the whole stage out of codegen (the Catalyst-inlining
+    * blowup lesson of SURVEY §7.5, in reverse: here the COMPACT interpreted
+    * lambda beats the giant "codegen-able" tree that never compiles).
+    */
+  def synthPcm16Hex(id: Column, nSamples: Int): Column = {
+    val dataBytes = nSamples * 2L
+    concat(
+      lit("52494646"), leHex(lit(36L + dataBytes), 4),
+      lit("57415645666D7420"), leHex(lit(16L), 4),
+      leHex(lit(1L), 2),                           // PCM
+      leHex(lit(1L), 2),                           // mono
+      leHex(lit(8000L), 4),                        // sample rate
+      leHex(lit(16000L), 4),                       // byte rate = rate·1·16/8
+      leHex(lit(2L), 2), leHex(lit(16L), 2),       // block align, bits
+      lit("64617461"), leHex(lit(dataBytes), 4),
+      array_join(transform(sequence(lit(0), lit(nSamples - 1)), k =>
+        leHex(pmod(id.cast("long") * 31L + k.cast("long") * 17L, lit(997L)) - 498L, 2)),
+        ""))
+  }
+
+  /** Frame-level feature extraction over a mono 16-bit PCM payload — the
+    * first REAL sample-domain audio operator (wavMeta stops at the header):
+    * the data chunk is cut into `frames` windows of `perFrame` samples and
+    * each yields struct(frame, energy = Σ|s|, peak = max|s|) — the
+    * energy/silence profile an audio curation pass gates on. Every sample
+    * decodes as u16 LE at byte 45 + 2·j (1-based) followed by the
+    * two's-complement fold; like [[synthPcm16Hex]] the loops are
+    * higher-order lambdas (compact plan, method-size-safe), bounded by
+    * frames·perFrame bytes per row regardless of payload size (a 100 TB
+    * audio audit reads a fixed prefix per object).
+    */
+  def pcmFrames(payload: Column, frames: Int, perFrame: Int): Column =
+    transform(sequence(lit(0), lit(frames - 1)), f => {
+      val abss = transform(sequence(lit(0), lit(perFrame - 1)), j => {
+        val off = (f * perFrame + j) * 2
+        val u = conv(concat(hexAt(payload, lit(46) + off, 1),
+          hexAt(payload, lit(45) + off, 1)), 16, 10).cast("long")
+        abs(when(u >= 32768L, u - 65536L).otherwise(u))
+      })
+      struct(f.cast("long").as("frame"),
+        aggregate(abss, lit(0L), (acc, x) => acc + x).as("energy"),
+        array_max(abss).as("peak"))
+    })
 }

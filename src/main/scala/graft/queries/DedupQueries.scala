@@ -1250,34 +1250,7 @@ object DedupQueries {
     GraftQuery(
       "q_longest_dup_span",
       "per-doc longest token span duplicated verbatim in another doc (suffix-ordered)",
-      (s, dir) => {
-        val d = Tables.spread(Tables.documents(s, dir))
-          .select(col("doc_id"), expr(wordsSql).as("ws"))
-        val sfx = d.filter(size(col("ws")) >= MinSpan)
-          .select(col("doc_id"), explode(expr(
-            s"transform(sequence(1, size(ws) - ${MinSpan - 1}), " +
-              s"i -> named_struct('pos', i, 'sfx', slice(ws, i, $SfxK)))")).as("p"))
-          .select(col("doc_id"), col("p.pos").as("pos"), col("p.sfx").as("sfx"))
-          .withColumn("b", expr("concat_ws(' ', sfx[0], sfx[1])"))
-          .withColumn("key", concat_ws(" ", col("sfx")))
-        val w = Window.partitionBy("b").orderBy("key", "doc_id", "pos")
-        val spans = sfx
-          .withColumn("p_sfx", lag(col("sfx"), 1).over(w))
-          .withColumn("p_doc", lag(col("doc_id"), 1).over(w))
-          .withColumn("n_sfx", lead(col("sfx"), 1).over(w))
-          .withColumn("n_doc", lead(col("doc_id"), 1).over(w))
-          .withColumn("span",
-            greatest(expr(lcpSql("sfx", "p_sfx", "p_doc")),
-              expr(lcpSql("sfx", "n_sfx", "n_doc"))))
-          .groupBy("doc_id")
-          .agg(max(expr(s"if(span >= $MinSpan, span, cast(0 as bigint))"))
-            .as("longest_dup"))
-        d.select("doc_id")
-          .join(spans, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            coalesce(col("longest_dup"), lit(0L)).as("longest_dup"))
-          .orderBy("doc_id")
-      },
+      (s, dir) => longestDupSpans(Tables.spread(Tables.documents(s, dir))),
       Some(s"""WITH d AS (SELECT doc_id, $duckWordsSql AS ws FROM documents),
               |sfx AS (
               |  SELECT doc_id, i AS pos, ws[i : i + ${SfxK - 1}] AS sfx
@@ -1304,8 +1277,144 @@ object DedupQueries {
               |SELECT d.doc_id, CAST(coalesce(a.longest_dup, 0) AS BIGINT) AS longest_dup
               |FROM (SELECT doc_id FROM documents) d LEFT JOIN a USING (doc_id)
               |ORDER BY doc_id""".stripMargin)
+    ),
+
+    // E1n corpus novelty curve: per document (in doc_id ingestion order),
+    // how many of its distinct 3-gram shingles appear HERE FIRST — the
+    // diminishing-returns profile a curation team reads before paying for
+    // more of a source (novelty collapsing toward 0 = the crawl is
+    // re-reading itself; the "how much new content does increment N add"
+    // artifact of dataset-growth decisions). First occurrence = min doc_id
+    // over the shingle's postings, the same keep-lowest-id convention as
+    // q_dedup_exact / q_dedup_curve.
+    //
+    // Scale shape: one shingle-keyed min-aggregate (map-side combined) +
+    // one shingle-keyed equi-join + one doc-keyed re-aggregate — every
+    // stage linear in distinct (doc, shingle) rows, every shuffle key
+    // shingle- or doc-cardinality. No pairs, no windows. Integer bp.
+    GraftQuery(
+      "q_novelty_curve",
+      "per-doc first-seen shingle fraction (bp) in doc_id order — corpus novelty profile",
+      (s, dir) => {
+        val sh = shingleRows(Tables.spread(Tables.documents(s, dir))).persist()
+        val first = sh.groupBy("shingle").agg(min(col("doc_id")).as("first_doc"))
+        sh.join(first, "shingle")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(expr("if(first_doc = doc_id, cast(1 as bigint), cast(0 as bigint))"))
+              .as("n_novel"))
+          .withColumn("novelty_bp", expr("(n_novel * 10000) div n_shingles"))
+          .select("doc_id", "n_shingles", "n_novel", "novelty_bp")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH docs AS (SELECT doc_id, $duckWordsSql AS words FROM documents),
+              |sh AS (
+              |  SELECT doc_id, unnest(list_distinct($duckShinglesSql)) AS shingle
+              |  FROM docs WHERE len(words) >= 3),
+              |f AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY shingle)
+              |SELECT sh.doc_id, count(*) AS n_shingles,
+              |       CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+              |       (CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) * 10000)
+              |         // count(*) AS novelty_bp
+              |FROM sh JOIN f USING (shingle)
+              |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin)
+    ),
+
+    // E1o minhash estimator-error audit: for every band-collided candidate
+    // pair, the 8-slot signature-agreement ESTIMATE of Jaccard graded
+    // beside the exact shingle-set value — the same
+    // sketch-beside-exact-so-error-is-visible move as the CMS (E3q) and
+    // Bloom-FP (E1f3) audits, here sizing the question every minhash
+    // deployment faces: are 8 permutations enough at my threshold, or do I
+    // pay for 64? All integer basis points (est is a multiple of 1250).
+    //
+    // Scale shape: shares the capped candidate lineage with
+    // q_minhash_verified — the signature compare is 8 integer equality
+    // tests per CANDIDATE (not per pair of corpus docs), the exact side the
+    // same shingle-rows-through-candidates join, then doc-keyed joins for
+    // sizes. Nothing beyond the already-capped candidate set.
+    GraftQuery(
+      "q_minhash_error",
+      "per-candidate-pair minhash estimate vs exact jaccard (bp) + absolute error",
+      (s, dir) => {
+        val shingles = shingleRows(Tables.spread(Tables.documents(s, dir))).persist()
+        val sig      = signatures(shingles).persist()
+        val cand     = candidatePairs(sig).persist()
+        val inter = cand
+          .join(shingles.select(col("doc_id").as("a"), col("shingle")), "a")
+          .join(shingles.select(col("doc_id").as("b"), col("shingle")), Seq("b", "shingle"))
+          .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+        val sigA = sig.select(col("doc_id").as("a") +:
+          Salts.indices.map(i => col(s"m$i").as(s"am$i")) :+ col("sz").as("sa"): _*)
+        val sigB = sig.select(col("doc_id").as("b") +:
+          Salts.indices.map(i => col(s"m$i").as(s"bm$i")) :+ col("sz").as("sb"): _*)
+        cand
+          .join(inter, Seq("a", "b"), "left")
+          .join(sigA, "a")
+          .join(sigB, "b")
+          .withColumn("matches", expr(Salts.indices
+            .map(i => s"if(am$i = bm$i, cast(1 as bigint), cast(0 as bigint))")
+            .mkString(" + ")))
+          .withColumn("est_bp", expr(s"(matches * 10000) div ${Salts.size}"))
+          .withColumn("exact_bp", expr(
+            "(coalesce(inter, cast(0 as bigint)) * 10000) div " +
+              "(sa + sb - coalesce(inter, cast(0 as bigint)))"))
+          .withColumn("abs_err_bp", expr("abs(est_bp - exact_bp)"))
+          .select("a", "b", "matches", "est_bp", "exact_bp", "abs_err_bp")
+          .orderBy("a", "b")
+      },
+      Some(s"""WITH $duckMinhashCtes
+              |SELECT c.a, c.b,
+              |  CAST(len(list_filter(range(1, ${Salts.size + 1}), i -> x.sig[i] = y.sig[i])) AS BIGINT) AS matches,
+              |  (CAST(len(list_filter(range(1, ${Salts.size + 1}), i -> x.sig[i] = y.sig[i])) AS BIGINT) * 10000)
+              |    // ${Salts.size} AS est_bp,
+              |  (CAST(len(list_intersect(p.shingles, q.shingles)) AS BIGINT) * 10000)
+              |    // CAST(len(list_distinct(list_concat(p.shingles, q.shingles))) AS BIGINT) AS exact_bp,
+              |  abs((CAST(len(list_filter(range(1, ${Salts.size + 1}), i -> x.sig[i] = y.sig[i])) AS BIGINT) * 10000) // ${Salts.size}
+              |    - (CAST(len(list_intersect(p.shingles, q.shingles)) AS BIGINT) * 10000)
+              |      // CAST(len(list_distinct(list_concat(p.shingles, q.shingles))) AS BIGINT)) AS abs_err_bp
+              |FROM cand c
+              |JOIN sig x ON x.doc_id = c.a
+              |JOIN sig y ON y.doc_id = c.b
+              |JOIN sh p ON p.doc_id = c.a
+              |JOIN sh q ON q.doc_id = c.b
+              |ORDER BY c.a, c.b""".stripMargin)
     )
   )
+
+  /** The q_longest_dup_span pipeline over any frame with (doc_id, text) —
+    * factored out so SuffixSpanSpec can pin it against a brute-force
+    * all-pairs longest-common-substring oracle on arbitrary corpora (the
+    * adjacency-captures-max and 2-gram-bucketing arguments in the query doc
+    * are exactly the kind of reasoning a test should hold to account).
+    */
+  private[graft] def longestDupSpans(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id"), expr(wordsSql).as("ws"))
+    val sfx = d.filter(size(col("ws")) >= MinSpan)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(ws) - ${MinSpan - 1}), " +
+          s"i -> named_struct('pos', i, 'sfx', slice(ws, i, $SfxK)))")).as("p"))
+      .select(col("doc_id"), col("p.pos").as("pos"), col("p.sfx").as("sfx"))
+      .withColumn("b", expr("concat_ws(' ', sfx[0], sfx[1])"))
+      .withColumn("key", concat_ws(" ", col("sfx")))
+    val w = Window.partitionBy("b").orderBy("key", "doc_id", "pos")
+    val spans = sfx
+      .withColumn("p_sfx", lag(col("sfx"), 1).over(w))
+      .withColumn("p_doc", lag(col("doc_id"), 1).over(w))
+      .withColumn("n_sfx", lead(col("sfx"), 1).over(w))
+      .withColumn("n_doc", lead(col("doc_id"), 1).over(w))
+      .withColumn("span",
+        greatest(expr(lcpSql("sfx", "p_sfx", "p_doc")),
+          expr(lcpSql("sfx", "n_sfx", "n_doc"))))
+      .groupBy("doc_id")
+      .agg(max(expr(s"if(span >= $MinSpan, span, cast(0 as bigint))"))
+        .as("longest_dup"))
+    d.select("doc_id")
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("longest_dup"), lit(0L)).as("longest_dup"))
+      .orderBy("doc_id")
+  }
 
   /** Token-LCP of suffix array columns `a` and `nb` gated on the neighbor
     * belonging to ANOTHER document (`nbDoc`): 0 when absent or same-doc,

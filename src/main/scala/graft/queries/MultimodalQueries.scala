@@ -285,6 +285,54 @@ object MultimodalQueries {
              |    || substr(hx, 59, 2) || substr(hx, 57, 2))::BIGINT END AS byte_rate,
              |  CASE WHEN ok THEN ('0x' || substr(hx, 71, 2) || substr(hx, 69, 2))::BIGINT END AS bits
              |FROM parsed ORDER BY doc_id""".stripMargin)
+    ),
+
+    // E5e PCM frame-energy extraction: past the header and into the DATA
+    // chunk — each document synthesizes a complete mono 16-bit PCM WAV (44
+    // byte header + 64 deterministic signed samples), and the operator cuts
+    // the samples into 4 frames of 16, emitting per-frame energy (Σ|s|) and
+    // peak (max|s|) — the silence/clipping profile an audio curation pass
+    // gates on, and the first graded operator that DECODES samples (16-bit
+    // little-endian two's complement) rather than reading header fields.
+    // All codegen'd substr+hex byte math; bounded at frames·perFrame bytes
+    // per row no matter the payload size. The oracle synthesizes the
+    // identical hex string and decodes it with reversed-byte-pair
+    // concatenation + the same two's-complement CASE at the string level.
+    GraftQuery(
+      "q_pcm_frames",
+      "per-frame energy/peak decoded from 16-bit PCM WAV data chunks",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            unhex(Multimodal.synthPcm16Hex(col("doc_id"), 64)).as("payload"))
+          .select(col("doc_id"),
+            explode(Multimodal.pcmFrames(col("payload"), 4, 16)).as("f"))
+          .select(col("doc_id"), col("f.frame").as("frame"),
+            col("f.energy").as("energy"), col("f.peak").as("peak"))
+          .orderBy("doc_id", "frame"),
+      Some("""WITH syn AS (
+             |  SELECT doc_id,
+             |    '52494646' || 'A4000000' || '57415645666D7420' || '10000000'
+             |      || '0100' || '0100' || '401F0000' || '803E0000' || '0200' || '1000'
+             |      || '64617461' || '80000000'
+             |      || array_to_string([
+             |           lpad(to_hex(((doc_id * 31 + k * 17) % 997 - 498 + 65536) % 65536 % 256), 2, '0')
+             |             || lpad(to_hex((((doc_id * 31 + k * 17) % 997 - 498 + 65536) % 65536) // 256), 2, '0')
+             |           for k in range(0, 64)], '') AS hx
+             |  FROM documents)
+             |SELECT doc_id, CAST(f AS BIGINT) AS frame,
+             |  CAST(list_sum([
+             |    abs(CASE WHEN ('0x' || substr(hx, 91 + 4*j, 2) || substr(hx, 89 + 4*j, 2))::BIGINT >= 32768
+             |             THEN ('0x' || substr(hx, 91 + 4*j, 2) || substr(hx, 89 + 4*j, 2))::BIGINT - 65536
+             |             ELSE ('0x' || substr(hx, 91 + 4*j, 2) || substr(hx, 89 + 4*j, 2))::BIGINT END)
+             |    for j in range(16*f, 16*f + 16)]) AS BIGINT) AS energy,
+             |  CAST(list_max([
+             |    abs(CASE WHEN ('0x' || substr(hx, 91 + 4*j, 2) || substr(hx, 89 + 4*j, 2))::BIGINT >= 32768
+             |             THEN ('0x' || substr(hx, 91 + 4*j, 2) || substr(hx, 89 + 4*j, 2))::BIGINT - 65536
+             |             ELSE ('0x' || substr(hx, 91 + 4*j, 2) || substr(hx, 89 + 4*j, 2))::BIGINT END)
+             |    for j in range(16*f, 16*f + 16)]) AS BIGINT) AS peak
+             |FROM syn, (SELECT unnest(range(0, 4)) AS f) fr
+             |ORDER BY doc_id, frame""".stripMargin)
     )
   )
 }

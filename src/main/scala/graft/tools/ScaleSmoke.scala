@@ -58,7 +58,12 @@ object ScaleSmoke {
     "q_text_normalize",    // dirty+normalize round-trip: row-local string ops, pure scan
     "q_longest_dup_span",  // suffix sort: O(tokens) rows, 2-gram-bucketed window, no pair expansion
     "q_gopher_rules",      // rule battery: row-local array lambdas, pure scan
-    "q_word_entropy")      // entropy skeleton: row-local frequency lambda, pure scan
+    "q_word_entropy",      // entropy skeleton: row-local frequency lambda, pure scan
+    "q_novelty_curve",     // first-seen shingle fraction: shingle min-agg + join, linear
+    "q_pcm_frames")        // PCM sample decode: row-local bounded byte math, pure scan
+  // q_minhash_error is not separately gated: it is the q_dedup_curve lineage
+  // (capped candidates + shingle joins) with 8 extra equality tests — the
+  // gated curve query already exercises its scale shape.
   // q_semdedup is deliberately NOT gated: its 100 TB story is "cluster count
   // k scales with N" (SemDeDup's 50k-cluster rule), but the graded query
   // fixes k=16, so replica inflation grows cluster populations — and the

@@ -194,4 +194,30 @@ class MultimodalSpec extends SparkTestBase {
       .select("unit").as[String].collect().toSeq
     assert(out == Seq("f0", "f2", "f4"))
   }
+
+  test("pcmFrames energies/peaks match a JVM-side decode of the same bytes") {
+    val ids = Seq(0L, 7L, 123L)
+    val got = ids.toDF("id")
+      .select(col("id"), explode(Multimodal.pcmFrames(
+        unhex(Multimodal.synthPcm16Hex(col("id"), 64)), 4, 16)).as("f"))
+      .select(col("id"), col("f.frame"), col("f.energy"), col("f.peak"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // independent oracle: the sample formula decoded in plain Scala, no
+    // byte/hex machinery shared with the operator
+    for (id <- ids; f <- 0 until 4) {
+      val abss = (0 until 16).map { j =>
+        math.abs((id * 31 + (f * 16 + j) * 17) % 997 - 498)
+      }
+      assert(got((id, f.toLong)) == ((abss.sum, abss.max)),
+        s"id=$id frame=$f")
+    }
+    // and the header of the synthesized file parses as a valid PCM WAV
+    val meta = ids.toDF("id")
+      .select(Multimodal.wavMeta(unhex(Multimodal.synthPcm16Hex(col("id"), 64))).as("m"))
+      .select("m.riff_ok", "m.sample_rate", "m.bits")
+      .collect()
+    assert(meta.forall(r => r.getLong(0) == 1L && r.getLong(1) == 8000L && r.getLong(2) == 16L))
+  }
 }
