@@ -387,4 +387,83 @@ object Multimodal {
         aggregate(abss, lit(0L), (acc, x) => acc + x).as("energy"),
         array_max(abss).as("peak"))
     })
+
+  // ---- BMP pixel decoding — the image twin of the PCM sample walk ------
+
+  /** Exact integer floor-division for small nonnegative columns: (a − a mod
+    * b) is divisible by b, and the double division is exact at these
+    * magnitudes — Column./ alone would leave a fractional double.
+    */
+  private def idiv(a: Column, b: Long): Column =
+    ((a - pmod(a, lit(b))) / lit(b)).cast("long")
+
+  /** One payload byte as an unsigned long (1-based position column). */
+  private def byteAt(payload: Column, pos: Column): Column =
+    conv(hexAt(payload, pos, 1), 16, 10).cast("long")
+
+  /** The deterministic channel value of stored pixel (row, col):
+    * (id·7 + row·31 + col·13 + chOff) mod 256 with chOff 0/97/181 for
+    * B/G/R — shared by the synthesizer and MultimodalSpec's JVM oracle.
+    */
+  private[graft] def bmpChannel(id: Long, row: Long, c: Long, ch: Int): Long =
+    (id * 7 + row * 31 + c * 13 + Seq(0, 97, 181)(ch)) % 256
+
+  /** Synthesize a complete w×h 24-bpp bottom-up BMP (54-byte header + REAL
+    * pixel rows, each padded to a 4-byte boundary — the stride rule that
+    * makes naive 3·w row walks read garbage) as a hex string. Pixel bytes
+    * are BGR with the [[bmpChannel]] formula over the STORED row index; the
+    * byte run is a higher-order transform (see [[synthPcm16Hex]] on why
+    * not an unrolled concat).
+    */
+  def synthBmp24Hex(id: Column, w: Int, h: Int): Column = {
+    val stride    = ((3 * w + 3) / 4) * 4
+    val dataBytes = h.toLong * stride
+    concat(
+      lit("424D"), leHex(lit(54L + dataBytes), 4),
+      lit("00000000"), leHex(lit(54L), 4),        // reserved, pixel-data offset
+      leHex(lit(40L), 4),                         // BITMAPINFOHEADER
+      leHex(lit(w.toLong), 4), leHex(lit(h.toLong), 4),
+      leHex(lit(1L), 2), leHex(lit(24L), 2),      // planes, bpp
+      leHex(lit(0L), 4), leHex(lit(dataBytes), 4),
+      leHex(lit(0L), 4), leHex(lit(0L), 4),
+      leHex(lit(0L), 4), leHex(lit(0L), 4),
+      array_join(transform(sequence(lit(0), lit(h * stride - 1)), k => {
+        val row = idiv(k.cast("long"), stride)
+        val off = pmod(k.cast("long"), lit(stride.toLong))
+        val c   = idiv(off, 3)
+        val ch  = pmod(off, lit(3L))
+        val v = when(off >= 3L * w, lit(0L)) // row padding bytes
+          .otherwise(pmod(id.cast("long") * 7L + row * 31L + c * 13L +
+            when(ch === 0L, 0L).when(ch === 1L, 97L).otherwise(181L), lit(256L)))
+        lpad(hex(v.cast("int")), 2, "0")
+      }), ""))
+  }
+
+  /** Pixel-domain feature extraction over a 24-bpp BMP payload: per-channel
+    * byte sums over all w·h pixels plus the first STORED pixel's BGR — the
+    * brightness/tint profile of an image-curation audit, decoded with the
+    * real stride arithmetic (rows pad to 4 bytes; a channel walk that
+    * ignores padding shears every row after the first). Width/height/data
+    * offset are read from the header itself, so the walk follows the FILE's
+    * geometry, not the synthesizer's. Bounded at h·stride bytes per row.
+    *
+    * Returns struct(w, h, sum_b, sum_g, sum_r, p0_b, p0_g, p0_r).
+    */
+  def bmpPixelStats(payload: Column): Column = {
+    val w       = leIntAt(payload, 19, 4)
+    val h       = leIntAt(payload, 23, 4)
+    val dataOff = leIntAt(payload, 11, 4)
+    val stride  = idiv(w * 3L + 3L, 4L) * 4L
+    def chSum(ch: Int): Column =
+      aggregate(sequence(lit(0L), w * h - 1L), lit(0L), (acc, i) =>
+        acc + byteAt(payload,
+          (dataOff + ((i - pmod(i, w)) / w).cast("long") * stride +
+            pmod(i, w) * 3L + lit(ch.toLong) + 1L).cast("int")))
+    struct(
+      w.as("w"), h.as("h"),
+      chSum(0).as("sum_b"), chSum(1).as("sum_g"), chSum(2).as("sum_r"),
+      byteAt(payload, (dataOff + 1L).cast("int")).as("p0_b"),
+      byteAt(payload, (dataOff + 2L).cast("int")).as("p0_g"),
+      byteAt(payload, (dataOff + 3L).cast("int")).as("p0_r"))
+  }
 }

@@ -1297,15 +1297,7 @@ object DedupQueries {
       "per-doc first-seen shingle fraction (bp) in doc_id order — corpus novelty profile",
       (s, dir) => {
         val sh = shingleRows(Tables.spread(Tables.documents(s, dir))).persist()
-        val first = sh.groupBy("shingle").agg(min(col("doc_id")).as("first_doc"))
-        sh.join(first, "shingle")
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_shingles"),
-            sum(expr("if(first_doc = doc_id, cast(1 as bigint), cast(0 as bigint))"))
-              .as("n_novel"))
-          .withColumn("novelty_bp", expr("(n_novel * 10000) div n_shingles"))
-          .select("doc_id", "n_shingles", "n_novel", "novelty_bp")
-          .orderBy("doc_id")
+        noveltyFrom(sh, sh.groupBy("shingle").agg(min(col("doc_id")).as("first_doc")))
       },
       Some(s"""WITH docs AS (SELECT doc_id, $duckWordsSql AS words FROM documents),
               |sh AS (
@@ -1379,6 +1371,73 @@ object DedupQueries {
               |JOIN sh p ON p.doc_id = c.a
               |JOIN sh q ON q.doc_id = c.b
               |ORDER BY c.a, c.b""".stripMargin)
+    ),
+
+    // E1p duplicated-span REMOVAL — the transformation half of Lee et al.'s
+    // exact-substring dedup (E1j/E1m measure; this one actually CUTS): every
+    // token covered by a cross-document duplicated 3-gram island is removed
+    // and the document re-emitted, with the removed-token count beside it.
+    // Islands merge exactly as in q_dup_span_coverage (shared spanIslands),
+    // so overlapping matches never double-cut and each doc keeps its
+    // unique prose with the boilerplate excised — the C4/RefinedWeb-style
+    // "remove the duplicated lines, keep the document" policy at span
+    // granularity.
+    //
+    // Scale shape: the span table is per-doc bounded (islands ≤ tokens/3)
+    // and rides a doc-keyed collect_list; the cut itself is a row-local
+    // array lambda over (word, index) against that doc's own spans — no
+    // second corpus pass, no pairwise stage anywhere (df ≥ 2 is a
+    // shingle-keyed aggregate).
+    GraftQuery(
+      "q_span_removal",
+      "cut cross-doc duplicated 3-gram islands out of each doc; emit cleaned text + counts",
+      (s, dir) => {
+        val ps = positionalShingles(Tables.spread(Tables.documents(s, dir)), Nil).persist()
+        val dup = ps.groupBy("shingle")
+          .agg(countDistinct(col("doc_id")).as("df"))
+          .filter(col("df") >= 2)
+          .select("shingle")
+        val m = ps.join(dup, Seq("shingle"), "left_semi").select(col("doc_id"), col("pos"))
+        val spans = spanIslands(m)
+          .groupBy("doc_id", "g")
+          .agg(min(col("pos")).as("s"), (max(col("pos")) + 2).as("e"))
+          .groupBy("doc_id")
+          .agg(collect_list(struct(col("s"), col("e"))).as("spans"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), expr(wordsSql).as("ws"))
+          .join(spans, Seq("doc_id"), "left")
+          .withColumn("kept", when(col("spans").isNull, col("ws")).otherwise(expr(
+            "filter(transform(ws, (w, i) -> " +
+              "if(exists(spans, sp -> i >= sp.s and i <= sp.e), cast(null as string), w)), " +
+              "x -> x is not null)")))
+          .select(col("doc_id"),
+            expr("cast(size(ws) as bigint)").as("n_tokens"),
+            expr("cast(size(ws) - size(kept) as bigint)").as("removed_tokens"),
+            concat_ws(" ", col("kept")).as("cleaned_text"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $duckPositionalShingleCtes,
+              |dup AS (SELECT shingle FROM ps
+              |        GROUP BY shingle HAVING count(DISTINCT doc_id) >= 2),
+              |m AS (SELECT doc_id, pos FROM ps
+              |      WHERE shingle IN (SELECT shingle FROM dup)),
+              |$duckIslandCtes,
+              |sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 2 AS e
+              |       FROM grp GROUP BY doc_id, g),
+              |spl AS (SELECT doc_id, list(struct_pack(s := s, e := e)) AS spans
+              |        FROM sp GROUP BY doc_id),
+              |cut AS (
+              |  SELECT d.doc_id, d.words,
+              |         CASE WHEN spl.spans IS NULL THEN d.words ELSE
+              |           [d.words[i] for i in range(1, len(d.words) + 1)
+              |            if len(list_filter(spl.spans,
+              |                 x -> i - 1 >= x['s'] AND i - 1 <= x['e'])) = 0]
+              |         END AS kept
+              |  FROM docs d LEFT JOIN spl ON spl.doc_id = d.doc_id)
+              |SELECT doc_id, CAST(len(words) AS BIGINT) AS n_tokens,
+              |       CAST(len(words) - len(kept) AS BIGINT) AS removed_tokens,
+              |       coalesce(array_to_string(kept, ' '), '') AS cleaned_text
+              |FROM cut ORDER BY doc_id""".stripMargin)
     )
   )
 
@@ -1415,6 +1474,23 @@ object DedupQueries {
         coalesce(col("longest_dup"), lit(0L)).as("longest_dup"))
       .orderBy("doc_id")
   }
+
+  /** The novelty report over (doc_id, shingle) rows and a (shingle,
+    * first_doc) first-occurrence table — single-sourced between the graded
+    * q_novelty_curve (where `first` is the corpus's own min-doc aggregate)
+    * and the streaming monitor ([[graft.streaming.Sketches.noveltyOf]],
+    * where `first` is the persisted store) so the two cannot drift on the
+    * keep-lowest-id convention.
+    */
+  private[graft] def noveltyFrom(sh: DataFrame, first: DataFrame): DataFrame =
+    sh.join(first, "shingle")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(expr("if(first_doc = doc_id, cast(1 as bigint), cast(0 as bigint))"))
+          .as("n_novel"))
+      .withColumn("novelty_bp", expr("(n_novel * 10000) div n_shingles"))
+      .select("doc_id", "n_shingles", "n_novel", "novelty_bp")
+      .orderBy("doc_id")
 
   /** Token-LCP of suffix array columns `a` and `nb` gated on the neighbor
     * belonging to ANOTHER document (`nbDoc`): 0 when absent or same-doc,

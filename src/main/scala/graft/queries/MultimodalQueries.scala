@@ -333,6 +333,63 @@ object MultimodalQueries {
              |    for j in range(16*f, 16*f + 16)]) AS BIGINT) AS peak
              |FROM syn, (SELECT unnest(range(0, 4)) AS f) fr
              |ORDER BY doc_id, frame""".stripMargin)
+    ),
+
+    // E5f BMP pixel decoding — the image twin of q_pcm_frames' sample walk:
+    // each document synthesizes a complete 3×3 24-bpp bottom-up BMP (54
+    // byte header + REAL pixel rows padded to 4-byte boundaries) and the
+    // operator walks the pixel array per the header's own geometry,
+    // emitting per-channel sums + the first stored pixel's BGR. The stride
+    // rule is the graded teeth: 3 px × 3 B = 9 B rows pad to 12, so a
+    // naive 3·w walk shears every row after the first — exactly the bug
+    // class a byte-level image audit must not have. The oracle synthesizes
+    // the identical hex and decodes it at the string level.
+    GraftQuery(
+      "q_bmp_pixels",
+      "per-channel pixel sums + first-pixel BGR decoded from 24-bpp BMP payloads",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            unhex(Multimodal.synthBmp24Hex(col("doc_id"), 3, 3)).as("payload"))
+          .select(col("doc_id"), Multimodal.bmpPixelStats(col("payload")).as("p"))
+          .select(col("doc_id"), col("p.w").as("w"), col("p.h").as("h"),
+            col("p.sum_b").as("sum_b"), col("p.sum_g").as("sum_g"),
+            col("p.sum_r").as("sum_r"), col("p.p0_b").as("p0_b"),
+            col("p.p0_g").as("p0_g"), col("p.p0_r").as("p0_r"))
+          .orderBy("doc_id"),
+      Some("""WITH syn AS (
+             |  SELECT doc_id,
+             |    '424D' || '5A000000' || '00000000' || '36000000' || '28000000'
+             |      || '03000000' || '03000000' || '0100' || '1800'
+             |      || '00000000' || '24000000'
+             |      || '00000000' || '00000000' || '00000000' || '00000000'
+             |      || array_to_string([
+             |           lpad(to_hex(CASE WHEN k % 12 >= 9 THEN 0 ELSE
+             |             (doc_id * 7 + (k // 12) * 31 + ((k % 12) // 3) * 13
+             |              + CASE (k % 12) % 3 WHEN 0 THEN 0 WHEN 1 THEN 97 ELSE 181 END) % 256
+             |           END), 2, '0')
+             |           for k in range(0, 36)], '') AS hx
+             |  FROM documents),
+             |geo AS (
+             |  SELECT doc_id, hx,
+             |    ('0x' || substr(hx, 43, 2) || substr(hx, 41, 2)
+             |      || substr(hx, 39, 2) || substr(hx, 37, 2))::BIGINT AS w,
+             |    ('0x' || substr(hx, 51, 2) || substr(hx, 49, 2)
+             |      || substr(hx, 47, 2) || substr(hx, 45, 2))::BIGINT AS h,
+             |    ('0x' || substr(hx, 27, 2) || substr(hx, 25, 2)
+             |      || substr(hx, 23, 2) || substr(hx, 21, 2))::BIGINT AS doff
+             |  FROM syn)
+             |SELECT doc_id, w, h,
+             |  CAST(list_sum([('0x' || substr(hx, 2*(doff + (i // w)*(((3*w + 3) // 4)*4) + (i % w)*3 + 0) + 1, 2))::BIGINT
+             |                 for i in range(0, w*h)]) AS BIGINT) AS sum_b,
+             |  CAST(list_sum([('0x' || substr(hx, 2*(doff + (i // w)*(((3*w + 3) // 4)*4) + (i % w)*3 + 1) + 1, 2))::BIGINT
+             |                 for i in range(0, w*h)]) AS BIGINT) AS sum_g,
+             |  CAST(list_sum([('0x' || substr(hx, 2*(doff + (i // w)*(((3*w + 3) // 4)*4) + (i % w)*3 + 2) + 1, 2))::BIGINT
+             |                 for i in range(0, w*h)]) AS BIGINT) AS sum_r,
+             |  ('0x' || substr(hx, 2*doff + 1, 2))::BIGINT AS p0_b,
+             |  ('0x' || substr(hx, 2*doff + 3, 2))::BIGINT AS p0_g,
+             |  ('0x' || substr(hx, 2*doff + 5, 2))::BIGINT AS p0_r
+             |FROM geo ORDER BY doc_id""".stripMargin)
     )
   )
 }

@@ -153,6 +153,43 @@ object Sketches {
     TextQueries.dsirScore(TextQueries.dsirGrams(docs), model, k)
   }
 
+  /** Streaming corpus-novelty monitor state (the incremental form of
+    * `q_novelty_curve`): a (shingle, first_doc) first-occurrence table
+    * merged per micro-batch with MIN — an idempotent commutative monoid, so
+    * batches merge associatively in any order and the accumulated table
+    * always equals the batch query's min-doc aggregate over everything
+    * ingested so far. Old text is never re-shingled; state is
+    * O(distinct shingles), the same envelope as the incremental dedup
+    * index's signature store. Replay-guarded for uniformity (min would be
+    * harmless to replay, but the guard keeps the publish/batch-id protocol
+    * identical across the store family).
+    */
+  def updateNovelty(table: KeyedTable, docs: DataFrame, batchId: Long): Unit = {
+    if (table.alreadyApplied(batchId)) return
+    val batch = DedupQueries.shingleRows(docs)
+      .groupBy("shingle").agg(min(col("doc_id")).as("first_doc"))
+    val merged = table.read() match {
+      case Some(prev) => prev.select("shingle", "first_doc").unionByName(batch)
+        .groupBy("shingle").agg(min(col("first_doc")).as("first_doc"))
+      case None => batch
+    }
+    table.publish(merged, Some(batchId))
+    ()
+  }
+
+  /** The novelty report for `docs` against the CURRENT first-occurrence
+    * snapshot (call after [[updateNovelty]] has ingested them): a doc's
+    * shingle is novel iff the store says this doc saw it first. Report
+    * construction is single-sourced with the graded query
+    * ([[DedupQueries.noveltyFrom]]), so streamed-in-order ingestion
+    * reproduces q_novelty_curve exactly.
+    */
+  def noveltyOf(table: KeyedTable, docs: DataFrame): DataFrame = {
+    val first = table.read()
+      .getOrElse(throw new IllegalStateException("empty novelty table"))
+    DedupQueries.noveltyFrom(DedupQueries.shingleRows(docs), first)
+  }
+
   /** Bloom membership probe: each distinct (doc_id, shingle) of `docs` gets
     * maybe = 1 iff ALL its k bit positions are set (0 is a guaranteed
     * non-member). The bits side is ≤ BloomBits rows — broadcast at any

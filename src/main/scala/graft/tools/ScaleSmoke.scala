@@ -60,7 +60,9 @@ object ScaleSmoke {
     "q_gopher_rules",      // rule battery: row-local array lambdas, pure scan
     "q_word_entropy",      // entropy skeleton: row-local frequency lambda, pure scan
     "q_novelty_curve",     // first-seen shingle fraction: shingle min-agg + join, linear
-    "q_pcm_frames")        // PCM sample decode: row-local bounded byte math, pure scan
+    "q_pcm_frames",        // PCM sample decode: row-local bounded byte math, pure scan
+    "q_span_removal",      // island spans + row-local cut: df-agg linear, no pairs
+    "q_bmp_pixels")        // BMP pixel walk: row-local bounded byte math, pure scan
   // q_minhash_error is not separately gated: it is the q_dedup_curve lineage
   // (capped candidates + shingle joins) with 8 extra equality tests — the
   // gated curve query already exercises its scale shape.

@@ -220,4 +220,31 @@ class MultimodalSpec extends SparkTestBase {
       .collect()
     assert(meta.forall(r => r.getLong(0) == 1L && r.getLong(1) == 8000L && r.getLong(2) == 16L))
   }
+
+  test("bmpPixelStats channel sums match a JVM-side decode (stride padding honored)") {
+    val ids = Seq(0L, 5L, 99L)
+    val got = ids.toDF("id")
+      .select(col("id"), Multimodal.bmpPixelStats(
+        unhex(Multimodal.synthBmp24Hex(col("id"), 3, 3))).as("p"))
+      .select(col("id"), col("p.w"), col("p.h"),
+        col("p.sum_b"), col("p.sum_g"), col("p.sum_r"),
+        col("p.p0_b"), col("p.p0_g"), col("p.p0_r"))
+      .collect()
+      .map(r => r.getLong(0) -> (1 until 9).map(r.getLong).toSeq)
+      .toMap
+    for (id <- ids) {
+      def sum(ch: Int) = (for (row <- 0L until 3L; c <- 0L until 3L)
+        yield Multimodal.bmpChannel(id, row, c, ch)).sum
+      assert(got(id) == Seq(3L, 3L, sum(0), sum(1), sum(2),
+        Multimodal.bmpChannel(id, 0, 0, 0), Multimodal.bmpChannel(id, 0, 0, 1),
+        Multimodal.bmpChannel(id, 0, 0, 2)), s"id=$id")
+    }
+    // the header of the synthesized file parses through the existing
+    // header-level operator too (dib=40, bottom-up)
+    val dims = ids.toDF("id")
+      .select(Multimodal.bmpGifDims(unhex(Multimodal.synthBmp24Hex(col("id"), 3, 3))).as("d"))
+      .select("d.hdr_ok", "d.width", "d.height", "d.topdown").collect()
+    assert(dims.forall(r => r.getLong(0) == 1L && r.getLong(1) == 3L
+      && r.getLong(2) == 3L && r.getLong(3) == 0L))
+  }
 }

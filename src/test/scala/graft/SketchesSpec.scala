@@ -127,4 +127,27 @@ class SketchesSpec extends SparkTestBase {
     assert(table.latestVersion() == versionBefore,
       "replayed batch republished the filter (guard must skip it)")
   }
+
+  test("streamed novelty store reproduces the graded novelty curve") {
+    val table = new KeyedTable(spark, tmp("novelty"), "shingle")
+    val docs  = Tables.documents(spark, dir).select("doc_id", "text")
+    // doc_id-ordered batches — the ingestion-order regime the curve reads
+    val cuts = Seq(0L, 60L, 120L, Long.MaxValue)
+    cuts.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), b) =>
+      Sketches.updateNovelty(table,
+        docs.filter($"doc_id" >= lo && $"doc_id" < hi), b.toLong)
+    }
+    val got = Sketches.noveltyOf(table, docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+    val want = SparkEntry.queries("q_novelty_curve")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == want.toSeq,
+      s"streamed novelty diverges from the batch curve (${got.length} vs ${want.length} rows)")
+    // replay guard: a replayed batch publishes nothing (min would be
+    // harmless, but the protocol must stay uniform across the store family)
+    val versionBefore = table.latestVersion()
+    Sketches.updateNovelty(table, docs.filter($"doc_id" < 60L), 0L)
+    assert(table.latestVersion() == versionBefore,
+      "replayed batch republished the novelty store")
+  }
 }
