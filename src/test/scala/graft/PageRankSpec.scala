@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.operators.LinkAnalysis
+
+/** [[LinkAnalysis.pageRank]] — the integer fixed-point power iteration.
+  *
+  * Strategy: exact-value pins, not tolerances, because the operator's whole
+  * design claim is bit-determinism. A d-regular graph with Scale divisible
+  * by d is a FIXED POINT of the update rule (every node sends rank/d to d
+  * neighbors and receives d of the same back, and 0.15·S + 0.85·S = S with
+  * these integers exactly), so the cycle case pins the rule's algebra; the
+  * star case pins the asymmetric flow against a hand-run of the same
+  * arithmetic in Scala; the mass case pins conservation (floors only shed
+  * sub-unit mass, never create it).
+  */
+class PageRankSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private val S = LinkAnalysis.Scale
+
+  private def sym(pairs: Seq[(Long, Long)]): DataFrame =
+    (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+
+  private def ranksOf(edges: DataFrame, iters: Int): Map[Long, (Long, Long)] =
+    LinkAnalysis.pageRank(edges, iters).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  /** The operator's update rule, re-run on the driver over an adjacency
+    * map — same integer floors, independently written.
+    */
+  private def reference(pairs: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val adj = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+    var rank = adj.keys.map(_ -> S).toMap
+    for (_ <- 1 to iters) {
+      val recv = adj.toSeq
+        .flatMap { case (u, vs) => val c = rank(u) / vs.size; vs.map(_ -> c) }
+        .groupBy(_._1).map { case (v, cs) => v -> cs.map(_._2).sum }
+      rank = adj.keys.map(v => v -> (150000000L + 85L * recv.getOrElse(v, 0L) / 100L)).toMap
+    }
+    rank
+  }
+
+  test("4-cycle (2-regular, Scale % 2 == 0) is a fixed point at every round count") {
+    val cycle = sym(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)))
+    for (k <- Seq(0, 1, 5)) {
+      val r = ranksOf(cycle, k)
+      assert(r.keySet === Set(0L, 1L, 2L, 3L))
+      r.values.foreach { case (deg, rank) => assert(deg === 2L); assert(rank === S) }
+    }
+  }
+
+  test("star hub outranks leaves and matches the hand-run integer arithmetic") {
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L))
+    for (k <- Seq(1, 2, 5)) {
+      val got = ranksOf(sym(star), k)
+      val want = reference(star, k)
+      assert(got.view.mapValues(_._2).toMap === want, s"iters=$k")
+      val hub = got(0L)._2
+      (1L to 4L).foreach(l => assert(hub > got(l)._2))
+    }
+    // hand-check one round explicitly: hub receives 4 leaves' S/1 each,
+    // leaves receive S/4 from the hub
+    val r1 = ranksOf(sym(star), 1)
+    assert(r1(0L)._2 === 150000000L + 85L * (4 * S) / 100L)
+    assert(r1(1L)._2 === 150000000L + 85L * (S / 4) / 100L)
+  }
+
+  test("path + triangle: matches reference and conserves mass within floor loss") {
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (12L, 10L))
+    val got  = ranksOf(sym(pairs), 5)
+    val want = reference(pairs, 5)
+    assert(got.view.mapValues(_._2).toMap === want)
+    val total = got.values.map(_._2).sum
+    val n = got.size
+    assert(total <= n * S)
+    // each round each node floors away < deg + 100 units; 5 rounds, 7 nodes
+    assert(total > n * S - 5L * n * 1000L)
+  }
+
+  test("iters = 0 returns the uniform start state with out-degrees") {
+    val got = ranksOf(sym(Seq((5L, 6L), (6L, 7L))), 0)
+    assert(got === Map(5L -> (1L, S), 6L -> (2L, S), 7L -> (1L, S)))
+  }
+}

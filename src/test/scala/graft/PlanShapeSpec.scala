@@ -43,12 +43,38 @@ class PlanShapeSpec extends SparkTestBase {
     // windowed count filter. Losing the cap re-opens a |bucket|² stage at
     // scale (VERDICT r3 What's-wrong #1/#2).
     Seq("q_dedup_minhash", "q_simhash_pairs", "q_fuzzy_pairs", "q_ngram_jaccard",
-        "q_embedding_lsh_pairs")
+        "q_embedding_lsh_pairs", "q_phash_pairs")
       .foreach { name =>
         val p = plan(name)
         assert(p.contains("<= 50"),
           s"$name lost its bucket cap (no '<= 50' filter in the physical plan)")
       }
+  }
+
+  test("q_sorted_neighborhood is window-only (no pairwise join anywhere)") {
+    // the whole point of SNM: neighbor candidates come from lead() over a
+    // PARTITIONED window and the Jaccard verify is row-local array math on
+    // the carried neighbor arrays — a join creeping in would mean the
+    // blocking has regressed to the pair-explosion family it exists to avoid.
+    val p = plan("q_sorted_neighborhood")
+    assert(!p.contains("Join"),
+      s"q_sorted_neighborhood grew a join:\n${p.take(1500)}")
+    assert(p.contains("windowspecdefinition"),
+      s"q_sorted_neighborhood lost its window:\n${p.take(1500)}")
+  }
+
+  test("q_pagerank reuses the persisted edge list every round (no re-derivation)") {
+    // 5 power-iteration rounds all read the SAME materialized edge list; if
+    // the persist is dropped, each round re-runs the whole minhash candidate
+    // pipeline (scan → shingle → signature → band → expansion) — 11 extra
+    // corpus passes. Equi-joins only: a nested-loop/cartesian here would be
+    // |nodes|² at scale.
+    val df = SparkEntry.queries("q_pagerank")(spark, dir)
+    val p  = df.queryExecution.executedPlan.toString
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 5,
+      s"q_pagerank rounds do not reuse the cached edge list:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"q_pagerank contains a non-equi join:\n${p.take(1500)}")
   }
 
   test("scalar pipelines run inside whole-stage codegen (no interpreted hot path)") {
