@@ -487,18 +487,30 @@ object Multimodal {
     * reads, no shuffle.
     */
   def bmpDHash(payload: Column): Column = {
-    val w       = leIntAt(payload, 19, 4)
-    val h       = leIntAt(payload, 23, 4)
-    val dataOff = leIntAt(payload, 11, 4)
-    val stride  = idiv(w * 3L + 3L, 4L) * 4L
-    val wm1     = w - 1L
-    def lum(row: Column, c: Column): Column =
-      (0 until 3).map(ch => byteAt(payload,
-        (dataOff + row * stride + c * 3L + lit(ch.toLong) + 1L).cast("int"))).reduce(_ + _)
-    aggregate(sequence(lit(0L), h * wm1 - 1L), lit(0L), (acc, k) => {
-      val row = ((k - pmod(k, wm1)) / wm1).cast("long")
-      val c   = pmod(k, wm1)
-      acc * 2L + when(lum(row, c) > lum(row, c + 1L), lit(1L)).otherwise(lit(0L))
+    // geometry is evaluated ONCE per row by binding it to a lambda variable
+    // (the one-element aggregate below): the fold reads 56×12 payload bytes,
+    // and each byte position references w/doff/stride — left as plain
+    // subtrees they would re-parse the header (4 substr+conv each) inside
+    // every read, ~13k interpreted nodes per row (HOFs are CodegenFallback);
+    // as lambda-variable field lookups they are O(1)
+    val geo = struct(
+      leIntAt(payload, 19, 4).as("w"),
+      leIntAt(payload, 23, 4).as("h"),
+      leIntAt(payload, 11, 4).as("doff"),
+      (idiv(leIntAt(payload, 19, 4) * 3L + 3L, 4L) * 4L).as("stride"))
+    aggregate(array(geo), lit(0L), (_, g) => {
+      val h      = g("h")
+      val doff   = g("doff")
+      val stride = g("stride")
+      val wm1    = g("w") - lit(1L)
+      def lum(row: Column, c: Column): Column =
+        (0 until 3).map(ch => byteAt(payload,
+          (doff + row * stride + c * lit(3L) + lit(ch.toLong) + lit(1L)).cast("int"))).reduce(_ + _)
+      aggregate(sequence(lit(0L), h * wm1 - lit(1L)), lit(0L), (acc, k) => {
+        val row = ((k - pmod(k, wm1)) / wm1).cast("long")
+        val c   = pmod(k, wm1)
+        acc * 2L + when(lum(row, c) > lum(row, c + lit(1L)), lit(1L)).otherwise(lit(0L))
+      })
     })
   }
 }

@@ -1440,7 +1440,7 @@ object DedupQueries {
               |FROM cut ORDER BY doc_id""".stripMargin)
     ),
 
-    // E1m PageRank centrality over the near-dup candidate graph — the link
+    // E1q PageRank centrality over the near-dup candidate graph — the link
     // analysis a curation pipeline runs to find TEMPLATE HUBS: a boilerplate
     // page that band-collides with many scraped variants accumulates rank
     // from every neighbor, while an isolated duplicate pair stays near the
@@ -1488,7 +1488,7 @@ object DedupQueries {
               |SELECT id AS doc_id, deg, rank FROM r5 ORDER BY doc_id""".stripMargin)
     ),
 
-    // E1n sorted-neighborhood dedup (Hernández-Stolfo SNM) — the THIRD
+    // E1r sorted-neighborhood dedup (Hernández-Stolfo SNM) — the THIRD
     // classic blocking family next to LSH banding (hash-bucket blocking) and
     // simhash (bit-bucket blocking): sort the corpus by a key that places
     // near-duplicates adjacently, then compare each record only with its W

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -302,9 +303,14 @@ object MultimodalQueries {
       "q_pcm_frames",
       "per-frame energy/peak decoded from 16-bit PCM WAV data chunks",
       (s, dir) =>
-        Tables.documents(s, dir)
+        // payload behind a cache boundary: the frame decode reads each of
+        // the 128 sample bytes through the payload column, and
+        // CollapseProject would otherwise inline the full 172-byte WAV
+        // synthesis subtree into every read (same fix as q_phash_pairs)
+        Tables.spread(Tables.documents(s, dir))
           .select(col("doc_id"),
             unhex(Multimodal.synthPcm16Hex(col("doc_id"), 64)).as("payload"))
+          .persist()
           .select(col("doc_id"),
             explode(Multimodal.pcmFrames(col("payload"), 4, 16)).as("f"))
           .select(col("doc_id"), col("f.frame").as("frame"),
@@ -348,9 +354,12 @@ object MultimodalQueries {
       "q_bmp_pixels",
       "per-channel pixel sums + first-pixel BGR decoded from 24-bpp BMP payloads",
       (s, dir) =>
-        Tables.documents(s, dir)
+        // payload behind a cache boundary (same CollapseProject inlining
+        // fix as q_phash_pairs / q_pcm_frames)
+        Tables.spread(Tables.documents(s, dir))
           .select(col("doc_id"),
             unhex(Multimodal.synthBmp24Hex(col("doc_id"), 3, 3)).as("payload"))
+          .persist()
           .select(col("doc_id"), Multimodal.bmpPixelStats(col("payload")).as("p"))
           .select(col("doc_id"), col("p.w").as("w"), col("p.h").as("h"),
             col("p.sum_b").as("sum_b"), col("p.sum_g").as("sum_g"),
@@ -394,43 +403,74 @@ object MultimodalQueries {
 
     // Perceptual near-duplicate IMAGE detection end-to-end: dHash
     // fingerprints over decoded 8×8 BMP thumbnails ([[Multimodal.bmpDHash]]
-    // — 56 sign-of-luminance-delta bits), then the same banded-LSH pair
-    // discipline the text side uses: 4 bands of 14 bits, capped buckets,
-    // in-bucket expansion, hamming distance ≤ 6 via bit_count(xor). This is
-    // the image twin of q_simhash_pairs — fingerprint changes, blocking
-    // machinery identical (shared pairExpansionSql / MaxBucket), which is
-    // exactly the point: at 100 TB the pair stage neither knows nor cares
-    // that the bits came from pixels.
+    // — 56 sign-of-luminance-delta bits), then FINGERPRINT-LEVEL banded LSH.
+    // The pair stage runs over DISTINCT hashes, not documents: perceptual
+    // hashes collide in dense classes by design (that is what makes them
+    // useful), so doc-level band buckets go |class|² the moment a popular
+    // image is re-scraped — measured 8× time at 4× corpus before this
+    // dedup-then-pair shape replaced it (the r8 scale gate caught it). Now
+    //  1. hash each doc (one codegen fold per row),
+    //  2. cap each fingerprint's member list at MaxBucket lowest doc_ids
+    //     (row_number — truncation, mirrored in the oracle),
+    //  3. band the DISTINCT hashes (4 × 14 bits, buckets capped) and pair
+    //     hash VALUES with hamming ≤ 6 — a set whose size is bounded by the
+    //     fingerprint space, CONSTANT in corpus size,
+    //  4. expand hash pairs back to doc pairs through two equi-joins, plus
+    //     dist-0 pairs inside each fingerprint class — both output-bound.
     //
     // The corpus synthesizes one 8×8 thumbnail per doc from doc_id
     // (deterministic channel ramps, same synthesizer as q_bmp_pixels) —
     // ids congruent mod 256 yield identical images, so the graded output
-    // contains REAL exact-dup pairs plus whatever near-collisions the band
-    // structure surfaces. The oracle re-decodes the identical hex at the
-    // string level and re-derives the hash bit-for-bit.
+    // contains REAL hamming-0 dup classes plus the band near-collisions.
+    // The oracle re-decodes the identical hex at the string level and
+    // re-derives hash, caps, bands, and expansion bit-for-bit.
     GraftQuery(
       "q_phash_pairs",
-      "dHash (8×8 BMP, 56-bit) perceptual near-dup pairs, 4×14-bit bands, hamming <= 6",
+      "dHash (8×8 BMP, 56-bit) perceptual near-dup pairs: distinct-fingerprint LSH, hamming <= 6",
       (s, dir) => {
-        val dh = Tables.spread(Tables.documents(s, dir))
+        val cap = DedupQueries.MaxBucket
+        val wd  = Window.partitionBy(col("dhash")).orderBy(col("doc_id"))
+        // persist the payload BEFORE hashing: the dHash fold reads ~340
+        // payload bytes, and CollapseProject would otherwise inline the
+        // whole 246-byte BMP synthesis subtree into every one of those
+        // reads (measured 3.1 s -> sub-second at sf0.1); behind the cache
+        // boundary each read is an O(1) attribute access
+        val pay = Tables.spread(Tables.documents(s, dir))
           .select(col("doc_id"),
             unhex(Multimodal.synthBmp24Hex(col("doc_id"), 8, 8)).as("payload"))
+          .persist()
+        val mem = pay
           .select(col("doc_id"), Multimodal.bmpDHash(col("payload")).as("dhash"))
-        val buckets = dh
-          .select(col("doc_id"), col("dhash"),
+          .withColumn("rn", row_number().over(wd))
+          .filter(col("rn") <= cap)
+          .select("doc_id", "dhash")
+          .persist()
+        val buckets = mem.select("dhash").distinct()
+          .select(col("dhash"),
             posexplode(array((0 until 4).map(b =>
               expr(s"shiftright(dhash, ${14 * b}) & 16383L")): _*)).as(Seq("band", "bv")))
           .groupBy("band", "bv")
-          .agg(array_sort(collect_list(struct(col("doc_id"), col("dhash")))).as("ms"))
-          .filter(size(col("ms")).between(2, DedupQueries.MaxBucket))
-        buckets
-          .select(explode(expr(DedupQueries.pairExpansionSql("ms")((x, y) =>
-            s"named_struct('a', $x.doc_id, 'ha', $x.dhash, 'b', $y.doc_id, 'hb', $y.dhash)"))).as("p"))
-          .select(col("p.a").as("a"), col("p.b").as("b"),
-            expr("bit_count(p.ha ^ p.hb)").cast("long").as("dist"))
+          .agg(array_sort(collect_set(col("dhash"))).as("hs"))
+          .filter(size(col("hs")).between(2, cap))
+        val hashPairs = buckets
+          .select(explode(expr(DedupQueries.pairExpansionSql("hs")((x, y) =>
+            s"named_struct('h1', $x, 'h2', $y)"))).as("p"))
+          .select(col("p.h1").as("h1"), col("p.h2").as("h2"),
+            expr("bit_count(p.h1 ^ p.h2)").cast("long").as("dist"))
           .filter(col("dist") <= 6)
           .distinct()
-          .orderBy("a", "b")
+        val cross = hashPairs
+          .join(mem.select(col("dhash").as("h1"), col("doc_id").as("da")), Seq("h1"))
+          .join(mem.select(col("dhash").as("h2"), col("doc_id").as("db")), Seq("h2"))
+          .select(least(col("da"), col("db")).as("a"),
+            greatest(col("da"), col("db")).as("b"), col("dist"))
+        val same = mem.groupBy("dhash")
+          .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+          .filter(size(col("ids")) >= 2)
+          .select(explode(expr(DedupQueries.pairExpansionSql("ids")((x, y) =>
+            s"named_struct('a', $x, 'b', $y)"))).as("p"))
+          .select(col("p.a").as("a"), col("p.b").as("b"), lit(0L).as("dist"))
+        cross.union(same).orderBy("a", "b")
       },
       Some {
         def lum(row: String, c: String) = (0 to 2).map(ch =>
@@ -467,19 +507,37 @@ object MultimodalQueries {
            |           ELSE CAST(0 AS BIGINT) END
            |      for k in range(0, CAST(h*(w-1) AS INTEGER))]) AS BIGINT) AS dhash
            |  FROM g2),
+           |mem AS (
+           |  SELECT doc_id, dhash FROM (
+           |    SELECT doc_id, dhash,
+           |           row_number() OVER (PARTITION BY dhash ORDER BY doc_id) AS rn
+           |    FROM dh) t WHERE rn <= ${DedupQueries.MaxBucket}),
+           |reps AS (SELECT DISTINCT dhash FROM mem),
            |e AS (
-           |  SELECT doc_id, dhash, b, (dhash >> CAST(14*b AS INTEGER)) & 16383 AS bv
-           |  FROM dh, (SELECT unnest(range(0, 4)) AS b) bs),
-           |cb AS (SELECT doc_id, dhash, b, bv,
+           |  SELECT dhash, b, (dhash >> CAST(14*b AS INTEGER)) & 16383 AS bv
+           |  FROM reps, (SELECT unnest(range(0, 4)) AS b) bs),
+           |cb AS (SELECT dhash, b, bv,
            |              count(*) OVER (PARTITION BY b, bv) AS bn
            |       FROM e),
-           |c AS (SELECT doc_id, dhash, b, bv FROM cb WHERE bn BETWEEN 2 AND ${DedupQueries.MaxBucket})
-           |SELECT DISTINCT a, b, dist FROM (
-           |  SELECT l.doc_id AS a, r.doc_id AS b,
+           |c AS (SELECT dhash, b, bv FROM cb WHERE bn BETWEEN 2 AND ${DedupQueries.MaxBucket}),
+           |hp AS (
+           |  SELECT DISTINCT l.dhash AS h1, r.dhash AS h2,
            |         CAST(bit_count(xor(l.dhash, r.dhash)) AS BIGINT) AS dist
            |  FROM c l JOIN c r ON l.b = r.b AND l.bv = r.bv
-           |                   AND l.doc_id < r.doc_id) p
-           |WHERE dist <= 6 ORDER BY a, b""".stripMargin
+           |                   AND l.dhash < r.dhash
+           |  WHERE bit_count(xor(l.dhash, r.dhash)) <= 6),
+           |crossp AS (
+           |  SELECT least(x.doc_id, y.doc_id) AS a,
+           |         greatest(x.doc_id, y.doc_id) AS b, p.dist
+           |  FROM hp p JOIN mem x ON x.dhash = p.h1
+           |            JOIN mem y ON y.dhash = p.h2),
+           |samep AS (
+           |  SELECT x.doc_id AS a, y.doc_id AS b, CAST(0 AS BIGINT) AS dist
+           |  FROM mem x JOIN mem y
+           |    ON x.dhash = y.dhash AND x.doc_id < y.doc_id)
+           |SELECT a, b, dist
+           |FROM (SELECT * FROM crossp UNION ALL SELECT * FROM samep) u
+           |ORDER BY a, b""".stripMargin
       }
     )
   )

@@ -62,7 +62,10 @@ object ScaleSmoke {
     "q_novelty_curve",     // first-seen shingle fraction: shingle min-agg + join, linear
     "q_pcm_frames",        // PCM sample decode: row-local bounded byte math, pure scan
     "q_span_removal",      // island spans + row-local cut: df-agg linear, no pairs
-    "q_bmp_pixels")        // BMP pixel walk: row-local bounded byte math, pure scan
+    "q_bmp_pixels",        // BMP pixel walk: row-local bounded byte math, pure scan
+    "q_pagerank",          // 5 fixed rounds over cap-bound edges: per-round joins must stay linear
+    "q_sorted_neighborhood", // partitioned window + lead(2): one shuffle, zero pair joins
+    "q_phash_pairs")       // dHash + 4x14-bit bands: cap-bound pairs, row-local pixel fold
   // q_minhash_error is not separately gated: it is the q_dedup_curve lineage
   // (capped candidates + shingle joins) with 8 extra equality tests — the
   // gated curve query already exercises its scale shape.
