@@ -388,6 +388,40 @@ object Multimodal {
         array_max(abss).as("peak"))
     })
 
+  /** Silence profile of a mono 16-bit PCM payload: struct(n_silent,
+    * max_run) — the count of samples with |s| < `threshold` and the longest
+    * CONSECUTIVE run of them, the trim/discard signal an audio curation
+    * pass gates on (a clip that is mostly one silent run is dead air; the
+    * same count spread thin is just quiet).
+    *
+    * The run length is a single fold with an ENCODED accumulator
+    * `cur·1000 + best` (both bounded by nSamples < 1000): a silent sample
+    * bumps cur and lifts best, a loud one resets cur — so best is the max
+    * over every prefix, extracted with one pmod at the end. best ≥ cur is
+    * an invariant (best is lifted whenever cur grows), so no final max is
+    * needed. Row-local, bounded at nSamples byte pairs per row; the oracle
+    * derives the identical runs via the gaps-and-islands window instead —
+    * same numbers, the two classic formulations checking each other.
+    */
+  def pcmSilence(payload: Column, nSamples: Int, threshold: Long): Column = {
+    require(nSamples < 1000, "run encoding bounds nSamples at 999")
+    val abss = transform(sequence(lit(0), lit(nSamples - 1)), j => {
+      val off = j * 2
+      val u = conv(concat(hexAt(payload, lit(46) + off, 1),
+        hexAt(payload, lit(45) + off, 1)), 16, 10).cast("long")
+      abs(when(u >= 32768L, u - 65536L).otherwise(u))
+    })
+    val nSil = aggregate(abss, lit(0L), (acc, x) =>
+      acc + when(x < threshold, lit(1L)).otherwise(lit(0L)))
+    val enc = aggregate(abss, lit(0L), (acc, x) => {
+      val cur  = idiv(acc, 1000L)
+      val best = pmod(acc, lit(1000L))
+      when(x < threshold,
+        (cur + 1L) * 1000L + greatest(best, cur + 1L)).otherwise(best)
+    })
+    struct(nSil.as("n_silent"), pmod(enc, lit(1000L)).as("max_run"))
+  }
+
   // ---- BMP pixel decoding — the image twin of the PCM sample walk ------
 
   /** Exact integer floor-division for small nonnegative columns: (a − a mod

@@ -539,6 +539,60 @@ object MultimodalQueries {
            |FROM (SELECT * FROM crossp UNION ALL SELECT * FROM samep) u
            |ORDER BY a, b""".stripMargin
       }
+    ),
+
+    // E5h silence detection — the trim/discard gate of an audio curation
+    // pass, and the first operator to reason about sample ORDER rather than
+    // per-frame aggregates: n_silent (samples with |s| < 100) says how
+    // quiet a clip is, max_run (longest consecutive silent stretch) says
+    // whether that quiet is dead air or just a soft recording — the
+    // distinction energy histograms cannot make. The Spark side is ONE
+    // row-local encoded fold (cur·1000+best, see
+    // [[Multimodal.pcmSilence]]); the oracle derives the identical runs via
+    // the classic gaps-and-islands window (k − row_number() grouping) — the
+    // two standard formulations of run-length analysis checking each other.
+    GraftQuery(
+      "q_silence_runs",
+      "silent-sample count + longest silent run decoded from 16-bit PCM data chunks",
+      (s, dir) =>
+        Tables.spread(Tables.documents(s, dir))
+          .select(col("doc_id"),
+            unhex(Multimodal.synthPcm16Hex(col("doc_id"), 64)).as("payload"))
+          .persist()
+          .select(col("doc_id"), Multimodal.pcmSilence(col("payload"), 64, 100L).as("sl"))
+          .select(col("doc_id"), col("sl.n_silent").as("n_silent"),
+            col("sl.max_run").as("max_run"))
+          .orderBy("doc_id"),
+      Some("""WITH syn AS (
+             |  SELECT doc_id,
+             |    '52494646' || 'A4000000' || '57415645666D7420' || '10000000'
+             |      || '0100' || '0100' || '401F0000' || '803E0000' || '0200' || '1000'
+             |      || '64617461' || '80000000'
+             |      || array_to_string([
+             |           lpad(to_hex(((doc_id * 31 + k * 17) % 997 - 498 + 65536) % 65536 % 256), 2, '0')
+             |             || lpad(to_hex((((doc_id * 31 + k * 17) % 997 - 498 + 65536) % 65536) // 256), 2, '0')
+             |           for k in range(0, 64)], '') AS hx
+             |  FROM documents),
+             |smp AS (
+             |  SELECT doc_id, k,
+             |    abs(CASE WHEN ('0x' || substr(hx, 91 + 4*k, 2) || substr(hx, 89 + 4*k, 2))::BIGINT >= 32768
+             |             THEN ('0x' || substr(hx, 91 + 4*k, 2) || substr(hx, 89 + 4*k, 2))::BIGINT - 65536
+             |             ELSE ('0x' || substr(hx, 91 + 4*k, 2) || substr(hx, 89 + 4*k, 2))::BIGINT END) AS a
+             |  FROM syn, (SELECT unnest(range(0, 64)) AS k) ks),
+             |sil AS (SELECT doc_id, k FROM smp WHERE a < 100),
+             |isl AS (SELECT doc_id,
+             |               k - row_number() OVER (PARTITION BY doc_id ORDER BY k) AS g
+             |        FROM sil),
+             |runs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS run
+             |         FROM isl GROUP BY doc_id, g),
+             |agg AS (SELECT doc_id, CAST(sum(run) AS BIGINT) AS n_silent,
+             |               CAST(max(run) AS BIGINT) AS max_run
+             |        FROM runs GROUP BY doc_id)
+             |SELECT d.doc_id,
+             |       coalesce(a.n_silent, CAST(0 AS BIGINT)) AS n_silent,
+             |       coalesce(a.max_run, CAST(0 AS BIGINT)) AS max_run
+             |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+             |ORDER BY d.doc_id""".stripMargin)
     )
   )
 }

@@ -119,6 +119,73 @@ object PipelineQueries {
               |           CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY md5(text)) THEN 1 ELSE 0 END AS d
               |    FROM documents) h) f
               |GROUP BY source ORDER BY source""".stripMargin)
+    ),
+
+    // E6b URL-level curation (the RefinedWeb/C4 move the reference's X6
+    // normalization hints at, done at corpus scale): every doc gets a
+    // deterministic synthetic URL (subdomain/tld/tracking-params derived
+    // from doc_id), then the pipeline canonicalizes (strip utm_* params +
+    // dangling separators), extracts host and REGISTERED DOMAIN (last two
+    // dot-labels — 'cdn.wiki.org' and 'www.wiki.org' roll up together, the
+    // whole point of domain-level curation), and rolls up per domain: doc
+    // and distinct-source counts, total chars, how many raw URLs carried
+    // tracking params, and a deterministic 10% blocklist flag (hash60 of
+    // the domain — the shared md5 construction, so both engines agree).
+    //
+    // Scale shape: one scan, row-local regex/string ops, ONE hash aggregate
+    // keyed by domain (bounded by the registered-domain space, far below
+    // corpus cardinality at 100 TB — this rollup is exactly how a crawl is
+    // summarized cheaply). No window, no join.
+    GraftQuery(
+      "q_domain_stats",
+      "URL canonicalize -> registered-domain rollup: docs, sources, chars, tracking, blocklist",
+      (s, dir) =>
+        Tables.spread(Tables.documents(s, dir))
+          .withColumn("src", expr("regexp_replace(lower(coalesce(source, '')), '[^a-z0-9]', '')"))
+          .withColumn("url", expr(
+            "concat('https://', element_at(array('www.', 'cdn.', ''), cast(doc_id % 3 as int) + 1), " +
+              "src, element_at(array('.com', '.org', '.net', '.io'), cast(doc_id % 4 as int) + 1), " +
+              "'/p/', cast(doc_id as string), " +
+              "if(doc_id % 2 = 0, concat('?utm_source=feed&utm_campaign=x&id=', doc_id), " +
+              "concat('?id=', doc_id)))"))
+          .withColumn("canon", expr(
+            "regexp_replace(regexp_replace(url, 'utm_[a-z]+=[^&]*&?', ''), '[?&]$', '')"))
+          .withColumn("host", expr("regexp_extract(canon, '^https://([^/?]+)', 1)"))
+          .withColumn("domain", expr("array_join(slice(split(host, '\\\\.'), -2, 2), '.')"))
+          .groupBy("domain")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("source")).as("n_sources"),
+            sum(col("n_chars")).as("total_chars"),
+            sum(when(col("url").contains("utm_"), lit(1L)).otherwise(lit(0L))).as("n_tracked"))
+          .withColumn("blocked",
+            expr(s"if(pmod(${Scalars.hexHash60Sql("domain")}, 10) = 0, 1L, 0L)"))
+          .orderBy("domain"),
+      Some(s"""WITH base AS (
+              |  SELECT doc_id, source, n_chars,
+              |         regexp_replace(lower(coalesce(source, '')), '[^a-z0-9]', '', 'g') AS src
+              |  FROM documents),
+              |u AS (
+              |  SELECT doc_id, source, n_chars,
+              |    'https://' || (['www.', 'cdn.', ''])[CAST(doc_id % 3 AS INTEGER) + 1] || src
+              |      || (['.com', '.org', '.net', '.io'])[CAST(doc_id % 4 AS INTEGER) + 1]
+              |      || '/p/' || doc_id
+              |      || CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&utm_campaign=x&id=' || doc_id
+              |              ELSE '?id=' || doc_id END AS url
+              |  FROM base),
+              |dm AS (
+              |  SELECT doc_id, source, n_chars, url,
+              |    array_to_string((string_split(regexp_extract(
+              |      regexp_replace(regexp_replace(url, 'utm_[a-z]+=[^&]*&?', '', 'g'), '[?&]$$', ''),
+              |      '^https://([^/?]+)', 1), '.'))[-2:], '.') AS domain
+              |  FROM u)
+              |SELECT domain,
+              |  count(*) AS n_docs,
+              |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+              |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+              |  CAST(sum(CASE WHEN contains(url, 'utm_') THEN 1 ELSE 0 END) AS BIGINT) AS n_tracked,
+              |  CASE WHEN (${Scalars.duckHexHash60Sql("domain")}) % 10 = 0
+              |       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS blocked
+              |FROM dm GROUP BY domain ORDER BY domain""".stripMargin)
     )
   )
 }

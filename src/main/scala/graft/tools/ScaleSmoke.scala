@@ -65,7 +65,9 @@ object ScaleSmoke {
     "q_bmp_pixels",        // BMP pixel walk: row-local bounded byte math, pure scan
     "q_pagerank",          // 5 fixed rounds over cap-bound edges: per-round joins must stay linear
     "q_sorted_neighborhood", // partitioned window + lead(2): one shuffle, zero pair joins
-    "q_phash_pairs")       // dHash + 4x14-bit bands: cap-bound pairs, row-local pixel fold
+    "q_phash_pairs",       // distinct-fingerprint LSH: hash set constant, expansion output-bound
+    "q_silence_runs",      // row-local encoded run fold: pure scan, must stay linear
+    "q_domain_stats")      // row-local URL ops + domain-keyed agg: bounded output
   // q_minhash_error is not separately gated: it is the q_dedup_curve lineage
   // (capped candidates + shingle joins) with 8 extra equality tests — the
   // gated curve query already exercises its scale shape.

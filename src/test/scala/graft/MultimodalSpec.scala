@@ -275,4 +275,27 @@ class MultimodalSpec extends SparkTestBase {
     // and a different id class yields a different fingerprint
     assert(got(0L) !== got(7L))
   }
+
+  test("pcmSilence count + longest run match a JVM-side run-length scan") {
+    // independent reference: decode the synthesizer's sample formula
+    // directly and run the textbook linear run-length scan
+    def ref(id: Long, n: Int, t: Long): (Long, Long) = {
+      val abss = (0 until n).map(k => math.abs((id * 31 + k * 17) % 997 - 498))
+      var cur = 0L; var best = 0L; var ns = 0L
+      abss.foreach { a =>
+        if (a < t) { cur += 1; ns += 1; best = math.max(best, cur) } else cur = 0
+      }
+      (ns, best)
+    }
+    val ids = Seq(0L, 3L, 42L, 99L, 123L)
+    val got = ids.toDF("id")
+      .select(col("id"), Multimodal.pcmSilence(
+        unhex(Multimodal.synthPcm16Hex(col("id"), 64)), 64, 100L).as("s"))
+      .select(col("id"), col("s.n_silent"), col("s.max_run"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    for (id <- ids) assert(got(id) === ref(id, 64, 100L), s"id=$id")
+    // at least one fixture must actually contain a run > 1 or the encoded
+    // fold's cur-propagation is untested
+    assert(ids.map(got(_)._2).max > 1L)
+  }
 }
