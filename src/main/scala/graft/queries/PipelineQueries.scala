@@ -140,26 +140,7 @@ object PipelineQueries {
       "q_domain_stats",
       "URL canonicalize -> registered-domain rollup: docs, sources, chars, tracking, blocklist",
       (s, dir) =>
-        Tables.spread(Tables.documents(s, dir))
-          .withColumn("src", expr("regexp_replace(lower(coalesce(source, '')), '[^a-z0-9]', '')"))
-          .withColumn("url", expr(
-            "concat('https://', element_at(array('www.', 'cdn.', ''), cast(doc_id % 3 as int) + 1), " +
-              "src, element_at(array('.com', '.org', '.net', '.io'), cast(doc_id % 4 as int) + 1), " +
-              "'/p/', cast(doc_id as string), " +
-              "if(doc_id % 2 = 0, concat('?utm_source=feed&utm_campaign=x&id=', doc_id), " +
-              "concat('?id=', doc_id)))"))
-          .withColumn("canon", expr(
-            "regexp_replace(regexp_replace(url, 'utm_[a-z]+=[^&]*&?', ''), '[?&]$', '')"))
-          .withColumn("host", expr("regexp_extract(canon, '^https://([^/?]+)', 1)"))
-          .withColumn("domain", expr("array_join(slice(split(host, '\\\\.'), -2, 2), '.')"))
-          .groupBy("domain")
-          .agg(count(lit(1)).as("n_docs"),
-            countDistinct(col("source")).as("n_sources"),
-            sum(col("n_chars")).as("total_chars"),
-            sum(when(col("url").contains("utm_"), lit(1L)).otherwise(lit(0L))).as("n_tracked"))
-          .withColumn("blocked",
-            expr(s"if(pmod(${Scalars.hexHash60Sql("domain")}, 10) = 0, 1L, 0L)"))
-          .orderBy("domain"),
+        domainReport(domainPairs(domainRows(Tables.spread(Tables.documents(s, dir))))),
       Some(s"""WITH base AS (
               |  SELECT doc_id, source, n_chars,
               |         regexp_replace(lower(coalesce(source, '')), '[^a-z0-9]', '', 'g') AS src
@@ -188,4 +169,50 @@ object PipelineQueries {
               |FROM dm GROUP BY domain ORDER BY domain""".stripMargin)
     )
   )
+
+  /** (doc_id, source, n_chars, url, domain) — URL synthesis, tracking-param
+    * canonicalization, and registered-domain extraction for every document.
+    * Single-sourced between the graded `q_domain_stats` and the streaming
+    * rollup ([[graft.streaming.Sketches.updateDomains]]) so the two cannot
+    * drift.
+    */
+  private[graft] def domainRows(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .withColumn("src", expr("regexp_replace(lower(coalesce(source, '')), '[^a-z0-9]', '')"))
+      .withColumn("url", expr(
+        "concat('https://', element_at(array('www.', 'cdn.', ''), cast(doc_id % 3 as int) + 1), " +
+          "src, element_at(array('.com', '.org', '.net', '.io'), cast(doc_id % 4 as int) + 1), " +
+          "'/p/', cast(doc_id as string), " +
+          "if(doc_id % 2 = 0, concat('?utm_source=feed&utm_campaign=x&id=', doc_id), " +
+          "concat('?id=', doc_id)))"))
+      .withColumn("canon", expr(
+        "regexp_replace(regexp_replace(url, 'utm_[a-z]+=[^&]*&?', ''), '[?&]$', '')"))
+      .withColumn("host", expr("regexp_extract(canon, '^https://([^/?]+)', 1)"))
+      .withColumn("domain", expr("array_join(slice(split(host, '\\\\.'), -2, 2), '.')"))
+      .select("doc_id", "source", "n_chars", "url", "domain")
+
+  /** Per-(domain, source) partial sums — the mergeable state shape: every
+    * column is a sum monoid, so batch partials ADD associatively (the
+    * distinct-source count the report needs becomes a row count over this
+    * grain, which is why source stays in the key instead of a non-mergeable
+    * countDistinct). State is bounded by |domains|·|sources| forever.
+    */
+  private[graft] def domainPairs(rows: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    rows.groupBy("domain", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(when(col("url").contains("utm_"), lit(1L)).otherwise(lit(0L))).as("n_tracked"))
+
+  /** The graded rollup from (possibly batch-merged) per-(domain, source)
+    * partials: domain-level sums, distinct sources as the pair-row count,
+    * and the deterministic hash60 blocklist flag.
+    */
+  private[graft] def domainReport(pairs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    pairs.groupBy("domain")
+      .agg(sum("n_docs").as("n_docs"), count(lit(1)).as("n_sources"),
+        sum("total_chars").as("total_chars"), sum("n_tracked").as("n_tracked"))
+      .withColumn("blocked",
+        expr(s"if(pmod(${Scalars.hexHash60Sql("domain")}, 10) = 0, 1L, 0L)"))
+      .select("domain", "n_docs", "n_sources", "total_chars", "n_tracked", "blocked")
+      .orderBy("domain")
 }

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.queries.{DedupQueries, Dialect, TextQueries}
+import graft.queries.{DedupQueries, Dialect, PipelineQueries, TextQueries}
 
 /** Streaming count-min sketch (the incremental form of `q_cms_counts`): each
   * micro-batch's D×W counter grid is merged BY ADDITION into a persisted
@@ -205,4 +205,46 @@ object Sketches {
       .groupBy("doc_id", "shingle")
       .agg(min(coalesce(col("hit"), lit(0L))).as("maybe"))
   }
+
+  /** Streaming domain rollup (the incremental form of `q_domain_stats`):
+    * each micro-batch's per-(domain, source) partial sums merge BY ADDITION
+    * into the persisted state — every state column is a sum monoid (the
+    * report's distinct-source count is a ROW COUNT at this grain, which is
+    * exactly why the state keys on (domain, source) rather than holding a
+    * non-mergeable countDistinct), so batches merge associatively and old
+    * documents are never reprocessed. State is bounded by
+    * |domains|·|sources| forever, independent of stream length.
+    *
+    * Replay safety rides the [[KeyedTable]] batch protocol: addition is not
+    * idempotent, so the already-applied guard is what makes the merge
+    * exactly-once. URL synthesis/canonicalization/domain extraction are
+    * single-sourced with the graded query
+    * ([[PipelineQueries.domainRows]]/[[PipelineQueries.domainPairs]]);
+    * SketchesSpec pins streamed state ≡ the batch rollup.
+    */
+  def updateDomains(table: KeyedTable, docs: DataFrame, batchId: Long): Unit = {
+    if (table.alreadyApplied(batchId)) return
+    val batch = PipelineQueries.domainPairs(PipelineQueries.domainRows(docs))
+    val merged = table.read() match {
+      case Some(prev) => prev.select("domain", "source", "n_docs", "total_chars", "n_tracked")
+        .unionByName(batch)
+        .groupBy("domain", "source")
+        .agg(sum("n_docs").as("n_docs"), sum("total_chars").as("total_chars"),
+          sum("n_tracked").as("n_tracked"))
+      case None => batch
+    }
+    table.publish(
+      merged.withColumn("pair", concat_ws("\u001f", col("domain"), col("source"))),
+      Some(batchId))
+    ()
+  }
+
+  /** The graded report shape from the persisted domain state — shared
+    * [[PipelineQueries.domainReport]], so streamed-then-reported equals the
+    * batch query exactly (blocklist flag included).
+    */
+  def domainsOf(table: KeyedTable): DataFrame =
+    PipelineQueries.domainReport(table.read()
+      .getOrElse(throw new IllegalStateException("empty domain table"))
+      .select("domain", "source", "n_docs", "total_chars", "n_tracked"))
 }

@@ -150,4 +150,28 @@ class SketchesSpec extends SparkTestBase {
     assert(table.latestVersion() == versionBefore,
       "replayed batch republished the novelty store")
   }
+
+  test("streamed domain rollup reproduces the graded domain stats") {
+    val table = new KeyedTable(spark, tmp("domains"), "pair")
+    val docs  = Tables.documents(spark, dir).select("doc_id", "source", "n_chars")
+    // three interleaved batches (NOT id-contiguous: the merge must be
+    // order-free, unlike the novelty store's ingestion-order semantics)
+    (0 until 3).foreach { b =>
+      Sketches.updateDomains(table, docs.filter($"doc_id" % 3 === b), b.toLong)
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    val got  = rows(Sketches.domainsOf(table)
+      .select("domain", "n_docs", "n_sources", "total_chars", "n_tracked", "blocked"))
+    val want = rows(SparkEntry.queries("q_domain_stats")(spark, dir)
+      .select("domain", "n_docs", "n_sources", "total_chars", "n_tracked", "blocked"))
+    assert(got.toSeq == want.toSeq,
+      s"streamed domain rollup diverges (${got.length} vs ${want.length} rows)")
+    // replay guard: addition is not idempotent, so a replayed batch must
+    // publish nothing
+    val versionBefore = table.latestVersion()
+    Sketches.updateDomains(table, docs.filter($"doc_id" % 3 === 0), 0L)
+    assert(table.latestVersion() == versionBefore,
+      "replayed batch republished the domain store")
+  }
 }
