@@ -1548,6 +1548,49 @@ object DedupQueries {
               |  FROM rn x JOIN rn y
               |    ON x.blk = y.blk AND (y.rn = x.rn + 1 OR y.rn = x.rn + 2))
               |SELECT a, b, jac FROM pairs WHERE jac >= 0.25 ORDER BY a, b""".stripMargin)
+    ),
+
+    // E1s triangle counting over the near-dup candidate graph — the
+    // clustering-coefficient signal that tells TEMPLATE CLUSTERS (dense,
+    // triangle-rich: every scraped variant collides with every other) apart
+    // from CHAIN artifacts (a shared boilerplate sentence linking otherwise
+    // unrelated docs: high degree, near-zero triangles). PageRank (E1q)
+    // ranks hubs; this classifies their neighborhoods.
+    //
+    // The classic ordered-triple formulation: edges held as a < b, and a
+    // triangle (a < b < c) found by joining edge (a,b) with adjacency
+    // (b,c) and closing with (a,c) — each triangle found exactly ONCE, no
+    // distinct, no orientation bookkeeping. Wedge work is bounded because
+    // the edge set comes from MaxBucket-capped band buckets (max degree ≤
+    // bands·(cap−1)), the same upstream guard every pair consumer rides —
+    // the 100 TB wedge explosion is capped before it can exist. Per-node
+    // participation = each found triangle exploded to its 3 corners.
+    GraftQuery(
+      "q_triangles",
+      "per-doc triangle participation in the minhash candidate graph (ordered-triple join)",
+      (s, dir) => {
+        val sig  = arraySignatures(Tables.spread(Tables.documents(s, dir)))
+        val cand = candidatePairs(sig).persist()
+        val tri = cand
+          .join(cand.select(col("a").as("b"), col("b").as("c")), "b")
+          .join(cand.select(col("a"), col("b").as("c")), Seq("a", "c"))
+          .select(col("a"), col("b"), col("c"))
+        tri.select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $duckMinhashCtes,
+              |tri AS (
+              |  SELECT e1.a AS a, e1.b AS b, e2.b AS c
+              |  FROM cand e1
+              |  JOIN cand e2 ON e2.a = e1.b
+              |  JOIN cand e3 ON e3.a = e1.a AND e3.b = e2.b),
+              |corners AS (
+              |  SELECT a AS doc_id FROM tri
+              |  UNION ALL SELECT b FROM tri
+              |  UNION ALL SELECT c FROM tri)
+              |SELECT doc_id, count(*) AS n_triangles
+              |FROM corners GROUP BY doc_id ORDER BY doc_id""".stripMargin)
     )
   )
 

@@ -247,6 +247,50 @@ object EventQueries {
              |       CAST(sum(d.user_events) AS BIGINT) AS weight
              |FROM events e JOIN d USING (user_id)
              |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin)
+    ),
+
+    // E4h cohort retention — THE product-analytics matrix: users bucketed
+    // by the epoch-week of their FIRST event (cohort), then for every week
+    // offset k, how many of that cohort were active — the curve every
+    // engagement/churn analysis reads. Weeks are epoch-based
+    // (us div 7·86400·1e6), not calendar date_trunc: integer arithmetic on
+    // the shared unix_micros basis, so both engines agree without touching
+    // week-start / timezone semantics at all.
+    //
+    // Scale shape: one user-keyed aggregate for first-event weeks, one
+    // user-keyed equi-join back onto events (both sides shuffle on
+    // user_id — the natural co-partitioning), a distinct at (cohort, k,
+    // user) grain, one aggregate; cohort sizes are a tiny broadcast join.
+    // Retention reported in integer basis points (n·10000 div cohort size).
+    GraftQuery(
+      "q_cohort_retention",
+      "weekly cohort retention matrix: first-event-week cohorts x week offset, users + bp",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), expr("unix_micros(ts) div 604800000000").as("wk"))
+        val first = ev.groupBy("user_id").agg(min(col("wk")).as("cohort"))
+        val sizes = first.groupBy("cohort").agg(count(lit(1)).as("cohort_users"))
+        ev.join(first, "user_id")
+          .select(col("cohort"), (col("wk") - col("cohort")).as("k"), col("user_id"))
+          .distinct()
+          .groupBy("cohort", "k").agg(count(lit(1)).as("n_users"))
+          .join(broadcast(sizes), "cohort")
+          .withColumn("retained_bp", expr("(n_users * 10000L) div cohort_users"))
+          .select("cohort", "k", "n_users", "cohort_users", "retained_bp")
+          .orderBy("cohort", "k")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
+             |f AS (SELECT user_id, min(wk) AS cohort FROM ev GROUP BY user_id),
+             |sz AS (SELECT cohort, count(*) AS cohort_users FROM f GROUP BY cohort),
+             |act AS (SELECT DISTINCT f.cohort, e.wk - f.cohort AS k, e.user_id
+             |        FROM ev e JOIN f USING (user_id)),
+             |ret AS (SELECT cohort, k, count(*) AS n_users
+             |        FROM act GROUP BY cohort, k)
+             |SELECT r.cohort, r.k, r.n_users, s.cohort_users,
+             |       (r.n_users * 10000) // s.cohort_users AS retained_bp
+             |FROM ret r JOIN sz s USING (cohort)
+             |ORDER BY cohort, k""".stripMargin)
     )
   )
 }

@@ -43,6 +43,23 @@ object SimilarityQueries {
   }
 
   private[graft] val Dim = 64
+
+  /** JL projection constants (E2h): output dimensionality and the ±1 sign
+    * matrix — a deterministic integer mix (golden-ratio multiply, bit 13)
+    * computed at COMPILE time and embedded as literals in both dialects, so
+    * the "random" matrix is exactly the same constant everywhere it is
+    * used. Bit 13 rather than parity: (i·odd + j·odd) mod 2 degenerates to
+    * the checkerboard (i+j) mod 2, which collapses all 8 projections onto
+    * ±one value — a mid-range bit of the mixed product decorrelates rows.
+    * MUST be declared before `queries`: the oracle strings interpolate
+    * these eagerly when the Seq is built.
+    */
+  private[graft] val ProjDims = 8
+  private[graft] val ProjSigns: Seq[Seq[Long]] = Seq.tabulate(ProjDims) { j =>
+    Seq.tabulate(Dim) { i =>
+      if ((((i.toLong + 1L) * 2654435761L + (j.toLong + 1L) * 40503L * (i.toLong + 7L)) >> 13 & 1L) == 0L) 1L else -1L
+    }
+  }
   /** 4 hash tables × 4 sign bits each (OR-amplification): one k-bit table
     * ANDs k low-probability events, so recall collapses on weakly-similar
     * corpora; L tables OR them back up — the standard LSH trade
@@ -1017,6 +1034,60 @@ object SimilarityQueries {
               |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
               |  FROM rescored) r
               |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin)
+    ),
+
+    // E2h Johnson-Lindenstrauss random projection + distortion audit — the
+    // dimensionality-reduction step every embedding pipeline runs before
+    // its expensive stages (64 → 8 dims here), with the audit that decides
+    // whether the cheap space is trustworthy: per vector, the squared-norm
+    // ratio after/before in basis points (±1 projections preserve
+    // E[‖y‖²] = d_out·‖x‖², so 10000 bp is the unbiased center — the
+    // SPREAD is the distortion JL bounds). The sign matrix is a
+    // compile-time CONSTANT (d·d_out entries from an integer mix, embedded
+    // as literals in both dialects — at 100 TB the matrix ships with the
+    // plan, never joins), each projection one zip_with fold over the
+    // quantized vector: all integer, exact in both engines, one scan, no
+    // shuffle before the final sort.
+    GraftQuery(
+      "q_rand_proj",
+      "JL +/-1 random projection 64->8 with integer squared-norm distortion audit (bp)",
+      (s, dir) => {
+        val yCols = (0 until ProjDims).map { j =>
+          val arr = ProjSigns(j).mkString("array(", "L, ", "L)")
+          expr(s"aggregate(zip_with(q, $arr, (v, sg) -> v * sg), 0L, (a, x) -> a + x)")
+            .as(s"y$j")
+        }
+        val nOut = (0 until ProjDims).map(j => s"y$j * y$j").mkString(" + ")
+        Tables.embeddings(s, dir)
+          .filter(expr(s"size(embedding) = $Dim"))
+          .withColumn("q", expr(quantSql))
+          .withColumn("norm2_in", expr("aggregate(q, 0L, (a, v) -> a + v * v)"))
+          .select(col("vec_id") +: col("norm2_in") +: yCols: _*)
+          .withColumn("norm2_out", expr(nOut))
+          .withColumn("ratio_bp",
+            expr(s"(norm2_out * 10000L) div greatest(1L, ${ProjDims}L * norm2_in)"))
+          .select("vec_id", "norm2_in", "norm2_out", "ratio_bp")
+          .orderBy("vec_id")
+      },
+      Some {
+        val ys = (0 until ProjDims).map { j =>
+          val arr = ProjSigns(j).mkString("[", ", ", "]")
+          s"CAST(list_sum([q[i] * ($arr)[i] for i in range(1, len(q) + 1)]) AS BIGINT) AS y$j"
+        }.mkString(",\n  ")
+        val nOut = (0 until ProjDims).map(j => s"y$j * y$j").mkString(" + ")
+        s"""WITH v AS (
+           |  SELECT vec_id, $duckQuantSql AS q
+           |  FROM embeddings WHERE len(embedding) = $Dim),
+           |p AS (
+           |  SELECT vec_id,
+           |  CAST(list_sum([q[i] * q[i] for i in range(1, len(q) + 1)]) AS BIGINT) AS norm2_in,
+           |  $ys
+           |  FROM v),
+           |o AS (SELECT vec_id, norm2_in, CAST($nOut AS BIGINT) AS norm2_out FROM p)
+           |SELECT vec_id, norm2_in, norm2_out,
+           |       (norm2_out * 10000) // greatest(1, $ProjDims * norm2_in) AS ratio_bp
+           |FROM o ORDER BY vec_id""".stripMargin
+      }
     )
   )
 }

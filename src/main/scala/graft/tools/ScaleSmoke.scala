@@ -67,7 +67,10 @@ object ScaleSmoke {
     "q_sorted_neighborhood", // partitioned window + lead(2): one shuffle, zero pair joins
     "q_phash_pairs",       // distinct-fingerprint LSH: hash set constant, expansion output-bound
     "q_silence_runs",      // row-local encoded run fold: pure scan, must stay linear
-    "q_domain_stats")      // row-local URL ops + domain-keyed agg: bounded output
+    "q_domain_stats",      // row-local URL ops + domain-keyed agg: bounded output
+    "q_triangles",         // ordered-triple join: wedge work bounded by capped degrees
+    "q_cohort_retention",  // two user-keyed aggs + one equi-join: linear in events
+    "q_rand_proj")         // constant sign matrix x one vector fold: pure scan
   // q_minhash_error is not separately gated: it is the q_dedup_curve lineage
   // (capped candidates + shingle joins) with 8 extra equality tests — the
   // gated curve query already exercises its scale shape.
