@@ -50,6 +50,26 @@ object LinkAnalysis {
 
   private val BaseTerm: Long = (100L - DampingPct) * Scale / 100L
 
+  /** Per-node triangle participation over an ORDERED edge list (a < b on
+    * every row, no duplicates): the classic ordered-triple formulation —
+    * triangle (a < b < c) = edge(a,b) ⋈ adjacency(b,c) closed by edge(a,c),
+    * so each triangle is found exactly once with no distinct and no
+    * orientation bookkeeping; found triples explode to their three corners
+    * for the per-node counts. Wedge work is quadratic in per-node degree —
+    * callers bound degrees upstream (the candidate-pair generators cap at
+    * bands·(MaxBucket−1)). Equi-joins only. Returns (doc_id, n_triangles)
+    * for nodes in ≥ 1 triangle.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("a"), col("b"))
+    val tri = e
+      .join(e.select(col("a").as("b"), col("b").as("c")), "b")
+      .join(e.select(col("a"), col("b").as("c")), Seq("a", "c"))
+      .select(col("a"), col("b"), col("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
+  }
+
   /** PageRank after `iters` rounds over directed edges (src, dst).
     * Returns (id, deg, rank): the node's out-degree and its scaled rank.
     * `iters = 0` returns the uniform start state (rank = Scale).

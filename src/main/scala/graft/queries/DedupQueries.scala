@@ -572,50 +572,9 @@ object DedupQueries {
     GraftQuery(
       "q_simhash_pairs",
       "simhash near-dup pairs: 3 rotated top-16 block passes, hamming distance <= 6",
-      (s, dir) => {
-        // hot-block cap (same MaxBucket guard as the minhash LSH stage): a
-        // degenerate block — e.g. many empty docs sharing one fingerprint —
-        // would otherwise make the in-block join AND its output |block|²
-        def rotBlock(r: Int) =
-          s"shiftright((shiftleft(simhash, $r) | shiftright(simhash, ${32 - r})) & 4294967295L, 16)"
-        // in-bucket expansion from ONE collected (capped) member list — the
-        // minhashCandidates shape — rather than a self-join whose two
-        // branches would each recompute the full simhash pipeline
-        val buckets = simhashDf(s, dir)
-          .select(col("doc_id"), col("simhash"),
-            posexplode(array(Rotations.map(r => expr(rotBlock(r))): _*)).as(Seq("pass", "block")))
-          .groupBy("pass", "block")
-          .agg(array_sort(collect_list(struct(col("doc_id"), col("simhash")))).as("ms"))
-          .filter(size(col("ms")).between(2, MaxBucket))
-        buckets
-          .select(explode(expr(pairExpansionSql("ms")((x, y) =>
-            s"named_struct('a', $x.doc_id, 'sa', $x.simhash, 'b', $y.doc_id, 'sb', $y.simhash)"))).as("p"))
-          .select(col("p.a").as("a"), col("p.b").as("b"),
-            expr("bit_count(p.sa ^ p.sb)").cast("long").as("dist"))
-          .filter(col("dist") <= 6)
-          .distinct()
-          .orderBy("a", "b")
-      },
-      Some {
-        val passes = Rotations.zipWithIndex.map { case (r, p) =>
-          s"""SELECT doc_id, simhash, $p AS pass,
-             |       (((simhash << $r) | (simhash >> ${32 - r})) & 4294967295) >> 16 AS block
-             |FROM sh""".stripMargin
-        }.mkString("\n      UNION ALL\n")
-        s"""WITH sh AS ($duckSimhashSql),
-           |e AS (
-           |$passes),
-           |b AS (SELECT doc_id, simhash, pass, block,
-           |             count(*) OVER (PARTITION BY pass, block) AS bn
-           |      FROM e),
-           |c AS (SELECT doc_id, simhash, pass, block FROM b WHERE bn <= $MaxBucket)
-           |SELECT DISTINCT a, b, dist FROM (
-           |  SELECT l.doc_id AS a, r.doc_id AS b,
-           |         CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS dist
-           |  FROM c l JOIN c r ON l.pass = r.pass AND l.block = r.block
-           |                   AND l.doc_id < r.doc_id) p
-           |WHERE dist <= 6 ORDER BY a, b""".stripMargin
-      }
+      (s, dir) => simhashPairsFrame(s, dir).orderBy("a", "b"),
+      Some(s"""WITH $duckSimhashPairsCtes
+              |SELECT a, b, dist FROM spairs ORDER BY a, b""".stripMargin)
     ),
 
     // E1c3 fuzzy (edit-distance) near-dup pairs — the capability the
@@ -1571,13 +1530,7 @@ object DedupQueries {
       (s, dir) => {
         val sig  = arraySignatures(Tables.spread(Tables.documents(s, dir)))
         val cand = candidatePairs(sig).persist()
-        val tri = cand
-          .join(cand.select(col("a").as("b"), col("b").as("c")), "b")
-          .join(cand.select(col("a"), col("b").as("c")), Seq("a", "c"))
-          .select(col("a"), col("b"), col("c"))
-        tri.select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
-          .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
-          .orderBy("doc_id")
+        graft.operators.LinkAnalysis.triangleCounts(cand).orderBy("doc_id")
       },
       Some(s"""WITH $duckMinhashCtes,
               |tri AS (
@@ -1593,6 +1546,61 @@ object DedupQueries {
               |FROM corners GROUP BY doc_id ORDER BY doc_id""".stripMargin)
     )
   )
+
+  /** (a, b, dist) simhash near-dup pairs, pre-ORDER BY — factored so the
+    * cross-modal composite (`q_crossmodal_dups`, MultimodalQueries) joins
+    * the exact pipeline q_simhash_pairs grades rather than a re-derivation.
+    *
+    * Hot-block cap (same MaxBucket guard as the minhash LSH stage): a
+    * degenerate block — e.g. many empty docs sharing one fingerprint —
+    * would otherwise make the in-block join AND its output |block|².
+    * In-bucket expansion runs from ONE collected (capped) member list — the
+    * minhashCandidates shape — rather than a self-join whose two branches
+    * would each recompute the full simhash pipeline.
+    */
+  private[graft] def simhashPairsFrame(s: SparkSession, dir: String): DataFrame = {
+    def rotBlock(r: Int) =
+      s"shiftright((shiftleft(simhash, $r) | shiftright(simhash, ${32 - r})) & 4294967295L, 16)"
+    val buckets = simhashDf(s, dir)
+      .select(col("doc_id"), col("simhash"),
+        posexplode(array(Rotations.map(r => expr(rotBlock(r))): _*)).as(Seq("pass", "block")))
+      .groupBy("pass", "block")
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("simhash")))).as("ms"))
+      .filter(size(col("ms")).between(2, MaxBucket))
+    buckets
+      .select(explode(expr(pairExpansionSql("ms")((x, y) =>
+        s"named_struct('a', $x.doc_id, 'sa', $x.simhash, 'b', $y.doc_id, 'sb', $y.simhash)"))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"),
+        expr("bit_count(p.sa ^ p.sb)").cast("long").as("dist"))
+      .filter(col("dist") <= 6)
+      .distinct()
+  }
+
+  /** DuckDB CTE chain ending in `spairs(a, b, dist)` — the oracle twin of
+    * [[simhashPairsFrame]], s-prefixed names so it composes with the phash
+    * chain in one WITH clause.
+    */
+  private[graft] def duckSimhashPairsCtes: String = {
+    val passes = Rotations.zipWithIndex.map { case (r, p) =>
+      s"""SELECT doc_id, simhash, $p AS pass,
+         |       (((simhash << $r) | (simhash >> ${32 - r})) & 4294967295) >> 16 AS block
+         |FROM sh""".stripMargin
+    }.mkString("\n      UNION ALL\n")
+    s"""sh AS ($duckSimhashSql),
+       |se AS (
+       |$passes),
+       |sb AS (SELECT doc_id, simhash, pass, block,
+       |              count(*) OVER (PARTITION BY pass, block) AS bn
+       |       FROM se),
+       |scap AS (SELECT doc_id, simhash, pass, block FROM sb WHERE bn <= $MaxBucket),
+       |spairs AS (
+       |  SELECT DISTINCT a, b, dist FROM (
+       |    SELECT l.doc_id AS a, r.doc_id AS b,
+       |           CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS dist
+       |    FROM scap l JOIN scap r ON l.pass = r.pass AND l.block = r.block
+       |                           AND l.doc_id < r.doc_id) p
+       |  WHERE dist <= 6)""".stripMargin
+  }
 
   /** One DuckDB PageRank round: `out` from `in` — the oracle twin of one
     * [[graft.operators.LinkAnalysis.pageRank]] iteration (floor-divided

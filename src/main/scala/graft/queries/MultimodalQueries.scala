@@ -427,118 +427,36 @@ object MultimodalQueries {
     GraftQuery(
       "q_phash_pairs",
       "dHash (8×8 BMP, 56-bit) perceptual near-dup pairs: distinct-fingerprint LSH, hamming <= 6",
-      (s, dir) => {
-        val cap = DedupQueries.MaxBucket
-        val wd  = Window.partitionBy(col("dhash")).orderBy(col("doc_id"))
-        // persist the payload BEFORE hashing: the dHash fold reads ~340
-        // payload bytes, and CollapseProject would otherwise inline the
-        // whole 246-byte BMP synthesis subtree into every one of those
-        // reads (measured 3.1 s -> sub-second at sf0.1); behind the cache
-        // boundary each read is an O(1) attribute access
-        val pay = Tables.spread(Tables.documents(s, dir))
-          .select(col("doc_id"),
-            unhex(Multimodal.synthBmp24Hex(col("doc_id"), 8, 8)).as("payload"))
-          .persist()
-        val mem = pay
-          .select(col("doc_id"), Multimodal.bmpDHash(col("payload")).as("dhash"))
-          .withColumn("rn", row_number().over(wd))
-          .filter(col("rn") <= cap)
-          .select("doc_id", "dhash")
-          .persist()
-        val buckets = mem.select("dhash").distinct()
-          .select(col("dhash"),
-            posexplode(array((0 until 4).map(b =>
-              expr(s"shiftright(dhash, ${14 * b}) & 16383L")): _*)).as(Seq("band", "bv")))
-          .groupBy("band", "bv")
-          .agg(array_sort(collect_set(col("dhash"))).as("hs"))
-          .filter(size(col("hs")).between(2, cap))
-        val hashPairs = buckets
-          .select(explode(expr(DedupQueries.pairExpansionSql("hs")((x, y) =>
-            s"named_struct('h1', $x, 'h2', $y)"))).as("p"))
-          .select(col("p.h1").as("h1"), col("p.h2").as("h2"),
-            expr("bit_count(p.h1 ^ p.h2)").cast("long").as("dist"))
-          .filter(col("dist") <= 6)
-          .distinct()
-        val cross = hashPairs
-          .join(mem.select(col("dhash").as("h1"), col("doc_id").as("da")), Seq("h1"))
-          .join(mem.select(col("dhash").as("h2"), col("doc_id").as("db")), Seq("h2"))
-          .select(least(col("da"), col("db")).as("a"),
-            greatest(col("da"), col("db")).as("b"), col("dist"))
-        val same = mem.groupBy("dhash")
-          .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
-          .filter(size(col("ids")) >= 2)
-          .select(explode(expr(DedupQueries.pairExpansionSql("ids")((x, y) =>
-            s"named_struct('a', $x, 'b', $y)"))).as("p"))
-          .select(col("p.a").as("a"), col("p.b").as("b"), lit(0L).as("dist"))
-        cross.union(same).orderBy("a", "b")
-      },
-      Some {
-        def lum(row: String, c: String) = (0 to 2).map(ch =>
-          s"('0x' || substr(hx, 2*(doff + ($row)*stride + ($c)*3 + $ch) + 1, 2))::BIGINT")
-          .mkString(" + ")
-        s"""WITH syn AS (
-           |  SELECT doc_id,
-           |    '424D' || 'F6000000' || '00000000' || '36000000' || '28000000'
-           |      || '08000000' || '08000000' || '0100' || '1800'
-           |      || '00000000' || 'C0000000'
-           |      || '00000000' || '00000000' || '00000000' || '00000000'
-           |      || array_to_string([
-           |           lpad(to_hex((doc_id * 7 + (k // 24) * 31 + ((k % 24) // 3) * 13
-           |              + CASE (k % 24) % 3 WHEN 0 THEN 0 WHEN 1 THEN 97 ELSE 181 END) % 256),
-           |             2, '0')
-           |           for k in range(0, 192)], '') AS hx
-           |  FROM documents),
-           |geo AS (
-           |  SELECT doc_id, hx,
-           |    ('0x' || substr(hx, 43, 2) || substr(hx, 41, 2)
-           |      || substr(hx, 39, 2) || substr(hx, 37, 2))::BIGINT AS w,
-           |    ('0x' || substr(hx, 51, 2) || substr(hx, 49, 2)
-           |      || substr(hx, 47, 2) || substr(hx, 45, 2))::BIGINT AS h,
-           |    ('0x' || substr(hx, 27, 2) || substr(hx, 25, 2)
-           |      || substr(hx, 23, 2) || substr(hx, 21, 2))::BIGINT AS doff
-           |  FROM syn),
-           |g2 AS (SELECT doc_id, hx, w, h, doff, ((3*w + 3) // 4) * 4 AS stride FROM geo),
-           |dh AS (
-           |  SELECT doc_id,
-           |    CAST(list_sum([
-           |      CASE WHEN ${lum("k // (w-1)", "k % (w-1)")}
-           |             > ${lum("k // (w-1)", "k % (w-1) + 1")}
-           |           THEN (CAST(1 AS BIGINT) << CAST(h*(w-1) - 1 - k AS INTEGER))
-           |           ELSE CAST(0 AS BIGINT) END
-           |      for k in range(0, CAST(h*(w-1) AS INTEGER))]) AS BIGINT) AS dhash
-           |  FROM g2),
-           |mem AS (
-           |  SELECT doc_id, dhash FROM (
-           |    SELECT doc_id, dhash,
-           |           row_number() OVER (PARTITION BY dhash ORDER BY doc_id) AS rn
-           |    FROM dh) t WHERE rn <= ${DedupQueries.MaxBucket}),
-           |reps AS (SELECT DISTINCT dhash FROM mem),
-           |e AS (
-           |  SELECT dhash, b, (dhash >> CAST(14*b AS INTEGER)) & 16383 AS bv
-           |  FROM reps, (SELECT unnest(range(0, 4)) AS b) bs),
-           |cb AS (SELECT dhash, b, bv,
-           |              count(*) OVER (PARTITION BY b, bv) AS bn
-           |       FROM e),
-           |c AS (SELECT dhash, b, bv FROM cb WHERE bn BETWEEN 2 AND ${DedupQueries.MaxBucket}),
-           |hp AS (
-           |  SELECT DISTINCT l.dhash AS h1, r.dhash AS h2,
-           |         CAST(bit_count(xor(l.dhash, r.dhash)) AS BIGINT) AS dist
-           |  FROM c l JOIN c r ON l.b = r.b AND l.bv = r.bv
-           |                   AND l.dhash < r.dhash
-           |  WHERE bit_count(xor(l.dhash, r.dhash)) <= 6),
-           |crossp AS (
-           |  SELECT least(x.doc_id, y.doc_id) AS a,
-           |         greatest(x.doc_id, y.doc_id) AS b, p.dist
-           |  FROM hp p JOIN mem x ON x.dhash = p.h1
-           |            JOIN mem y ON y.dhash = p.h2),
-           |samep AS (
-           |  SELECT x.doc_id AS a, y.doc_id AS b, CAST(0 AS BIGINT) AS dist
-           |  FROM mem x JOIN mem y
-           |    ON x.dhash = y.dhash AND x.doc_id < y.doc_id)
-           |SELECT a, b, dist
-           |FROM (SELECT * FROM crossp UNION ALL SELECT * FROM samep) u
-           |ORDER BY a, b""".stripMargin
-      }
+      (s, dir) => phashPairsFrame(s, dir).orderBy("a", "b"),
+      // NO outer stripMargin: the interpolated CTE fragment has lines that
+      // BEGIN with the `||` concat operator, and stripMargin would eat one
+      // pipe of each (VERDICT-class oracle corruption, caught by the gate)
+      Some(s"WITH $duckPhashPairsCtes\nSELECT a, b, dist FROM ppairs ORDER BY a, b")
+    ),
+
+    // E5i cross-modal duplicate confirmation — the composite only a
+    // multimodal engine can run: pairs near-duplicate in BOTH modalities
+    // (text simhash hamming ≤ 6 AND thumbnail dHash hamming ≤ 6). Either
+    // signal alone over-fires — boilerplate text around distinct images,
+    // or a stock photo under distinct articles; the conjunction is the
+    // high-precision dedup delete list. Both sides are the EXACT graded
+    // pipelines (shared simhashPairsFrame / phashPairsFrame and their
+    // s-/p-prefixed oracle CTE chains composed into one WITH clause), so
+    // this query cannot drift from its parents; the join is (a, b)
+    // equi — pair sets, both already capped upstream.
+    GraftQuery(
+      "q_crossmodal_dups",
+      "pairs near-dup in BOTH text (simhash <= 6) and thumbnail (dHash <= 6)",
+      (s, dir) =>
+        DedupQueries.simhashPairsFrame(s, dir).withColumnRenamed("dist", "text_dist")
+          .join(phashPairsFrame(s, dir).withColumnRenamed("dist", "image_dist"), Seq("a", "b"))
+          .select("a", "b", "text_dist", "image_dist")
+          .orderBy("a", "b"),
+      // no outer stripMargin — see q_phash_pairs
+      Some(s"WITH ${DedupQueries.duckSimhashPairsCtes},\n$duckPhashPairsCtes\n" +
+        "SELECT s.a, s.b, s.dist AS text_dist, p.dist AS image_dist\n" +
+        "FROM spairs s JOIN ppairs p ON p.a = s.a AND p.b = s.b\n" +
+        "ORDER BY s.a, s.b")
     ),
 
     // E5h silence detection — the trim/discard gate of an audio curation
@@ -595,4 +513,124 @@ object MultimodalQueries {
              |ORDER BY d.doc_id""".stripMargin)
     )
   )
+
+  /** (a, b, dist) perceptual near-dup pairs, pre-ORDER BY — the
+    * distinct-fingerprint LSH pipeline shared by `q_phash_pairs` and the
+    * cross-modal composite. The payload is persisted BEFORE hashing: the
+    * dHash fold reads ~340 payload bytes, and CollapseProject would
+    * otherwise inline the whole 246-byte BMP synthesis subtree into every
+    * one of those reads (measured 3.1 s → sub-second at sf0.1); behind the
+    * cache boundary each read is an O(1) attribute access.
+    */
+  private[graft] def phashPairsFrame(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val cap = DedupQueries.MaxBucket
+    val wd  = Window.partitionBy(col("dhash")).orderBy(col("doc_id"))
+    val pay = Tables.spread(Tables.documents(s, dir))
+      .select(col("doc_id"),
+        unhex(Multimodal.synthBmp24Hex(col("doc_id"), 8, 8)).as("payload"))
+      .persist()
+    val mem = pay
+      .select(col("doc_id"), Multimodal.bmpDHash(col("payload")).as("dhash"))
+      .withColumn("rn", row_number().over(wd))
+      .filter(col("rn") <= cap)
+      .select("doc_id", "dhash")
+      .persist()
+    val buckets = mem.select("dhash").distinct()
+      .select(col("dhash"),
+        posexplode(array((0 until 4).map(b =>
+          expr(s"shiftright(dhash, ${14 * b}) & 16383L")): _*)).as(Seq("band", "bv")))
+      .groupBy("band", "bv")
+      .agg(array_sort(collect_set(col("dhash"))).as("hs"))
+      .filter(size(col("hs")).between(2, cap))
+    val hashPairs = buckets
+      .select(explode(expr(DedupQueries.pairExpansionSql("hs")((x, y) =>
+        s"named_struct('h1', $x, 'h2', $y)"))).as("p"))
+      .select(col("p.h1").as("h1"), col("p.h2").as("h2"),
+        expr("bit_count(p.h1 ^ p.h2)").cast("long").as("dist"))
+      .filter(col("dist") <= 6)
+      .distinct()
+    val cross = hashPairs
+      .join(mem.select(col("dhash").as("h1"), col("doc_id").as("da")), Seq("h1"))
+      .join(mem.select(col("dhash").as("h2"), col("doc_id").as("db")), Seq("h2"))
+      .select(least(col("da"), col("db")).as("a"),
+        greatest(col("da"), col("db")).as("b"), col("dist"))
+    val same = mem.groupBy("dhash")
+      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(expr(DedupQueries.pairExpansionSql("ids")((x, y) =>
+        s"named_struct('a', $x, 'b', $y)"))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"), lit(0L).as("dist"))
+    cross.union(same)
+  }
+
+  /** DuckDB CTE chain ending in `ppairs(a, b, dist)` — the oracle twin of
+    * [[phashPairsFrame]], p-prefixed names so it composes with the simhash
+    * chain ([[DedupQueries.duckSimhashPairsCtes]]) in one WITH clause.
+    */
+  private[graft] def duckPhashPairsCtes: String = {
+    def lum(row: String, c: String) = (0 to 2).map(ch =>
+      s"('0x' || substr(hx, 2*(doff + ($row)*stride + ($c)*3 + $ch) + 1, 2))::BIGINT")
+      .mkString(" + ")
+    s"""psyn AS (
+       |  SELECT doc_id,
+       |    '424D' || 'F6000000' || '00000000' || '36000000' || '28000000'
+       |      || '08000000' || '08000000' || '0100' || '1800'
+       |      || '00000000' || 'C0000000'
+       |      || '00000000' || '00000000' || '00000000' || '00000000'
+       |      || array_to_string([
+       |           lpad(to_hex((doc_id * 7 + (k // 24) * 31 + ((k % 24) // 3) * 13
+       |              + CASE (k % 24) % 3 WHEN 0 THEN 0 WHEN 1 THEN 97 ELSE 181 END) % 256),
+       |             2, '0')
+       |           for k in range(0, 192)], '') AS hx
+       |  FROM documents),
+       |pgeo AS (
+       |  SELECT doc_id, hx,
+       |    ('0x' || substr(hx, 43, 2) || substr(hx, 41, 2)
+       |      || substr(hx, 39, 2) || substr(hx, 37, 2))::BIGINT AS w,
+       |    ('0x' || substr(hx, 51, 2) || substr(hx, 49, 2)
+       |      || substr(hx, 47, 2) || substr(hx, 45, 2))::BIGINT AS h,
+       |    ('0x' || substr(hx, 27, 2) || substr(hx, 25, 2)
+       |      || substr(hx, 23, 2) || substr(hx, 21, 2))::BIGINT AS doff
+       |  FROM psyn),
+       |pg2 AS (SELECT doc_id, hx, w, h, doff, ((3*w + 3) // 4) * 4 AS stride FROM pgeo),
+       |pdh AS (
+       |  SELECT doc_id,
+       |    CAST(list_sum([
+       |      CASE WHEN ${lum("k // (w-1)", "k % (w-1)")}
+       |             > ${lum("k // (w-1)", "k % (w-1) + 1")}
+       |           THEN (CAST(1 AS BIGINT) << CAST(h*(w-1) - 1 - k AS INTEGER))
+       |           ELSE CAST(0 AS BIGINT) END
+       |      for k in range(0, CAST(h*(w-1) AS INTEGER))]) AS BIGINT) AS dhash
+       |  FROM pg2),
+       |pmem AS (
+       |  SELECT doc_id, dhash FROM (
+       |    SELECT doc_id, dhash,
+       |           row_number() OVER (PARTITION BY dhash ORDER BY doc_id) AS rn
+       |    FROM pdh) t WHERE rn <= ${DedupQueries.MaxBucket}),
+       |preps AS (SELECT DISTINCT dhash FROM pmem),
+       |pe AS (
+       |  SELECT dhash, b, (dhash >> CAST(14*b AS INTEGER)) & 16383 AS bv
+       |  FROM preps, (SELECT unnest(range(0, 4)) AS b) bs),
+       |pcb AS (SELECT dhash, b, bv,
+       |               count(*) OVER (PARTITION BY b, bv) AS bn
+       |        FROM pe),
+       |pcap AS (SELECT dhash, b, bv FROM pcb WHERE bn BETWEEN 2 AND ${DedupQueries.MaxBucket}),
+       |php AS (
+       |  SELECT DISTINCT l.dhash AS h1, r.dhash AS h2,
+       |         CAST(bit_count(xor(l.dhash, r.dhash)) AS BIGINT) AS dist
+       |  FROM pcap l JOIN pcap r ON l.b = r.b AND l.bv = r.bv
+       |                         AND l.dhash < r.dhash
+       |  WHERE bit_count(xor(l.dhash, r.dhash)) <= 6),
+       |pcross AS (
+       |  SELECT least(x.doc_id, y.doc_id) AS a,
+       |         greatest(x.doc_id, y.doc_id) AS b, p.dist
+       |  FROM php p JOIN pmem x ON x.dhash = p.h1
+       |             JOIN pmem y ON y.dhash = p.h2),
+       |psame AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b, CAST(0 AS BIGINT) AS dist
+       |  FROM pmem x JOIN pmem y
+       |    ON x.dhash = y.dhash AND x.doc_id < y.doc_id),
+       |ppairs AS (SELECT * FROM pcross UNION ALL SELECT * FROM psame)""".stripMargin
+  }
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -1554,6 +1555,59 @@ object TextQueries {
               |SELECT doc_id, n_words, n_distinct, ent_total,
               |       (1000 * ent_total) // greatest(n_words, 1) AS ent_milli
               |FROM m ORDER BY doc_id""".stripMargin)
+    ),
+
+    // E3ab per-source DISTINCTIVE terms — c-TF-IDF at source granularity
+    // (the corpus-exploration move behind topic labeling à la BERTopic):
+    // what does THIS source talk about that the others don't. tf = term
+    // count within the source; idf = the integer floor-log2 skeleton
+    // (length(bin(x))−1, exact in both engines — the q_word_entropy idiom;
+    // a float log could diverge by an ulp at bucket boundaries) of
+    // (S·256) div df, CENTERED so a term present in every source scores
+    // exactly 0 and drops out of the ranking — ubiquitous terms eliminated
+    // by arithmetic, not a stopword list. Top-5 per source by rank over a
+    // PARTITIONED window (WindowGroupLimit keeps it pre-shuffle top-k).
+    //
+    // Scale shape: one explode scan, two hash aggregates ((source, term)
+    // then term), a vocab-keyed join, a bounded-output window. The (source,
+    // term) grain is the same bounded state the domain rollup rides.
+    GraftQuery(
+      "q_tfidf_terms",
+      "per-source top-5 c-TF-IDF terms (integer floor-log2 idf, ubiquitous terms zeroed)",
+      (s, dir) => {
+        val toks = Tables.spread(Tables.documents(s, dir))
+          .select(col("source"), explode(expr(wordsSql)).as("w"))
+          .filter(col("w") =!= "")
+        val tf  = toks.groupBy("source", "w").agg(count(lit(1)).as("tf"))
+        val dfT = tf.groupBy("w").agg(count(lit(1)).as("df"))
+        val ns  = tf.select("source").distinct().agg(count(lit(1)).as("ns"))
+        val w   = Window.partitionBy("source").orderBy(col("score").desc, col("w").asc)
+        tf.join(dfT, "w")
+          .crossJoin(broadcast(ns))
+          .withColumn("score", expr("tf * (length(bin((ns * 256L) div df)) - 9)"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5)
+          .select(col("source"), col("rk").cast("long").as("rk"),
+            col("w").as("term"), col("tf"), col("score").cast("long").as("score"))
+          .orderBy("source", "rk")
+      },
+      Some(s"""WITH toks AS (
+              |  SELECT source, unnest($duckWordsSql) AS w FROM documents),
+              |t AS (SELECT source, w FROM toks WHERE w <> ''),
+              |tf AS (SELECT source, w, count(*) AS tf FROM t GROUP BY 1, 2),
+              |df AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+              |ns AS (SELECT CAST(count(DISTINCT source) AS BIGINT) AS ns FROM tf),
+              |sc AS (
+              |  SELECT tf.source, tf.w, tf.tf,
+              |         tf.tf * (length(bin((ns.ns * 256) // df.df)) - 9) AS score
+              |  FROM tf JOIN df USING (w), ns),
+              |rk AS (
+              |  SELECT source, w, tf, score,
+              |         row_number() OVER (PARTITION BY source ORDER BY score DESC, w) AS rk
+              |  FROM sc)
+              |SELECT source, CAST(rk AS BIGINT) AS rk, w AS term,
+              |       CAST(tf AS BIGINT) AS tf, CAST(score AS BIGINT) AS score
+              |FROM rk WHERE rk <= 5 ORDER BY source, rk""".stripMargin)
     )
   )
 

@@ -70,7 +70,9 @@ object ScaleSmoke {
     "q_domain_stats",      // row-local URL ops + domain-keyed agg: bounded output
     "q_triangles",         // ordered-triple join: wedge work bounded by capped degrees
     "q_cohort_retention",  // two user-keyed aggs + one equi-join: linear in events
-    "q_rand_proj")         // constant sign matrix x one vector fold: pure scan
+    "q_rand_proj",         // constant sign matrix x one vector fold: pure scan
+    "q_tfidf_terms",       // two hash aggs + vocab join + partitioned top-5 window
+    "q_crossmodal_dups")   // conjunction of two cap-bound pair pipelines
   // q_minhash_error is not separately gated: it is the q_dedup_curve lineage
   // (capped candidates + shingle joins) with 8 extra equality tests — the
   // gated curve query already exercises its scale shape.

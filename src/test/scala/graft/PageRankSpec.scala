@@ -84,4 +84,45 @@ class PageRankSpec extends SparkTestBase {
     val got = ranksOf(sym(Seq((5L, 6L), (6L, 7L))), 0)
     assert(got === Map(5L -> (1L, S), 6L -> (2L, S), 7L -> (1L, S)))
   }
+
+  test("triangleCounts matches brute-force triple enumeration on seeded random graphs") {
+    val rnd = new scala.util.Random(23)
+    for (trial <- 0 until 4) {
+      val n = 4 + rnd.nextInt(12)
+      val pairs = (for {
+        a <- 0L until n.toLong
+        b <- (a + 1) until n.toLong
+        if rnd.nextDouble() < 0.4
+      } yield (a, b)).toSeq
+      val es = pairs.toSet
+      // brute force: every ordered triple whose three edges exist
+      val want = (for {
+        a <- 0L until n.toLong; b <- (a + 1) until n.toLong; c <- (b + 1) until n.toLong
+        if es((a, b)) && es((b, c)) && es((a, c))
+      } yield Seq(a, b, c)).flatten
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val got =
+        if (pairs.isEmpty) Map.empty[Long, Long]
+        else LinkAnalysis.triangleCounts(pairs.toDF("a", "b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want, s"trial=$trial n=$n edges=${pairs.length}")
+    }
+  }
+
+  test("seeded random graphs: distributed ranks equal the driver reference exactly") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 0 until 4) {
+      val n = 5 + rnd.nextInt(20)
+      val pairs = (for {
+        a <- 0L until n.toLong
+        b <- (a + 1) until n.toLong
+        if rnd.nextDouble() < 0.25
+      } yield (a, b)).toSeq
+      if (pairs.nonEmpty) {
+        val got  = ranksOf(sym(pairs), 3).view.mapValues(_._2).toMap
+        val want = reference(pairs, 3)
+        assert(got === want, s"trial=$trial n=$n edges=${pairs.length}")
+      }
+    }
+  }
 }
