@@ -70,6 +70,46 @@ object LinkAnalysis {
       .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** k-core peeling over an ORDERED undirected edge list (a < b, no
+    * duplicates): `rounds` rounds of "drop every node whose degree < k,
+    * drop every edge touching a dropped node" — the density classifier
+    * behind community/template detection (the 3-core of a dup graph is its
+    * hard kernel of mutually-confirming duplicates; pendant chains peel
+    * away). FIXED round count, not iterate-to-convergence: once the peel
+    * fix-points, further rounds are no-ops, so `rounds` is an upper bound
+    * that keeps the operator deterministic and oracle-unrollable (the same
+    * move as [[pageRank]]); real dup graphs (near-cliques) converge in 1–2.
+    *
+    * Returns (id, deg): nodes surviving round `rounds` with their degree in
+    * the surviving edge set.
+    *
+    * Each round's edge set is materialized through [[Lineage.materialize]]
+    * and the previous round's RDD freed — round r references round r−1
+    * THREE times (degree build + two endpoint semi-joins), so an
+    * unmaterialized loop would grow a 3^rounds expression tree and
+    * re-derive the input that many times.
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, "k and rounds must be >= 1")
+    def degrees(e: DataFrame): DataFrame =
+      e.select(explode(array(col("a"), col("b"))).as("id"))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+    var e = edges.select(col("a"), col("b"))
+    var owned: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] = None
+    for (_ <- 1 to rounds) {
+      val keep = degrees(e).filter(col("deg") >= k).select("id")
+      val next = e
+        .join(keep.select(col("id").as("a")), "a")
+        .join(keep.select(col("id").as("b")), "b")
+        .select("a", "b")
+      val (mat, rdd) = Lineage.materialize(next)
+      owned.foreach(_.unpersist())
+      owned = Some(rdd)
+      e = mat
+    }
+    degrees(e).filter(col("deg") >= lit(1L))
+  }
+
   /** PageRank after `iters` rounds over directed edges (src, dst).
     * Returns (id, deg, rank): the node's out-degree and its scaled rank.
     * `iters = 0` returns the uniform start state (rank = Scale).

@@ -1544,8 +1544,53 @@ object DedupQueries {
               |  UNION ALL SELECT c FROM tri)
               |SELECT doc_id, count(*) AS n_triangles
               |FROM corners GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    ),
+
+    // E1t k-core peeling — the density classifier that completes the graph
+    // quartet (components find WHO is connected, PageRank ranks hubs,
+    // triangles classify neighborhoods, k-core finds the HARD KERNEL):
+    // repeatedly drop nodes with degree < 2 and their edges, and what
+    // survives is the cycle-bearing subgraph of mutually-confirming
+    // duplicates — pendant chains (one shared sentence linking a doc to a
+    // cluster) peel away, exactly the rows a delete-list should NOT act on
+    // without verification. Fixed 4 peel rounds (idempotent once converged,
+    // so an upper bound — the pageRank move), each round materialized
+    // through Lineage so the loop stays 4 flat jobs instead of a 3⁴
+    // expression tree (see [[graft.operators.LinkAnalysis.kCore]]).
+    GraftQuery(
+      "q_kcore",
+      "2-core of the minhash candidate graph after 4 peel rounds: survivors + degree",
+      (s, dir) => {
+        val sig  = arraySignatures(Tables.spread(Tables.documents(s, dir)))
+        val cand = candidatePairs(sig).persist()
+        graft.operators.LinkAnalysis.kCore(cand, 2, 4)
+          .select(col("id").as("doc_id"), col("deg"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $duckMinhashCtes,
+              |e0 AS (SELECT a, b FROM cand),
+              |${duckPeel(1, 0)},
+              |${duckPeel(2, 1)},
+              |${duckPeel(3, 2)},
+              |${duckPeel(4, 3)}
+              |SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS deg
+              |FROM (SELECT a AS id FROM e4 UNION ALL SELECT b AS id FROM e4) n
+              |GROUP BY id ORDER BY doc_id""".stripMargin)
     )
   )
+
+  /** One DuckDB k-core peel round (k = 2): degrees of e`in`, keep-list,
+    * e`out` — the oracle twin of one [[graft.operators.LinkAnalysis.kCore]]
+    * round.
+    */
+  private def duckPeel(out: Int, in: Int): String =
+    s"""d$out AS (SELECT id, count(*) AS deg
+       |          FROM (SELECT a AS id FROM e$in UNION ALL SELECT b AS id FROM e$in) n
+       |          GROUP BY id),
+       |k$out AS (SELECT id FROM d$out WHERE deg >= 2),
+       |e$out AS (SELECT e$in.a, e$in.b FROM e$in
+       |          JOIN k$out x ON x.id = e$in.a
+       |          JOIN k$out y ON y.id = e$in.b)""".stripMargin
 
   /** (a, b, dist) simhash near-dup pairs, pre-ORDER BY — factored so the
     * cross-modal composite (`q_crossmodal_dups`, MultimodalQueries) joins

@@ -109,6 +109,36 @@ class PageRankSpec extends SparkTestBase {
     }
   }
 
+  test("kCore matches a driver-side peel on seeded random graphs and classic shapes") {
+    def refCore(pairs: Seq[(Long, Long)], k: Int, rounds: Int): Map[Long, Long] = {
+      var es = pairs
+      for (_ <- 1 to rounds) {
+        val deg  = es.flatMap(p => Seq(p._1, p._2)).groupBy(identity).view.mapValues(_.size)
+        val keep = deg.filter(_._2 >= k).keySet
+        es = es.filter(p => keep(p._1) && keep(p._2))
+      }
+      es.flatMap(p => Seq(p._1, p._2)).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    }
+    def run(pairs: Seq[(Long, Long)], k: Int, rounds: Int): Map[Long, Long] =
+      LinkAnalysis.kCore(pairs.toDF("a", "b"), k, rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // triangle + pendant chain: the chain peels away, the triangle survives
+    val shape = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 3L), (3L, 4L))
+    assert(run(shape, 2, 4) === Map(0L -> 2L, 1L -> 2L, 2L -> 2L))
+    // pure path: 2-core is empty
+    assert(run(Seq((0L, 1L), (1L, 2L), (2L, 3L)), 2, 4) === Map.empty)
+    val rnd = new scala.util.Random(31)
+    for (trial <- 0 until 3) {
+      val n = 6 + rnd.nextInt(14)
+      val pairs = (for {
+        a <- 0L until n.toLong; b <- (a + 1) until n.toLong
+        if rnd.nextDouble() < 0.3
+      } yield (a, b)).toSeq
+      if (pairs.nonEmpty)
+        assert(run(pairs, 2, 4) === refCore(pairs, 2, 4), s"trial=$trial n=$n")
+    }
+  }
+
   test("seeded random graphs: distributed ranks equal the driver reference exactly") {
     val rnd = new scala.util.Random(11)
     for (trial <- 0 until 4) {
