@@ -700,6 +700,69 @@ object DedupQueries {
               |WHERE jac >= 0.2 ORDER BY a, b""".stripMargin)
     ),
 
+    // E1d2 asymmetric CONTAINMENT pairs: c(A,B) = |A∩B| / min(|A|,|B|) over
+    // the same capped non-stop 2-gram sets as q_ngram_jaccard. Containment is
+    // the doc-inside-doc detector Jaccard structurally misses: a short doc
+    // fully quoted inside a long one has jac ≈ |A|/|B| (tiny) but cont = 1.0
+    // — the RefinedWeb/CCNet-style measure for near-inclusion. Same
+    // distributed shape as the jaccard join (one (source, gram) aggregate,
+    // bucket-capped pair expansion, per-doc sizes from re-exploding the tiny
+    // capped bucket table), so every 100 TB argument made there carries over
+    // verbatim; emitting jac alongside cont makes the asymmetry visible
+    // (high-cont/low-jac rows are exactly the inclusion cases).
+    GraftQuery(
+      "q_containment_pairs",
+      "2-gram containment >= 0.3 pairs (inter / min set size) with jaccard",
+      (s, dir) => {
+        val buckets = gramRows(Tables.spread(Tables.documents(s, dir)), Seq("source"))
+          .groupBy("source", "gram")
+          .agg(array_sort(collect_set(col("doc_id"))).as("ids"))
+          .filter(size(col("ids")) <= MaxBucket)
+          .persist() // evaluated lazily by the caller; see the file-head note
+        val sz = buckets.select(explode(col("ids")).as("doc_id"))
+          .groupBy("doc_id").agg(count(lit(1)).as("sz"))
+        buckets
+          .filter(size(col("ids")) >= 2)
+          .select(explode(expr(pairExpansionSql("ids")(
+            (x, y) => s"named_struct('a', $x, 'b', $y)"))).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(count(lit(1)).as("inter"))
+          .join(sz.select(col("doc_id").as("a"), col("sz").as("sa")), "a")
+          .join(sz.select(col("doc_id").as("b"), col("sz").as("sb")), "b")
+          .withColumn("cont", round(col("inter").cast("double") /
+            least(col("sa"), col("sb")), 4))
+          .filter(col("cont") >= 0.3)
+          .withColumn("jac", round(col("inter").cast("double") /
+            (col("sa") + col("sb") - col("inter")), 4))
+          .select(col("a"), col("b"), col("cont"), col("jac"))
+          .orderBy("a", "b")
+      },
+      Some(s"""WITH g0 AS (
+              |  SELECT doc_id, source,
+              |         unnest(list_distinct($duckGramsSql)) AS gram
+              |  FROM (SELECT doc_id, source, $duckWordsSql AS words FROM documents) w
+              |  WHERE len(words) >= 2),
+              |g AS (
+              |  SELECT doc_id, source, gram FROM (
+              |    SELECT doc_id, source, gram,
+              |           count(*) OVER (PARTITION BY source, gram) AS df
+              |    FROM g0) d WHERE df <= $MaxBucket),
+              |sz AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+              |pairs AS (
+              |  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS inter
+              |  FROM g l JOIN g r ON l.source = r.source AND l.gram = r.gram
+              |                   AND l.doc_id < r.doc_id
+              |  GROUP BY 1, 2)
+              |SELECT a, b, cont, jac FROM (
+              |  SELECT p.a, p.b,
+              |         round(CAST(p.inter AS DOUBLE) / least(sa.sz, sb.sz), 4) AS cont,
+              |         round(CAST(p.inter AS DOUBLE) / (sa.sz + sb.sz - p.inter), 4) AS jac
+              |  FROM pairs p
+              |  JOIN sz sa ON sa.doc_id = p.a
+              |  JOIN sz sb ON sb.doc_id = p.b) t
+              |WHERE cont >= 0.3 ORDER BY a, b""".stripMargin)
+    ),
+
     // E1e embedding-cosine near-dup: integer-quantized vectors, pairs WITHIN a
     // label bucket (the coarse-quantizer/IVF blocking analog), exact integer
     // dot products → bit-identical cosines in both engines.

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -291,6 +292,88 @@ object EventQueries {
              |       (r.n_users * 10000) // s.cohort_users AS retained_bp
              |FROM ret r JOIN sz s USING (cohort)
              |ORDER BY cohort, k""".stripMargin)
+    ),
+
+    // E4i hourly spike/drop detection — the z-score anomaly monitor that
+    // complements q_ks_drift (distribution shift) and q_silence_runs (gaps):
+    // per event type, which hours' counts sit ≥ 2 population standard
+    // deviations from that type's own hourly mean. The grid is the observed
+    // hour spine CROSS the type set (zero hours COUNT — a dropped-to-zero
+    // hour is usually the alert), exactly the ks_drift spine pattern.
+    //
+    // All arithmetic is EXACT integers via the z² identity: with per-type
+    // hour count n, sum s, sum-of-squares ss over the grid, population
+    // z²(x) = (x·n − s)² / (n·ss − s²) — both sides integer, so the |z| ≥ 2
+    // flag is the integer comparison (x·n − s)² ≥ 4·(n·ss − s²) and the
+    // reported magnitude z²·10⁴ is one exact `div` (monotone in |z|; no
+    // sqrt, no Welford-vs-naive float drift between engines). Long range:
+    // (x·n)² caps at ~(hourly-count · #hours)² — at 100 TB widen the sums
+    // to DECIMAL(38,0) before squaring, same plan shape.
+    //
+    // Scale shape: one (type, hour) partial aggregate over the corpus, a
+    // per-type 1-row moment aggregate over the tiny grid, broadcast back —
+    // nothing downstream of the first aggregate touches O(corpus) rows.
+    GraftQuery(
+      "q_zscore_anomaly",
+      "hours ≥ 2 population std-devs from each event type's hourly mean (exact z² bp)",
+      (s, dir) => anomalyReport(hourlyCounts(Tables.events(s, dir))),
+      Some("""WITH cnt AS (
+             |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr, count(*) AS c
+             |  FROM events GROUP BY 1, 2),
+             |grid AS (
+             |  SELECT g.event_type, g.hr, CAST(coalesce(cnt.c, 0) AS BIGINT) AS x
+             |  FROM (SELECT t.event_type, p.hr
+             |        FROM (SELECT DISTINCT event_type FROM cnt) t,
+             |             (SELECT DISTINCT hr FROM cnt) p) g
+             |  LEFT JOIN cnt ON cnt.event_type = g.event_type AND cnt.hr = g.hr),
+             |m AS (
+             |  SELECT event_type, count(*) AS n, sum(x) AS s, sum(x * x) AS ss
+             |  FROM grid GROUP BY event_type)
+             |SELECT g.event_type, g.hr, g.x AS cnt,
+             |       CAST((g.x * m.n - m.s) * (g.x * m.n - m.s) * 10000
+             |            // (m.n * m.ss - m.s * m.s) AS BIGINT) AS z2_bp,
+             |       CAST(sign(g.x * m.n - m.s) AS BIGINT) AS direction
+             |FROM grid g JOIN m USING (event_type)
+             |WHERE m.n * m.ss - m.s * m.s > 0
+             |  AND (g.x * m.n - m.s) * (g.x * m.n - m.s) >= 4 * (m.n * m.ss - m.s * m.s)
+             |ORDER BY event_type, hr""".stripMargin)
     )
   )
+
+  /** Per-(event_type, hour) event counts — the only corpus-sized stage of
+    * the z-score monitor, split out so the streaming store
+    * ([[graft.streaming.Sketches.updateHourly]]) merges exactly these rows
+    * by addition and the two forms cannot drift on the hour basis.
+    */
+  private[graft] def hourlyCounts(events: DataFrame): DataFrame =
+    events.select(col("event_type"), expr("unix_micros(ts) div 3600000000").as("hr"))
+      .groupBy("event_type", "hr").agg(count(lit(1)).as("c"))
+
+  /** The anomaly report over an (event_type, hr, c) count table — see the
+    * q_zscore_anomaly doc for the exact-integer z² construction. Shared by
+    * the graded query and the streaming store's report side.
+    */
+  private[graft] def anomalyReport(cnt0: DataFrame): DataFrame = {
+    // the count table is referenced by four branches (spine, types, the grid
+    // left-join probe, and — through grid — both the moments and report
+    // sides); persisting it keeps the corpus-sized aggregate beneath it to
+    // ONE evaluation (evaluated lazily by the caller; runner clears caches)
+    val cnt = cnt0.persist()
+    val spine = cnt.select("hr").distinct()
+    val types = cnt.select("event_type").distinct()
+    val grid = types.crossJoin(spine)
+      .join(cnt, Seq("event_type", "hr"), "left")
+      .withColumn("x", coalesce(col("c"), lit(0L)))
+    val moments = grid.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("x").as("s"),
+        sum(expr("x * x")).as("ss"))
+    grid.join(broadcast(moments), "event_type")
+      .withColumn("dev", expr("x * n - s"))
+      .withColumn("varn", expr("n * ss - s * s")) // n²·var ≥ 0
+      .filter(expr("varn > 0 AND dev * dev >= 4 * varn"))
+      .select(col("event_type"), col("hr"), col("x").as("cnt"),
+        expr("(dev * dev * 10000) div varn").as("z2_bp"),
+        signum(col("dev")).cast("bigint").as("direction"))
+      .orderBy("event_type", "hr")
+  }
 }

@@ -1088,6 +1088,77 @@ object SimilarityQueries {
            |       (norm2_out * 10000) // greatest(1, $ProjDims * norm2_in) AS ratio_bp
            |FROM o ORDER BY vec_id""".stripMargin
       }
+    ),
+
+    // E2k cluster-separation audit — the quality gate a semdedup/IVF
+    // deployment runs before trusting its partitioning: per label, how far
+    // is each member from its OWN label centroid vs the NEAREST OTHER label
+    // centroid. The classic silhouette needs sqrt (not correctly-rounded
+    // cross-engine), so the graded form is the exact squared-distance
+    // analog: a² = d²(q, own centroid), b² = min over other labels, per
+    // label n, the misassigned count (b² < a² — the member a 1-NN centroid
+    // classifier would relabel, i.e. an IVF list that would lose it), and
+    // the separation ratio Σb²·10⁴ div Σa² (≥ 10000 ⟺ centroids separate
+    // that label on average). Centroids are q_label_centroids' exact
+    // integer floor-means, rebuilt here so the audit is self-contained.
+    //
+    // Scale shape: one (label, pos) partial aggregate trains the k
+    // centroids; the k-row centroid-array table BROADCASTS into a
+    // k-fan-out per vector (k·N rows, k = #labels — never N²), then one
+    // vec-keyed and one label-keyed aggregate. No driver sync at all —
+    // unlike the codebook queries the centroids stay a DataFrame.
+    GraftQuery(
+      "q_cluster_sep",
+      "per-label exact squared-distance separation: n, 1-NN misassigned, Σb²/Σa² bp",
+      (s, dir) => {
+        val q = Tables.embeddings(s, dir)
+          .filter(expr(s"size(embedding) = $Dim"))
+          .withColumn("q", expr(quantSql))
+          .select("vec_id", "label", "q")
+        val cent = q
+          .select(col("label").as("clabel"), posexplode(col("q")).as(Seq("pos", "v")))
+          .groupBy("clabel", "pos")
+          .agg(sum(col("v") + 1000).as("sv"), count(lit(1)).as("n"))
+          .select(col("clabel"), col("pos"), (expr("sv div n") - 1000).as("c"))
+          .groupBy("clabel")
+          .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("cv"))
+        q.crossJoin(broadcast(cent))
+          .withColumn("d2",
+            expr("aggregate(zip_with(q, cv, (x, y) -> (x - y) * (x - y)), 0L, (a, v) -> a + v)"))
+          .groupBy("vec_id", "label")
+          .agg(
+            min(when(col("clabel") === col("label"), col("d2"))).as("a2"),
+            min(when(col("clabel") =!= col("label"), col("d2"))).as("b2"))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("b2") < col("a2"), 1L).otherwise(0L)).as("n_mis"),
+            expr("(sum(b2) * 10000L) div nullif(sum(a2), 0L)").as("sep_bp"))
+          .orderBy("label")
+      },
+      Some(s"""WITH q AS (
+              |  SELECT vec_id, label, $duckQuantSql AS q
+              |  FROM embeddings WHERE len(embedding) = $Dim),
+              |e AS (
+              |  SELECT label AS clabel, p.pos, q.q[p.pos + 1] AS v
+              |  FROM q, (SELECT unnest(range(0, $Dim)) AS pos) p),
+              |cr AS (
+              |  SELECT clabel, pos, CAST(sum(v + 1000) // count(*) - 1000 AS BIGINT) AS c
+              |  FROM e GROUP BY clabel, pos),
+              |ca AS (SELECT clabel, list(c ORDER BY pos) AS cv FROM cr GROUP BY clabel),
+              |d AS (
+              |  SELECT q.vec_id, q.label, ca.clabel,
+              |         CAST(list_sum([(q.q[i] - ca.cv[i]) * (q.q[i] - ca.cv[i])
+              |                        for i in range(1, len(q.q) + 1)]) AS BIGINT) AS d2
+              |  FROM q, ca),
+              |ab AS (
+              |  SELECT vec_id, label,
+              |         min(CASE WHEN clabel = label THEN d2 END) AS a2,
+              |         min(CASE WHEN clabel <> label THEN d2 END) AS b2
+              |  FROM d GROUP BY vec_id, label)
+              |SELECT label, count(*) AS n,
+              |       CAST(sum(CASE WHEN b2 < a2 THEN 1 ELSE 0 END) AS BIGINT) AS n_mis,
+              |       CAST(sum(b2) * 10000 // nullif(sum(a2), 0) AS BIGINT) AS sep_bp
+              |FROM ab GROUP BY label ORDER BY label""".stripMargin)
     )
   )
 }

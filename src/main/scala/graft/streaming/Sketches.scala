@@ -247,4 +247,35 @@ object Sketches {
     PipelineQueries.domainReport(table.read()
       .getOrElse(throw new IllegalStateException("empty domain table"))
       .select("domain", "source", "n_docs", "total_chars", "n_tracked"))
+
+  /** Streaming hourly event-count store (the incremental form of
+    * `q_zscore_anomaly`'s corpus stage): per-batch (event_type, hour) counts
+    * merged BY ADDITION under the replay protocol — counts are a sum monoid,
+    * so interleaved/out-of-order batches converge to the batch query's count
+    * table and old events are never reprocessed. State is one row per
+    * (type, hour) pair, independent of event volume.
+    */
+  def updateHourly(table: KeyedTable, events: DataFrame, batchId: Long): Unit = {
+    if (table.alreadyApplied(batchId)) return
+    val batch = graft.queries.EventQueries.hourlyCounts(events)
+    val merged = table.read() match {
+      case Some(prev) => prev.select("event_type", "hr", "c").unionByName(batch)
+        .groupBy("event_type", "hr").agg(sum("c").as("c"))
+      case None => batch
+    }
+    table.publish(
+      merged.withColumn("cell", concat_ws("\u001f", col("event_type"), col("hr"))),
+      Some(batchId))
+    ()
+  }
+
+  /** The graded anomaly report from the persisted hourly counts — shared
+    * [[graft.queries.EventQueries.anomalyReport]], so streamed-then-reported
+    * equals the batch query exactly (z² arithmetic included). The report
+    * runs over the tiny count table only; the corpus never re-scans.
+    */
+  def anomaliesOf(table: KeyedTable): DataFrame =
+    graft.queries.EventQueries.anomalyReport(table.read()
+      .getOrElse(throw new IllegalStateException("empty hourly table"))
+      .select("event_type", "hr", "c"))
 }

@@ -73,7 +73,10 @@ object ScaleSmoke {
     "q_rand_proj",         // constant sign matrix x one vector fold: pure scan
     "q_tfidf_terms",       // two hash aggs + vocab join + partitioned top-5 window
     "q_crossmodal_dups",   // conjunction of two cap-bound pair pipelines
-    "q_kcore")             // 4 materialized peel rounds over cap-bound edges
+    "q_kcore",             // 4 materialized peel rounds over cap-bound edges
+    "q_containment_pairs", // same capped (source, gram) join as jaccard: pairs stay cap-bound
+    "q_zscore_anomaly",    // one (type, hour) agg + tiny-grid moments: linear in events
+    "q_cluster_sep")       // k-row centroid broadcast x vector scan: k·N, never N²
   // q_minhash_error is not separately gated: it is the q_dedup_curve lineage
   // (capped candidates + shingle joins) with 8 extra equality tests — the
   // gated curve query already exercises its scale shape.

@@ -174,4 +174,27 @@ class SketchesSpec extends SparkTestBase {
     assert(table.latestVersion() == versionBefore,
       "replayed batch republished the domain store")
   }
+
+  test("streamed hourly counts reproduce the graded z-score anomalies") {
+    val table = new KeyedTable(spark, tmp("hourly"), "cell")
+    val events = Tables.events(spark, dir)
+    // interleaved non-contiguous batches (event_id mod 3) — addition is
+    // order-free, so the merged counts must equal one-shot batch counts
+    (0 to 2).foreach { b =>
+      Sketches.updateHourly(table, events.filter($"event_id" % 3 === b), b.toLong)
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSeq.map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val got  = rows(Sketches.anomaliesOf(table))
+    val want = rows(SparkEntry.queries("q_zscore_anomaly")(spark, dir))
+    assert(got == want,
+      s"streamed anomaly report diverges (${got.length} vs ${want.length} rows)")
+    assert(want.nonEmpty, "corpus has no >=2-sigma hours; the parity pin is vacuous")
+    // replay guard: addition is not idempotent, so a replayed batch must
+    // publish nothing
+    val versionBefore = table.latestVersion()
+    Sketches.updateHourly(table, events.filter($"event_id" % 3 === 0), 0L)
+    assert(table.latestVersion() == versionBefore,
+      "replayed batch republished the hourly store")
+  }
 }
