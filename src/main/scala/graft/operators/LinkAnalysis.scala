@@ -110,6 +110,53 @@ object LinkAnalysis {
     degrees(e).filter(col("deg") >= lit(1L))
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007) after `rounds`
+    * rounds over SYMMETRIC directed edges (src, dst): every node starts
+    * labeled with its own id; each round it adopts the label held by the
+    * PLURALITY of its neighbors (previous round's labels — synchronous, so
+    * the update is order-free and oracle-unrollable), ties broken toward
+    * the SMALLEST label. Communities differ from connected components
+    * exactly where curation needs them to: a chain artifact (one shared
+    * sentence linking unrelated template clusters) is ONE component but
+    * keeps distinct LPA communities, because plurality votes don't cross a
+    * single thin edge against two dense sides.
+    *
+    * Determinism: classic async LPA is run-order-dependent; this form is
+    * deterministic by construction — synchronous update + (count desc,
+    * label asc) tie-break, computed as one `min(struct(-cnt, lab))` hash
+    * aggregate (never a row_number window over the corpus). Synchronous
+    * LPA can oscillate on bipartite shapes; a FIXED round count makes that
+    * a defined, graded output rather than a termination hazard (the same
+    * bounded-rounds move as [[pageRank]]/[[kCore]]); near-cliques converge
+    * in 1–2 rounds.
+    *
+    * 100 TB shape: per round one equi-join of the edge list with the
+    * current #nodes-row label table plus two hash aggregates — partial
+    * aggregation before every exchange, no window, no driver data. Each
+    * round references the previous labels ONCE, so the declarative chain
+    * grows linearly and needs no per-round materialization. Callers
+    * persist the edge list (reused every round).
+    *
+    * Returns (id, lab): every node of the edge list with its community
+    * label after `rounds` rounds.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 0, "rounds must be >= 0")
+    val e = edges.select(col("src"), col("dst"))
+    var labels = e.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lab"))
+    for (_ <- 1 to rounds) {
+      labels = e
+        .join(labels.select(col("id").as("src"), col("lab")), "src")
+        .groupBy(col("dst"), col("lab"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("dst").as("id"))
+        .agg(min(struct((-col("cnt")).as("nc"), col("lab").as("lab"))).as("m"))
+        .select(col("id"), col("m.lab").as("lab"))
+    }
+    labels
+  }
+
   /** PageRank after `iters` rounds over directed edges (src, dst).
     * Returns (id, deg, rank): the node's out-degree and its scaled rank.
     * `iters = 0` returns the uniform start state (rank = Scale).

@@ -1639,8 +1639,60 @@ object DedupQueries {
               |SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS deg
               |FROM (SELECT a AS id FROM e4 UNION ALL SELECT b AS id FROM e4) n
               |GROUP BY id ORDER BY doc_id""".stripMargin)
+    ),
+
+    // E1v label-propagation communities — the graph quintet's DETECTOR
+    // (components: who is connected; PageRank: which hubs matter;
+    // triangles: what kind of neighborhood; k-core: the hard kernel; LPA:
+    // where the community BOUNDARIES are): 4 synchronous plurality-vote
+    // rounds over the same symmetric candidate graph as q_pagerank. The
+    // curation read: a connected component glued by one chain artifact
+    // splits back into its dense template communities here — exactly the
+    // rows where community ≠ q_dup_clusters' component root are the chain
+    // suspects a reviewer should cut. Deterministic (synchronous + smallest-
+    // label tie-break, min(struct(-cnt, lab)) — no corpus window); see
+    // [[graft.operators.LinkAnalysis.labelPropagation]] for the oscillation
+    // / bounded-rounds argument.
+    GraftQuery(
+      "q_label_prop",
+      "4-round synchronous plurality label propagation over the minhash candidate graph",
+      (s, dir) => {
+        val sig  = arraySignatures(Tables.spread(Tables.documents(s, dir)))
+        val cand = candidatePairs(sig)
+        val edges = cand.select(col("a").as("src"), col("b").as("dst"))
+          .union(cand.select(col("b").as("src"), col("a").as("dst")))
+          .persist()
+        graft.operators.LinkAnalysis.labelPropagation(edges, 4)
+          .select(col("id").as("doc_id"), col("lab").as("community"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $duckMinhashCtes,
+              |edges AS (SELECT a AS src, b AS dst FROM cand
+              |          UNION ALL SELECT b AS src, a AS dst FROM cand),
+              |l0 AS (SELECT DISTINCT src AS id, src AS lab FROM edges),
+              |${duckLpaIter("l1", "l0")},
+              |${duckLpaIter("l2", "l1")},
+              |${duckLpaIter("l3", "l2")},
+              |${duckLpaIter("l4", "l3")}
+              |SELECT id AS doc_id, lab AS community FROM l4 ORDER BY doc_id""".stripMargin)
     )
   )
+
+  /** One DuckDB synchronous LPA round: neighbor-label counts of `in`,
+    * plurality pick with (cnt DESC, lab ASC) tie-break — the oracle twin of
+    * one [[graft.operators.LinkAnalysis.labelPropagation]] round (the
+    * row_number form picks the identical row the Spark side's
+    * min(struct(-cnt, lab)) aggregate does).
+    */
+  private def duckLpaIter(out: String, in: String): String =
+    s"""$out AS (
+       |  SELECT dst AS id, lab FROM (
+       |    SELECT dst, lab,
+       |           row_number() OVER (PARTITION BY dst ORDER BY cnt DESC, lab) AS rk
+       |    FROM (SELECT e.dst, l.lab, count(*) AS cnt
+       |          FROM edges e JOIN $in l ON l.id = e.src
+       |          GROUP BY e.dst, l.lab) c) r
+       |  WHERE rk = 1)""".stripMargin
 
   /** One DuckDB k-core peel round (k = 2): degrees of e`in`, keep-list,
     * e`out` — the oracle twin of one [[graft.operators.LinkAnalysis.kCore]]

@@ -35,6 +35,44 @@ object StatsQueries {
              |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin)
     ),
 
+    // The correlated-scalar-subquery pattern ("parts priced above their own
+    // brand's average"), DECORRELATED the way a distributed engine must run
+    // it: one brand-keyed partial aggregate (count + integer-cent sum), a
+    // broadcast join back onto the fact scan, and the avg comparison done by
+    // CROSS-MULTIPLICATION — cents·n > s is exactly price > s/n with no
+    // division, so the filter and the reported above_bp margin are integer-
+    // exact in both engines (no float-avg drift). A naive correlated
+    // subquery re-scans the group per row at 100 TB; this is two scans and a
+    // #brands-row broadcast, the canonical decorrelation Catalyst itself
+    // applies to IN/EXISTS forms.
+    GraftQuery(
+      "q_above_brand_avg",
+      "parts priced above their brand average: integer-cent cross-multiplied margin (bp)",
+      (s, dir) => {
+        val p = Tables.part(s, dir)
+          .select(col("p_brand"), col("p_partkey"),
+            expr("cast(round(p_retailprice * 100) as bigint)").as("cents"))
+        val b = p.groupBy("p_brand")
+          .agg(count(lit(1)).as("n"), sum("cents").as("sc"))
+        p.join(broadcast(b), "p_brand")
+          .filter(expr("cents * n > sc"))
+          .select(col("p_brand"), col("p_partkey"), col("cents"),
+            expr("((cents * n - sc) * 10000) div sc").as("above_bp"))
+          .orderBy("p_brand", "p_partkey")
+      },
+      Some("""WITH p AS (
+             |  SELECT p_brand, p_partkey,
+             |         CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+             |  FROM part),
+             |b AS (SELECT p_brand, count(*) AS n, sum(cents) AS sc
+             |      FROM p GROUP BY p_brand)
+             |SELECT p.p_brand, p.p_partkey, p.cents,
+             |       CAST((p.cents * b.n - b.sc) * 10000 // b.sc AS BIGINT) AS above_bp
+             |FROM p JOIN b USING (p_brand)
+             |WHERE p.cents * b.n > b.sc
+             |ORDER BY p_brand, p_partkey""".stripMargin)
+    ),
+
     GraftQuery(
       "q_supplier_nation",
       "suppliers per nation with account-balance range (supplier ⋈ nation)",

@@ -76,7 +76,9 @@ object ScaleSmoke {
     "q_kcore",             // 4 materialized peel rounds over cap-bound edges
     "q_containment_pairs", // same capped (source, gram) join as jaccard: pairs stay cap-bound
     "q_zscore_anomaly",    // one (type, hour) agg + tiny-grid moments: linear in events
-    "q_cluster_sep")       // k-row centroid broadcast x vector scan: k·N, never N²
+    "q_cluster_sep",       // k-row centroid broadcast x vector scan: k·N, never N²
+    "q_label_prop",        // 4 plurality rounds over cap-bound edges: per-round joins stay linear
+    "q_above_brand_avg")   // one brand agg + broadcast back: two scans, no window
   // q_minhash_error is not separately gated: it is the q_dedup_curve lineage
   // (capped candidates + shingle joins) with 8 extra equality tests — the
   // gated curve query already exercises its scale shape.
@@ -135,6 +137,10 @@ object ScaleSmoke {
     // r-1 exact twins — the ANN/PQ curves must stay linear even when the
     // corpus is saturated with duplicates
     rep("embeddings.parquet", "vec_id")
+    // part: replicated with offset keys but UNCHANGED p_brand values, so
+    // each brand's group grows r× — the decorrelated above-average curve
+    // must stay two-scans-linear as groups deepen
+    rep("part.parquet", "p_partkey")
   }
 
   /** Time the graded query set at every scale (per-query warm-up at base

@@ -139,6 +139,46 @@ class PageRankSpec extends SparkTestBase {
     }
   }
 
+  test("labelPropagation matches a driver-side sync LPA on classic shapes and random graphs") {
+    // independently-written synchronous plurality vote, (cnt desc, lab asc)
+    def refLpa(pairs: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+      val adj = (pairs ++ pairs.map(p => (p._2, p._1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      var lab = adj.keys.map(k => k -> k).toMap
+      for (_ <- 1 to rounds) {
+        lab = adj.map { case (v, ns) =>
+          val votes = ns.map(lab).groupBy(identity).view.mapValues(_.size).toSeq
+          v -> votes.minBy { case (l, c) => (-c, l) }._1
+        }
+      }
+      lab
+    }
+    def run(pairs: Seq[(Long, Long)], rounds: Int): Map[Long, Long] =
+      LinkAnalysis.labelPropagation(sym(pairs), rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // two triangles joined by one bridge: ONE component, but the plurality
+    // vote must keep >= 2 communities alive (the chain-artifact split the
+    // operator exists for); the left triangle's interior settles on its own
+    // min id. (The bridge endpoints themselves trade min-id ties — the
+    // exact assignment is pinned by the reference parity, not hand-listed.)
+    val bridge = Seq((0L, 1L), (0L, 2L), (1L, 2L), (10L, 11L), (10L, 12L), (11L, 12L), (2L, 10L))
+    val got = run(bridge, 4)
+    assert(got === refLpa(bridge, 4))
+    assert(got(0L) == 0L && got(1L) == 0L)
+    assert(got.values.toSet.size >= 2, "bridge merged the two triangle communities")
+    // random graphs: exact parity with the reference at every round count
+    val rnd = new scala.util.Random(47)
+    for (trial <- 0 until 3; rounds <- Seq(1, 4)) {
+      val n = 5 + rnd.nextInt(15)
+      val pairs = (for {
+        a <- 0L until n.toLong; b <- (a + 1) until n.toLong
+        if rnd.nextDouble() < 0.3
+      } yield (a, b)).toSeq
+      if (pairs.nonEmpty)
+        assert(run(pairs, rounds) === refLpa(pairs, rounds), s"trial=$trial n=$n rounds=$rounds")
+    }
+  }
+
   test("seeded random graphs: distributed ranks equal the driver reference exactly") {
     val rnd = new scala.util.Random(11)
     for (trial <- 0 until 4) {
