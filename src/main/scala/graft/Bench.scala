@@ -42,6 +42,21 @@ object Bench {
     ()
   }
 
+  /** Full cache hygiene between query evaluations: `clearCache` frees
+    * Dataset-level persists, but queries built on explicitly-owned RDD
+    * persists (`Lineage.materialize` loops — dup-clusters, k-core — and the
+    * lazy-checkpoint aggregates) leave RAW RDD blocks behind that
+    * clearCache cannot see. In a 125-query × 4-evaluation single-JVM bench
+    * those leaks compound (~100 orphaned block sets by the tail) and were
+    * measured inflating EVERY query ~2.4× through block-manager/memory
+    * pressure — so the runner sweeps `getPersistentRDDs` too. Shared by
+    * Bench/Verify/ScaleSmoke/TimeQ so no runner can drift back.
+    */
+  private[graft] def clearAllCaches(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+  }
+
   /** (steal, total) jiffies from /proc/stat's aggregate cpu line. Emitted as
     * a steal%-over-the-run field so a slow total is attributable: this host
     * is virtualized, and r3's driver total (157s) vs a clean re-run (41s)
@@ -81,7 +96,9 @@ object Bench {
       }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
-    names.foreach(force) // warm-up: classloading, codegen, parquet footers
+    // warm-up: classloading, codegen, parquet footers (cache-swept like the
+    // timed loop — warm-up leaks pollute the timed numbers identically)
+    names.foreach { n => clearAllCaches(spark); force(n) }
     // median of 3 post-warm-up repeats per query (VERDICT r5 next-step #5):
     // this host is virtualized, and a single-shot number conflates the plan
     // with whatever the hypervisor was doing that second — r3/r5 driver
@@ -97,7 +114,7 @@ object Bench {
         // own previous repeat: each timed number must measure the query's
         // own full pipeline. Intra-query persists still apply — they happen
         // during this query's own evaluation.
-        spark.catalog.clearCache()
+        clearAllCaches(spark)
         val t0 = System.nanoTime()
         val err = force(name)
         (if (err.isEmpty) (System.nanoTime() - t0) / 1e9 else -1.0, err)

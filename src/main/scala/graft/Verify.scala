@@ -16,8 +16,10 @@ object Verify {
     SparkEntry.queries.filter(kv => wanted(kv._1)).foreach { case (name, fn) =>
       // queries persist shared lineage and rely on the runner for cache
       // hygiene (DedupQueries cache-discipline note): without this the
-      // 70+-query run accumulates every query's caches until LRU pressure
-      spark.catalog.clearCache()
+      // 70+-query run accumulates every query's caches until LRU pressure.
+      // Raw-RDD persists (materialized loops, lazy checkpoints) need the
+      // full sweep — clearCache alone cannot see them (Bench.clearAllCaches)
+      Bench.clearAllCaches(spark)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -150,10 +150,10 @@ object ScaleSmoke {
   private[graft] def measure(spark: SparkSession, dirs: Map[Int, String],
       queries: Seq[String]): Seq[Point] =
     queries.flatMap { q =>
-      spark.catalog.clearCache()
+      graft.Bench.clearAllCaches(spark)
       graft.SparkEntry.queries(q)(spark, dirs(dirs.keys.min)).count()
       dirs.keys.toSeq.sorted.map { r =>
-        spark.catalog.clearCache()
+        graft.Bench.clearAllCaches(spark)
         val t0   = System.nanoTime()
         val rows = graft.SparkEntry.queries(q)(spark, dirs(r)).count()
         Point(q, r, (System.nanoTime() - t0) / 1e9, rows)
