@@ -34,6 +34,9 @@ object EventQueries {
     */
   private val SaltTasks = 256L
 
+  /** One day in microseconds — the rolling-window RANGE frame width. */
+  private val DayUs = 24L * 3600 * 1000000
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery(
       "q_sessionize",
@@ -292,6 +295,99 @@ object EventQueries {
              |       (r.n_users * 10000) // s.cohort_users AS retained_bp
              |FROM ret r JOIN sz s USING (cohort)
              |ORDER BY cohort, k""".stripMargin)
+    ),
+
+    // E4j event-time rolling window — the RANGE-framed window class nothing
+    // else in the suite exercises (every other window is ROWS-framed or
+    // grouped): at each event, how many events and how much value (exact
+    // integer cents) the SAME user produced in the PRECEDING 24 HOURS OF
+    // EVENT TIME — the per-entity rate/velocity feature behind fraud
+    // scoring and rate-limiting. ROWS frames count physical rows; only a
+    // RANGE frame over the microsecond axis expresses "last 24 hours"
+    // (sparse users keep small windows, bursty users large ones, and
+    // same-instant peers are ALL in frame on both engines — RANGE includes
+    // order-value peers, which is what makes ties deterministic here with
+    // no extra tiebreak column).
+    //
+    // Scale shape: one user-keyed exchange + one in-partition sort carries
+    // both window columns; Spark's running RANGE frame evaluates in O(n)
+    // per partition with two moving endpoints. Value is quantized to cents
+    // BEFORE the frame sum (the A8 exact-money move) so the rolling sums
+    // hash-match.
+    GraftQuery(
+      "q_rolling_window",
+      "per-user preceding-24h event-time RANGE window: rolling count + exact cents",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+          .rangeBetween(-DayUs, 0)
+        Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"),
+            expr("unix_micros(ts)").as("us"),
+            expr("cast(round(value * 100) as bigint)").as("cents"))
+          .withColumn("n_24h", count(lit(1)).over(w))
+          .withColumn("cents_24h", sum(col("cents")).over(w))
+          .select("event_id", "user_id", "us", "n_24h", "cents_24h")
+          .orderBy("event_id")
+      },
+      Some(s"""SELECT event_id, user_id, us,
+              |       CAST(count(*) OVER w AS BIGINT) AS n_24h,
+              |       CAST(sum(cents) OVER w AS BIGINT) AS cents_24h
+              |FROM (SELECT event_id, user_id, epoch_us(ts) AS us,
+              |             CAST(round(value * 100) AS BIGINT) AS cents
+              |      FROM events) e
+              |WINDOW w AS (PARTITION BY user_id ORDER BY us
+              |             RANGE BETWEEN $DayUs PRECEDING AND CURRENT ROW)
+              |ORDER BY event_id""".stripMargin)
+    ),
+
+    // E4k ordered-argument aggregates — the argmax/argmin aggregate class
+    // (max_by/min_by ↔ DuckDB arg_max/arg_min) nothing else in the suite
+    // exercises: per user, the event_type of their FIRST and LAST event plus
+    // the activity span — the entity-profile feature (acquisition channel,
+    // latest action) that would otherwise need a full window sort. As an
+    // AGGREGATE it partial-aggregates: each map task keeps one (key, value)
+    // candidate pair per user, the exchange carries user-count rows, and no
+    // per-user event history is ever sorted — the window formulation of the
+    // same question shuffles every event.
+    //
+    // Determinism: max_by/arg_max tie-break is engine-undefined, so the
+    // ordering key must be UNIQUE — (us, event_id) packed as a fixed-width
+    // zero-padded string (lexicographic ≡ numeric on non-negative ints;
+    // us·10⁶+event_id would overflow bigint). event_id is unique, so no tie
+    // exists and both engines pick the same row.
+    GraftQuery(
+      "q_first_last",
+      "per-user first/last event via max_by/min_by ordered-arg aggregates",
+      (s, dir) => {
+        val k = concat(lpad(col("us").cast("string"), 20, "0"),
+          lpad(col("event_id").cast("string"), 12, "0"))
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"), col("event_id"),
+            expr("unix_micros(ts)").as("us"))
+          .withColumn("k", k)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            min_by(col("event_type"), col("k")).as("first_type"),
+            min(col("us")).as("first_us"),
+            max_by(col("event_type"), col("k")).as("last_type"),
+            max(col("us")).as("last_us"))
+          .withColumn("span_us", col("last_us") - col("first_us"))
+          .select("user_id", "n_events", "first_type", "first_us",
+            "last_type", "last_us", "span_us")
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, count(*) AS n_events,
+             |       arg_min(event_type, k) AS first_type,
+             |       CAST(min(us) AS BIGINT) AS first_us,
+             |       arg_max(event_type, k) AS last_type,
+             |       CAST(max(us) AS BIGINT) AS last_us,
+             |       CAST(max(us) - min(us) AS BIGINT) AS span_us
+             |FROM (SELECT user_id, event_type, epoch_us(ts) AS us,
+             |             lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||
+             |             lpad(CAST(event_id AS VARCHAR), 12, '0') AS k
+             |      FROM events) e
+             |GROUP BY user_id
+             |ORDER BY user_id""".stripMargin)
     ),
 
     // E4i hourly spike/drop detection — the z-score anomaly monitor that

@@ -122,6 +122,30 @@ object StatsQueries {
              |ORDER BY gid, coalesce(source, ''), coalesce(lang, '')""".stripMargin)
     ),
 
+    // A6b CUBE: the full grouping-sets lattice — where ROLLUP emits the
+    // hierarchy (cell, per-source subtotal, grand total), CUBE adds the
+    // CROSS margin (per-lang subtotals ACROSS sources) in the same single
+    // pass; gid disambiguates all four levels. One partial-aggregated
+    // expand (4 grouping sets per input row pre-aggregate — Spark's Expand
+    // runs below the exchange, so the shuffle carries group cells, not
+    // corpus rows); same sentinel-coalesce ordering rule as A6.
+    GraftQuery(
+      "q_cube_stats",
+      "CUBE(source, lang): doc counts and char sums at all four lattice levels",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .cube(col("source"), col("lang"))
+          .agg(grouping_id().as("gid"),
+            count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+          .select("gid", "source", "lang", "n_docs", "sum_chars")
+          .orderBy(col("gid"), coalesce(col("source"), lit("")),
+            coalesce(col("lang"), lit(""))),
+      Some("""SELECT CAST(GROUPING(source, lang) AS BIGINT) AS gid, source, lang,
+             |       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM documents GROUP BY CUBE (source, lang)
+             |ORDER BY gid, coalesce(source, ''), coalesce(lang, '')""".stripMargin)
+    ),
+
     // A7 pivot reshaping: languages to columns — the wide-format mix matrix
     // dashboards consume. Explicit value list (de/en/es/fr/zh), so the plan
     // is ONE partial-aggregated groupBy(source) with conditional counts (no

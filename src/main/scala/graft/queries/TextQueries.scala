@@ -51,6 +51,15 @@ object TextQueries {
     */
   private val TokenRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 
+  /** Phrase probes for the positional-index search (E3ag): two common
+    * bigram phrases, one trigram (exercises generic length), one absent
+    * phrase (must yield zero rows, not zero-count rows). Single-sourced —
+    * the Spark token table AND the oracle's comprehension branches both
+    * derive from this list.
+    */
+  private val Phrases: Seq[String] =
+    Seq("table hash", "customer join", "slow hash batch", "graft spark engine")
+
   /** PII-scrub patterns, in the Java∩RE2 regex common subset (no
     * backslash classes, no lookarounds) so Spark and the DuckDB oracle
     * match identically. A deployment extends the list; the plan shape
@@ -446,6 +455,64 @@ object TextQueries {
               |  FROM sc GROUP BY doc_id)
               |SELECT doc_id, round(s_hash + s_join + s_merge, 4) AS score_r
               |FROM pt ORDER BY score_r DESC, doc_id LIMIT 10""".stripMargin)
+    ),
+
+    // E3ag positional inverted-index phrase search — the IR primitive BM25
+    // (bag-of-words scoring) cannot express: EXACT phrase occurrence. The
+    // classic decomposition: explode documents into positional postings
+    // (doc_id, pos, word), join against the tiny phrase-token table on the
+    // WORD (broadcast — the join doubles as the filter, so only postings
+    // whose word appears in some phrase survive into the aggregate), and
+    // group by the ALIGNED ANCHOR pos − idx: a phrase of length L occurs at
+    // anchor a iff all L (idx, word) slots matched — hits = L. Occurrences
+    // per (phrase, doc) = anchor count. Generic in phrase length (the 3-word
+    // probe exercises it); a repeated word inside a phrase just fans its
+    // postings to both idx slots, each landing on its own anchor.
+    //
+    // Scale shape: postings are linear in corpus tokens and never shuffle as
+    // raw text — the broadcast join prunes to phrase-vocabulary postings
+    // BEFORE the only exchange (on (phrase, doc, anchor), cardinality =
+    // matched postings). The oracle computes the same anchors as a DuckDB
+    // per-row list comprehension — both sides single-sourced from Phrases.
+    GraftQuery(
+      "q_phrase_match",
+      "positional-postings phrase search: anchor-aligned join, per-doc occurrence counts",
+      (s, dir) => {
+        import s.implicits._
+        val pt = Phrases.flatMap { p =>
+          val ws = p.split(' ')
+          ws.zipWithIndex.map { case (w, i) => (p, i, w, ws.length) }
+        }.toDF("phrase", "idx", "w", "plen")
+        val post = Tables.documents(s, dir)
+          .select(col("doc_id"), lower(col("text")).as("text"))
+          .select(col("doc_id"), posexplode(expr(wordsSql)).as(Seq("pos", "w")))
+        post.join(broadcast(pt), "w")
+          .groupBy(col("phrase"), col("plen"), col("doc_id"),
+            (col("pos") - col("idx")).as("anchor"))
+          .agg(count(lit(1)).as("hits"))
+          .filter(col("hits") === col("plen"))
+          .groupBy("phrase", "doc_id")
+          .agg(count(lit(1)).as("n_occ"))
+          .select("phrase", "doc_id", "n_occ")
+          .orderBy("phrase", "doc_id")
+      },
+      Some {
+        val branches = Phrases.map { p =>
+          val ws = p.split(' ')
+          val conds = ws.zipWithIndex
+            .map { case (w, i) => s"words[i+$i] = '$w'" }.mkString(" AND ")
+          s"""SELECT '$p' AS phrase, doc_id,
+             |       CAST(len([i FOR i IN range(1, len(words) - ${ws.length - 2}) IF $conds]) AS BIGINT) AS n_occ
+             |FROM d""".stripMargin
+        }
+        s"""WITH d AS (
+           |  SELECT doc_id,
+           |         string_split_regex(trim(coalesce(lower(text), '')), ' +') AS words
+           |  FROM documents),
+           |hits AS (${branches.mkString("\n", "\nUNION ALL\n", "")})
+           |SELECT phrase, doc_id, n_occ FROM hits WHERE n_occ > 0
+           |ORDER BY phrase, doc_id""".stripMargin
+      }
     ),
 
     // E3l weighted source mixing: per-source admission rates (the data-mix

@@ -78,7 +78,11 @@ object ScaleSmoke {
     "q_zscore_anomaly",    // one (type, hour) agg + tiny-grid moments: linear in events
     "q_cluster_sep",       // k-row centroid broadcast x vector scan: k·N, never N²
     "q_label_prop",        // 4 plurality rounds over cap-bound edges: per-round joins stay linear
-    "q_above_brand_avg")   // one brand agg + broadcast back: two scans, no window
+    "q_above_brand_avg",   // one brand agg + broadcast back: two scans, no window
+    "q_cube_stats",        // 4-set Expand below the exchange: shuffle carries cells, not rows
+    "q_rolling_window",    // user-keyed exchange + O(n) running RANGE frame: linear
+    "q_first_last",        // max_by/min_by partial agg: exchange carries users, not events
+    "q_phrase_match")      // postings broadcast-pruned to phrase vocab before the exchange
   // q_minhash_error is not separately gated: it is the q_dedup_curve lineage
   // (capped candidates + shingle joins) with 8 extra equality tests — the
   // gated curve query already exercises its scale shape.
