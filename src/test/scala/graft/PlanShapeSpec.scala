@@ -367,6 +367,58 @@ class PlanShapeSpec extends SparkTestBase {
       s"q_zscore_anomaly grew extra nested loops:\n${p.take(1500)}")
   }
 
+  test("q_cube_stats pre-aggregates the Expand lattice before its exchange") {
+    // CUBE must compile to grouping-set Expand feeding a PARTIAL aggregate:
+    // the shuffle then carries group cells (4 sets, pre-aggregated), never
+    // 4× expanded corpus rows — and the lattice needs no join at all.
+    val p = plan("q_cube_stats")
+    assert(p.contains("Expand"),
+      s"q_cube_stats lost its grouping-set Expand:\n${p.take(1500)}")
+    assert(p.contains("partial_count"),
+      s"q_cube_stats lost partial aggregation below the exchange:\n${p.take(1500)}")
+    assert(!p.contains("Join"),
+      s"q_cube_stats grew a join:\n${p.take(1500)}")
+  }
+
+  test("q_rolling_window is one RANGE-framed window over one user-keyed exchange") {
+    // both rolling columns (count + cents sum) must evaluate in a SINGLE
+    // Window exec over ONE hashpartitioning exchange, and the frame must
+    // stay a RangeFrame — a RowFrame would count physical rows, not the
+    // trailing 24 hours of event time.
+    val p = plan("q_rolling_window")
+    assert(p.contains("RangeFrame"),
+      s"q_rolling_window frame degraded from RANGE:\n${p.take(1500)}")
+    assert("Window ".r.findAllIn(p).length == 1,
+      s"q_rolling_window split into multiple Window execs:\n${p.take(1500)}")
+    assert("hashpartitioning".r.findAllIn(p).length == 1,
+      s"q_rolling_window no longer shares one user-keyed exchange:\n${p.take(1500)}")
+  }
+
+  test("q_first_last partial-aggregates its ordered-arg aggregates (no window)") {
+    // the argmax AGGREGATE shape: map tasks reduce to one candidate pair per
+    // user before the exchange (partial_min_by/partial_max_by), and no
+    // Window exec may creep in — the window formulation of first/last
+    // shuffles and sorts every event instead of user-count rows.
+    val p = plan("q_first_last")
+    assert(p.contains("partial_min_by") && p.contains("partial_max_by"),
+      s"q_first_last lost its partial ordered-arg aggregation:\n${p.take(1500)}")
+    assert(!p.contains("Window "),
+      s"q_first_last regressed to a window sort:\n${p.take(1500)}")
+  }
+
+  test("q_phrase_match probes postings with a broadcast join and partial-counts anchors") {
+    // the phrase-token table must BROADCAST (it doubles as the posting
+    // filter; a shuffle join would exchange every corpus token), and anchor
+    // counting must partial-aggregate before its exchange.
+    val p = plan("q_phrase_match")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q_phrase_match phrase table fell out of broadcast:\n${p.take(1500)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"q_phrase_match shuffles corpus postings to join:\n${p.take(1500)}")
+    assert(p.contains("partial_count"),
+      s"q_phrase_match lost partial anchor counting:\n${p.take(1500)}")
+  }
+
   test("the flagship entry forces broadcast on the three dims only") {
     // AQE may legitimately broadcast MORE at tiny scale factors (the whole
     // dims-join output fits); what must never regress is the set of FORCED
