@@ -47,6 +47,35 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
+  /** All corpus tables by name, through their NORMALIZED accessors (events
+    * gets its timestamp normalization, not the raw physical flavor).
+    */
+  val accessors: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "region"     -> region _,
+    "nation"     -> nation _,
+    "customer"   -> customer _,
+    "supplier"   -> supplier _,
+    "part"       -> part _,
+    "orders"     -> orders _,
+    "lineitem"   -> lineitem _,
+    "events"     -> events _,
+    "documents"  -> documents _,
+    "embeddings" -> embeddings _)
+
+  /** Make the whole engine drivable from `spark.sql(...)`: register every
+    * corpus table as a session temp view under its bare name, plus the
+    * X-family scalar functions ([[graft.functions.Udfs]]) — the SQL twin of
+    * the Tables accessors and the Column DSL. Views are lazy logical plans
+    * over the SAME normalized loaders, so SQL and DataFrame users see
+    * identical schemas (and pushdown/pruning work identically — a view is
+    * not a materialization). Re-invocable: re-registering against another
+    * sf dir just swaps the plans.
+    */
+  def registerViews(spark: SparkSession, dir: String): Unit = {
+    accessors.foreach { case (n, f) => f(spark, dir).createOrReplaceTempView(n) }
+    graft.functions.Udfs.register(spark)
+  }
+
   /** Spread a scan whose SPLIT COUNT cannot feed the available task slots —
     * the single-file/single-row-group layout of the local test tables puts
     * an entire compute-heavy first stage (per-shingle md5s, minhash folds)

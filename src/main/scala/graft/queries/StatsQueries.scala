@@ -146,6 +146,44 @@ object StatsQueries {
              |ORDER BY gid, coalesce(source, ''), coalesce(lang, '')""".stripMargin)
     ),
 
+    // A10 exact per-group percentiles — the sort-based percentile AGGREGATE
+    // class (Spark `percentile` ↔ DuckDB `quantile_cont`), complementary to
+    // E3j's histogram quantiles: the histogram is the corpus-wide scale
+    // path (bounded buckets); THIS is the exact answer for moderate-
+    // cardinality groups, where the aggregate's per-group counts-map buffer
+    // stays small (distinct cents values per event type — the buffer is a
+    // value-counts map, not the row list).
+    //
+    // Exactness across engines: both define quantile_cont at rank p·(n−1)
+    // with linear interpolation (verified: [10,20,30,40] @ .25 → 17.5 in
+    // both), so the interpolated value is a + frac·(b−a) with frac ∈
+    // {0, ¼, ½, ¾} for p ∈ {.25, .5, .75} — scaling by 4 (2 for the
+    // median) makes every reported number an INTEGER computed from doubles
+    // that are exact (cents < 2^40, fracs are powers-of-two dyadics), so
+    // the hash comparison never sees an ulp.
+    GraftQuery(
+      "q_group_median",
+      "per-event-type exact p25/median/p75 (×4/×2/×4 integer-scaled) of value cents",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .select(col("event_type"),
+            expr("cast(round(value * 100) as bigint)").as("cents"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            expr("cast(round(4 * percentile(cents, 0.25d)) as bigint)").as("p25_x4"),
+            expr("cast(round(2 * percentile(cents, 0.5d)) as bigint)").as("med_x2"),
+            expr("cast(round(4 * percentile(cents, 0.75d)) as bigint)").as("p75_x4"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type, count(*) AS n,
+             |       CAST(round(4 * quantile_cont(cents, 0.25)) AS BIGINT) AS p25_x4,
+             |       CAST(round(2 * quantile_cont(cents, 0.5))  AS BIGINT) AS med_x2,
+             |       CAST(round(4 * quantile_cont(cents, 0.75)) AS BIGINT) AS p75_x4
+             |FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+             |      FROM events) e
+             |GROUP BY event_type
+             |ORDER BY event_type""".stripMargin)
+    ),
+
     // A7 pivot reshaping: languages to columns — the wide-format mix matrix
     // dashboards consume. Explicit value list (de/en/es/fr/zh), so the plan
     // is ONE partial-aggregated groupBy(source) with conditional counts (no
