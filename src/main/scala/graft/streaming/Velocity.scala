@@ -1,0 +1,68 @@
+package graft.streaming
+
+/** Streaming form of the E4j event-time rolling window (`q_rolling_window`):
+  * per-user trailing-24h event count and exact cents sum, emitted AT EVERY
+  * EVENT from keyed state — the real-time velocity/rate feature (fraud
+  * scoring, rate limiting) whose batch twin is the RANGE-framed window.
+  *
+  * State per user is the trailing window itself: the (us, event_id, cents)
+  * rows newer than `now − windowUs`, evicted as the frontier advances — so
+  * state size is bounded by one user's activity inside the window, never
+  * their full history.
+  *
+  * Parity contract (pinned by VelocityStreamSpec): on a time-ordered feed
+  * whose micro-batches do not split a same-instant (user, us) run, the
+  * emitted rows equal the batch query exactly. The RANGE frame's rule that
+  * ALL same-instant peers are in every peer's frame is honored by absorbing
+  * each equal-us run into state BEFORE emitting any of its rows; a run
+  * split across batches would emit the early rows without their later
+  * peers — feeds that cannot guarantee whole runs buffer to the watermark
+  * first (the [[TemporalJoins.asofStream]] pattern). Cross-batch stragglers
+  * older than the frontier violate the time-ordered contract and are folded
+  * as-is (same order-dependent stance as [[Funnels.funnelStream]]).
+  */
+object Velocity {
+
+  /** Trailing-window rows (us, event_id, cents), ascending (us, event_id). */
+  final case class VelocityState(rows: List[(Long, Long, Long)])
+
+  final case class VelocityRow(
+      event_id: Long, user_id: Long, us: Long, n_24h: Long, cents_24h: Long)
+
+  /** Input rows: (user_id, us, event_id, cents) — cents already quantized
+    * (the batch query's `round(value * 100)`), so the rolling sum is exact
+    * integer arithmetic here too.
+    */
+  def velocityStream(
+      events: org.apache.spark.sql.Dataset[(Long, Long, Long, Long)],
+      windowUs: Long): org.apache.spark.sql.Dataset[VelocityRow] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[VelocityState, VelocityRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long, Long, Long)], state: GroupState[VelocityState]) =>
+          var buf = state.getOption.map(_.rows).getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer.empty[VelocityRow]
+          val arr = rows.toArray.sortBy(r => (r._2, r._3))
+          var i = 0
+          while (i < arr.length) {
+            var j = i
+            while (j < arr.length && arr(j)._2 == arr(i)._2) j += 1
+            val us = arr(i)._2
+            // absorb the WHOLE equal-us run before emitting: RANGE peers
+            buf = buf ++ arr.slice(i, j).map(r => (r._2, r._3, r._4)).toList
+            buf = buf.dropWhile(_._1 < us - windowUs) // inclusive lower bound
+            val n = buf.length.toLong
+            val cents = buf.iterator.map(_._3).sum
+            arr.slice(i, j).foreach { r =>
+              out += VelocityRow(r._3, user, r._2, n, cents)
+            }
+            i = j
+          }
+          state.update(VelocityState(buf))
+          out.iterator
+      }
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.streaming.Velocity
+
+/** Streaming rolling window ([[Velocity.velocityStream]]): the per-event
+  * trailing-24h counts/sums folded through keyed state must, on a
+  * time-ordered feed whose batches keep same-instant runs whole, equal the
+  * batch RANGE-framed query row for row — including the all-peers-in-frame
+  * rule on timestamp ties and the state eviction across batch boundaries.
+  */
+class VelocityStreamSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private val DayUs = 24L * 3600 * 1000000
+
+  test("time-ordered streamed events reproduce the batch rolling window exactly") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val events = Tables.events(spark, dir)
+      .selectExpr("user_id", "unix_micros(ts) AS us", "event_id",
+        "cast(round(value * 100) as bigint) AS cents")
+      .as[(Long, Long, Long, Long)]
+      .collect()
+      .sortBy(r => (r._2, r._3))
+    // batch boundaries may not split a same-us run (the documented
+    // contract): advance each cut to the end of its run
+    val cuts = Seq(events.length / 3, 2 * events.length / 3).map { c =>
+      var k = c
+      while (k > 0 && k < events.length && events(k)._2 == events(k - 1)._2) k += 1
+      k
+    }
+    val batches = Seq(
+      events.slice(0, cuts.head), events.slice(cuts.head, cuts.last),
+      events.slice(cuts.last, events.length)).filter(_.nonEmpty)
+    val in = MemoryStream[(Long, Long, Long, Long)]
+    val q = Velocity.velocityStream(in.toDS(), DayUs).writeStream
+      .format("memory").queryName("velocity_out").outputMode("append").start()
+    try {
+      batches.foreach { b => in.addData(b.toSeq); q.processAllAvailable() }
+      val got = spark.table("velocity_out").collect()
+        .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+      val want = SparkEntry.queries("q_rolling_window")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+      assert(want.nonEmpty)
+      assert(got.size === want.length, "row-count drift vs the batch window")
+      val diffs = want.filter { case (id, n, c) => got.get(id) != Some((n, c)) }
+      assert(diffs.isEmpty, s"first mismatches: ${diffs.take(5).mkString(", ")}")
+    } finally q.stop()
+  }
+}
