@@ -122,6 +122,58 @@ object JoinQueries {
               |  ON e.user_id = o.user_id
               | AND o.us BETWEEN e.us - ${BandUs} AND e.us + ${BandUs}
               |GROUP BY 1, 2 ORDER BY e.event_id""".stripMargin)
+    ),
+
+    // J6 snapshot reconciliation via FULL OUTER join — the one join class
+    // the rest of the surface never exercises (inner/left/semi/anti all
+    // graded elsewhere): given two versions of a keyed table, classify every
+    // key as added / removed / changed / same — THE table-diff audit behind
+    // incremental publishing (the graded relational twin of
+    // `KeyedTable.diff`'s store-level version compare). The two snapshots
+    // derive deterministically from `documents`: v1 drops doc_id % 7 == 0,
+    // v2 drops doc_id % 11 == 0 and bumps n_chars on doc_id % 5 == 0 — so
+    // all four statuses occur and both engines build identical inputs.
+    //
+    // Scale shape: ONE co-partitioned shuffle join on the key (both sides
+    // hash to the same exchange; at deployment two bucketed snapshots join
+    // with no exchange at all), null-flag classification is row-local, and
+    // the only other exchange is the output sort. The classification CASE
+    // tests side-presence flags, not nullable payloads — a null payload
+    // column in a PRESENT row must not read as "absent".
+    GraftQuery(
+      "q_snapshot_diff",
+      "full-outer keyed diff of two derived snapshots: added/removed/changed/same",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val v1 = docs.filter(col("doc_id") % 7 =!= 0)
+          .select(col("doc_id"), col("n_chars").as("old_chars"), lit(1L).as("in_old"))
+        val v2 = docs.filter(col("doc_id") % 11 =!= 0)
+          .select(col("doc_id"),
+            (col("n_chars") + when(col("doc_id") % 5 === 0, 1L).otherwise(0L)).as("new_chars"),
+            lit(1L).as("in_new"))
+        v1.join(v2, Seq("doc_id"), "full")
+          .select(col("doc_id"),
+            when(col("in_old").isNull, "added")
+              .when(col("in_new").isNull, "removed")
+              .when(col("old_chars") =!= col("new_chars"), "changed")
+              .otherwise("same").as("status"),
+            col("old_chars"), col("new_chars"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH v1 AS (
+             |  SELECT doc_id, n_chars AS old_chars FROM documents WHERE doc_id % 7 <> 0),
+             |v2 AS (
+             |  SELECT doc_id,
+             |         n_chars + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS new_chars
+             |  FROM documents WHERE doc_id % 11 <> 0)
+             |SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+             |       CASE WHEN v1.doc_id IS NULL THEN 'added'
+             |            WHEN v2.doc_id IS NULL THEN 'removed'
+             |            WHEN v1.old_chars <> v2.new_chars THEN 'changed'
+             |            ELSE 'same' END AS status,
+             |       v1.old_chars, CAST(v2.new_chars AS BIGINT) AS new_chars
+             |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+             |ORDER BY doc_id""".stripMargin)
     )
   )
 }

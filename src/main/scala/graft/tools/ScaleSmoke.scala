@@ -84,7 +84,8 @@ object ScaleSmoke {
     "q_first_last",        // max_by/min_by partial agg: exchange carries users, not events
     "q_phrase_match",      // postings broadcast-pruned to phrase vocab before the exchange
     "q_reach_hops",        // 3 min-plus rounds over cap-bound edges: per-round joins stay linear
-    "q_group_median")      // percentile agg: counts-map buffer, exchange carries groups
+    "q_group_median",      // percentile agg: counts-map buffer, exchange carries groups
+    "q_snapshot_diff")     // one co-partitioned full-outer join: linear in keys
   // q_minhash_error is not separately gated: it is the q_dedup_curve lineage
   // (capped candidates + shingle joins) with 8 extra equality tests — the
   // gated curve query already exercises its scale shape.
