@@ -210,6 +210,44 @@ object StatsQueries {
              |FROM documents GROUP BY source ORDER BY source""".stripMargin)
     ),
 
+    // A7c UNPIVOT/melt — the INVERSE reshaping of A7's pivot, graded as the
+    // round trip: the same wide per-source language matrix is built (pivot),
+    // then melted back to long (source, lang, n) — the wide-export-to-
+    // long-model shape every feature pipeline needs in both directions.
+    // Zero cells survive the melt (UNPIVOT drops NULLs, not zeros; the wide
+    // stage coalesces absent cells to 0 first), so the long output is the
+    // full dense #sources × 5 grid — melt must not silently re-sparsify.
+    //
+    // Scale shape: the melt itself is an Expand (5 rows per wide row) ABOVE
+    // the already-aggregated pivot — row count is #sources × langs, never
+    // corpus × langs; the only corpus-sized stage is the pivot's one
+    // partial-agg shuffle.
+    GraftQuery(
+      "q_unpivot",
+      "pivot→melt round trip: wide language matrix unpivoted back to long",
+      (s, dir) => {
+        val langs = Seq("de", "en", "es", "fr", "zh")
+        Tables.documents(s, dir)
+          .groupBy(col("source"))
+          .pivot("lang", langs)
+          .agg(count(lit(1)))
+          .select(col("source") +: langs.map(l => coalesce(col(l), lit(0L)).as(l)): _*)
+          .unpivot(Array(col("source")), langs.map(col).toArray, "lang", "n")
+          .orderBy("source", "lang")
+      },
+      Some("""WITH wide AS (
+             |  SELECT source,
+             |         CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de,
+             |         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en,
+             |         CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS es,
+             |         CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr,
+             |         CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh
+             |  FROM documents GROUP BY source)
+             |SELECT source, lang, n
+             |FROM wide UNPIVOT (n FOR lang IN (de, en, es, fr, zh))
+             |ORDER BY source, lang""".stripMargin)
+    ),
+
     // A7b ordered string aggregation (listagg): the "reduce a group to one
     // delimited string" export shape. Determinism rule: the collected set is
     // SORTED before joining (collect_set order is partition-dependent;

@@ -85,7 +85,8 @@ object ScaleSmoke {
     "q_phrase_match",      // postings broadcast-pruned to phrase vocab before the exchange
     "q_reach_hops",        // 3 min-plus rounds over cap-bound edges: per-round joins stay linear
     "q_group_median",      // percentile agg: counts-map buffer, exchange carries groups
-    "q_snapshot_diff")     // one co-partitioned full-outer join: linear in keys
+    "q_snapshot_diff",     // one co-partitioned full-outer join: linear in keys
+    "q_unpivot")           // melt Expand runs ABOVE the aggregated pivot: grid-sized, not corpus
   // q_minhash_error is not separately gated: it is the q_dedup_curve lineage
   // (capped candidates + shingle joins) with 8 extra equality tests — the
   // gated curve query already exercises its scale shape.
