@@ -390,6 +390,34 @@ object EventQueries {
              |ORDER BY user_id""".stripMargin)
     ),
 
+    // E4l hopping (sliding) time windows — Spark's built-in `window(ts, w,
+    // s)` generator, the overlapping-window aggregate class nothing else
+    // grades (E4j's RANGE frame is per-ROW trailing; this is the fixed
+    // GRID of overlapping windows — the "events per type per hour, updated
+    // every 15 min" dashboard feed, and the batch twin of the streaming
+    // windowed-aggregation idiom). Each event expands to exactly w/s = 4
+    // epoch-aligned windows (Spark's Expand runs below the partial
+    // aggregate, so the shuffle carries (window, type) cells, not 4×
+    // events); window starts are multiples of the slide, so boundaries are
+    // exact integer microseconds both engines derive identically — the
+    // oracle rebuilds the same 4 memberships per event from integer div.
+    GraftQuery(
+      "q_hopping_window",
+      "per-type counts over 1h windows hopping every 15min (window() generator)",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(expr("unix_micros(window.start)").as("ws"),
+            col("event_type"), col("n"))
+          .orderBy("ws", "event_type"),
+      Some("""WITH e AS (SELECT epoch_us(ts) AS us, event_type FROM events)
+             |SELECT ws, event_type, count(*) AS n
+             |FROM (SELECT ((us // 900000000) - k) * 900000000 AS ws, event_type
+             |      FROM e, range(0, 4) t(k))
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    ),
+
     // E4i hourly spike/drop detection — the z-score anomaly monitor that
     // complements q_ks_drift (distribution shift) and q_silence_runs (gaps):
     // per event type, which hours' counts sit ≥ 2 population standard

@@ -419,6 +419,18 @@ class PlanShapeSpec extends SparkTestBase {
       s"q_phrase_match lost partial anchor counting:\n${p.take(1500)}")
   }
 
+  test("q_hopping_window expands the 4-window grid below a partial aggregate") {
+    // the sliding-window rewrite must stay Expand → partial agg → exchange:
+    // the shuffle carries (window, type) cells, never 4× expanded events.
+    val p = plan("q_hopping_window")
+    assert(p.contains("Expand"),
+      s"q_hopping_window lost its window Expand:\n${p.take(1500)}")
+    assert(p.contains("partial_count"),
+      s"q_hopping_window lost partial aggregation below the exchange:\n${p.take(1500)}")
+    assert(!p.contains("Join"),
+      s"q_hopping_window grew a join:\n${p.take(1500)}")
+  }
+
   test("the flagship entry forces broadcast on the three dims only") {
     // AQE may legitimately broadcast MORE at tiny scale factors (the whole
     // dims-join output fits); what must never regress is the set of FORCED
