@@ -419,6 +419,19 @@ class PlanShapeSpec extends SparkTestBase {
       s"q_phrase_match lost partial anchor counting:\n${p.take(1500)}")
   }
 
+  test("q_reach_hops relaxes over the persisted edge list with equi-joins only") {
+    // 3 min-plus rounds + the seed/self-loop derivations all read the SAME
+    // materialized edge list; losing the persist re-runs the minhash
+    // candidate pipeline once per reference. Equi-joins only — BFS via a
+    // non-equi join would be |nodes|² at scale.
+    val df = SparkEntry.queries("q_reach_hops")(spark, dir)
+    val p  = df.queryExecution.executedPlan.toString
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 4,
+      s"q_reach_hops rounds do not reuse the cached edge list:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"q_reach_hops contains a non-equi join:\n${p.take(1500)}")
+  }
+
   test("q_hopping_window expands the 4-window grid below a partial aggregate") {
     // the sliding-window rewrite must stay Expand → partial agg → exchange:
     // the shuffle carries (window, type) cells, never 4× expanded events.
