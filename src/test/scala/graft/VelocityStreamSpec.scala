@@ -50,4 +50,44 @@ class VelocityStreamSpec extends SparkTestBase {
       assert(diffs.isEmpty, s"first mismatches: ${diffs.take(5).mkString(", ")}")
     } finally q.stop()
   }
+
+  test("keyed state survives a query RESTART from checkpoint") {
+    // the stronger recovery claim: stop the query entirely after the first
+    // half, start a NEW query on the same checkpoint, feed the second half —
+    // second-half outputs depend on first-half windows, so they are only
+    // correct if the state store restored. Sink is foreachBatch into an
+    // idempotent event_id-keyed map (foreachBatch is at-least-once across
+    // restarts; replayed rows overwrite with identical values).
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val events = Tables.events(spark, dir)
+      .selectExpr("user_id", "unix_micros(ts) AS us", "event_id",
+        "cast(round(value * 100) as bigint) AS cents")
+      .as[(Long, Long, Long, Long)]
+      .collect()
+      .sortBy(r => (r._2, r._3))
+    var cut = events.length / 2
+    while (cut > 0 && cut < events.length && events(cut)._2 == events(cut - 1)._2) cut += 1
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-velockpt").toString
+    val state = new scala.collection.concurrent.TrieMap[Long, (Long, Long)]
+    val in = MemoryStream[(Long, Long, Long, Long)]
+    def start() = Velocity.velocityStream(in.toDS(), DayUs).writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Velocity.VelocityRow], _: Long) =>
+        df.collect().foreach(r => state.put(r.event_id, (r.n_24h, r.cents_24h)))
+      }
+      .start()
+    val q1 = start()
+    try { in.addData(events.slice(0, cut).toSeq); q1.processAllAvailable() }
+    finally q1.stop()
+    val q2 = start()
+    try { in.addData(events.slice(cut, events.length).toSeq); q2.processAllAvailable() }
+    finally q2.stop()
+    val want = SparkEntry.queries("q_rolling_window")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+    assert(state.size === want.length, "row-count drift after restart")
+    val diffs = want.filter { case (id, n, c) => state.get(id) != Some((n, c)) }
+    assert(diffs.isEmpty,
+      s"state did not restore across restart; first mismatches: ${diffs.take(5).mkString(", ")}")
+  }
 }
