@@ -186,6 +186,55 @@ object CoreRelational {
              |       TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
              |       json_extract_string(props, '$.missing') AS absent
              |FROM events ORDER BY event_id""".stripMargin)
+    ),
+
+    // J7 bag set-operations — INTERSECT ALL / EXCEPT ALL, the MULTISET
+    // algebra the join family (equality on keys) and DISTINCT set ops
+    // cannot express: per-element multiplicities min(a, b) and max(a − b, 0)
+    // respectively. The probe compares the (event_type, value-cents-mod-7)
+    // bags of two user populations — the distributional-parity check
+    // (multiplicity matters: "both cohorts error at the same RATE" is a bag
+    // question, not a set question). Spark rewrites both to a two-sided
+    // count aggregate + replicate_rows generate — one shuffle each, no
+    // pairwise anything; the re-aggregation to (op, type, m, n) keeps the
+    // graded output bounded.
+    GraftQuery(
+      "q_bag_setops",
+      "INTERSECT ALL / EXCEPT ALL multiplicities between two user cohorts' event bags",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("event_type"),
+            expr("pmod(cast(round(value * 100) as bigint), 7)").as("m"),
+            col("user_id"))
+        val a = e.filter(col("user_id") % 2 === 0).drop("user_id")
+        val b = e.filter(col("user_id") % 2 =!= 0).drop("user_id")
+        val inter = a.intersectAll(b)
+          .groupBy("event_type", "m").agg(count(lit(1)).as("n"))
+          .withColumn("op", lit("intersect_all"))
+        val exc = a.exceptAll(b)
+          .groupBy("event_type", "m").agg(count(lit(1)).as("n"))
+          .withColumn("op", lit("except_all"))
+        inter.unionByName(exc)
+          .select("op", "event_type", "m", "n")
+          .orderBy("op", "event_type", "m")
+      },
+      Some("""WITH e AS (
+             |  SELECT event_type,
+             |         CASE WHEN CAST(round(value * 100) AS BIGINT) % 7 < 0
+             |              THEN CAST(round(value * 100) AS BIGINT) % 7 + 7
+             |              ELSE CAST(round(value * 100) AS BIGINT) % 7 END AS m,
+             |         user_id
+             |  FROM events),
+             |a AS (SELECT event_type, m FROM e WHERE user_id % 2 = 0),
+             |b AS (SELECT event_type, m FROM e WHERE user_id % 2 <> 0),
+             |i AS (SELECT event_type, m FROM a INTERSECT ALL SELECT event_type, m FROM b),
+             |x AS (SELECT event_type, m FROM a EXCEPT ALL SELECT event_type, m FROM b)
+             |SELECT 'intersect_all' AS op, event_type, m, count(*) AS n
+             |FROM i GROUP BY 2, 3
+             |UNION ALL
+             |SELECT 'except_all' AS op, event_type, m, count(*) AS n
+             |FROM x GROUP BY 2, 3
+             |ORDER BY op, event_type, m""".stripMargin)
     )
   )
 }

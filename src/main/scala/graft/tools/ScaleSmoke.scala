@@ -88,7 +88,8 @@ object ScaleSmoke {
     "q_snapshot_diff",     // one co-partitioned full-outer join: linear in keys
     "q_unpivot",           // melt Expand runs ABOVE the aggregated pivot: grid-sized, not corpus
     "q_hopping_window",    // constant 4x window Expand below the partial agg: linear
-    "q_zorder_layout")     // row-local 20-term interleave + 64-bucket agg: pure scan
+    "q_zorder_layout",     // row-local 20-term interleave + 64-bucket agg: pure scan
+    "q_bag_setops")        // two-sided count agg + replicate_rows: one shuffle per op
   // q_minhash_error is not separately gated: it is the q_dedup_curve lineage
   // (capped candidates + shingle joins) with 8 extra equality tests — the
   // gated curve query already exercises its scale shape.
