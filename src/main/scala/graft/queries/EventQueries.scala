@@ -355,6 +355,13 @@ object EventQueries {
     // zero-padded string (lexicographic ≡ numeric on non-negative ints;
     // us·10⁶+event_id would overflow bigint). event_id is unique, so no tie
     // exists and both engines pick the same row.
+    //
+    // Physical note: min_by/max_by buffers hold a (value, key) pair, which
+    // UnsafeRow cannot mutate in place, so Spark plans SortAggregate rather
+    // than HashAggregate — still PARTIAL-aggregated (PlanShapeSpec pins
+    // partial_min_by/partial_max_by), so the exchange carries user-count
+    // rows; the in-partition sort on the group key is the standard price of
+    // argmax over immutable buffers, not a scale hazard.
     GraftQuery(
       "q_first_last",
       "per-user first/last event via max_by/min_by ordered-arg aggregates",
