@@ -15,6 +15,15 @@ import Dialect.{duckWordsSql, wordsSql}
   */
 object StatsQueries {
 
+  /** (table, columns) scope of the A12 catalog-statistics sweep — the ONE
+    * place the list lives; both the Spark aggregates and the oracle's
+    * UNION branches generate from it.
+    */
+  private val StatTables: Seq[(String, Seq[String])] = Seq(
+    "nation"   -> Seq("n_nationkey", "n_name", "n_regionkey"),
+    "supplier" -> Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+    "part"     -> Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"))
+
   val queries: Seq[GraftQuery] = Seq(
 
     GraftQuery(
@@ -230,6 +239,46 @@ object StatsQueries {
            |       CAST(min(x) AS BIGINT) AS x_min, CAST(max(x) AS BIGINT) AS x_max,
            |       CAST(min(y) AS BIGINT) AS y_min, CAST(max(y) AS BIGINT) AS y_max
            |FROM d GROUP BY 1 ORDER BY zbucket""".stripMargin
+      }
+    ),
+
+    // A12 catalog statistics sweep — the ANALYZE TABLE surface: per-column
+    // row count, null count, and exact distinct count over a table list,
+    // emitted as the long (tbl, col, n, n_null, n_distinct) stats relation a
+    // cost-based optimizer ingests. ONE scan per table computes every
+    // column's stats in a single aggregate (Spark plans the multi-distinct
+    // via one Expand — never a scan per column), and the wide stats row
+    // melts to long rows ABOVE the aggregate (bounded by #columns). The
+    // (table, columns) list is single-sourced: the Spark aggregates AND the
+    // oracle's per-table UNION branches are generated from StatTables.
+    GraftQuery(
+      "q_table_stats",
+      "ANALYZE-style per-column null/distinct profile over nation, supplier, part",
+      (s, dir) => {
+        val per = StatTables.map { case (t, cols) =>
+          val aggs = count(lit(1)).as("n") +:
+            cols.flatMap(c => Seq(count(col(c)).as(s"nn_$c"),
+              countDistinct(col(c)).as(s"nd_$c")))
+          val rows = cols.map(c =>
+            s"named_struct('col', '$c', 'n_null', n - nn_$c, 'n_distinct', nd_$c)")
+          Tables.load(s, dir, t)
+            .agg(aggs.head, aggs.tail: _*)
+            .select(lit(t).as("tbl"), col("n"),
+              explode(expr(rows.mkString("array(", ", ", ")"))).as("st"))
+            .select(col("tbl"), col("st.col").as("col"), col("n"),
+              col("st.n_null").as("n_null"), col("st.n_distinct").as("n_distinct"))
+        }
+        per.reduce(_ unionByName _).orderBy("tbl", "col")
+      },
+      Some {
+        val branches = StatTables.flatMap { case (t, cols) =>
+          cols.map(c =>
+            s"""SELECT '$t' AS tbl, '$c' AS col, count(*) AS n,
+               |       count(*) - count($c) AS n_null,
+               |       CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct
+               |FROM $t""".stripMargin)
+        }
+        branches.mkString("", "\nUNION ALL\n", "\nORDER BY tbl, col")
       }
     ),
 

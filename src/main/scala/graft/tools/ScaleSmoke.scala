@@ -89,7 +89,8 @@ object ScaleSmoke {
     "q_unpivot",           // melt Expand runs ABOVE the aggregated pivot: grid-sized, not corpus
     "q_hopping_window",    // constant 4x window Expand below the partial agg: linear
     "q_zorder_layout",     // row-local 20-term interleave + 64-bucket agg: pure scan
-    "q_bag_setops")        // two-sided count agg + replicate_rows: one shuffle per op
+    "q_bag_setops",        // two-sided count agg + replicate_rows: one shuffle per op
+    "q_table_stats")       // one multi-distinct Expand agg per table: column-bounded output
   // q_minhash_error is not separately gated: it is the q_dedup_curve lineage
   // (capped candidates + shingle joins) with 8 extra equality tests — the
   // gated curve query already exercises its scale shape.
@@ -152,6 +153,11 @@ object ScaleSmoke {
     // each brand's group grows r× — the decorrelated above-average curve
     // must stay two-scans-linear as groups deepen
     rep("part.parquet", "p_partkey")
+    // nation/supplier: the other two tables of the catalog-stats sweep
+    // (q_table_stats) — each grows r× so the one-aggregate-per-table sweep
+    // must stay linear in rows at constant output (the column list)
+    rep("nation.parquet", "n_nationkey")
+    rep("supplier.parquet", "s_suppkey")
   }
 
   /** Time the graded query set at every scale (per-query warm-up at base
