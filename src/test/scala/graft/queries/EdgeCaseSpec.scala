@@ -66,7 +66,8 @@ class EdgeCaseSpec extends SparkTestBase {
       .coalesce(1).write.parquet(s"$d/region.parquet")
     Seq((1L, "Supplier#1", 1, 50.0)).toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
       .coalesce(1).write.parquet(s"$d/supplier.parquet")
-    Seq((1L, "part", "Brand#1", 1, 10.0)).toDF("p_partkey", "p_name", "p_brand", "p_size", "p_retailprice")
+    Seq((1L, "part", "Brand#1", "TYPE A", 1, 10.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
       .coalesce(1).write.parquet(s"$d/part.parquet")
     d
   }
