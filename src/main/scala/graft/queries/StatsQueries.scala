@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
 import Dialect.{duckWordsSql, wordsSql}
@@ -280,6 +281,40 @@ object StatsQueries {
         }
         branches.mkString("", "\nUNION ALL\n", "\nORDER BY tbl, col")
       }
+    ),
+
+    // A13 equal-frequency binning via ntile — the remaining ranking-window
+    // class (row_number/rank grade elsewhere; ntile's equal-COUNT buckets
+    // with the SQL-standard larger-buckets-first remainder rule are a
+    // different contract than A10's value percentiles): per source, docs
+    // split into 4 equal-population length bins — the feature-discretization
+    // step (and the per-group form of what a length-bucketed training
+    // curriculum does). Ordering key (n_chars, doc_id) is UNIQUE, so both
+    // engines assign identical bins; the window partitions by source (never
+    // global), and the re-aggregation to (source, bin) bounds the output.
+    GraftQuery(
+      "q_ntile_bins",
+      "per-source ntile(4) equal-frequency length bins: count + char range per bin",
+      (s, dir) => {
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("n_chars"), col("doc_id"))
+        Tables.documents(s, dir)
+          .select(col("source"), col("doc_id"), col("n_chars"))
+          .withColumn("bin", ntile(4).over(w).cast("long"))
+          .groupBy("source", "bin")
+          .agg(count(lit(1)).as("n_docs"),
+            min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
+          .orderBy("source", "bin")
+      },
+      Some("""SELECT source, CAST(bin AS BIGINT) AS bin, count(*) AS n_docs,
+             |       CAST(min(n_chars) AS BIGINT) AS min_chars,
+             |       CAST(max(n_chars) AS BIGINT) AS max_chars
+             |FROM (SELECT source, n_chars,
+             |             ntile(4) OVER (PARTITION BY source
+             |                            ORDER BY n_chars, doc_id) AS bin
+             |      FROM documents) t
+             |GROUP BY source, bin
+             |ORDER BY source, bin""".stripMargin)
     ),
 
     // A7 pivot reshaping: languages to columns — the wide-format mix matrix

@@ -90,7 +90,8 @@ object ScaleSmoke {
     "q_hopping_window",    // constant 4x window Expand below the partial agg: linear
     "q_zorder_layout",     // row-local 20-term interleave + 64-bucket agg: pure scan
     "q_bag_setops",        // two-sided count agg + replicate_rows: one shuffle per op
-    "q_table_stats")       // one multi-distinct Expand agg per table: column-bounded output
+    "q_table_stats",       // one multi-distinct Expand agg per table: column-bounded output
+    "q_ntile_bins")        // source-partitioned ranking window + bounded re-agg: linear
   // q_minhash_error is not separately gated: it is the q_dedup_curve lineage
   // (capped candidates + shingle joins) with 8 extra equality tests — the
   // gated curve query already exercises its scale shape.
