@@ -444,6 +444,19 @@ class PlanShapeSpec extends SparkTestBase {
       s"q_hopping_window grew a join:\n${p.take(1500)}")
   }
 
+  test("q_snapshot_diff is ONE key-partitioned full-outer merge join") {
+    // both snapshot sides hash to the same doc_id exchange and merge in one
+    // SortMergeJoin FullOuter — the co-partitioned diff (bucketed snapshots
+    // at deployment drop even these exchanges); a second join, a nested
+    // loop, or a broadcast (impossible for full-outer preserving both
+    // sides) would mean the classification stopped being a single merge.
+    val p = plan("q_snapshot_diff")
+    assert("SortMergeJoin".r.findAllIn(p).length == 1 && p.contains("FullOuter"),
+      s"q_snapshot_diff is not one full-outer merge join:\n${p.take(1500)}")
+    assert("Join".r.findAllIn(p).length == 1,
+      s"q_snapshot_diff grew extra joins:\n${p.take(1500)}")
+  }
+
   test("the flagship entry forces broadcast on the three dims only") {
     // AQE may legitimately broadcast MORE at tiny scale factors (the whole
     // dims-join output fits); what must never regress is the set of FORCED
