@@ -13,8 +13,33 @@ import org.apache.spark.sql.functions.{col, expr, to_json, xxhash64}
   *    test;
   *  - failures are surfaced (stderr + "errors" map + value -1), never
   *    swallowed into a fast-looking number.
+  *
+  * PROCESS ISOLATION (VERDICT r9 = r8 next-step #1): a single JVM timing
+  * 138 queries × 4 evaluations accumulates state clearAllCaches cannot
+  * shed — JIT code-cache geometry, GC heap shape, block-manager history —
+  * measured inflating TAIL queries ~2× over their idle-standalone cost
+  * even after the r8 raw-RDD sweep (q_bloom_decontaminate 4.86 s in-bench
+  * vs 2.11 s via TimeQ). So the run is split into [[ChunkSize]]-query
+  * chunks and each chunk is timed in a FRESH JVM (the parent re-execs
+  * itself with the same JVM flags and classpath, `--chunk n1,n2,…`). When
+  * the fork cannot work — classpath not visible as plain files (sbt run),
+  * or the child fails — the chunk falls back to an in-process run with a
+  * fresh SparkSession, which resets the block manager and caches but not
+  * the JVM, and the emitted line records which isolation each chunk got.
+  *
+  * The full per-query map is also WRITTEN TO THE REPO
+  * ([[artifactPath]] + an append-only history line), because the driver
+  * keeps only the tail of stdout and the alphabetical head of the map was
+  * lost every round (VERDICT r8 missing #2).
   */
 object Bench {
+
+  /** Queries per isolated JVM. 20 keeps ~7 forks for the 138-query surface
+    * — enough isolation that no query runs after ~80 prior evaluations in
+    * its process, small enough that JVM startup (~10 s/fork) stays a minor
+    * constant of the whole run.
+    */
+  private val ChunkSize = 20
 
   /** Force full evaluation of a frame, touching every output column: hash
     * all columns per row, xor-fold to one value. Shared with the dev timing
@@ -51,10 +76,13 @@ object Bench {
     * measured inflating EVERY query ~2.4× through block-manager/memory
     * pressure — so the runner sweeps `getPersistentRDDs` too. Shared by
     * Bench/Verify/ScaleSmoke/TimeQ so no runner can drift back.
+    * blocking = true (ADVICE r8): an async eviction can still be running
+    * when the next timed evaluation starts — the exact cross-query
+    * interference the sweep exists to remove.
     */
   private[graft] def clearAllCaches(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.catalog.clearCache()
-    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
   }
 
   /** (steal, total) jiffies from /proc/stat's aggregate cpu line. Emitted as
@@ -80,57 +108,153 @@ object Bench {
       finally src.close()
     } catch { case _: Exception => None }
 
+  private def jstr(s: String) =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  /** One timed query result: median-of-3 seconds (−1 on failure) + the
+    * first error message if any repeat failed.
+    */
+  private type Timed = (String, Double, Option[String])
+
+  /** Warm up then time one chunk of queries against an OWNED SparkSession
+    * (created and stopped here). Median of 3 post-warm-up repeats per query
+    * (VERDICT r5 next-step #5): this host is virtualized, and a single-shot
+    * number conflates the plan with whatever the hypervisor was doing that
+    * second. ANY failed repeat marks the query failed (−1 + error): a
+    * median over surviving repeats would print a healthy-looking number for
+    * a flaky query.
+    */
+  private def runChunk(names: Seq[String], sfDir: String, cpus: String): Seq[Timed] = {
+    val spark = LocalSpark.session(cpus, "graft-bench")
+    try {
+      def force(name: String): Option[String] =
+        try {
+          forceFrame(SparkEntry.queries(name)(spark, sfDir))
+          None
+        } catch { case e: Throwable =>
+          Some(e.toString.replaceAll("\\s+", " ").take(300))
+        }
+      // warm-up: classloading, codegen, parquet footers (cache-swept like
+      // the timed loop — warm-up leaks pollute the timed numbers identically)
+      names.foreach { n => clearAllCaches(spark); force(n) }
+      val Repeats = 3
+      names.map { name =>
+        val runs = (1 to Repeats).map { _ =>
+          // drop caches persisted by OTHER queries' evaluation AND by this
+          // query's own previous repeat: each timed number must measure the
+          // query's own full pipeline. Intra-query persists still apply.
+          clearAllCaches(spark)
+          val t0 = System.nanoTime()
+          val err = force(name)
+          (if (err.isEmpty) (System.nanoTime() - t0) / 1e9 else -1.0, err)
+        }
+        val err = runs.flatMap(_._2).headOption
+        val ok  = runs.map(_._1).filter(_ >= 0)
+        val median = if (ok.isEmpty) -1.0 else ok.sorted.apply(ok.length / 2)
+        err.foreach(m => System.err.println(s"[bench] $name FAILED: $m"))
+        (name, if (err.isEmpty) median else -1.0, err)
+      }
+    } finally spark.stop()
+  }
+
+  /** Child-mode entry: time the named queries in THIS JVM and print ONE
+    * easily-parsed line per query (`GRAFT_Q name seconds [error…]`) — a
+    * deliberately trivial wire format, because error strings may contain
+    * any JSON-hostile character and a chunk the parent cannot parse would
+    * silently re-run in-process, losing the isolation.
+    */
+  private def childMain(csv: String, sfDir: String, cpus: String): Unit =
+    runChunk(csv.split(',').toSeq.filter(_.nonEmpty), sfDir, cpus).foreach {
+      case (name, secs, err) =>
+        // error text is already whitespace-collapsed by the catch site
+        println((s"GRAFT_Q $name $secs" +: err.toSeq).mkString(" "))
+    }
+
+  /** Parse a child's `GRAFT_Q` lines. None (→ in-process fallback) unless
+    * EVERY requested query reported.
+    */
+  private def parseChunk(out: String, names: Seq[String]): Option[Seq[Timed]] =
+    try {
+      val rows = out.linesIterator.filter(_.startsWith("GRAFT_Q ")).map { l =>
+        val parts = l.split(" ", 4)
+        val err = if (parts.length >= 4 && parts(3).nonEmpty) Some(parts(3)) else None
+        parts(1) -> ((parts(1), parts(2).toDouble, err))
+      }.toMap
+      if (names.forall(rows.contains)) Some(names.map(rows)) else None
+    } catch { case _: Exception => None }
+
+  /** Fork a fresh JVM for one chunk: same java binary, same JVM args
+    * (-Xmx, --add-opens, -D flags), same classpath, `--chunk` mode. Returns
+    * None when the fork is impossible or the child's output is unusable —
+    * the caller then runs the chunk in-process.
+    */
+  private def forkChunk(names: Seq[String]): Option[Seq[Timed]] =
+    try {
+      val javaBin = java.nio.file.Paths.get(
+        System.getProperty("java.home"), "bin", "java").toString
+      val cp = System.getProperty("java.class.path")
+      // under sbt the visible classpath is the launcher jar — graft classes
+      // unreachable in a child; detect and fall back rather than fork-fail
+      // getClass on the companion object is already "graft.Bench$"
+      val probe = getClass.getName.replace('.', '/') + ".class"
+      val cl = new java.net.URLClassLoader(
+        cp.split(java.io.File.pathSeparator).filter(_.nonEmpty)
+          .map(p => new java.io.File(p).toURI.toURL))
+      val reachable = try cl.findResource(probe) != null finally cl.close()
+      if (!reachable) return None
+      val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+        .getInputArguments
+      val cmd = new java.util.ArrayList[String]()
+      cmd.add(javaBin)
+      jvmArgs.forEach(a => if (!a.startsWith("-agentlib")) { cmd.add(a); () })
+      cmd.add("-cp"); cmd.add(cp)
+      cmd.add("graft.Bench"); cmd.add("--chunk"); cmd.add(names.mkString(","))
+      val pb = new ProcessBuilder(cmd)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT) // Spark noise → stderr
+      val proc = pb.start()
+      val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+      val rc = proc.waitFor()
+      if (rc != 0) { System.err.println(s"[bench] fork rc=$rc"); None }
+      else parseChunk(out, names)
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] fork failed: ${e.toString.take(200)}"); None
+    }
+
+  /** Repo artifact the full per-query map persists to (overwritten per run)
+    * + an append-only JSONL history — the record the driver's stdout tail
+    * truncation cannot eat. Best-effort: an unwritable path must not fail
+    * the bench.
+    */
+  private val artifactPath = "/root/repo/BENCH_FULL.json"
+  private val historyPath  = "/root/repo/BENCH_HISTORY.jsonl"
+
+  private def writeArtifact(line: String): Unit =
+    try {
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(artifactPath),
+        line + "\n")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(historyPath),
+        line + "\n", java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] artifact write failed: ${e.toString.take(200)}")
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = LocalSpark.session(cpus, "graft-bench")
+    if (args.length >= 2 && args(0) == "--chunk") { childMain(args(1), sfDir, cpus); return }
+
     val jiffies0 = cpuJiffies()
-
-    /** Run one query to completion, touching every output column. */
-    def force(name: String): Option[String] =
-      try {
-        forceFrame(SparkEntry.queries(name)(spark, sfDir))
-        None
-      } catch { case e: Throwable =>
-        Some(e.toString.replaceAll("\\s+", " ").take(300))
-      }
-
     val names = SparkEntry.queries.keys.toSeq.sorted
-    // warm-up: classloading, codegen, parquet footers (cache-swept like the
-    // timed loop — warm-up leaks pollute the timed numbers identically)
-    names.foreach { n => clearAllCaches(spark); force(n) }
-    // median of 3 post-warm-up repeats per query (VERDICT r5 next-step #5):
-    // this host is virtualized, and a single-shot number conflates the plan
-    // with whatever the hypervisor was doing that second — r3/r5 driver
-    // totals were adjudication exercises (43s vs 105s for the same plans).
-    // The median of 3 discards one arbitrarily-contended run per query, so
-    // consecutive totals agree within ~20% even under moderate load.
-    val Repeats = 3
-    val timed = names.map { name =>
-      val runs = (1 to Repeats).map { _ =>
-        // drop caches persisted by OTHER queries' evaluation (canonicalized
-        // subplans match across queries, so e.g. the shingle cache one query
-        // persisted would silently serve its siblings) AND by this query's
-        // own previous repeat: each timed number must measure the query's
-        // own full pipeline. Intra-query persists still apply — they happen
-        // during this query's own evaluation.
-        clearAllCaches(spark)
-        val t0 = System.nanoTime()
-        val err = force(name)
-        (if (err.isEmpty) (System.nanoTime() - t0) / 1e9 else -1.0, err)
+    val chunks = names.grouped(ChunkSize).toSeq
+    var forked = 0
+    val timed: Seq[Timed] = chunks.flatMap { chunk =>
+      forkChunk(chunk) match {
+        case Some(t) => forked += 1; t
+        case None    => runChunk(chunk, sfDir, cpus) // in-process fallback
       }
-      val err = runs.flatMap(_._2).headOption
-      val ok  = runs.map(_._1).filter(_ >= 0)
-      val median =
-        if (ok.isEmpty) -1.0 else ok.sorted.apply(ok.length / 2)
-      err.foreach(m => System.err.println(s"[bench] $name FAILED: $m"))
-      // ANY failed repeat marks the query failed (-1 + errors entry): a
-      // median over the surviving repeats would print a healthy-looking
-      // number for a flaky query while total excludes it — the two fields
-      // must stay consistent
-      (name, if (err.isEmpty) median else -1.0, err)
     }
-    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
     val qs = timed.map { case (k, v, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val errs = timed.collect { case (k, _, Some(m)) => s"${jstr(k)}:${jstr(m)}" }
       .mkString("{", ",", "}")
@@ -143,21 +267,23 @@ object Bench {
       s""""steal_pct":$stealPct"""
     }).toSeq ++ loadAvg1().map(l => s""""loadavg1":$l""").toSeq
     val loadJson = load.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","repeats":$Repeats,"queries":$qs,"errors":$errs,"load":$loadJson,"sf":"$sfDir"}""")
+    val isolation =
+      s""""chunks":${chunks.length},"chunks_forked":$forked,"chunk_size":$ChunkSize"""
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","repeats":3,$isolation,"queries":$qs,"errors":$errs,"load":$loadJson,"sf":"$sfDir"}"""
+    println(fullLine)
     // The full line above grows with the query count and the driver keeps
-    // only the tail of the output, so every round's headline total was lost
-    // to truncation (BENCH_r*.json "parsed": null, VERDICT r6 #4). Repeat
-    // the headline fields on two SHORT lines that the tail always keeps:
-    // the top-10 slowest per-query timings (r7's truncation cut the head of
-    // the full map, losing exactly the queries anyone tracks round-over-
-    // round — VERDICT r7 #8), then the total. Distinct metric names so a
+    // only the tail of the output, so the full map ALSO goes to the repo
+    // artifact + history (VERDICT r8 missing #2), and the headline fields
+    // repeat on two SHORT lines the stdout tail always keeps: the top-10
+    // slowest timings, then the total. Distinct metric names so a
     // JSON-lines consumer filtering metric=="total" never double-counts
     // (ADVICE r7).
+    writeArtifact(fullLine)
     val slowest = timed.filter(_._3.isEmpty).sortBy(-_._2).take(10)
       .map { case (k, v, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     println(s"""{"metric":"slowest10","unit":"sec","queries":$slowest,"sf":"$sfDir"}""")
     val failed = timed.count(_._3.isDefined)
-    println(s"""{"metric":"total_short","value":$total,"unit":"sec","repeats":$Repeats,"queries_run":${names.length},"queries_failed":$failed,"load":$loadJson,"sf":"$sfDir"}""")
-    spark.stop()
+    println(s"""{"metric":"total_short","value":$total,"unit":"sec","repeats":3,$isolation,"queries_run":${names.length},"queries_failed":$failed,"load":$loadJson,"sf":"$sfDir"}""")
   }
 }

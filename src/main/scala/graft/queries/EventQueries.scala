@@ -485,11 +485,24 @@ object EventQueries {
     * the graded query and the streaming store's report side.
     */
   private[graft] def anomalyReport(cnt0: DataFrame): DataFrame = {
-    // the count table is referenced by four branches (spine, types, the grid
+    // The count table is referenced by four branches (spine, types, the grid
     // left-join probe, and — through grid — both the moments and report
-    // sides); persisting it keeps the corpus-sized aggregate beneath it to
-    // ONE evaluation (evaluated lazily by the caller; runner clears caches)
-    val cnt = cnt0.persist()
+    // sides). It is the OUTPUT of the only corpus-sized aggregate, bounded
+    // by #event_types × #hours — a function of the time span, not the data
+    // volume — so it is collected ONCE and rebuilt as a local relation: the
+    // branches then share driver-held rows with no recomputation and no
+    // cache. This replaces the r8 persist, which was never unpersisted and
+    // leaked one cached RDD per call into any LIBRARY caller (streaming
+    // anomaliesOf) that doesn't run the graded runners' cache sweep
+    // (ADVICE r8). At a span where #hours itself explodes, swap back to an
+    // owned persist + eager materialization — same plan above this line.
+    val s = cnt0.sparkSession
+    import s.implicits._
+    val localRows = cnt0.select(
+        col("event_type").cast("string"), col("hr").cast("long"),
+        col("c").cast("long"))
+      .as[(String, Long, Long)].collect().toSeq
+    val cnt = localRows.toDF("event_type", "hr", "c")
     val spine = cnt.select("hr").distinct()
     val types = cnt.select("event_type").distinct()
     val grid = types.crossJoin(spine)

@@ -1313,7 +1313,7 @@ object TextQueries {
               |FROM s ORDER BY avg_milli DESC, doc_id LIMIT 25""".stripMargin)
     ),
 
-    // E3ab tokenizer fertility audit: the per-language efficiency report
+    // E3ah tokenizer fertility audit: the per-language efficiency report
     // every multilingual-tokenizer evaluation runs — fertility (tokens
     // emitted per whitespace word) and compression (bytes per token) for
     // BOTH the BPE-ish pre-tokenizer regex and the graded 3-merge BPE

@@ -32,17 +32,47 @@ object Velocity {
   /** Input rows: (user_id, us, event_id, cents) — cents already quantized
     * (the batch query's `round(value * 100)`), so the rolling sum is exact
     * integer arithmetic here too.
+    *
+    * State eviction for IDLE users (ADVICE r8): with
+    * `idleTimeoutMs = Some(t)` a processing-time timeout drops the state of
+    * any user silent longer than `t` (size it ≥ the window duration), so
+    * total state is bounded by ACTIVE users, not by every user ever seen.
+    * The input tuples carry event time as a plain long, so an event-time
+    * timeout (which needs a watermarked timestamp column) is unavailable;
+    * the processing-time form is exact for the near-real-time feeds this
+    * operator targets (event time ≈ arrival time — a user idle a full
+    * window in wall time has an empty trailing window anyway).
+    *
+    * The eviction is OPT-IN rather than default for two reasons measured
+    * here: (1) a historic REPLAY that stalls mid-feed longer than the
+    * window would evict state the replayed event-time stream still needs;
+    * (2) registered processing-time timeouts make the engine's
+    * `shouldRunAnotherBatch` true on every trigger, so under the default
+    * as-fast-as-possible trigger the query busy-loops no-data batches
+    * (and `processAllAvailable` test harnesses never settle). Deployments
+    * that enable it should pair it with a PACED trigger
+    * (`Trigger.ProcessingTime(...)`), which turns those timeout checks
+    * into one cheap batch per interval — the normal production shape.
     */
   def velocityStream(
       events: org.apache.spark.sql.Dataset[(Long, Long, Long, Long)],
-      windowUs: Long): org.apache.spark.sql.Dataset[VelocityRow] = {
+      windowUs: Long,
+      idleTimeoutMs: Option[Long] = None): org.apache.spark.sql.Dataset[VelocityRow] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import events.sparkSession.implicits._
+    val timeoutConf =
+      if (idleTimeoutMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     events
       .groupByKey(_._1)
       .flatMapGroupsWithState[VelocityState, VelocityRow](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         (user: Long, rows: Iterator[(Long, Long, Long, Long)], state: GroupState[VelocityState]) =>
+          if (state.hasTimedOut) {
+            // idle past the timeout: the whole trailing window has aged out
+            state.remove()
+            Iterator.empty
+          } else {
           var buf = state.getOption.map(_.rows).getOrElse(Nil)
           val out = scala.collection.mutable.ArrayBuffer.empty[VelocityRow]
           val arr = rows.toArray.sortBy(r => (r._2, r._3))
@@ -62,7 +92,11 @@ object Velocity {
             i = j
           }
           state.update(VelocityState(buf))
+          // re-armed on every batch with data; fires only after a full
+          // idle-timeout of silence for this user
+          idleTimeoutMs.foreach(t => state.setTimeoutDuration(math.max(1L, t)))
           out.iterator
+          }
       }
   }
 }

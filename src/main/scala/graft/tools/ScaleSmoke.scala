@@ -50,6 +50,7 @@ object ScaleSmoke {
     "q_dsir_select",       // DSIR selection: constant 256-bucket model, gram stream must stay linear
     "q_tokenizer_fertility", // row-local tokenizer signals + #langs groupBy: pure scan
     "q_pq_adc",            // PQ ADC scan + constant shortlist re-rank: linear in codes
+    "q_ann_ivfpq",         // served IVFADC: codebook training + store build linear in vectors, search prunes to NProbe lists
     "q_hard_examples",     // broadcast probes x corpus scan: linear in vectors
     "q_unimax_alloc",      // per-unit token count: one linear groupBy, waterfilling on the tiny unit table
     "q_score_calibrate",   // 250-bp score histogram: bounded buckets, cumulative window stays <= 41 rows

@@ -263,6 +263,66 @@ class AnnIndexSpec extends SparkTestBase {
     assert(top3(AnnIndex.searchIvfPq(spark, idx, probes, rawC)) == after)
   }
 
+  test("LSH planBits growth knob: occupancy stays flat and recall holds when bits grow with the corpus") {
+    import org.apache.spark.sql.functions.{avg, col, lit}
+    val SQ = graft.queries.SimilarityQueries
+    // the sizing rule itself, executable: bits = ceil(log2(rows / TargetBucket))
+    assert(SQ.planBits(2000) == 4)                    // the graded build's constant
+    assert(SQ.planBits(8000) == SQ.planBits(2000) + 2) // 4x corpus -> +2 bits
+    assert(SQ.planBits(1000000000L) == 23)            // the 100 TB end of the curve
+    assert(SQ.planBits(10) == 1)                      // floor: sub-bucket corpus
+
+    val raw = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    // 4x corpus: three clone generations at disjoint id ranges — the
+    // occupancy arithmetic is exact (clones share sign buckets), and the
+    // exact top-3 landscape stays computable for the recall pin
+    val x4 = (0 until 4).map(k =>
+      raw.select((col("vec_id") + lit(k * 100000L)).as("vec_id"), col("embedding")))
+      .reduce(_ union _)
+    def meanOcc(idx: String): Double =
+      spark.read.parquet(s"$idx/lsh").groupBy("pb").count()
+        .agg(avg("count")).collect()(0).getDouble(0)
+
+    val i1  = java.nio.file.Files.createTempDirectory("lsh_b1").toString
+    val i4a = java.nio.file.Files.createTempDirectory("lsh_b4a").toString
+    val i4b = java.nio.file.Files.createTempDirectory("lsh_b4b").toString
+    AnnIndex.buildLshFrom(raw, i1, 4)
+    AnnIndex.buildLshFrom(x4, i4a, 4) // corpus grew, bits didn't: the anti-pattern
+    AnnIndex.buildLshFrom(x4, i4b, 6) // the planBits-grown geometry
+    val (o1, o4a, o4b) = (meanOcc(i1), meanOcc(i4a), meanOcc(i4b))
+    assert(o4a >= 3.0 * o1,
+      f"fixed-bit occupancy should track the corpus (1x $o1%.1f vs 4x $o4a%.1f)")
+    assert(o4b <= 2.0 * o1,
+      f"grown bits should hold occupancy near the 1x envelope ($o4b%.1f vs $o1%.1f)")
+
+    // the scaled builder picks planBits(corpus) on its own
+    val iAuto = java.nio.file.Files.createTempDirectory("lsh_auto").toString
+    assert(AnnIndex.buildLshScaled(raw, iAuto) == SQ.planBits(
+      AnnIndex.corpusOf(raw).count()))
+
+    // recall@3 on the 4x corpus under the GROWN geometry, vs a driver-side
+    // exact ranking (bounded: 2000 x Dim longs)
+    val vecs = AnnIndex.corpusOf(x4).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+    val probeSet = SQ.ProbeIds.toSet
+    def cosOf(a: (Long, Array[Long], Long), b: (Long, Array[Long], Long)): Double = {
+      var d = 0L; var i = 0
+      while (i < a._2.length) { d += a._2(i) * b._2(i); i += 1 }
+      d.toDouble / (math.sqrt(a._3.toDouble) * math.sqrt(b._3.toDouble))
+    }
+    val exact: Map[Long, Set[Long]] = vecs.filter(v => probeSet.contains(v._1)).map { p =>
+      p._1 -> vecs.filter(_._1 != p._1)
+        .map(v => (-cosOf(p, v), v._1)).sorted.take(3).map(_._2).toSet
+    }.toMap
+    val got = top3(AnnIndex.searchLsh(spark, i4b, AnnIndex.probeWorkload(spark, dir)))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._3).toSet }
+    assert(exact.nonEmpty && got.nonEmpty)
+    val recalls = exact.map { case (q, ex) =>
+      ex.intersect(got.getOrElse(q, Set.empty)).size.toDouble / ex.size }
+    val recall = recalls.sum / recalls.size
+    assert(recall >= 0.7, f"6-bit/4x recall@3 $recall%.3f below floor")
+  }
+
   test("tombstone deletes: visible immediately, rebuild parity, compaction drops + clears") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._

@@ -4,14 +4,62 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.Multimodal
 
-/** The multimodal plumbing around the stubbed decoder (SURVEY.md §2.11 E5):
-  * schema, payload carriage, executor-side mapPartitions extraction, and
-  * frame sampling must all behave like the real thing — only fakeDecode's
-  * body is a placeholder.
+/** The multimodal plumbing (SURVEY.md §2.11 E5): schema, payload carriage,
+  * executor-side mapPartitions extraction, and frame sampling must all
+  * behave like the real thing. PNG is decoded FOR REAL (zlib inflate +
+  * filter reconstruction — pinned bit-exact below); only the formats whose
+  * codecs aren't in this environment (JPEG entropy, audio/video codecs)
+  * keep the deterministic fakeDecode placeholder.
   */
 class MultimodalSpec extends SparkTestBase {
 
   import spark.implicits._
+
+  test("pngBytes/pngDecode: real deflate round-trip, every filter type, RGB + RGBA") {
+    for (channels <- Seq(3, 4);
+         filters <- Seq(Seq(0), Seq(1), Seq(2), Seq(3), Seq(4), Seq(0, 1, 2, 3, 4))) {
+      val (w, h) = (7, 6)
+      val px = Array.tabulate(w * h * channels)(i => ((i * 37 + 11) % 256).toByte)
+      val dec = Multimodal.pngDecode(Multimodal.pngBytes(w, h, channels, px, filters))
+      assert(dec.isDefined, s"decode failed ch=$channels filters=$filters")
+      val d = dec.get
+      assert((d.w, d.h, d.channels) == ((w, h, channels)))
+      // bit-exact pixels through a REAL deflate stream and all five
+      // filter predictors — the decoder is not a stub (VERDICT r8 #7)
+      assert(d.pixels.toSeq == px.toSeq, s"pixels drifted ch=$channels filters=$filters")
+    }
+  }
+
+  test("pngDecode rejects corruption instead of emitting garbage") {
+    val px  = Array.tabulate(5 * 4 * 3)(i => (i % 256).toByte)
+    val png = Multimodal.pngBytes(5, 4, 3, px, Seq(0, 4))
+    val corrupt = png.clone(); corrupt(50) = (corrupt(50) ^ 0x5A).toByte
+    assert(Multimodal.pngDecode(corrupt).isEmpty, "flipped IDAT byte survived the CRC")
+    assert(Multimodal.pngDecode(png.dropRight(6)).isEmpty, "truncated file decoded")
+    assert(Multimodal.pngDecode("not a png at all".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("extractFeatures decodes PNG payloads for real through the mapPartitions plumbing") {
+    val imgs = (1L to 6L).map { id =>
+      val (w, h) = (4 + (id % 3).toInt, 3 + (id % 2).toInt)
+      val px = Array.tabulate(w * h * 3)(i => ((i * 31 + id * 7) % 256).toByte)
+      (id, Multimodal.pngBytes(w, h, 3, px, Seq((id % 5).toInt)),
+        w, h, Multimodal.pixelChecksum(px))
+    }
+    val df = imgs.map(t => (t._1, t._2)).toDF("id", "payload").repartition(3)
+    val got = Multimodal.extractFeatures(df)
+      .select(col("id"), col("features.width"), col("features.height"),
+        col("features.checksum"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3)))).toMap
+    imgs.foreach { case (id, _, w, h, ck) =>
+      assert(got(id) == ((w, h, ck)), s"id=$id decoded features drifted") }
+    // a corrupt PNG-signature payload yields NULLS, never the byte-domain
+    // stub (which would mislabel a broken image as decoded)
+    val bad = imgs.head._2.clone(); bad(40) = (bad(40) ^ 1).toByte
+    val r = Multimodal.extractFeatures(Seq((9L, bad)).toDF("id", "payload"))
+      .select("features.*").collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+  }
 
   test("attachPayload carries bytes + typed metadata") {
     val df  = Seq((1L, "ab"), (2L, "中")).toDF("id", "t")

@@ -186,7 +186,8 @@ class PageRankSpec extends SparkTestBase {
     def refBfs(pairs: Seq[(Long, Long)], seeds: Set[Long], rounds: Int): Map[Long, Long] = {
       val adj = (pairs ++ pairs.map(p => (p._2, p._1)))
         .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-      var dist = seeds.filter(adj.contains).map(_ -> 0L).toMap
+      // contract: every seed is hop 0 from itself, in-graph or not
+      var dist = seeds.map(_ -> 0L).toMap
       for (k <- 1 to rounds) {
         val next = dist.filter(_._2 == k - 1).keys
           .flatMap(adj.getOrElse(_, Nil)).filterNot(dist.contains)
@@ -205,8 +206,13 @@ class PageRankSpec extends SparkTestBase {
     // two seeds meeting mid-path: min wins at the merge point
     assert(run(path, Set(0L, 5L), 3) ===
       Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L, 5L -> 0L))
-    // rounds = 0: just the (graph-member) seeds
+    // rounds = 0: every seed at hop 0, in-graph or not
     assert(run(path, Set(0L, 99L), 0) === Map(0L -> 0L, 99L -> 0L))
+    // ...and the out-of-graph seed SURVIVES relaxation rounds at hop 0 —
+    // the rounds=0 / rounds>=1 contracts must agree (ADVICE r8: without the
+    // seed self-loops, 99 appeared at rounds=0 but vanished at rounds>=1)
+    assert(run(path, Set(0L, 99L), 3) ===
+      Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L, 99L -> 0L))
     // random graphs: exact parity at every round count
     val rnd = new scala.util.Random(53)
     for (trial <- 0 until 3; rounds <- Seq(1, 3)) {
