@@ -478,7 +478,13 @@ object AnnIndex {
   private def pqCodesPath(dir: String) = dir + "/pqcodes"
   private def pqBookPath(dir: String)  = dir + "/pqbook"
 
-  /** One codes layer: (vec_id, codes, cid) under the fixed codebooks. */
+  /** One codes layer: (vec_id, codes, cid) under the fixed codebooks.
+    * Repartitioned by list id before the write so each `cid=` directory
+    * gets ONE file instead of one per upstream task — the pruned search
+    * then lists/opens NProbe files, and the store never accumulates the
+    * tasks × lists small-file lattice that a 1000-executor writer would
+    * otherwise produce.
+    */
   private def writePqLayer(vectors: DataFrame, coarse: Seq[Seq[Long]],
       pq: Seq[Seq[(Int, Seq[Long])]], indexDir: String, batchId: Long,
       full: Boolean): Unit = {
@@ -486,6 +492,7 @@ object AnnIndex {
       .withColumn("cid", SQ.cidColOf(coarse))
       .withColumn("codes", SQ.pqCodesCol(pq))
       .select("vec_id", "codes", "cid")
+      .repartition(coarse.size, col("cid"))
       .withColumn("batch", lit(batchId))
       .write.mode("overwrite")
     (if (full) w else w.option("partitionOverwriteMode", "dynamic"))
@@ -493,13 +500,14 @@ object AnnIndex {
       .parquet(pqCodesPath(indexDir))
   }
 
-  /** Build the composed index from explicit codebooks — also the spec's
-    * rebuild-for-parity path.
+  /** Build the composed index from an explicit ALREADY-PROJECTED corpus
+    * frame (vec_id, q, n2) and explicit codebooks — the shared writer both
+    * build paths end in.
     */
-  private[graft] def buildIvfPqFrom(s: SparkSession, vectorsRaw: DataFrame,
+  private def buildIvfPqFromCorpus(s: SparkSession, corpus: DataFrame,
       coarse: Seq[(Int, Seq[Long])], pq: Seq[Seq[(Int, Seq[Long])]],
       indexDir: String): Unit = {
-    writePqLayer(corpusOf(vectorsRaw), coarse.map(_._2), pq, indexDir, -1L, full = true)
+    writePqLayer(corpus, coarse.map(_._2), pq, indexDir, -1L, full = true)
     markApplied(s, pqCodesPath(indexDir), -1L)
     import s.implicits._
     coarse.toDF("cid", "cq")
@@ -510,12 +518,30 @@ object AnnIndex {
       .coalesce(1).write.mode("overwrite").parquet(pqBookPath(indexDir))
   }
 
-  /** Train both codebooks (the graded queries' own constructions) and
-    * build the composed index.
+  /** Build the composed index from explicit codebooks — also the spec's
+    * rebuild-for-parity path.
     */
-  def buildIvfPq(s: SparkSession, sfDir: String, indexDir: String): Unit =
-    buildIvfPqFrom(s, Tables.embeddings(s, sfDir),
-      SQ.trainCodebook(s, sfDir), SQ.trainPq(s, sfDir), indexDir)
+  private[graft] def buildIvfPqFrom(s: SparkSession, vectorsRaw: DataFrame,
+      coarse: Seq[(Int, Seq[Long])], pq: Seq[Seq[(Int, Seq[Long])]],
+      indexDir: String): Unit =
+    buildIvfPqFromCorpus(s, corpusOf(vectorsRaw), coarse, pq, indexDir)
+
+  /** Train both codebooks (the graded queries' own constructions) and
+    * build the composed index. The corpus is quantized ONCE and cached:
+    * coarse training, PQ training, and the encode pass all read the same
+    * in-memory projection instead of re-scanning + re-quantizing the
+    * embeddings table three times (the training math is unchanged —
+    * [[SQ.trainCodebookFrom]]/[[SQ.trainPqFrom]] are the graded
+    * constructions over the shared base).
+    */
+  def buildIvfPq(s: SparkSession, sfDir: String, indexDir: String): Unit = {
+    val corpus = corpusOf(Tables.embeddings(s, sfDir)).persist()
+    try {
+      val base = corpus.select("q")
+      buildIvfPqFromCorpus(s, corpus,
+        SQ.trainCodebookFrom(base), SQ.trainPqFrom(base), indexDir)
+    } finally { corpus.unpersist(); () }
+  }
 
   /** Index one micro-batch of new vectors under the FIXED codebooks. */
   def appendBatchPq(s: SparkSession, indexDir: String, vectors: DataFrame,

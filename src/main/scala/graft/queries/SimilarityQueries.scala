@@ -266,7 +266,16 @@ object SimilarityQueries {
       .withColumn("q", expr(quantSql))
       .filter(dotLong(col("q"), col("q")) > 0)
       .select("q").persist()
-    try {
+    try trainPqFrom(base) finally { base.unpersist(); () }
+  }
+
+  /** [[trainPq]] over a caller-owned (already persisted) `(q)` frame — lets
+    * a composed build (IVFADC) quantize the corpus ONCE and feed both
+    * trainers plus the encode pass from the same cache instead of three
+    * scan+quantize passes. Identical math to [[trainPq]].
+    */
+  private[graft] def trainPqFrom(base: org.apache.spark.sql.DataFrame): Seq[Seq[(Int, Seq[Long])]] = {
+    {
       var cents: Seq[Seq[(Int, Seq[Long])]] =
         (0 until PqM).map(m => (0 until PqK).map(j => j -> PqSeeds(m)(j)))
       for (_ <- 0 until PqIters) {
@@ -290,7 +299,7 @@ object SimilarityQueries {
         }
       }
       cents
-    } finally { base.unpersist(); () }
+    }
   }
 
   /** The quantized-vector frame the whole PQ family scans: (vec_id, q). */
@@ -452,7 +461,14 @@ object SimilarityQueries {
       .filter(dotLong(col("q"), col("q")) > 0)
       .select("q")
       .persist()
-    try {
+    try trainCodebookFrom(base) finally { base.unpersist(); () }
+  }
+
+  /** [[trainCodebook]] over a caller-owned (already persisted) `(q)` frame —
+    * the composed-build sharing twin of [[trainPqFrom]]. Identical math.
+    */
+  private[graft] def trainCodebookFrom(base: org.apache.spark.sql.DataFrame): Seq[(Int, Seq[Long])] = {
+    {
       var cents: Seq[(Int, Seq[Long])] = (0 until NCentroids).map(j => j -> Centroids(j))
       for (_ <- 0 until TrainIters) {
         val rows = base.withColumn("ci", cidColOf(cents.map(_._2)))
@@ -470,7 +486,7 @@ object SimilarityQueries {
           .sortBy(_._1)
       }
       cents
-    } finally { base.unpersist(); () }
+    }
   }
 
   /** Probe-side top-[[NProbe]] centroid ids (dot DESC, index ASC) — computed
