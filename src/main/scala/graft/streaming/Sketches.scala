@@ -90,6 +90,42 @@ object Sketches {
     ()
   }
 
+  /** Streaming HLL registers (the incremental form of `q_hll_distinct`'s
+    * sketch side): each micro-batch's (source, j, r) registers merge BY MAX
+    * into the persisted register table. Max is an idempotent commutative
+    * monoid — batches merge associatively AND even an unguarded replay
+    * could not corrupt the registers (the Bloom property, not the CMS
+    * one); the batch protocol still skips replays to avoid wasted work.
+    * State is ≤ 64 rows per source forever, independent of stream length —
+    * the reason HLL (not KMV, whose merge must re-rank k hashes per group)
+    * is the distinct counter of unbounded ingest. Register construction is
+    * single-sourced with the graded query
+    * ([[TextQueries.hllShingles]]/[[TextQueries.hllRegistersOf]]).
+    */
+  def updateHll(table: KeyedTable, docs: DataFrame, batchId: Long): Unit = {
+    if (table.alreadyApplied(batchId)) return
+    val batch = TextQueries.hllRegistersOf(TextQueries.hllShingles(docs))
+    val merged = table.read() match {
+      case Some(prev) => prev.select("source", "j", "r").unionByName(batch)
+        .groupBy("source", "j").agg(max("r").as("r"))
+      case None => batch
+    }
+    table.publish(
+      merged.withColumn("reg", concat_ws(":", col("source"), col("j"))),
+      Some(batchId))
+    ()
+  }
+
+  /** Per-source distinct estimates from the CURRENT register snapshot —
+    * the graded query's integer-exact estimator over the ≤ 64·#sources
+    * register rows (one snapshot read, all math on the tiny register
+    * table).
+    */
+  def hllDistinct(table: KeyedTable): DataFrame =
+    TextQueries.hllEstimateFrom(table.read()
+      .getOrElse(throw new IllegalStateException("empty hll register table"))
+      .select("source", "j", "r"))
+
   /** Streaming quality-score histogram (the incremental form of
     * `q_score_calibrate`'s training side): each micro-batch's 250-bp score
     * buckets merge BY ADDITION into the persisted histogram — counts are a

@@ -97,6 +97,60 @@ class SketchesSpec extends SparkTestBase {
       "replayed batch republished the histogram (guard must skip it)")
   }
 
+  test("HLL registers merge by max across corpus partitions; estimate holds its error bound") {
+    import graft.queries.TextQueries
+    import org.apache.spark.sql.functions.{col, max => fmax}
+    val docs = Tables.documents(spark, dir)
+    // registers sketched independently on three disjoint slices, merged by
+    // per-(source, bucket) max — must equal the full-corpus registers
+    // exactly (max is associative/commutative/idempotent; this is the
+    // combine a 1000-executor scan performs)
+    val parts = (0 until 3).map(b =>
+      TextQueries.hllRegistersOf(
+        TextQueries.hllShingles(docs.filter($"doc_id" % 3 === b))))
+    val merged = parts.reduce(_ union _)
+      .groupBy("source", "j").agg(fmax(col("r")).as("r"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getInt(2)).toMap
+    val full = TextQueries.hllRegistersOf(TextQueries.hllShingles(docs))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getInt(2)).toMap
+    // slice shingle sets overlap (a doc's shingles live in one slice, but
+    // sources span slices) — max-merge absorbs duplicates, so equality is
+    // exact, not approximate
+    assert(merged == full,
+      s"merged registers diverge (${merged.toSet diff full.toSet} vs ${full.toSet diff merged.toSet})")
+    // the graded estimate stays inside 3x the theoretical std error
+    // (1.04/sqrt(64) = 13% -> 39% = 3900 bp) on every source — loose
+    // enough to be deterministic-safe, tight enough to catch a broken
+    // estimator (a wrong alpha or scale is off by >2x)
+    val worst = SparkEntry.queries("q_hll_distinct")(spark, dir)
+      .agg(fmax(col("err_bp"))).collect()(0).getLong(0)
+    assert(worst <= 3900L, s"worst-source HLL error $worst bp exceeds 3x std error")
+  }
+
+  test("streamed HLL registers reproduce the graded estimates; replay publishes nothing") {
+    val table = new KeyedTable(spark, tmp("hll"), "reg")
+    val docs = Tables.documents(spark, dir)
+    (0 until 3).foreach { b =>
+      Sketches.updateHll(table, docs.filter($"doc_id" % 3 === b), b.toLong)
+    }
+    // max-merged streamed registers -> estimator == the graded query's
+    // (source, n_zero, est) computed over the whole corpus in one plan
+    val got = Sketches.hllDistinct(table)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val want = SparkEntry.queries("q_hll_distinct")(spark, dir)
+      .select("source", "n_zero", "est")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want,
+      s"streamed estimates diverge (${(got diff want).size} extra, ${(want diff got).size} missing)")
+    // replay: max is idempotent so content could not corrupt — assert on
+    // the snapshot version like the bloom test (a skipped batch publishes
+    // nothing)
+    val before = table.latestVersion()
+    Sketches.updateHll(table, docs.filter($"doc_id" % 3 === 1), 1L)
+    assert(table.latestVersion() == before,
+      "replayed batch republished the registers (guard must skip it)")
+  }
+
   test("streamed bloom bits equal the batch filter and admit every member") {
     import org.apache.spark.sql.functions.{col, explode}
     val table = new KeyedTable(spark, tmp("bloom"), "pos")
