@@ -51,6 +51,22 @@ class PlanShapeSpec extends SparkTestBase {
       }
   }
 
+  test("q_hll_distinct is aggregates-only plus the one exact-twin join") {
+    // the sketch's scale claim: registers are hash-aggregated max-combines
+    // (partial aggregation before every exchange, 64 B/group state), no
+    // window anywhere, and the only join is exact-twin ⋈ estimator — both
+    // #sources-row sides. A window or second join creeping in would mean
+    // the register merge regressed to a rank/pair formulation.
+    val p = plan("q_hll_distinct")
+    assert(!p.contains("windowspecdefinition"),
+      s"q_hll_distinct grew a window:\n${p.take(1500)}")
+    val joins = "Join".r.findAllIn(p).size
+    assert(joins >= 1 && joins <= 2,
+      s"q_hll_distinct should have exactly its exact-twin join, saw $joins:\n${p.take(1500)}")
+    assert(p.contains("partial_max") || p.contains("max("),
+      s"q_hll_distinct lost its max-combine register aggregate:\n${p.take(1500)}")
+  }
+
   test("q_sorted_neighborhood is window-only (no pairwise join anywhere)") {
     // the whole point of SNM: neighbor candidates come from lead() over a
     // PARTITIONED window and the Jaccard verify is row-local array math on
