@@ -582,6 +582,131 @@ object SimilarityQueries {
               |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin)
     ),
 
+    // E2l hybrid retrieval with reciprocal-rank fusion (RRF, Cormack et al.
+    // 2009) — the modern "hybrid search" shape every retrieval deployment
+    // runs: a LEXICAL ranker and a SEMANTIC ranker each produce a top-K per
+    // probe, and the fused score is Σ 1/(60 + rank) over the lists a doc
+    // appears in — rank fusion needs no score normalization across
+    // incomparable scales (shingle overlap counts vs cosines), which is
+    // why RRF beat weighted-sum fusion into production. Probes are the E2
+    // fixed workload run as "more-like-this": the probe DOC's own 3-gram
+    // shingle set is the lexical query, its embedding the semantic query
+    // (documents.doc_id and embeddings.vec_id share the id space — the
+    // corpus contract every cross-table query here rides).
+    //
+    // Scale shape: the lexical side joins on shingle with the df ≤
+    // MaxBucket stop-shingle cap (the q_ngram_jaccard move — a boilerplate
+    // shingle shared by half the corpus never explodes the candidate
+    // join); the semantic side is the E2a broadcast-probes × linear-scan
+    // exact baseline (the ANN paths E2b/E2c/E2i are the deployment
+    // drop-in). Fusion itself is a full-outer join of two ≤ K·|probes|-row
+    // lists — bounded by the workload, O(1) in the corpus. Integer-exact:
+    // overlap counts and RRF terms (1000000 div (60+rank)) are integers;
+    // the one double (cosine) only ORDERS the semantic list — same-operand
+    // IEEE division agrees across engines (the E2a precedent).
+    GraftQuery(
+      "q_hybrid_rrf",
+      "hybrid more-like-this: shingle-overlap top-10 + cosine top-10 fused by RRF, top-3 per probe",
+      (s, dir) => {
+        val K = 10
+        // lexical: df-capped distinct shingles, probe sets broadcast
+        val shd = DedupQueries.shingleRows(Tables.spread(Tables.documents(s, dir)))
+          .select("doc_id", "shingle")
+        val keep = shd.groupBy("shingle")
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") <= DedupQueries.MaxBucket)
+          .select("shingle")
+        val capped = shd.join(keep, "shingle")
+        val probeSh = capped.filter(col("doc_id").isin(ProbeIds: _*))
+          .select(col("doc_id").as("qid"), col("shingle"))
+        val lexTop = capped.join(broadcast(probeSh), "shingle")
+          .filter(col("doc_id") =!= col("qid"))
+          .groupBy("qid", "doc_id").agg(count(lit(1)).as("ov"))
+          .withColumn("lex_rank", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("ov").desc, col("doc_id").asc))
+            .cast("long"))
+          .filter(col("lex_rank") <= K)
+          .select("qid", "doc_id", "lex_rank")
+        // semantic: the E2a exact scan to rank depth K
+        val base = Tables.embeddings(s, dir)
+          .filter(size(col("embedding")) === Dim)
+          .withColumn("q", expr(quantSql))
+          .withColumn("n2", dotLong(col("q"), col("q")))
+          .filter(col("n2") > 0)
+          .select("vec_id", "q", "n2")
+        val probes = base.filter(col("vec_id").isin(ProbeIds: _*))
+          .select(col("vec_id").as("qid"), col("q").as("qq"), col("n2").as("qn"))
+        val semTop = base.join(broadcast(probes), col("vec_id") =!= col("qid"))
+          .withColumn("cos", cosine(col("qq"), col("q"), col("qn"), col("n2")))
+          .withColumn("sem_rank", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc))
+            .cast("long"))
+          .filter(col("sem_rank") <= K)
+          .select(col("qid"), col("vec_id").as("doc_id"), col("sem_rank"))
+        // fuse: docs missing from a list contribute only the other term
+        lexTop.join(semTop, Seq("qid", "doc_id"), "full_outer")
+          .withColumn("rrf",
+            expr("coalesce(1000000L div (60L + lex_rank), 0L)" +
+              " + coalesce(1000000L div (60L + sem_rank), 0L)"))
+          .withColumn("lex_rank", coalesce(col("lex_rank"), lit(-1L)))
+          .withColumn("sem_rank", coalesce(col("sem_rank"), lit(-1L)))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("rrf").desc, col("doc_id").asc))
+            .cast("long"))
+          .filter(col("rank") <= 3)
+          .select("qid", "rank", "doc_id", "lex_rank", "sem_rank", "rrf")
+          .orderBy("qid", "rank")
+      },
+      Some(s"""WITH w AS (
+              |  SELECT doc_id, ${Dialect.duckWordsSql} AS words FROM documents),
+              |shd AS (
+              |  SELECT DISTINCT doc_id, sh FROM (
+              |    SELECT doc_id,
+              |           unnest([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+              |                   for i in range(1, len(words) - 1)]) AS sh
+              |    FROM w WHERE len(words) >= 3) t),
+              |keep AS (SELECT sh FROM shd GROUP BY sh
+              |         HAVING count(*) <= ${DedupQueries.MaxBucket}),
+              |cap AS (SELECT s.doc_id, s.sh FROM shd s JOIN keep USING (sh)),
+              |lexp AS (SELECT doc_id AS qid, sh FROM cap WHERE doc_id IN $probeIdsSql),
+              |lexs AS (SELECT p.qid, c.doc_id, CAST(count(*) AS BIGINT) AS ov
+              |         FROM cap c JOIN lexp p USING (sh)
+              |         WHERE c.doc_id <> p.qid GROUP BY p.qid, c.doc_id),
+              |lext AS (SELECT qid, doc_id, lex_rank FROM (
+              |    SELECT qid, doc_id,
+              |           row_number() OVER (PARTITION BY qid ORDER BY ov DESC, doc_id) AS lex_rank
+              |    FROM lexs) t WHERE lex_rank <= 10),
+              |n AS (
+              |  SELECT vec_id, q, list_dot_product(q::DOUBLE[], q::DOUBLE[]) AS n2
+              |  FROM (SELECT vec_id, $duckQuantSql AS q
+              |        FROM embeddings WHERE len(embedding) = $Dim) t
+              |  WHERE list_dot_product(q::DOUBLE[], q::DOUBLE[]) > 0),
+              |probes AS (SELECT vec_id AS qid, q AS qq, n2 AS qn FROM n
+              |           WHERE vec_id IN $probeIdsSql),
+              |sems AS (
+              |  SELECT p.qid, v.vec_id AS doc_id,
+              |         list_dot_product(p.qq::DOUBLE[], v.q::DOUBLE[]) / (sqrt(p.qn) * sqrt(v.n2)) AS cos
+              |  FROM n v, probes p WHERE v.vec_id <> p.qid),
+              |semt AS (SELECT qid, doc_id, sem_rank FROM (
+              |    SELECT qid, doc_id,
+              |           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, doc_id) AS sem_rank
+              |    FROM sems) t WHERE sem_rank <= 10),
+              |fused AS (
+              |  SELECT coalesce(l.qid, s.qid) AS qid,
+              |         coalesce(l.doc_id, s.doc_id) AS doc_id,
+              |         coalesce(l.lex_rank, CAST(-1 AS BIGINT)) AS lex_rank,
+              |         coalesce(s.sem_rank, CAST(-1 AS BIGINT)) AS sem_rank,
+              |         CAST(coalesce(1000000 // (60 + l.lex_rank), 0)
+              |              + coalesce(1000000 // (60 + s.sem_rank), 0) AS BIGINT) AS rrf
+              |  FROM lext l FULL OUTER JOIN semt s
+              |    ON s.qid = l.qid AND s.doc_id = l.doc_id)
+              |SELECT qid, rank, doc_id, lex_rank, sem_rank, rrf FROM (
+              |  SELECT qid, doc_id, lex_rank, sem_rank, rrf,
+              |         row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id) AS rank
+              |  FROM fused) r
+              |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin)
+    ),
+
     // E2j hard-example mining for contrastive training: for each anchor
     // (probe), the 3 hardest NEGATIVES (highest-cosine vectors of a
     // DIFFERENT label — the impostors a contrastive loss must push away)

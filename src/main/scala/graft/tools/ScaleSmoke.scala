@@ -75,6 +75,7 @@ object ScaleSmoke {
     "q_tfidf_terms",       // two hash aggs + vocab join + partitioned top-5 window
     "q_crossmodal_dups",   // conjunction of two cap-bound pair pipelines
     "q_hll_distinct",      // HLL registers: 64 per source regardless of corpus, shingle scan linear
+    "q_hybrid_rrf",        // hybrid RRF: df-capped shingle join + broadcast-probe scan, fusion O(probes)
     "q_kcore",             // 4 materialized peel rounds over cap-bound edges
     "q_containment_pairs", // same capped (source, gram) join as jaccard: pairs stay cap-bound
     "q_zscore_anomaly",    // one (type, hour) agg + tiny-grid moments: linear in events
