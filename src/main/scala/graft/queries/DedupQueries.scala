@@ -1123,6 +1123,63 @@ object DedupQueries {
               |FROM comp GROUP BY id ORDER BY doc_id""".stripMargin)
     ),
 
+    // E1x cluster-aware train/val/test split — the LEAKAGE GUARD every
+    // serious LLM data pipeline needs and naive per-doc hash splits get
+    // wrong: if two near-duplicate documents land in train and test, the
+    // eval is contaminated by construction. The fix is to split by the
+    // near-dup CLUSTER: every doc hashes on its component root (the
+    // q_dup_clusters canon), so a whole cluster moves as one unit and no
+    // cluster can span splits — the guarantee is structural, not audited
+    // after the fact. Split rule: hash60(canon) % 100 → train < 80, val
+    // 80-89, test ≥ 90 (deterministic, replayable, engine-agnostic — the
+    // q_hash_sample discipline applied to the cluster key).
+    //
+    // Scale shape: the component pass is q_dup_clusters' (bucket-star
+    // seeded contraction, capped edges); the split itself is a row-local
+    // hash on the canon column; the report is one 3-row groupBy plus a
+    // broadcast 1-row total for the shares. Nothing new shuffles.
+    GraftQuery(
+      "q_cluster_split",
+      "leakage-safe split: docs assigned train/val/test by hash of their dup-cluster root",
+      (s, dir) => {
+        val canon = graft.operators.Components.connectedAlternating(
+          Tables.documents(s, dir).select("doc_id"),
+          bucketStarEdges(arraySignatures(Tables.spread(Tables.documents(s, dir)))))
+          .select(col("id").as("doc_id"), col("lbl").as("canon"))
+        val tagged = canon.withColumn("split",
+          expr(s"case when ${hash60Sql("cast(canon as string)")} % 100 < 80 then 'train' " +
+            s"when ${hash60Sql("cast(canon as string)")} % 100 < 90 then 'val' " +
+            "else 'test' end"))
+        val total = tagged.agg(count(lit(1)).as("total_docs"))
+        tagged.groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("canon")).as("n_clusters"))
+          .crossJoin(broadcast(total))
+          .withColumn("doc_share_bp", expr("(n_docs * 10000) div total_docs"))
+          .select("split", "n_docs", "n_clusters", "doc_share_bp")
+          .orderBy("split")
+      },
+      Some(s"""WITH RECURSIVE $duckMinhashCtes,
+              |sym AS (SELECT a, b FROM cand UNION ALL SELECT b AS a, a AS b FROM cand),
+              |comp(id, lbl) AS (
+              |  SELECT doc_id, doc_id FROM documents
+              |  UNION
+              |  SELECT s.b, c.lbl FROM comp c JOIN sym s ON s.a = c.id),
+              |canon AS (SELECT id AS doc_id, min(lbl) AS canon FROM comp GROUP BY id),
+              |tagged AS (
+              |  SELECT doc_id, canon,
+              |         CASE WHEN ${duckHash60("CAST(canon AS VARCHAR)")} % 100 < 80 THEN 'train'
+              |              WHEN ${duckHash60("CAST(canon AS VARCHAR)")} % 100 < 90 THEN 'val'
+              |              ELSE 'test' END AS split
+              |  FROM canon),
+              |tot AS (SELECT CAST(count(*) AS BIGINT) AS total_docs FROM tagged)
+              |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+              |       CAST(count(DISTINCT canon) AS BIGINT) AS n_clusters,
+              |       (CAST(count(*) AS BIGINT) * 10000) // tot.total_docs AS doc_share_bp
+              |FROM tagged, tot
+              |GROUP BY split, tot.total_docs ORDER BY split""".stripMargin)
+    ),
+
     // E1j cross-doc duplicated-span coverage: per source, the fraction of
     // token positions sitting inside a 3-gram that also occurs in at least
     // one OTHER document — substring-level exact dedup (the Lee et al.
