@@ -618,6 +618,54 @@ object TextQueries {
               |FROM documents GROUP BY source ORDER BY source""".stripMargin)
     ),
 
+    // E3aj temperature-scaled source sampling (α = 0.5) — the classic
+    // multilingual mixing rule (mBERT/XLM exponential smoothing, the
+    // pre-UniMax standard): sampling shares ∝ tokens^α flatten the source
+    // distribution, boosting low-resource sources without drowning
+    // high-resource ones. E3l applies FIXED per-source rates and E3ac caps
+    // epochs; this computes the rates themselves from the corpus — the
+    // report a data-mix owner reads before setting either. Output per
+    // source: token count, proportional share, α=0.5 share, and the boost
+    // ratio the temperature applies (milli — >1000 means up-sampled).
+    //
+    // Exactness: w = floor(sqrt(tokens)) — IEEE sqrt is correctly rounded
+    // in both engines over same BIGINT→DOUBLE operands, floor has no
+    // half-way ties (the E2a sqrt precedent, here on the output path like
+    // q_cosine_topk's cos_r); shares are integer basis points off 1-row
+    // broadcast totals. Scale shape: one per-source partial-aggregated
+    // groupBy over the scan, a broadcast of the 1-row totals, row-local
+    // arithmetic — no window, no pairwise anything.
+    GraftQuery(
+      "q_temperature_mix",
+      "alpha=0.5 temperature sampling shares per source: tokens, prop vs sqrt share, boost",
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .withColumn("t", expr(s"cast(size($wordsSql) as bigint)"))
+          .groupBy("source").agg(sum(col("t")).as("tokens"))
+          .withColumn("w", expr("cast(floor(sqrt(cast(tokens as double))) as bigint)"))
+        val tot = toks.agg(sum(col("tokens")).as("tt"), sum(col("w")).as("tw"))
+        toks.crossJoin(broadcast(tot))
+          .withColumn("prop_bp", expr("(tokens * 10000) div tt"))
+          .withColumn("samp_bp", expr("(w * 10000) div tw"))
+          .withColumn("boost_milli", expr("(samp_bp * 1000) div greatest(1L, prop_bp)"))
+          .select("source", "tokens", "prop_bp", "samp_bp", "boost_milli")
+          .orderBy("source")
+      },
+      Some(s"""WITH toks AS (
+              |  SELECT source, CAST(sum(len($duckWordsSql)) AS BIGINT) AS tokens
+              |  FROM documents GROUP BY source),
+              |w AS (SELECT source, tokens,
+              |             CAST(floor(sqrt(CAST(tokens AS DOUBLE))) AS BIGINT) AS w
+              |      FROM toks),
+              |tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS tt,
+              |               CAST(sum(w) AS BIGINT) AS tw FROM w)
+              |SELECT source, tokens,
+              |       (tokens * 10000) // tt AS prop_bp,
+              |       (w * 10000) // tw AS samp_bp,
+              |       (((w * 10000) // tw) * 1000) // greatest(1, (tokens * 10000) // tt) AS boost_milli
+              |FROM w, tot ORDER BY source""".stripMargin)
+    ),
+
     // E3h heavy hitters: top-5 most frequent words per source — the
     // vocabulary / boilerplate-detection scan (a source whose top terms are
     // navigation chrome is a scraping artifact). One partial-aggregated
