@@ -927,6 +927,64 @@ object TextQueries {
               |GROUP BY pb.w ORDER BY pb.w""".stripMargin)
     ),
 
+    // E3ak unigram-distribution KL divergence per source vs the corpus —
+    // the TOKEN-distribution drift monitor beside E3r's numeric KS: a
+    // source whose word distribution diverges from the corpus mixture is
+    // the one injecting new boilerplate or a new language, and KL(P_s ||
+    // P_corpus) is the standard magnitude for that shift. Computed on the
+    // E3aa/DSIR integer log2-floor skeleton: per word, lam = floor-log2
+    // (c_sw·t) − floor-log2(t_s·c_w) (the bin-length trick — the exact
+    // log2 of the probability ratio would be engine-divergent floats), and
+    // the expectation Σ (c_sw/t_s)·lam is taken through the +64 offset so
+    // the dividend stays nonnegative — Spark's `div` truncates while
+    // DuckDB's `//` floors, and they only agree on nonnegative operands
+    // (the q_dsir_select div-vs-floor rule); the offset divides out
+    // exactly (64000·t_s div t_s = 64000) and is subtracted back after.
+    // Scale shape: two partial-aggregated groupBys over one exploded scan
+    // (per-(source, word) and per-word corpus counts — both vocab-bound,
+    // never corpus-bound), the corpus side broadcast back, row-local
+    // arithmetic, one #sources-row output. No window, no pairs.
+    GraftQuery(
+      "q_unigram_kl",
+      "per-source unigram KL vs the corpus mixture (integer log2-floor skeleton, milli)",
+      (s, dir) => {
+        val wc = Tables.documents(s, dir)
+          .select(col("source"), explode(expr(wordsSql)).as("w"))
+          .filter(col("w") =!= "")
+          .groupBy("source", "w").agg(count(lit(1)).as("c_sw"))
+          .persist()
+        val stot = wc.groupBy("source").agg(sum(col("c_sw")).as("t_s"))
+        val ctot = wc.groupBy("w").agg(sum(col("c_sw")).as("c_w"))
+        val tot  = wc.agg(sum(col("c_sw")).as("t"))
+        wc.join(stot, "source")
+          .join(broadcast(ctot), "w")
+          .crossJoin(broadcast(tot))
+          .withColumn("lam_off",
+            expr("64L + (length(bin(c_sw * t)) - 1) - (length(bin(t_s * c_w)) - 1)"))
+          .groupBy("source")
+          .agg(max(col("t_s")).as("n_tokens"),
+            sum(expr("c_sw * lam_off * 1000L")).as("num"))
+          .withColumn("kl_milli", expr("num div n_tokens - 64000L"))
+          .select("source", "n_tokens", "kl_milli")
+          .orderBy("source")
+      },
+      Some(s"""WITH wx AS (
+              |  SELECT source, unnest($duckWordsSql) AS w FROM documents),
+              |wc AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c_sw
+              |       FROM wx WHERE w <> '' GROUP BY source, w),
+              |st AS (SELECT source, CAST(sum(c_sw) AS BIGINT) AS t_s FROM wc GROUP BY source),
+              |ct AS (SELECT w, CAST(sum(c_sw) AS BIGINT) AS c_w FROM wc GROUP BY w),
+              |tt AS (SELECT CAST(sum(c_sw) AS BIGINT) AS t FROM wc),
+              |lam AS (
+              |  SELECT wc.source, wc.c_sw, st.t_s,
+              |         64 + (length(bin(wc.c_sw * tt.t)) - 1)
+              |            - (length(bin(st.t_s * ct.c_w)) - 1) AS lam_off
+              |  FROM wc JOIN st USING (source) JOIN ct USING (w), tt)
+              |SELECT source, CAST(max(t_s) AS BIGINT) AS n_tokens,
+              |       CAST(sum(c_sw * lam_off * 1000) AS BIGINT) // max(t_s) - 64000 AS kl_milli
+              |FROM lam GROUP BY source ORDER BY source""".stripMargin)
+    ),
+
     // E3r distribution-drift detection: the two-sample Kolmogorov–Smirnov
     // statistic between each source's token-length distribution and the
     // src0 reference — the data-quality monitor that catches a source

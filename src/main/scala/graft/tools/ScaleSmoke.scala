@@ -78,6 +78,7 @@ object ScaleSmoke {
     "q_hybrid_rrf",        // hybrid RRF: df-capped shingle join + broadcast-probe scan, fusion O(probes)
     "q_cluster_split",     // cluster-keyed split: q_dup_clusters components + row-local hash, 3-row report
     "q_temperature_mix",   // alpha-sampling shares: one #sources groupBy + broadcast totals, pure scan
+    "q_unigram_kl",        // KL drift: vocab-bound aggregates + broadcast corpus counts, linear scan
     "q_kcore",             // 4 materialized peel rounds over cap-bound edges
     "q_containment_pairs", // same capped (source, gram) join as jaccard: pairs stay cap-bound
     "q_zscore_anomaly",    // one (type, hour) agg + tiny-grid moments: linear in events
