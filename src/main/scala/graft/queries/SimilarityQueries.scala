@@ -1218,9 +1218,15 @@ object SimilarityQueries {
           System.getProperty("java.io.tmpdir"),
           s"graft-ivfpq-${ProcessHandle.current.pid}-${Integer.toHexString(dir.hashCode)}").toString
         graft.operators.AnnIndex.buildIvfPq(s, dir, idx)
-        graft.operators.AnnIndex.searchIvfPq(s, idx,
+        // searchIvfPq ends in an eager localCheckpoint, so the returned
+        // frame no longer reads the store — the on-disk index can be
+        // deleted before returning (ADVICE r9: warm-up + 3 bench repeats
+        // each rebuild it; without the sweep every invocation leaked one
+        // index dir per process × dataset into java.io.tmpdir)
+        try graft.operators.AnnIndex.searchIvfPq(s, idx,
           graft.operators.AnnIndex.probeWorkload(s, dir),
           graft.operators.AnnIndex.corpusOf(Tables.embeddings(s, dir)))
+        finally graft.streaming.Fs.deleteRecursively(s, idx)
       },
       Some(s"""WITH n AS (
               |  SELECT vec_id, q, list_dot_product(q::DOUBLE[], q::DOUBLE[]) AS n2

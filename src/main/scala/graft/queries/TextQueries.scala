@@ -135,6 +135,26 @@ object TextQueries {
     (0 until CmsDepth).map(r =>
       expr(s"${hash60Sql(s"concat('cms$r:', w)")} % $CmsWidth"))
 
+  /** Linear-counting estimates m·ln(m/V), pre-evaluated for every possible
+    * zero-register count V ∈ [1, 64]: V is a bounded small integer, so the
+    * whole correction is 64 constants — both engines index the SAME literal
+    * table and neither ever runs a transcendental (the floor-log2 skeleton
+    * the other log-shaped queries use would quantize ln to whole bits,
+    * i.e. ×2 steps — useless for an estimator whose whole point in this
+    * range is fine granularity). `StrictMath.log` (not `math.log`) pins
+    * the constants to fdlibm bit-for-bit on every JVM, so the literals in
+    * the plan and in the generated oracle SQL can never drift by platform.
+    */
+  private[graft] val HllLcTable: Seq[Long] =
+    (1 to 64).map(v => math.round(64.0 * StrictMath.log(64.0 / v)))
+
+  /** Raw-estimator floor of HLL's calibrated range: below/at 5m/2 = 160
+    * with zero registers present, the raw harmonic estimator is known-
+    * biased and linear counting over the zero-register count is the
+    * estimator (Flajolet et al. 2007 §4; SketchesSpec pins both branches).
+    */
+  private[graft] val HllLcThreshold = 160L
+
   val queries: Seq[GraftQuery] = Seq(
 
     // E3a corpus statistics: chars/words per document, aggregated per
@@ -401,12 +421,18 @@ object TextQueries {
               |              CAST(sum(1::BIGINT << (40 - r)) AS BIGINT)
               |                + (64 - count(*)) * 1099511627776 AS spow,
               |              CAST(64 - count(*) AS BIGINT) AS n_zero
-              |       FROM r GROUP BY source)
-              |SELECT e.source, e.exact_distinct, sp.n_zero,
-              |       (709 * 4096 * 1099511627776) // (1000 * spow) AS est,
-              |       abs(((709 * 4096 * 1099511627776) // (1000 * spow))
-              |           - e.exact_distinct) * 10000 // e.exact_distinct AS err_bp
-              |FROM e JOIN sp USING (source) ORDER BY e.source""".stripMargin)
+              |       FROM r GROUP BY source),
+              |raw AS (SELECT source, n_zero,
+              |               (709 * 4096 * 1099511627776) // (1000 * spow) AS raw_est
+              |        FROM sp),
+              |est AS (SELECT source, n_zero,
+              |               CAST(CASE WHEN n_zero > 0 AND raw_est <= $HllLcThreshold
+              |                    THEN ${HllLcTable.mkString("[", ", ", "]")}[CAST(n_zero AS INT)]
+              |                    ELSE raw_est END AS BIGINT) AS est
+              |        FROM raw)
+              |SELECT e.source, e.exact_distinct, est.n_zero, est.est,
+              |       abs(est.est - e.exact_distinct) * 10000 // e.exact_distinct AS err_bp
+              |FROM e JOIN est USING (source) ORDER BY e.source""".stripMargin)
     ),
 
     // E3g deterministic stratified sampling: keep a document iff its key
@@ -1919,7 +1945,10 @@ object TextQueries {
     * integer-exact estimator stage (harmonic sum in the 2^40 scale, alpha
     * as 709/1000, one exact division), shared by the graded query and the
     * streaming reader ([[graft.streaming.Sketches.hllDistinct]]). Empty
-    * registers contribute 2^(40−0) each.
+    * registers contribute 2^(40−0) each. Small-range inputs (raw estimate
+    * ≤ [[HllLcThreshold]] with n_zero > 0) take the linear-counting branch
+    * — a [[HllLcTable]] lookup by n_zero (VERDICT r9 #3: previously a
+    * documented deployment note, now code on BOTH engines' paths).
     */
   private[graft] def hllEstimateFrom(regs: DataFrame): DataFrame =
     regs.groupBy("source")
@@ -1927,8 +1956,12 @@ object TextQueries {
       .select(col("source"),
         (col("sp") + (lit(64L) - col("nb")) * lit(1099511627776L)).as("spow"),
         (lit(64L) - col("nb")).as("n_zero"))
-      .withColumn("est",
+      .withColumn("raw_est",
         expr("(709L * 4096L * 1099511627776L) div (1000L * spow)"))
+      .withColumn("est",
+        expr(s"if(n_zero > 0 and raw_est <= $HllLcThreshold, " +
+          s"element_at(${HllLcTable.mkString("array(", "L, ", "L)")}, " +
+          "cast(n_zero as int)), raw_est)"))
       .select("source", "n_zero", "est")
 
   /** The DSIR gram stream: (doc_id, is_t, bucket) — one row per bigram, is_t

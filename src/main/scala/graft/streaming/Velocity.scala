@@ -33,31 +33,43 @@ object Velocity {
     * (the batch query's `round(value * 100)`), so the rolling sum is exact
     * integer arithmetic here too.
     *
-    * State eviction for IDLE users (ADVICE r8): with
-    * `idleTimeoutMs = Some(t)` a processing-time timeout drops the state of
-    * any user silent longer than `t` (size it ≥ the window duration), so
-    * total state is bounded by ACTIVE users, not by every user ever seen.
-    * The input tuples carry event time as a plain long, so an event-time
+    * State eviction for IDLE users (ADVICE r8, default since VERDICT r9
+    * #4): a processing-time timeout drops the state of any user silent
+    * longer than `idleTimeoutMs` — DEFAULT 2× the window duration — so a
+    * default-constructed stream has state bounded by ACTIVE users, not by
+    * every user ever seen, and an evicted user's next event simply
+    * recreates their window from empty (correct whenever event time tracks
+    * arrival time: rows ≥ 2 windows stale are outside the trailing window
+    * anyway — VelocityStreamSpec pins the drop + recreate cycle). The
+    * input tuples carry event time as a plain long, so an event-time
     * timeout (which needs a watermarked timestamp column) is unavailable;
     * the processing-time form is exact for the near-real-time feeds this
-    * operator targets (event time ≈ arrival time — a user idle a full
-    * window in wall time has an empty trailing window anyway).
+    * operator targets.
     *
-    * The eviction is OPT-IN rather than default for two reasons measured
-    * here: (1) a historic REPLAY that stalls mid-feed longer than the
-    * window would evict state the replayed event-time stream still needs;
-    * (2) registered processing-time timeouts make the engine's
-    * `shouldRunAnotherBatch` true on every trigger, so under the default
-    * as-fast-as-possible trigger the query busy-loops no-data batches
-    * (and `processAllAvailable` test harnesses never settle). Deployments
-    * that enable it should pair it with a PACED trigger
+    * Pass an EXPLICIT `idleTimeoutMs = None` for the unbounded variant —
+    * needed when (1) a historic REPLAY may stall mid-feed longer than the
+    * timeout yet still need the evicted windows (replayed event time does
+    * not track wall time), or (2) the caller runs the engine's default
+    * as-fast-as-possible trigger AND cannot tolerate no-data batches:
+    * registered processing-time timeouts make `shouldRunAnotherBatch`
+    * true on every trigger, so that configuration busy-loops empty
+    * batches (and `processAllAvailable` test harnesses may not settle).
+    * The bounded default pairs with a PACED trigger
     * (`Trigger.ProcessingTime(...)`), which turns those timeout checks
     * into one cheap batch per interval — the normal production shape.
     */
   def velocityStream(
       events: org.apache.spark.sql.Dataset[(Long, Long, Long, Long)],
+      windowUs: Long): org.apache.spark.sql.Dataset[VelocityRow] =
+    velocityStream(events, windowUs, Some(math.max(1L, 2 * windowUs / 1000)))
+
+  /** Explicit-eviction variant of [[velocityStream]]; `None` opts into the
+    * unbounded (evict-never) state — see the eviction notes above.
+    */
+  def velocityStream(
+      events: org.apache.spark.sql.Dataset[(Long, Long, Long, Long)],
       windowUs: Long,
-      idleTimeoutMs: Option[Long] = None): org.apache.spark.sql.Dataset[VelocityRow] = {
+      idleTimeoutMs: Option[Long]): org.apache.spark.sql.Dataset[VelocityRow] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import events.sparkSession.implicits._
     val timeoutConf =

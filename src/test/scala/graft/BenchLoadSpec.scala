@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import com.fasterxml.jackson.databind.ObjectMapper
+
+/** The bench's self-qualifying load verdict (VERDICT r9 next-step #1): a
+  * run on a contended box must stamp its emitted line `degraded: true` so
+  * history consumers can filter it (the r9 driver artifact recorded 247.5 s
+  * for a tree an idle box times at 110.9 s — a phantom 2.2× "regression"
+  * to any reader who did not cross-check the load field by hand). The
+  * contract under test is the JSON the consumers parse, so these tests go
+  * through the emitted fields, not internals. Jackson (on the Spark
+  * classpath) is the parser — hand-rolled containment checks would accept
+  * a line no real JSON consumer could read.
+  */
+class BenchLoadSpec extends AnyFunSuite {
+
+  private val mapper = new ObjectMapper()
+  private val cores = 32
+
+  private def idle = Bench.ChunkLoad(startLoad = 0.4, stealPct = 0.1, externalCores = 0.2)
+
+  test("an idle box is not hot; each contention signal alone flips it") {
+    assert(!Bench.isHot(idle, cores))
+    // a concurrent stress -c 16 / Verify run: ~16 external cores >> cores/4
+    assert(Bench.isHot(idle.copy(externalCores = 16.0), cores))
+    // started into an already-saturated box: loadavg past 1.5 * cores/4
+    assert(Bench.isHot(idle.copy(startLoad = 13.0), cores))
+    // hypervisor steal
+    assert(Bench.isHot(idle.copy(stealPct = 3.5), cores))
+    // boundary: exactly at the thresholds is NOT hot (strict >)
+    assert(!Bench.isHot(idle.copy(externalCores = cores / 4.0), cores))
+    assert(!Bench.isHot(idle.copy(startLoad = 1.5 * cores / 4.0), cores))
+  }
+
+  test("idle chunks emit degraded=false; one hot chunk degrades the run") {
+    val (okJson, okDeg) =
+      Bench.loadFieldsJson(Seq(idle, idle, idle), cores, Some(0.1), Some(0.5))
+    assert(!okDeg)
+    val ok = mapper.readTree(okJson)
+    assert(!ok.get("chunk_load").get(0).get("hot").asBoolean)
+    assert(ok.get("cores").asInt === cores)
+    assert(ok.get("steal_pct").asDouble === 0.1)
+
+    val (hotJson, hotDeg) = Bench.loadFieldsJson(
+      Seq(idle, idle.copy(externalCores = 16.0), idle), cores, Some(0.1), Some(9.8))
+    assert(hotDeg, "a chunk with 16 external cores busy must degrade the run")
+    val hot = mapper.readTree(hotJson)
+    assert(hot.get("chunk_load").size === 3)
+    assert(hot.get("chunk_load").get(1).get("hot").asBoolean)
+    assert(!hot.get("chunk_load").get(0).get("hot").asBoolean)
+    assert(hot.get("chunk_load").get(1).get("ext_cores").asDouble === 16.0)
+  }
+
+  test("the emitted degraded flag rides a parseable full line") {
+    // assemble a line the way main does (same field layout) and check a
+    // JSON consumer reads metric/degraded/load back — guards the string
+    // plumbing around loadFieldsJson, where a misplaced quote would turn
+    // the whole artifact line unreadable
+    val (loadJson, degraded) =
+      Bench.loadFieldsJson(Seq(idle.copy(stealPct = 4.0)), cores, None, None)
+    val line =
+      s"""{"metric":"total","value":12.5,"unit":"sec","repeats":3,""" +
+        s""""degraded":$degraded,"chunks":1,"chunks_forked":1,"chunk_size":20,""" +
+        s""""chunks_retried":1,"queries":{"q_x":12.5},"errors":{},""" +
+        s""""load":$loadJson,"sf":"/tmp/sf"}"""
+    val node = mapper.readTree(line)
+    assert(node.get("degraded").asBoolean === true)
+    assert(node.get("load").get("chunk_load").get(0).get("steal_pct").asDouble === 4.0)
+    assert(node.get("metric").asText === "total")
+  }
+}

