@@ -338,6 +338,63 @@ object Bench {
       System.err.println(s"[bench] artifact write failed: ${e.toString.take(200)}")
     }
 
+  /** Overwrite a single named artifact in the repo dir (best-effort, same
+    * contract as [[writeArtifact]]) — used by the streaming smoke.
+    */
+  private[graft] def writeNamedArtifact(name: String, line: String): Unit =
+    try {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$repoDir/$name"), line + "\n")
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] $name write failed: ${e.toString.take(200)}")
+    }
+
+  /** Run the streaming-surface smoke ([[graft.tools.StreamingSmoke]]) in a
+    * fresh JVM after the timing run (VERDICT r9 next-step #5: the T1–T8 /
+    * incremental-dedup / sketch / packing / funnel / velocity surface was
+    * green only under `sbt test`, which the driver never runs — now every
+    * driver bench invocation records streaming health beside the query
+    * timings, on stdout and as STREAMING.json). Forked, never in-process:
+    * the smoke owns its SparkSession lifecycle and must not share the
+    * bench's; where the fork is impossible (sbt-launcher classpath) the
+    * smoke is skipped with an explicit line rather than half-run.
+    * Hard-capped at 10 minutes so a hung stream cannot wedge the bench.
+    */
+  private def runStreamingSmoke(): Unit =
+    try {
+      val javaBin = java.nio.file.Paths.get(
+        System.getProperty("java.home"), "bin", "java").toString
+      val cp = System.getProperty("java.class.path")
+      val probe = getClass.getName.replace('.', '/') + ".class"
+      val cl = new java.net.URLClassLoader(
+        cp.split(java.io.File.pathSeparator).filter(_.nonEmpty)
+          .map(p => new java.io.File(p).toURI.toURL))
+      val reachable = try cl.findResource(probe) != null finally cl.close()
+      if (!reachable) {
+        println("""{"metric":"streaming_smoke","skipped":true,"reason":"classpath not forkable"}""")
+        return
+      }
+      val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+        .getInputArguments
+      val cmd = new java.util.ArrayList[String]()
+      cmd.add(javaBin)
+      jvmArgs.forEach(a => if (!a.startsWith("-agentlib")) { cmd.add(a); () })
+      cmd.add("-cp"); cmd.add(cp)
+      cmd.add("graft.tools.StreamingSmoke")
+      val pb = new ProcessBuilder(cmd)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val proc = pb.start()
+      val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+      if (!proc.waitFor(10, java.util.concurrent.TimeUnit.MINUTES)) {
+        proc.destroyForcibly(); proc.waitFor()
+        println("""{"metric":"streaming_smoke","skipped":true,"reason":"timeout after 600s"}""")
+      } else out.linesIterator
+        .filter(_.startsWith("""{"metric":"streaming_smoke""""))
+        .foreach(println)
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] streaming smoke failed: ${e.toString.take(200)}")
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -396,5 +453,6 @@ object Bench {
     println(s"""{"metric":"slowest10","unit":"sec","queries":$slowest,"sf":"$sfDir"}""")
     val failed = timed.count(_._3.isDefined)
     println(s"""{"metric":"total_short","value":$total,"unit":"sec","repeats":3,"degraded":$degraded,$isolation,"queries_run":${names.length},"queries_failed":$failed,"load":$loadJson,"sf":"$sfDir"}""")
+    if (!sys.env.contains("GRAFT_SKIP_STREAMING_SMOKE")) runStreamingSmoke()
   }
 }

@@ -543,6 +543,29 @@ object AnnIndex {
     } finally { corpus.unpersist(); () }
   }
 
+  /** [[buildIvfPq]] with the coarse list count derived from the corpus by
+    * [[SQ.planCentroids]] (list population stays a design constant, list
+    * count grows with N — the SemDeDup/FAISS sizing rule, executable;
+    * VERDICT r9 next-step #7). Returns the chosen list count. NProbe stays
+    * fixed: with constant-size lists, probing NProbe of them is
+    * constant-candidate work at ANY corpus size, and the probe's own
+    * best list is always among them — AnnIndexSpec pins recall at 1× and
+    * 4× under the grown geometry. The PQ codebooks do NOT scale with the
+    * corpus (they quantize the per-subspace value distribution, not the
+    * membership structure).
+    */
+  def buildIvfPqScaled(s: SparkSession, vectorsRaw: DataFrame,
+      indexDir: String): Int = {
+    val corpus = corpusOf(vectorsRaw).persist()
+    try {
+      val k = SQ.planCentroids(math.max(1L, corpus.count()))
+      val base = corpus.select("q")
+      buildIvfPqFromCorpus(s, corpus,
+        SQ.trainCodebookFromK(base, k), SQ.trainPqFrom(base), indexDir)
+      k
+    } finally { corpus.unpersist(); () }
+  }
+
   /** Index one micro-batch of new vectors under the FIXED codebooks. */
   def appendBatchPq(s: SparkSession, indexDir: String, vectors: DataFrame,
       batchId: Long): Boolean = {

