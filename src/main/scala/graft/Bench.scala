@@ -383,14 +383,20 @@ object Bench {
       cmd.add("graft.tools.StreamingSmoke")
       val pb = new ProcessBuilder(cmd)
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      // child stdout goes to a file, NOT a pipe: reading a pipe to EOF
+      // would block this thread for as long as the child hangs, so the
+      // 10-minute cap below could never fire
+      val outFile = java.nio.file.Files.createTempFile("graft-smoke", ".out")
+      pb.redirectOutput(outFile.toFile)
       val proc = pb.start()
-      val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
       if (!proc.waitFor(10, java.util.concurrent.TimeUnit.MINUTES)) {
         proc.destroyForcibly(); proc.waitFor()
         println("""{"metric":"streaming_smoke","skipped":true,"reason":"timeout after 600s"}""")
-      } else out.linesIterator
+      } else java.nio.file.Files.readString(outFile).linesIterator
         .filter(_.startsWith("""{"metric":"streaming_smoke""""))
         .foreach(println)
+      java.nio.file.Files.deleteIfExists(outFile)
+      ()
     } catch { case e: Exception =>
       System.err.println(s"[bench] streaming smoke failed: ${e.toString.take(200)}")
     }
