@@ -82,6 +82,37 @@ object StreamingSmoke {
     } finally q2.stop()
   }
 
+  // ---------------------------------------------------------------- T1/T5/T7
+  /** The unbounded paged source (rate-source cursor → (page, pet_type)
+    * enumeration, throughput-capped) driving one AvailableNow epoch into a
+    * keyed table, then the T7 maintenance compaction: delete-by-predicate
+    * over the published snapshot, republished as a new version.
+    */
+  private def pagedEpoch(spark: SparkSession, c: Checks): Unit = {
+    val base = tmpDir("epoch")
+    val table = new KeyedTable(spark, s"$base/table", "page_key")
+    // high rps so the AvailableNow drain sees rows without real waiting;
+    // the rps THROTTLE semantics (2 rows/s wall-clock) belong to the spec
+    val src = Ingest.pagedSource(spark, rps = 200, maxPage = 50)
+      .selectExpr("concat(pet_type, ':', page) AS page_key", "page", "pet_type")
+    // two epochs, the documented T7 loop shape: the rate source's cursor
+    // clock starts at the FIRST query start (recorded in the checkpoint),
+    // so epoch 0 establishes it, the sleep accrues offsets, and epoch 1
+    // drains them from where epoch 0 stopped
+    Ingest.runEpoch(src, table, s"$base/ckpt",
+      valid = lit(true), keep = col("pet_type") === "dog")
+    Thread.sleep(2000)
+    val (kept, dropped) = Ingest.runEpoch(src, table, s"$base/ckpt",
+      valid = lit(true), keep = col("pet_type") === "dog")
+    c.is(kept + dropped > 0, "T1 epoch must drain rows from the paged source")
+    val rows = table.read().get.select("page", "pet_type").collect()
+    c.is(rows.nonEmpty && rows.forall(_.getString(1) == "dog"),
+      "T7 compaction must drop every non-dog row and keep the dogs")
+    c.is(rows.forall(r => r.getInt(0) >= 1 && r.getInt(0) <= 50),
+      "T1 page cursor must stay inside the wrap bound")
+    c.is(dropped > 0, "the cat half of the enumeration must have been compacted away")
+  }
+
   // ----------------------------------------------------------------- E1h
   /** Incremental dedup: a new batch's near-dup pairs against the corpus so
     * far, replay of an applied batchId is a no-op, and a later batch finds
@@ -238,6 +269,7 @@ object StreamingSmoke {
   }
 
   private val suites: Seq[(String, (SparkSession, Checks) => Unit)] = Seq(
+    "paged_epoch"       -> pagedEpoch _,
     "ingest_resume"     -> ingestResume _,
     "incremental_dedup" -> incrementalDedup _,
     "sketches_hll"      -> sketchesHll _,
