@@ -126,14 +126,21 @@ object Bench {
 
   /** Hot-chunk predicate (VERDICT r9 next-step #1). A chunk is hot when a
     * competing workload plausibly distorted its timings: external busy CPU
-    * above a quarter of the machine, OR start loadavg above 1.5× cores/4
-    * (the run started into an already-saturated box), OR hypervisor steal
-    * above 2%. Thresholds are deliberately coarse — the flag exists so a
-    * history consumer can FILTER contaminated runs, not to rank load.
+    * above a quarter of the machine, OR — for the FIRST chunk only — start
+    * loadavg above 1.5× cores/4 (the run started into an already-saturated
+    * box), OR hypervisor steal above 2%. The loadavg trigger is
+    * first-chunk-only because from chunk 2 onward the 1-min EMA is
+    * dominated by the bench's OWN prior-chunk work (≈ `cpus` cores for
+    * minutes), so on hosts where cpus ≳ 1.5·cores/4 every later chunk
+    * would self-flag hot on an idle machine; external cores already
+    * subtract own CPU and carry the signal for those chunks. Thresholds
+    * are deliberately coarse — the flag exists so a history consumer can
+    * FILTER contaminated runs, not to rank load.
     */
-  private[graft] def isHot(cl: ChunkLoad, cores: Int): Boolean =
+  private[graft] def isHot(cl: ChunkLoad, cores: Int,
+      firstChunk: Boolean = false): Boolean =
     cl.externalCores > cores / 4.0 ||
-      cl.startLoad > 1.5 * cores / 4.0 ||
+      (firstChunk && cl.startLoad > 1.5 * cores / 4.0) ||
       cl.stealPct > 2.0
 
   private def loadAvg1(): Option[Double] =
@@ -143,7 +150,11 @@ object Bench {
       finally src.close()
     } catch { case _: Exception => None }
 
-  private def jstr(s: String) =
+  /** Minimal JSON string escape for builder-controlled content (query
+    * names, whitespace-collapsed error text). Shared with the streaming
+    * smoke so the two artifact writers cannot drift on the escaping rule.
+    */
+  private[graft] def jstr(s: String) =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 
   /** One timed query result: median-of-3 seconds (−1 on failure) + the
@@ -230,34 +241,45 @@ object Bench {
     * None when the fork is impossible or the child's output is unusable —
     * the caller then runs the chunk in-process.
     */
+  /** ProcessBuilder for a child JVM running `mainClass args…` with THIS
+    * JVM's flags (-Xmx, --add-opens, -D) and classpath — the fork plumbing
+    * shared by the chunk isolation and the streaming smoke (one copy, so a
+    * fix to e.g. the agent-flag filter reaches both). None when the graft
+    * classes are not reachable as plain files (the sbt-launcher classpath),
+    * where a child could never start — callers fall back or skip.
+    */
+  private def childJvm(mainClass: String, args: Seq[String]): Option[ProcessBuilder] = {
+    val javaBin = java.nio.file.Paths.get(
+      System.getProperty("java.home"), "bin", "java").toString
+    val cp = System.getProperty("java.class.path")
+    // getClass on the companion object is already "graft.Bench$"
+    val probe = getClass.getName.replace('.', '/') + ".class"
+    val cl = new java.net.URLClassLoader(
+      cp.split(java.io.File.pathSeparator).filter(_.nonEmpty)
+        .map(p => new java.io.File(p).toURI.toURL))
+    val reachable = try cl.findResource(probe) != null finally cl.close()
+    if (!reachable) return None
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments
+    val cmd = new java.util.ArrayList[String]()
+    cmd.add(javaBin)
+    jvmArgs.forEach(a => if (!a.startsWith("-agentlib")) { cmd.add(a); () })
+    cmd.add("-cp"); cmd.add(cp)
+    cmd.add(mainClass); args.foreach(cmd.add(_))
+    val pb = new ProcessBuilder(cmd)
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT) // Spark noise → stderr
+    Some(pb)
+  }
+
   private def forkChunk(names: Seq[String]): Option[(Seq[Timed], Double)] =
     try {
-      val javaBin = java.nio.file.Paths.get(
-        System.getProperty("java.home"), "bin", "java").toString
-      val cp = System.getProperty("java.class.path")
-      // under sbt the visible classpath is the launcher jar — graft classes
-      // unreachable in a child; detect and fall back rather than fork-fail
-      // getClass on the companion object is already "graft.Bench$"
-      val probe = getClass.getName.replace('.', '/') + ".class"
-      val cl = new java.net.URLClassLoader(
-        cp.split(java.io.File.pathSeparator).filter(_.nonEmpty)
-          .map(p => new java.io.File(p).toURI.toURL))
-      val reachable = try cl.findResource(probe) != null finally cl.close()
-      if (!reachable) return None
-      val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
-        .getInputArguments
-      val cmd = new java.util.ArrayList[String]()
-      cmd.add(javaBin)
-      jvmArgs.forEach(a => if (!a.startsWith("-agentlib")) { cmd.add(a); () })
-      cmd.add("-cp"); cmd.add(cp)
-      cmd.add("graft.Bench"); cmd.add("--chunk"); cmd.add(names.mkString(","))
-      val pb = new ProcessBuilder(cmd)
-      pb.redirectError(ProcessBuilder.Redirect.INHERIT) // Spark noise → stderr
-      val proc = pb.start()
-      val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
-      val rc = proc.waitFor()
-      if (rc != 0) { System.err.println(s"[bench] fork rc=$rc"); None }
-      else parseChunk(out, names)
+      childJvm("graft.Bench", Seq("--chunk", names.mkString(","))).flatMap { pb =>
+        val proc = pb.start()
+        val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+        val rc = proc.waitFor()
+        if (rc != 0) { System.err.println(s"[bench] fork rc=$rc"); None }
+        else parseChunk(out, names)
+      }
     } catch { case e: Exception =>
       System.err.println(s"[bench] fork failed: ${e.toString.take(200)}"); None
     }
@@ -269,24 +291,39 @@ object Bench {
     */
   private def timeChunk(names: Seq[String], sfDir: String,
       cpus: String): (Seq[Timed], Boolean, ChunkLoad) = {
-    val load0 = loadAvg1().getOrElse(0.0)
-    val j0    = cpuJiffies()
-    val own0  = ownCpuSec()
-    val t0    = System.nanoTime()
-    val (timed, forked, childCpu) = forkChunk(names) match {
-      case Some((t, cpu)) => (t, true, cpu)
-      case None           => (runChunk(names, sfDir, cpus), false, 0.0)
+    // each attempt gets its OWN measurement window: a fork whose child died
+    // mid-chunk would otherwise leave its burned CPU inside the fallback's
+    // window with childCpu unreported (the GRAFT_CPU line never printed),
+    // mis-attributing the dead child's own work to external load
+    def measured[A](work: => (A, Double)): (A, ChunkLoad) = {
+      val load0 = loadAvg1().getOrElse(0.0)
+      val j0    = cpuJiffies()
+      val own0  = ownCpuSec()
+      val t0    = System.nanoTime()
+      val (res, childCpu) = work
+      val elapsed = math.max(0.001, (System.nanoTime() - t0) / 1e9)
+      val ownSec  = math.max(0.0, ownCpuSec() - own0) + childCpu
+      val (stealPct, extCores) =
+        (for ((s0, b0, tt0) <- j0; (s1, b1, tt1) <- cpuJiffies()) yield {
+          val steal = if (tt1 > tt0) (s1 - s0) * 100.0 / (tt1 - tt0) else 0.0
+          val busySec = math.max(0L, b1 - b0) / 100.0
+          (steal, math.max(0.0, busySec - ownSec) / elapsed)
+        }).getOrElse((0.0, 0.0))
+      def r2(x: Double) = math.round(x * 100) / 100.0
+      (res, ChunkLoad(load0, r2(stealPct), r2(extCores)))
     }
-    val elapsed = math.max(0.001, (System.nanoTime() - t0) / 1e9)
-    val ownSec  = math.max(0.0, ownCpuSec() - own0) + childCpu
-    val (stealPct, extCores) =
-      (for ((s0, b0, tt0) <- j0; (s1, b1, tt1) <- cpuJiffies()) yield {
-        val steal = if (tt1 > tt0) (s1 - s0) * 100.0 / (tt1 - tt0) else 0.0
-        val busySec = math.max(0L, b1 - b0) / 100.0
-        (steal, math.max(0.0, busySec - ownSec) / elapsed)
-      }).getOrElse((0.0, 0.0))
-    def r2(x: Double) = math.round(x * 100) / 100.0
-    (timed, forked, ChunkLoad(load0, r2(stealPct), r2(extCores)))
+    val (forkRes, forkLoad) = measured {
+      forkChunk(names) match {
+        case Some((t, cpu)) => (Some(t), cpu)
+        case None           => (None, 0.0)
+      }
+    }
+    forkRes match {
+      case Some(t) => (t, true, forkLoad)
+      case None =>
+        val (t, fbLoad) = measured((runChunk(names, sfDir, cpus), 0.0))
+        (t, false, fbLoad)
+    }
   }
 
   /** The per-chunk load block + run-level degraded flag for the emitted
@@ -362,41 +399,25 @@ object Bench {
     */
   private def runStreamingSmoke(): Unit =
     try {
-      val javaBin = java.nio.file.Paths.get(
-        System.getProperty("java.home"), "bin", "java").toString
-      val cp = System.getProperty("java.class.path")
-      val probe = getClass.getName.replace('.', '/') + ".class"
-      val cl = new java.net.URLClassLoader(
-        cp.split(java.io.File.pathSeparator).filter(_.nonEmpty)
-          .map(p => new java.io.File(p).toURI.toURL))
-      val reachable = try cl.findResource(probe) != null finally cl.close()
-      if (!reachable) {
-        println("""{"metric":"streaming_smoke","skipped":true,"reason":"classpath not forkable"}""")
-        return
+      childJvm("graft.tools.StreamingSmoke", Nil) match {
+        case None =>
+          println("""{"metric":"streaming_smoke","skipped":true,"reason":"classpath not forkable"}""")
+        case Some(pb) =>
+          // child stdout goes to a file, NOT a pipe: reading a pipe to EOF
+          // would block this thread for as long as the child hangs, so the
+          // 10-minute cap below could never fire
+          val outFile = java.nio.file.Files.createTempFile("graft-smoke", ".out")
+          try {
+            pb.redirectOutput(outFile.toFile)
+            val proc = pb.start()
+            if (!proc.waitFor(10, java.util.concurrent.TimeUnit.MINUTES)) {
+              proc.destroyForcibly(); proc.waitFor()
+              println("""{"metric":"streaming_smoke","skipped":true,"reason":"timeout after 600s"}""")
+            } else java.nio.file.Files.readString(outFile).linesIterator
+              .filter(_.startsWith("""{"metric":"streaming_smoke""""))
+              .foreach(println)
+          } finally { java.nio.file.Files.deleteIfExists(outFile); () }
       }
-      val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
-        .getInputArguments
-      val cmd = new java.util.ArrayList[String]()
-      cmd.add(javaBin)
-      jvmArgs.forEach(a => if (!a.startsWith("-agentlib")) { cmd.add(a); () })
-      cmd.add("-cp"); cmd.add(cp)
-      cmd.add("graft.tools.StreamingSmoke")
-      val pb = new ProcessBuilder(cmd)
-      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
-      // child stdout goes to a file, NOT a pipe: reading a pipe to EOF
-      // would block this thread for as long as the child hangs, so the
-      // 10-minute cap below could never fire
-      val outFile = java.nio.file.Files.createTempFile("graft-smoke", ".out")
-      pb.redirectOutput(outFile.toFile)
-      val proc = pb.start()
-      if (!proc.waitFor(10, java.util.concurrent.TimeUnit.MINUTES)) {
-        proc.destroyForcibly(); proc.waitFor()
-        println("""{"metric":"streaming_smoke","skipped":true,"reason":"timeout after 600s"}""")
-      } else java.nio.file.Files.readString(outFile).linesIterator
-        .filter(_.startsWith("""{"metric":"streaming_smoke""""))
-        .foreach(println)
-      java.nio.file.Files.deleteIfExists(outFile)
-      ()
     } catch { case e: Exception =>
       System.err.println(s"[bench] streaming smoke failed: ${e.toString.take(200)}")
     }
@@ -415,9 +436,9 @@ object Bench {
     // a persistently-loaded box must not double the run: at most 3 chunk
     // retries per run — past that the run is degraded and says so
     var retryBudget = 3
-    val results = chunks.map { chunk =>
+    val results = chunks.zipWithIndex.map { case (chunk, ci) =>
       var (t, fk, cl) = timeChunk(chunk, sfDir, cpus)
-      if (isHot(cl, cores) && retryBudget > 0) {
+      if (isHot(cl, cores, firstChunk = ci == 0) && retryBudget > 0) {
         retryBudget -= 1; retried += 1
         System.err.println(s"[bench] chunk '${chunk.head}…' ran hot " +
           s"(load=${cl.startLoad} ext_cores=${cl.externalCores} " +
@@ -459,6 +480,8 @@ object Bench {
     println(s"""{"metric":"slowest10","unit":"sec","queries":$slowest,"sf":"$sfDir"}""")
     val failed = timed.count(_._3.isDefined)
     println(s"""{"metric":"total_short","value":$total,"unit":"sec","repeats":3,"degraded":$degraded,$isolation,"queries_run":${names.length},"queries_failed":$failed,"load":$loadJson,"sf":"$sfDir"}""")
-    if (!sys.env.contains("GRAFT_SKIP_STREAMING_SMOKE")) runStreamingSmoke()
+    // value check, not presence: =0 / empty must mean "run it"
+    if (!sys.env.get("GRAFT_SKIP_STREAMING_SMOKE").exists(v => v.nonEmpty && v != "0"))
+      runStreamingSmoke()
   }
 }

@@ -277,9 +277,6 @@ object StreamingSmoke {
     "funnel_stream"     -> funnelStream _,
     "packing"           -> packing _)
 
-  private def jstr(s: String) =
-    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = graft.LocalSpark.session(cpus, "graft-streaming-smoke")
@@ -296,7 +293,7 @@ object StreamingSmoke {
     }
     spark.stop()
     val secs = math.round((System.nanoTime() - t0) / 1e7) / 100.0
-    val failures = results.collect { case (n, _, Some(m)) => s"${jstr(n)}:${jstr(m)}" }
+    val failures = results.collect { case (n, _, Some(m)) => s"${graft.Bench.jstr(n)}:${graft.Bench.jstr(m)}" }
       .mkString("{", ",", "}")
     val line =
       s"""{"metric":"streaming_smoke","value":$secs,"unit":"sec",""" +

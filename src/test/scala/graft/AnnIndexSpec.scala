@@ -284,6 +284,7 @@ class AnnIndexSpec extends SparkTestBase {
 
     val i1 = java.nio.file.Files.createTempDirectory("ivfpq_s1").toString
     val i4 = java.nio.file.Files.createTempDirectory("ivfpq_s4").toString
+    try {
     val k1 = AnnIndex.buildIvfPqScaled(spark, raw, i1)
     val k4 = AnnIndex.buildIvfPqScaled(spark, x4, i4)
     assert(k1 == SQ.planCentroids(AnnIndex.corpusOf(raw).count()), "k1 must follow the rule")
@@ -327,6 +328,11 @@ class AnnIndexSpec extends SparkTestBase {
     val r4 = recallOf(i4, AnnIndex.corpusOf(x4))
     assert(r1 >= 0.45, f"1x scaled-build recall@3 $r1%.3f below floor")
     assert(r4 >= 0.45, f"4x grown-k recall@3 $r4%.3f below floor")
+    } finally {
+      // the 4x index tree is real parquet data — don't leak one per run
+      graft.streaming.Fs.deleteRecursively(spark, i1)
+      graft.streaming.Fs.deleteRecursively(spark, i4)
+    }
   }
 
   test("LSH planBits growth knob: occupancy stays flat and recall holds when bits grow with the corpus") {

@@ -24,13 +24,17 @@ class BenchLoadSpec extends AnyFunSuite {
     assert(!Bench.isHot(idle, cores))
     // a concurrent stress -c 16 / Verify run: ~16 external cores >> cores/4
     assert(Bench.isHot(idle.copy(externalCores = 16.0), cores))
-    // started into an already-saturated box: loadavg past 1.5 * cores/4
-    assert(Bench.isHot(idle.copy(startLoad = 13.0), cores))
+    // started into an already-saturated box: loadavg past 1.5 * cores/4 —
+    // a FIRST-chunk-only trigger (later chunks' loadavg is dominated by
+    // the bench's own prior work; ext_cores carries the signal there)
+    assert(Bench.isHot(idle.copy(startLoad = 13.0), cores, firstChunk = true))
+    assert(!Bench.isHot(idle.copy(startLoad = 13.0), cores),
+      "bench-self loadavg must not flag later chunks hot")
     // hypervisor steal
     assert(Bench.isHot(idle.copy(stealPct = 3.5), cores))
     // boundary: exactly at the thresholds is NOT hot (strict >)
     assert(!Bench.isHot(idle.copy(externalCores = cores / 4.0), cores))
-    assert(!Bench.isHot(idle.copy(startLoad = 1.5 * cores / 4.0), cores))
+    assert(!Bench.isHot(idle.copy(startLoad = 1.5 * cores / 4.0), cores, firstChunk = true))
   }
 
   test("idle chunks emit degraded=false; one hot chunk degrades the run") {
