@@ -491,7 +491,14 @@ object EventQueries {
     * q_zscore_anomaly doc for the exact-integer z² construction. Shared by
     * the graded query and the streaming store's report side.
     */
-  private[graft] def anomalyReport(cnt0: DataFrame): DataFrame = {
+  private[graft] def anomalyReport(cnt0: DataFrame): DataFrame =
+    anomalyReport(cnt0, AnomalyLocalCeiling)
+
+  /** [[anomalyReport]] with an explicit local-relation ceiling — the spec's
+    * handle for exercising the overflow (lazy) path on a small input; the
+    * production default is [[AnomalyLocalCeiling]].
+    */
+  private[graft] def anomalyReport(cnt0: DataFrame, ceiling: Int): DataFrame = {
     // The count table is referenced by four branches (spine, types, the grid
     // left-join probe, and — through grid — both the moments and report
     // sides). It is the OUTPUT of the only corpus-sized aggregate, bounded
@@ -514,9 +521,9 @@ object EventQueries {
     val typed = cnt0.select(
       col("event_type").cast("string"), col("hr").cast("long"),
       col("c").cast("long"))
-    val probe = typed.as[(String, Long, Long)].take(AnomalyLocalCeiling + 1)
+    val probe = typed.as[(String, Long, Long)].take(ceiling + 1)
     val cnt =
-      if (probe.length <= AnomalyLocalCeiling) probe.toSeq.toDF("event_type", "hr", "c")
+      if (probe.length <= ceiling) probe.toSeq.toDF("event_type", "hr", "c")
       else typed.toDF("event_type", "hr", "c")
     val spine = cnt.select("hr").distinct()
     val types = cnt.select("event_type").distinct()
