@@ -330,11 +330,20 @@ object Bench {
     * line — split out so a spec can feed synthetic loads and parse the
     * result (the r9 failure mode was an artifact READER trusting a number
     * the bench knew was contaminated; the contract under test is the JSON
-    * itself).
+    * itself). The verdict applies the SAME first-chunk loadavg trigger the
+    * retry decision uses — without it, IO-heavy competing load (high
+    * loadavg from D-state work that never shows in busy jiffies, so
+    * ext_cores stays low) could distort chunk 0 twice yet publish as
+    * clean. After a chunk-0 retry the emitted load is the accepted
+    * attempt's, whose loadavg includes the bench's own first-attempt work
+    * (~`cpus` child cores — far under 1.5·cores/4 here), so the residual
+    * bias is toward flagging: the cheap direction for a filter flag.
     */
   private[graft] def loadFieldsJson(chunkLoads: Seq[ChunkLoad], cores: Int,
       runSteal: Option[Double], runLoad: Option[Double]): (String, Boolean) = {
-    val hot = chunkLoads.map(isHot(_, cores))
+    val hot = chunkLoads.zipWithIndex.map { case (c, i) =>
+      isHot(c, cores, firstChunk = i == 0)
+    }
     val degraded = hot.contains(true)
     val perChunk = chunkLoads.zip(hot).map { case (c, h) =>
       s"""{"load":${c.startLoad},"steal_pct":${c.stealPct},""" +
@@ -396,12 +405,23 @@ object Bench {
     * bench's; where the fork is impossible (sbt-launcher classpath) the
     * smoke is skipped with an explicit line rather than half-run.
     * Hard-capped at 10 minutes so a hung stream cannot wedge the bench.
+    *
+    * Every failure branch (unforkable, timeout, child died before printing
+    * its health line, launch exception) OVERWRITES `STREAMING.json` with
+    * its skip/fail record: the child only writes the artifact on success,
+    * so without the overwrite a wedged or crashed smoke would leave the
+    * PREVIOUS run's green record sitting beside a fresh BENCH_FULL.json
+    * with nothing to reveal it is stale.
     */
-  private def runStreamingSmoke(): Unit =
+  private def runStreamingSmoke(): Unit = {
+    def record(line: String): Unit = {
+      println(line)
+      writeNamedArtifact("STREAMING.json", line)
+    }
     try {
       childJvm("graft.tools.StreamingSmoke", Nil) match {
         case None =>
-          println("""{"metric":"streaming_smoke","skipped":true,"reason":"classpath not forkable"}""")
+          record("""{"metric":"streaming_smoke","skipped":true,"reason":"classpath not forkable"}""")
         case Some(pb) =>
           // child stdout goes to a file, NOT a pipe: reading a pipe to EOF
           // would block this thread for as long as the child hangs, so the
@@ -412,15 +432,21 @@ object Bench {
             val proc = pb.start()
             if (!proc.waitFor(10, java.util.concurrent.TimeUnit.MINUTES)) {
               proc.destroyForcibly(); proc.waitFor()
-              println("""{"metric":"streaming_smoke","skipped":true,"reason":"timeout after 600s"}""")
-            } else java.nio.file.Files.readString(outFile).linesIterator
-              .filter(_.startsWith("""{"metric":"streaming_smoke""""))
-              .foreach(println)
+              record("""{"metric":"streaming_smoke","skipped":true,"reason":"timeout after 600s"}""")
+            } else {
+              val health = java.nio.file.Files.readString(outFile).linesIterator
+                .filter(_.startsWith("""{"metric":"streaming_smoke"""")).toSeq
+              if (health.isEmpty)
+                record(s"""{"metric":"streaming_smoke","skipped":true,"reason":"child rc=${proc.exitValue} with no health line"}""")
+              else health.foreach(println)
+            }
           } finally { java.nio.file.Files.deleteIfExists(outFile); () }
       }
     } catch { case e: Exception =>
       System.err.println(s"[bench] streaming smoke failed: ${e.toString.take(200)}")
+      record(s"""{"metric":"streaming_smoke","skipped":true,"reason":${jstr("launch failed: " + e.toString.replaceAll("\\s+", " ").take(160))}}""")
     }
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

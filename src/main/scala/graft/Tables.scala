@@ -108,8 +108,12 @@ object Tables {
           catch { case _: Exception => -1L }
         s"$f@$len"
       }
+      // NUL separator (the ESCAPE, not a raw byte — a literal NUL made git
+      // treat this file as binary, ADVICE r9): no legal path contains
+      // U+0000, so space-containing paths cannot alias two distinct file
+      // sets onto one memo cell the way a space join would
       (sizes :+ s"confs=${conf.filesMaxPartitionBytes}:${conf.filesOpenCostInBytes}:" +
-        s"${df.sparkSession.sparkContext.defaultParallelism}").mkString(" ")
+        s"${df.sparkSession.sparkContext.defaultParallelism}").mkString("\u0000")
     }
   }
 

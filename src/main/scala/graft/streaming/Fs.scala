@@ -64,6 +64,25 @@ private[graft] object Fs {
     childNames(spark, root)
       .collect { case n if n.matches("batch=-?\\d+") => n.drop(6).toLong }
 
+  /** Generational layer compaction, single-sourced for every append-only
+    * `batch=` layer store (band index, pack store): reserve the next unused
+    * NEGATIVE generation id (real streaming batch ids are ≥ 0), let
+    * `write(gen)` commit the full rebuilt layer under `batch=<gen>`, and
+    * only after that commit sweep every other layer. The ordering IS the
+    * crash-safety invariant — a crash mid-write leaves staged files
+    * invisible and the old layers intact; a crash mid-sweep leaves the
+    * complete new layer plus survivors each caller's read-side dedup rule
+    * makes equivalent — so it lives in one place rather than drifting
+    * between per-store copies.
+    */
+  def compactLayers(spark: SparkSession, root: String)(write: Long => Unit): Unit = {
+    val gen = layerIds(spark, root).filter(_ < 0).minOption.getOrElse(0L) - 1L
+    write(gen)
+    layerIds(spark, root).filter(_ != gen).foreach { v =>
+      deleteRecursively(spark, s"$root/batch=$v")
+    }
+  }
+
   def deleteRecursively(spark: SparkSession, path: String): Unit = {
     val (fs, p) = resolve(spark, path)
     fs.delete(p, true)

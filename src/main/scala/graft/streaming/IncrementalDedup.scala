@@ -155,18 +155,16 @@ object IncrementalDedup {
     table.read().foreach { sig =>
       val spark = table.session
       val bands = bandsPath(table)
-      val existing = Fs.layerIds(spark, bands)
-      val gen = existing.filter(_ < 0).minOption.getOrElse(0L) - 1L
-      withPb(DedupQueries.bandRows(sig))
-        .withColumn("batch", lit(gen))
-        .write.mode("append")
-        .partitionBy("batch", "pb")
-        .parquet(bands)
-      // sweep ALL superseded layers (old compaction generations included —
-      // that is what drops stale re-index rows) only AFTER the new layer
-      // committed; best-effort, a survivor is stale-but-safe (see above)
-      Fs.layerIds(spark, bands).filter(_ != gen).foreach { v =>
-        Fs.deleteRecursively(spark, s"$bands/batch=$v")
+      // commit-then-sweep via the shared generational helper; sweeping ALL
+      // superseded layers (old compaction generations included) is what
+      // drops stale re-index rows — a crash survivor is stale-but-safe
+      // (see above)
+      Fs.compactLayers(spark, bands) { gen =>
+        withPb(DedupQueries.bandRows(sig))
+          .withColumn("batch", lit(gen))
+          .write.mode("append")
+          .partitionBy("batch", "pb")
+          .parquet(bands)
       }
       // the rebuild came from the post-delete signature table, so the
       // tombstones are folded in — clear their layers (a crash before this
@@ -191,11 +189,30 @@ object IncrementalDedup {
     */
   def processBatch(table: KeyedTable, docs: DataFrame, batchId: Long): DataFrame = {
     val spark = docs.sparkSession
-    val sig = signaturesOf(docs)
+    val sig0 = signaturesOf(docs)
     if (table.alreadyApplied(batchId))
-      return sig.select(col("doc_id").as("a"), col("doc_id").as("b"),
+      return sig0.select(col("doc_id").as("a"), col("doc_id").as("b"),
         lit(false).as("is_new_b")).limit(0)
+    // the signature pipeline (shingling + the 8-minhash aggregation) is the
+    // batch's most expensive stage and feeds BOTH the band rows and the
+    // merge below — persist it so the merge's publish reuses the computed
+    // signatures instead of re-shingling the raw docs a second time
+    val sig = sig0.persist()
+    try processBatchFrom(table, sig, batchId)
+    finally { sig.unpersist(); () }
+  }
+
+  /** [[processBatch]] body over an already-persisted signature frame; the
+    * try/finally in the caller releases `sig` and the local `newBands` even
+    * when a write, count, or the merge throws mid-batch (the ADVICE-r7 leak
+    * discipline — foreachBatch RETRIES a failed batch, so a leaked persist
+    * per retry would accumulate until LRU pressure).
+    */
+  private def processBatchFrom(table: KeyedTable, sig: DataFrame,
+      batchId: Long): DataFrame = {
+    val spark = sig.sparkSession
     val newBands = withPb(DedupQueries.bandRows(sig)).persist()
+    try {
     // the touched-partition list: ≤ BandBuckets ints — a bounded driver
     // collect (the pruning predicate, not data)
     val touched = newBands.select("pb").distinct().collect().map(_.getInt(0)).toSeq
@@ -243,8 +260,8 @@ object IncrementalDedup {
     // materialize BEFORE the merge: `pairs` lazily reads the pre-merge
     // snapshot, which later merges (and snapshot GC) may delete
     pairs.count()
-    newBands.unpersist()
     table.merge(sig, batchId)
     pairs
+    } finally { newBands.unpersist(); () }
   }
 }

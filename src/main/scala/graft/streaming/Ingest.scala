@@ -114,15 +114,20 @@ object Ingest {
     */
   def compact(table: KeyedTable, keep: org.apache.spark.sql.Column): Option[(Long, Long)] =
     table.read().map { df =>
-      val marked    = df.persist()
-      val survivors = marked.filter(keep)
-      val kept      = survivors.count()
-      val dropped   = marked.count() - kept
-      // snapshot versions are the table's own counter — a compaction between
-      // micro-batches can never collide with the stream's batch ids
-      table.publish(survivors)
-      marked.unpersist()
-      (kept, dropped)
+      // owned persist, released even when a count or the publish throws
+      // (ADVICE r7 — same discipline as `start` and Packing.updatePacked):
+      // the caller's epoch loop retries compact, and a leaked snapshot
+      // cache per retry would pin one full-table dataset each cycle
+      val marked = df.persist()
+      try {
+        val survivors = marked.filter(keep)
+        val kept      = survivors.count()
+        val dropped   = marked.count() - kept
+        // snapshot versions are the table's own counter — a compaction between
+        // micro-batches can never collide with the stream's batch ids
+        table.publish(survivors)
+        (kept, dropped)
+      } finally { marked.unpersist(); () }
     }
 
   /** T7 outer loop, one turn: drain everything currently available from the

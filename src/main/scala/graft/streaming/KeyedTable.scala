@@ -125,14 +125,17 @@ final class KeyedTable(spark: SparkSession, val dir: String, val key: String,
 
   /** Best-effort removal of snapshot dirs older than `current - KeepSnapshots`
     * plus crash orphans NEWER than current (an interrupted publish that never
-    * swung the pointer).
+    * swung the pointer). Keeps exactly [[KeepSnapshots]] superseded versions
+    * beside the current one — the documented window (the old `+ 1` variant
+    * kept only one superseded snapshot, so two quick merges could delete a
+    * version an in-flight reader resolved just before the first swap).
     */
   private def gc(current: Long): Unit =
     try
       Fs.childNames(spark, dir)
         .filter(_.matches("v\\d+"))
         .map(n => (n, n.drop(1).toLong))
-        .filter { case (_, v) => v < current - KeepSnapshots + 1 || v > current }
+        .filter { case (_, v) => v < current - KeepSnapshots || v > current }
         .foreach { case (n, v) =>
           // external tables: DROP releases the catalog entry only; the
           // version directory is deleted explicitly below

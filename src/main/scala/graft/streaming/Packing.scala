@@ -120,15 +120,11 @@ object Packing {
   def compactPacks(spark: org.apache.spark.sql.SparkSession, table: KeyedTable): Unit = {
     import org.apache.spark.sql.functions.lit
     readPacked(spark, table).foreach { packs =>
-      val root = packsPath(table)
-      val existing = Fs.layerIds(spark, root)
-      val gen = existing.filter(_ < 0).minOption.getOrElse(0L) - 1L
-      packs.withColumn("batch", lit(gen))
-        .write.mode("append")
-        .partitionBy("batch")
-        .parquet(root)
-      Fs.layerIds(spark, root).filter(_ != gen).foreach { v =>
-        Fs.deleteRecursively(spark, s"$root/batch=$v")
+      Fs.compactLayers(spark, packsPath(table)) { gen =>
+        packs.withColumn("batch", lit(gen))
+          .write.mode("append")
+          .partitionBy("batch")
+          .parquet(packsPath(table))
       }
     }
   }

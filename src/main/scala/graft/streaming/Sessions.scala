@@ -44,12 +44,16 @@ object Sessions {
     * built-in can't express (per-session caps, custom merge rules, side
     * effects on close).
     *
-    * Semantics: events within a batch are processed in time order;
-    * cross-batch stragglers that land WITHIN the open session's gap envelope
-    * `[start − gap, last + gap]` merge into it (start/end expand, so
-    * end ≥ start always holds); stragglers older than that are emitted
-    * immediately as their own single-event session rather than corrupting
-    * the open one. With `idleTimeoutMs` set (the production default), idle
+    * Semantics: the carried open session and the batch's events gap-fold
+    * as ONE ascending interval list — exactly the batch query's merge rule,
+    * so cross-batch stragglers within the open session's gap envelope merge
+    * into it (start/end expand), mutually-in-gap stragglers fold into one
+    * session rather than one singleton each, and a straggler run can bridge
+    * upward into the open session. Straggler sessions more than `gap` below
+    * the open one are emitted closed at the end of the batch (a later batch
+    * could in principle still have merged into them — the price of eager
+    * emission; the event-time form below buffers until the watermark proves
+    * closure instead). With `idleTimeoutMs` set (the production default), idle
     * users are evicted by a processing-time timeout — their final session is
     * emitted on eviction, so state stays bounded by ACTIVE users, not all
     * users ever seen. Pass None for synchronous test harnesses:
@@ -78,24 +82,35 @@ object Sessions {
             state.remove()
             out
           } else {
-            val ts = rows.map(_._2).toArray.sorted
+            // gap-fold the carried open session and this batch's events as
+            // one ascending interval list — the batch query's merge rule.
+            // A per-event scan against the open session alone would emit
+            // each far-older straggler as its own singleton even when two
+            // stragglers are within gap of EACH OTHER (inflating session
+            // counts on any out-of-order burst), and would split a
+            // straggler run that bridges into the open session.
+            val evs: Seq[OpenSession] =
+              rows.map(_._2).toArray.sorted.toSeq.map(t => OpenSession(t, t, 1))
+            val intervals = state.getOption match {
+              case Some(s) =>
+                val (before, after) = evs.partition(_.startUs < s.startUs)
+                (before :+ s) ++ after
+              case None => evs
+            }
             val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
-            var open = state.getOption
-            ts.foreach { t =>
+            var open: Option[OpenSession] = None
+            intervals.foreach { iv =>
               open match {
-                case Some(s) if t > s.lastUs + gapUs =>
-                  closed += ClosedSession(user, s.startUs, s.lastUs, s.n)
-                  open = Some(OpenSession(t, t, 1))
-                case Some(s) if t >= s.startUs - gapUs =>
-                  // in-envelope event (possibly a cross-batch straggler):
-                  // expand the open session in both directions
+                case Some(s) if iv.startUs <= s.lastUs + gapUs =>
+                  // ascending starts make min(start) = s.startUs; last can
+                  // only stay or grow, so end >= start always holds
                   open = Some(OpenSession(
-                    math.min(s.startUs, t), math.max(s.lastUs, t), s.n + 1))
-                case Some(_) =>
-                  // straggler far older than the open session: its own session
-                  closed += ClosedSession(user, t, t, 1)
+                    s.startUs, math.max(s.lastUs, iv.lastUs), s.n + iv.n))
+                case Some(s) =>
+                  closed += ClosedSession(user, s.startUs, s.lastUs, s.n)
+                  open = Some(iv)
                 case None =>
-                  open = Some(OpenSession(t, t, 1))
+                  open = Some(iv)
               }
             }
             open.foreach(state.update)

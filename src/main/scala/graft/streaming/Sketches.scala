@@ -23,28 +23,48 @@ import graft.queries.{DedupQueries, Dialect, PipelineQueries, TextQueries}
   */
 object Sketches {
 
+  /** The replay-guarded merge-publish protocol every sketch store here
+    * rides, single-sourced (it appeared once per store before — eight
+    * slightly-varied copies of the exactly-once rule): skip an
+    * already-applied batch id BEFORE building anything, read the previous
+    * snapshot ONCE (resolving the pointer twice could straddle a concurrent
+    * publish and mix versions), fold the batch in with the store's monoid
+    * `merge` (prev first, batch second — the order every store documented),
+    * and publish `finish(merged)` under the batch id. `prev` is narrowed to
+    * the batch frame's columns so publish-side derived keys (cell/pair)
+    * never leak back into the merge. For non-idempotent monoids (addition)
+    * the guard IS the exactly-once guarantee under foreachBatch's
+    * at-least-once replay.
+    */
+  private def mergePublish(table: KeyedTable, batchId: Long,
+      batch: => DataFrame)(
+      merge: (DataFrame, DataFrame) => DataFrame,
+      finish: DataFrame => DataFrame = identity): Unit = {
+    if (table.alreadyApplied(batchId)) return
+    val b = batch
+    val merged = table.read() match {
+      case Some(prev) => merge(prev.select(b.columns.toSeq.map(col): _*), b)
+      case None       => b
+    }
+    table.publish(finish(merged), Some(batchId))
+    ()
+  }
+
   /** Per-batch counters of `docs` (any frame with a `text` column) added
     * into the sketch at `table` (schema: cell, r, bucket, cnt; key "cell" =
     * r·W + bucket). Returns after the merged snapshot is published.
     */
-  def updateCms(table: KeyedTable, docs: DataFrame, batchId: Long): Unit = {
-    if (table.alreadyApplied(batchId)) return
-    val batchCounters = docs
-      .select(explode(expr(Dialect.wordsSql)).as("w"))
-      .filter(col("w") =!= "")
-      .groupBy("w").agg(count(lit(1)).as("wc"))
-      .select(col("wc"), posexplode(array(TextQueries.cmsBucketExprs: _*)).as(Seq("r", "bucket")))
-      .groupBy("r", "bucket").agg(sum("wc").as("cnt"))
-    val merged = table.read() match {
-      case Some(prev) => prev.select("r", "bucket", "cnt").unionByName(batchCounters)
-        .groupBy("r", "bucket").agg(sum("cnt").as("cnt"))
-      case None => batchCounters
-    }
-    table.publish(
-      merged.withColumn("cell", col("r") * TextQueries.CmsWidth + col("bucket")),
-      Some(batchId))
-    ()
-  }
+  def updateCms(table: KeyedTable, docs: DataFrame, batchId: Long): Unit =
+    mergePublish(table, batchId,
+      docs
+        .select(explode(expr(Dialect.wordsSql)).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy("w").agg(count(lit(1)).as("wc"))
+        .select(col("wc"), posexplode(array(TextQueries.cmsBucketExprs: _*)).as(Seq("r", "bucket")))
+        .groupBy("r", "bucket").agg(sum("wc").as("cnt")))(
+      (prev, b) => prev.unionByName(b)
+        .groupBy("r", "bucket").agg(sum("cnt").as("cnt")),
+      m => m.withColumn("cell", col("r") * TextQueries.CmsWidth + col("bucket")))
 
   /** Point estimates for `words` against the sketch: min over the D
     * counters, 0 for a word hitting only empty cells (never seen). The probe
@@ -77,18 +97,12 @@ object Sketches {
     * the stream. Salt construction is single-sourced with the graded query
     * ([[DedupQueries.bloomPosCols]]).
     */
-  def updateBloom(table: KeyedTable, docs: DataFrame, batchId: Long): Unit = {
-    if (table.alreadyApplied(batchId)) return
-    val batchBits = DedupQueries.shingleRows(docs)
-      .select(explode(DedupQueries.bloomPosCols).as("pos"))
-      .distinct()
-    val merged = table.read() match {
-      case Some(prev) => prev.select("pos").unionByName(batchBits).distinct()
-      case None       => batchBits
-    }
-    table.publish(merged, Some(batchId))
-    ()
-  }
+  def updateBloom(table: KeyedTable, docs: DataFrame, batchId: Long): Unit =
+    mergePublish(table, batchId,
+      DedupQueries.shingleRows(docs)
+        .select(explode(DedupQueries.bloomPosCols).as("pos"))
+        .distinct())(
+      (prev, b) => prev.unionByName(b).distinct())
 
   /** Streaming HLL registers (the incremental form of `q_hll_distinct`'s
     * sketch side): each micro-batch's (source, j, r) registers merge BY MAX
@@ -102,19 +116,12 @@ object Sketches {
     * single-sourced with the graded query
     * ([[TextQueries.hllShingles]]/[[TextQueries.hllRegistersOf]]).
     */
-  def updateHll(table: KeyedTable, docs: DataFrame, batchId: Long): Unit = {
-    if (table.alreadyApplied(batchId)) return
-    val batch = TextQueries.hllRegistersOf(TextQueries.hllShingles(docs))
-    val merged = table.read() match {
-      case Some(prev) => prev.select("source", "j", "r").unionByName(batch)
-        .groupBy("source", "j").agg(max("r").as("r"))
-      case None => batch
-    }
-    table.publish(
-      merged.withColumn("reg", concat_ws(":", col("source"), col("j"))),
-      Some(batchId))
-    ()
-  }
+  def updateHll(table: KeyedTable, docs: DataFrame, batchId: Long): Unit =
+    mergePublish(table, batchId,
+      TextQueries.hllRegistersOf(TextQueries.hllShingles(docs)))(
+      (prev, b) => prev.unionByName(b)
+        .groupBy("source", "j").agg(max("r").as("r")),
+      m => m.withColumn("reg", concat_ws(":", col("source"), col("j"))))
 
   /** Per-source distinct estimates from the CURRENT register snapshot —
     * the graded query's integer-exact estimator over the ≤ 64·#sources
@@ -134,17 +141,10 @@ object Sketches {
     * idempotent). Bucket construction is single-sourced with the graded
     * query ([[TextQueries.scoreHistogram]]).
     */
-  def updateScoreHist(table: KeyedTable, docs: DataFrame, batchId: Long): Unit = {
-    if (table.alreadyApplied(batchId)) return
-    val batch = TextQueries.scoreHistogram(docs)
-    val merged = table.read() match {
-      case Some(prev) => prev.select("bucket", "n").unionByName(batch)
-        .groupBy("bucket").agg(sum("n").as("n"))
-      case None => batch
-    }
-    table.publish(merged, Some(batchId))
-    ()
-  }
+  def updateScoreHist(table: KeyedTable, docs: DataFrame, batchId: Long): Unit =
+    mergePublish(table, batchId, TextQueries.scoreHistogram(docs))(
+      (prev, b) => prev.unionByName(b)
+        .groupBy("bucket").agg(sum("n").as("n")))
 
   /** The percentile calibration table from the CURRENT histogram snapshot —
     * the deployment shape: train the histogram on the full stream (constant
@@ -164,18 +164,12 @@ object Sketches {
     * exactly-once. Feature construction is single-sourced with the graded
     * query ([[TextQueries.dsirGrams]]/[[TextQueries.dsirModel]]).
     */
-  def updateDsirModel(table: KeyedTable, docs: DataFrame, batchId: Long): Unit = {
-    if (table.alreadyApplied(batchId)) return
-    val batch = TextQueries.dsirModel(TextQueries.dsirGrams(docs))
-    val merged = table.read() match {
-      case Some(prev) => prev.select("bucket", "r_b", "t_b").unionByName(batch)
+  def updateDsirModel(table: KeyedTable, docs: DataFrame, batchId: Long): Unit =
+    mergePublish(table, batchId,
+      TextQueries.dsirModel(TextQueries.dsirGrams(docs)))(
+      (prev, b) => prev.unionByName(b)
         .groupBy("bucket")
-        .agg(sum("r_b").as("r_b"), sum("t_b").as("t_b"))
-      case None => batch
-    }
-    table.publish(merged, Some(batchId))
-    ()
-  }
+        .agg(sum("r_b").as("r_b"), sum("t_b").as("t_b")))
 
   /** Importance-select the top `k` of `docs` against the CURRENT model
     * snapshot — the deployment shape of DSIR: train the model on the full
@@ -200,18 +194,12 @@ object Sketches {
     * harmless to replay, but the guard keeps the publish/batch-id protocol
     * identical across the store family).
     */
-  def updateNovelty(table: KeyedTable, docs: DataFrame, batchId: Long): Unit = {
-    if (table.alreadyApplied(batchId)) return
-    val batch = DedupQueries.shingleRows(docs)
-      .groupBy("shingle").agg(min(col("doc_id")).as("first_doc"))
-    val merged = table.read() match {
-      case Some(prev) => prev.select("shingle", "first_doc").unionByName(batch)
-        .groupBy("shingle").agg(min(col("first_doc")).as("first_doc"))
-      case None => batch
-    }
-    table.publish(merged, Some(batchId))
-    ()
-  }
+  def updateNovelty(table: KeyedTable, docs: DataFrame, batchId: Long): Unit =
+    mergePublish(table, batchId,
+      DedupQueries.shingleRows(docs)
+        .groupBy("shingle").agg(min(col("doc_id")).as("first_doc")))(
+      (prev, b) => prev.unionByName(b)
+        .groupBy("shingle").agg(min(col("first_doc")).as("first_doc")))
 
   /** The novelty report for `docs` against the CURRENT first-occurrence
     * snapshot (call after [[updateNovelty]] has ingested them): a doc's
@@ -258,22 +246,14 @@ object Sketches {
     * ([[PipelineQueries.domainRows]]/[[PipelineQueries.domainPairs]]);
     * SketchesSpec pins streamed state ≡ the batch rollup.
     */
-  def updateDomains(table: KeyedTable, docs: DataFrame, batchId: Long): Unit = {
-    if (table.alreadyApplied(batchId)) return
-    val batch = PipelineQueries.domainPairs(PipelineQueries.domainRows(docs))
-    val merged = table.read() match {
-      case Some(prev) => prev.select("domain", "source", "n_docs", "total_chars", "n_tracked")
-        .unionByName(batch)
+  def updateDomains(table: KeyedTable, docs: DataFrame, batchId: Long): Unit =
+    mergePublish(table, batchId,
+      PipelineQueries.domainPairs(PipelineQueries.domainRows(docs)))(
+      (prev, b) => prev.unionByName(b)
         .groupBy("domain", "source")
         .agg(sum("n_docs").as("n_docs"), sum("total_chars").as("total_chars"),
-          sum("n_tracked").as("n_tracked"))
-      case None => batch
-    }
-    table.publish(
-      merged.withColumn("pair", concat_ws("\u001f", col("domain"), col("source"))),
-      Some(batchId))
-    ()
-  }
+          sum("n_tracked").as("n_tracked")),
+      m => m.withColumn("pair", concat_ws("\u001f", col("domain"), col("source"))))
 
   /** The graded report shape from the persisted domain state — shared
     * [[PipelineQueries.domainReport]], so streamed-then-reported equals the
@@ -291,19 +271,11 @@ object Sketches {
     * table and old events are never reprocessed. State is one row per
     * (type, hour) pair, independent of event volume.
     */
-  def updateHourly(table: KeyedTable, events: DataFrame, batchId: Long): Unit = {
-    if (table.alreadyApplied(batchId)) return
-    val batch = graft.queries.EventQueries.hourlyCounts(events)
-    val merged = table.read() match {
-      case Some(prev) => prev.select("event_type", "hr", "c").unionByName(batch)
-        .groupBy("event_type", "hr").agg(sum("c").as("c"))
-      case None => batch
-    }
-    table.publish(
-      merged.withColumn("cell", concat_ws("\u001f", col("event_type"), col("hr"))),
-      Some(batchId))
-    ()
-  }
+  def updateHourly(table: KeyedTable, events: DataFrame, batchId: Long): Unit =
+    mergePublish(table, batchId, graft.queries.EventQueries.hourlyCounts(events))(
+      (prev, b) => prev.unionByName(b)
+        .groupBy("event_type", "hr").agg(sum("c").as("c")),
+      m => m.withColumn("cell", concat_ws("\u001f", col("event_type"), col("hr"))))
 
   /** The graded anomaly report from the persisted hourly counts — shared
     * [[graft.queries.EventQueries.anomalyReport]], so streamed-then-reported

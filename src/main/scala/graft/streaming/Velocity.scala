@@ -85,7 +85,17 @@ object Velocity {
             state.remove()
             Iterator.empty
           } else {
-          var buf = state.getOption.map(_.rows).getOrElse(Nil)
+          // running (count, centsSum) over a deque: append the run, evict
+          // the aged prefix, emit from the maintained totals — O(E + batch)
+          // per user per batch. The previous List form copied and re-summed
+          // the whole window per distinct-timestamp run (O(runs × E)),
+          // quadratic exactly on the hot high-velocity keys this operator
+          // scores. Cents are integer Longs, so the running subtraction is
+          // exact — no float-drift concern in the rolling sum.
+          val dq = scala.collection.mutable.ArrayDeque
+            .from(state.getOption.map(_.rows).getOrElse(Nil))
+          var n     = dq.length.toLong
+          var cents = dq.iterator.map(_._3).sum
           val out = scala.collection.mutable.ArrayBuffer.empty[VelocityRow]
           val arr = rows.toArray.sortBy(r => (r._2, r._3))
           var i = 0
@@ -94,16 +104,18 @@ object Velocity {
             while (j < arr.length && arr(j)._2 == arr(i)._2) j += 1
             val us = arr(i)._2
             // absorb the WHOLE equal-us run before emitting: RANGE peers
-            buf = buf ++ arr.slice(i, j).map(r => (r._2, r._3, r._4)).toList
-            buf = buf.dropWhile(_._1 < us - windowUs) // inclusive lower bound
-            val n = buf.length.toLong
-            val cents = buf.iterator.map(_._3).sum
+            arr.slice(i, j).foreach { r =>
+              dq.append((r._2, r._3, r._4)); n += 1; cents += r._4
+            }
+            while (dq.nonEmpty && dq.head._1 < us - windowUs) { // inclusive lower bound
+              val h = dq.removeHead(); n -= 1; cents -= h._3
+            }
             arr.slice(i, j).foreach { r =>
               out += VelocityRow(r._3, user, r._2, n, cents)
             }
             i = j
           }
-          state.update(VelocityState(buf))
+          state.update(VelocityState(dq.toList))
           // re-armed on every batch with data; fires only after a full
           // idle-timeout of silence for this user
           idleTimeoutMs.foreach(t => state.setTimeoutDuration(math.max(1L, t)))

@@ -56,6 +56,21 @@ class BenchLoadSpec extends AnyFunSuite {
     assert(hot.get("chunk_load").get(1).get("ext_cores").asDouble === 16.0)
   }
 
+  test("the emitted verdict applies the first-chunk loadavg trigger") {
+    // IO-heavy competing load: loadavg-visible (D-state) but invisible to
+    // busy-jiffy ext_cores and to steal — the verdict must flag it when the
+    // run STARTED into it (chunk 0), same rule as the retry decision
+    val ioHot = idle.copy(startLoad = 13.0)
+    val (json0, deg0) = Bench.loadFieldsJson(Seq(ioHot, idle), cores, None, None)
+    assert(deg0, "chunk-0 loadavg past 1.5*cores/4 must degrade the run")
+    assert(mapper.readTree(json0).get("chunk_load").get(0).get("hot").asBoolean)
+    // the same loadavg on a LATER chunk is dominated by the bench's own
+    // prior-chunk work and must NOT flag (the 4038aae false-positive fix)
+    val (json1, deg1) = Bench.loadFieldsJson(Seq(idle, ioHot), cores, None, None)
+    assert(!deg1, "bench-self loadavg on later chunks must not degrade the run")
+    assert(!mapper.readTree(json1).get("chunk_load").get(1).get("hot").asBoolean)
+  }
+
   test("the emitted degraded flag rides a parseable full line") {
     // assemble a line the way main does (same field layout) and check a
     // JSON consumer reads metric/degraded/load back — guards the string

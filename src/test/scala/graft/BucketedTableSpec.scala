@@ -110,8 +110,12 @@ class BucketedTableSpec extends SparkTestBase {
     val mine = spark.catalog.listTables().collect()
       .map(_.name).filter(_.startsWith(prefix)).toSeq
     assert(mine.contains(s"${prefix}_v4"), s"latest version missing from catalog: $mine")
-    assert(!mine.exists(t => t.endsWith("_v0") || t.endsWith("_v1") || t.endsWith("_v2")),
+    // v2 and v3 survive (KeepSnapshots=2 superseded beside current v4);
+    // anything older is dropped from catalog and disk
+    assert(!mine.exists(t => t.endsWith("_v0") || t.endsWith("_v1")),
       s"superseded versions not dropped from catalog: $mine")
+    assert(mine.contains(s"${prefix}_v2") && mine.contains(s"${prefix}_v3"),
+      s"documented retention window (2 superseded) not honored: $mine")
     // the latest version must still read through the catalog
     assert(kt.read().get.count() == 5)
   }

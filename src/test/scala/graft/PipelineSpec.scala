@@ -119,6 +119,46 @@ class PipelineSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stateful sessionizer gap-folds mutually-in-gap stragglers like the batch form") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val gapUs = 10L * 60 * 1000000 // 10 min
+    def us(min: Int) = min * 60L * 1000000
+    val input = MemoryStream[(Long, Long)]
+    val out = graft.streaming.Sessions.sessionizeStateful(input.toDS(), gapUs, None)
+    val q = out.writeStream.format("memory").queryName("straggler_sess")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1 opens user 1's session at [100, 110]
+      input.addData((1L, us(100)), (1L, us(110)))
+      q.processAllAvailable()
+      // batch 2: two stragglers far below the open envelope but within gap
+      // of EACH OTHER — they must fold into ONE closed session (50..55),
+      // not two singletons; the open session is untouched
+      input.addData((1L, us(50)), (1L, us(55)))
+      q.processAllAvailable()
+      val closed = spark.table("straggler_sess")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(closed == Seq((1L, us(50), us(55), 2L)),
+        s"mutually-in-gap stragglers must close as one session, got $closed")
+
+      // batch 3: a straggler run that BRIDGES into the open session
+      // (82 -> 91 within gap, 91 -> 100 within gap): nothing closes, the
+      // open session absorbs the run; prove it by closing with a far-future
+      // event and checking the merged extent 82..110 with all 6 events
+      input.addData((1L, us(82)), (1L, us(91)))
+      q.processAllAvailable()
+      input.addData((1L, us(400)))
+      q.processAllAvailable()
+      val all = spark.table("straggler_sess")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(all == Seq((1L, us(50), us(55), 2L), (1L, us(82), us(110), 4L)),
+        s"bridging straggler run must merge into the open session, got $all")
+    } finally q.stop()
+  }
+
   test("event-time stateful sessionizer evicts via the watermark, not wall clock") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
