@@ -200,7 +200,11 @@ object StreamingSmoke {
       awaitUntil("first event emitted")(rows.contains(101L))
       c.is(rows(101L) == ((1L, 100L)), "first window must be the event itself")
       awaitUntil("idle state evicted")(
-        Option(q.lastProgress).exists(_.stateOperators(0).numRowsTotal == 0L))
+        // guard the array: an early progress record (before the state
+        // operator reports) carries an EMPTY stateOperators — indexing it
+        // blind made this suite flaky under timing jitter
+        Option(q.lastProgress).exists(p =>
+          p.stateOperators.nonEmpty && p.stateOperators(0).numRowsTotal == 0L))
       c.is(true, "default-constructed stream evicted the idle user")
       in.addData((1L, 11000000L, 102L, 40L))
       awaitUntil("post-eviction event emitted")(rows.contains(102L))

@@ -122,7 +122,10 @@ class VelocityStreamSpec extends SparkTestBase {
       assert(cond, s"timed out waiting for: $what")
     }
     def stateRows(): Long =
-      Option(q.lastProgress).map(_.stateOperators(0).numRowsTotal).getOrElse(-1L)
+      // guard the array: early progress records (before the state operator
+      // reports) carry an EMPTY stateOperators (StreamingSmoke hit this)
+      Option(q.lastProgress).filter(_.stateOperators.nonEmpty)
+        .map(_.stateOperators(0).numRowsTotal).getOrElse(-1L)
     try {
       // batch 1: two events for user 1 inside one window -> state 1 key
       in.addData((1L, 1000000L, 101L, 100L), (1L, 1500000L, 102L, 25L))
