@@ -99,37 +99,71 @@ object AnnIndex {
       partCols: Seq[String], sweep: Boolean,
       minus: Option[DataFrame] = None): Unit = {
     if (!graft.streaming.Fs.isDirectory(s, store)) return
-    val existing = graft.streaming.Fs.layerIds(s, store)
-    if (existing.isEmpty) return
-    val gen = existing.filter(_ < 0).minOption.getOrElse(0L) - 1L
-    val folded = s.read.parquet(store)
-      .drop("batch").dropDuplicates()
-    minus.fold(folded)(t => folded.join(broadcast(t), Seq("vec_id"), "left_anti"))
-      .withColumn("batch", lit(gen))
-      .write.mode("append")
-      .partitionBy("batch" +: partCols: _*)
-      .parquet(store)
-    if (sweep)
-      graft.streaming.Fs.layerIds(s, store).filter(_ != gen).foreach { v =>
-        graft.streaming.Fs.deleteRecursively(s, s"$store/batch=$v")
-      }
+    if (graft.streaming.Fs.layerIds(s, store).isEmpty) return
+    // the reserve-gen / write / sweep ordering is the shared crash-safety
+    // invariant — single-sourced in Fs.compactLayers with the band index
+    // and the pack store
+    graft.streaming.Fs.compactLayers(s, store, sweep) { gen =>
+      val folded = s.read.parquet(store)
+        .drop("batch").dropDuplicates()
+      minus.fold(folded)(t => folded.join(broadcast(t), Seq("vec_id"), "left_anti"))
+        .withColumn("batch", lit(gen))
+        .write.mode("append")
+        .partitionBy("batch" +: partCols: _*)
+        .parquet(store)
+    }
   }
 
+  /** The data stores present under `indexDir`. The tombstone set is SHARED
+    * by all of them (one `tombs/` per index dir, consumed by search,
+    * searchLsh, and searchIvfPq alike), so a compaction may clear the
+    * tombstone layers only when no OTHER store could still be serving the
+    * tombstoned rows from its un-folded layers — clearing after folding
+    * just one store would resurrect deleted (takedown/GDPR) vectors in the
+    * co-located ones.
+    */
+  private def dataStores(s: SparkSession, indexDir: String): Seq[String] =
+    Seq(vectorsPath(indexDir), lshPath(indexDir), pqCodesPath(indexDir))
+      .filter(p => graft.streaming.Fs.isDirectory(s, p) &&
+        graft.streaming.Fs.layerIds(s, p).nonEmpty)
+
+  /** Clear the shared tombstones iff `store` is the ONLY data store under
+    * `indexDir`; co-located stores keep them (stale-but-safe — the search
+    * anti-join stays active) until [[compactAll]] folds every store.
+    */
+  private def clearTombstonesIfSole(s: SparkSession, indexDir: String,
+      store: String): Unit =
+    if (dataStores(s, indexDir).forall(_ == store)) clearTombstones(s, indexDir)
+
   /** Fold the IVF store's batch layers into one generation; tombstoned
-    * vectors are physically dropped, then the tombstones cleared.
+    * vectors are physically dropped, and the tombstones cleared when this
+    * is the dir's only store (see [[clearTombstonesIfSole]]).
     */
   def compactIndex(s: SparkSession, indexDir: String): Unit = {
     compactStore(s, vectorsPath(indexDir), Seq("cid"), sweep = true,
       minus = tombstones(s, indexDir))
-    clearTombstones(s, indexDir)
+    clearTombstonesIfSole(s, indexDir, vectorsPath(indexDir))
   }
 
   /** Fold the LSH store's batch layers into one generation; tombstoned
-    * vectors are physically dropped, then the tombstones cleared.
+    * vectors are physically dropped, and the tombstones cleared when this
+    * is the dir's only store (see [[clearTombstonesIfSole]]).
     */
   def compactIndexLsh(s: SparkSession, indexDir: String): Unit = {
     compactStore(s, lshPath(indexDir), Seq("pb"), sweep = true,
       minus = tombstones(s, indexDir))
+    clearTombstonesIfSole(s, indexDir, lshPath(indexDir))
+  }
+
+  /** Fold EVERY store present under `indexDir` against one tombstone
+    * snapshot, then clear the shared tombstones — the compaction to use
+    * when stores co-locate in one index dir.
+    */
+  def compactAll(s: SparkSession, indexDir: String): Unit = {
+    val t = tombstones(s, indexDir)
+    compactStore(s, vectorsPath(indexDir), Seq("cid"), sweep = true, minus = t)
+    compactStore(s, lshPath(indexDir), Seq("pb"), sweep = true, minus = t)
+    compactStore(s, pqCodesPath(indexDir), Seq("cid"), sweep = true, minus = t)
     clearTombstones(s, indexDir)
   }
 
@@ -380,9 +414,13 @@ object AnnIndex {
     * [[SQ.planBits]] (or call [[buildLshScaled]], which does).
     */
   private[graft] def buildLshFrom(vectorsRaw: DataFrame, indexDir: String,
-      bits: Int = SQ.BitsPerTable): Unit = {
-    val s = vectorsRaw.sparkSession
-    writeLshLayer(corpusOf(vectorsRaw), indexDir, -1L, full = true, bits)
+      bits: Int = SQ.BitsPerTable): Unit =
+    buildLshFromCorpus(corpusOf(vectorsRaw), indexDir, bits)
+
+  private def buildLshFromCorpus(corpus: DataFrame, indexDir: String,
+      bits: Int): Unit = {
+    val s = corpus.sparkSession
+    writeLshLayer(corpus, indexDir, -1L, full = true, bits)
     // geometry marker AFTER the layer (a full build overwrites the store
     // dir, which would delete a pre-written marker)
     graft.streaming.Fs.writeString(s, lshPath(indexDir) + "/_BITS", bits.toString)
@@ -399,9 +437,16 @@ object AnnIndex {
     * the corpus the build is about to scan anyway.
     */
   def buildLshScaled(vectorsRaw: DataFrame, indexDir: String): Int = {
-    val bits = SQ.planBits(math.max(1L, corpusOf(vectorsRaw).count()))
-    buildLshFrom(vectorsRaw, indexDir, bits)
-    bits
+    // one persisted projection feeds both the sizing count and the layer
+    // write — the un-cached form re-scanned and re-quantized the whole
+    // corpus twice, doubling the build's dominant stage (buildIvfPqScaled
+    // already works this way)
+    val corpus = corpusOf(vectorsRaw).persist()
+    try {
+      val bits = SQ.planBits(math.max(1L, corpus.count()))
+      buildLshFromCorpus(corpus, indexDir, bits)
+      bits
+    } finally { corpus.unpersist(); () }
   }
 
   /** Incremental LSH append — the batch protocol documented above; the
@@ -579,11 +624,14 @@ object AnnIndex {
     }
   }
 
-  /** Fold the codes store's batch layers; tombstoned vectors drop. */
+  /** Fold the codes store's batch layers; tombstoned vectors drop, and the
+    * tombstones clear when this is the dir's only store (see
+    * [[clearTombstonesIfSole]]).
+    */
   def compactIndexPq(s: SparkSession, indexDir: String): Unit = {
     compactStore(s, pqCodesPath(indexDir), Seq("cid"), sweep = true,
       minus = tombstones(s, indexDir))
-    clearTombstones(s, indexDir)
+    clearTombstonesIfSole(s, indexDir, pqCodesPath(indexDir))
   }
 
   /** The stored PQ codebooks, code-id order within each subspace. */

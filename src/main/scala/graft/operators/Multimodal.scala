@@ -56,14 +56,8 @@ object Multimodal {
     * decoder for the remaining formats and nothing else changes.
     */
   private[graft] def fakeDecode(payload: Array[Byte]): (Int, Int, Long) = {
-    val n = if (payload == null) 0 else payload.length
-    val checksum = {
-      var acc = 1125899906842597L // large prime seed
-      var i = 0
-      while (i < n) { acc = acc * 31 + payload(i); i += 1 }
-      acc
-    }
-    (n % 1024 + 1, n % 768 + 1, checksum)
+    val p = if (payload == null) Array.emptyByteArray else payload
+    (p.length % 1024 + 1, p.length % 768 + 1, pixelChecksum(p))
   }
 
   /** The same prime-31 checksum over DECODED pixel bytes — the spec's
@@ -94,8 +88,12 @@ object Multimodal {
     val payloadIdx = df.schema.fieldIndex("payload")
     df.mapPartitions { rows =>
       // one Inflater per partition, reset per payload — the decoder-session
-      // init a native decoder would also do here
+      // init a native decoder would also do here. end() releases the native
+      // zlib context when the TASK completes (not at GC finalization — a
+      // long-lived executor would otherwise accumulate off-heap contexts)
       val inflater = new java.util.zip.Inflater()
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => inflater.end()))
       rows.map { row =>
         val p = row.getAs[Array[Byte]](payloadIdx)
         val features =
@@ -552,6 +550,13 @@ object Multimodal {
   private[graft] def isPng(p: Array[Byte]): Boolean =
     p != null && p.length >= 8 && (0 until 8).forall(i => p(i) == PngSigBytes(i))
 
+  /** Decode-size ceiling for [[pngDecode]] (raw scanline bytes): declared
+    * IHDR dimensions are payload-controlled, so this bounds both the Int
+    * overflow and the decompression-bomb allocation a crafted header could
+    * otherwise force. 64 MiB ≈ a 4096×4096 RGBA image.
+    */
+  private[graft] val MaxDecodedBytes: Long = 64L * 1024 * 1024
+
   /** Paeth predictor (RFC 2083 §6.6) — shared by encode and decode. */
   private def paeth(a: Int, b: Int, c: Int): Int = {
     val p = a + b - c
@@ -646,7 +651,10 @@ object Multimodal {
       while (!ended && pos + 12 <= p.length) {
         val len = ((p(pos) & 0xFF) << 24) | ((p(pos + 1) & 0xFF) << 16) |
           ((p(pos + 2) & 0xFF) << 8) | (p(pos + 3) & 0xFF)
-        if (len < 0 || pos + 12 + len > p.length) return None
+        // bounds in Long: a crafted length near Int.MaxValue would wrap
+        // `pos + 12 + len` negative and slip past an Int comparison,
+        // turning the malformed-input None into an uncaught AIOOBE
+        if (len < 0 || pos.toLong + 12L + len > p.length) return None
         val ctype = new String(p, pos + 4, 4, "US-ASCII")
         val crc = new java.util.zip.CRC32()
         crc.update(p, pos + 4, 4 + len)
@@ -674,15 +682,28 @@ object Multimodal {
         pos += 12 + len
       }
       if (!headerOk || !ended || idat.size == 0) return None
-      val rowBytes = w * channels
-      val rawLen = h * (1 + rowBytes)
+      // size the decode in Long and cap it: declared dimensions come from
+      // the payload (CRC32 is integrity, not trust), so w·h near
+      // Int.MaxValue would overflow the Int products into a
+      // NegativeArraySizeException — or, just under, turn a few hundred
+      // payload bytes into a multi-GB allocation (decompression bomb).
+      // 64 MiB of raw scanlines ≈ a 4096×4096 RGBA image, far above any
+      // fixture this extractor targets; larger declared images are None.
+      val rowBytesL = w.toLong * channels
+      val rawLenL   = h.toLong * (1L + rowBytesL)
+      if (rawLenL > MaxDecodedBytes) return None
+      val rowBytes = rowBytesL.toInt
+      val rawLen = rawLenL.toInt
       val raw = new Array[Byte](rawLen)
       inflater.reset()
       inflater.setInput(idat.toByteArray)
       var off = 0
       while (off < rawLen && !inflater.finished()) {
         val n = inflater.inflate(raw, off, rawLen - off)
-        if (n == 0 && inflater.needsInput()) return None // truncated stream
+        // any zero-progress state that is not completion is malformed:
+        // needsInput = truncated stream; needsDictionary (zlib FDICT,
+        // non-conformant in PNG) would otherwise spin this loop forever
+        if (n == 0 && !inflater.finished()) return None
         off += n
       }
       if (off != rawLen) return None

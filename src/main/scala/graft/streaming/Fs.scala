@@ -75,12 +75,14 @@ private[graft] object Fs {
     * makes equivalent — so it lives in one place rather than drifting
     * between per-store copies.
     */
-  def compactLayers(spark: SparkSession, root: String)(write: Long => Unit): Unit = {
+  def compactLayers(spark: SparkSession, root: String, sweep: Boolean = true)(
+      write: Long => Unit): Unit = {
     val gen = layerIds(spark, root).filter(_ < 0).minOption.getOrElse(0L) - 1L
     write(gen)
-    layerIds(spark, root).filter(_ != gen).foreach { v =>
-      deleteRecursively(spark, s"$root/batch=$v")
-    }
+    if (sweep)
+      layerIds(spark, root).filter(_ != gen).foreach { v =>
+        deleteRecursively(spark, s"$root/batch=$v")
+      }
   }
 
   def deleteRecursively(spark: SparkSession, path: String): Unit = {

@@ -182,6 +182,38 @@ class AnnIndexSpec extends SparkTestBase {
     assert(perKey == 1L, s"re-appended duplicate rows survived compaction (max $perKey)")
   }
 
+  test("shared tombstones survive per-store compaction when stores co-locate") {
+    val raw    = Tables.embeddings(spark, dir)
+    val cents  = graft.queries.SimilarityQueries.trainCodebook(spark, dir)
+    val probes = AnnIndex.probeWorkload(spark, dir)
+    // one index dir hosting BOTH an IVF store (vectors/) and an LSH store
+    // (lsh/) — they share the dir's single tombs/ set
+    val idx = java.nio.file.Files.createTempDirectory("ann_shared").toString
+    AnnIndex.buildFrom(spark, raw, cents, idx)
+    AnnIndex.buildLshFrom(raw, idx)
+    val victims = top3(AnnIndex.searchLsh(spark, idx, probes))
+      .filter(_._2 == 1L).map(_._3).distinct
+    assert(victims.nonEmpty, "fixture produced no LSH neighbors to delete")
+    import spark.implicits._
+    assert(AnnIndex.deleteIds(spark, idx, victims.toDF("vec_id"), 0L))
+    def lshVictims = top3(AnnIndex.searchLsh(spark, idx, probes))
+      .map(_._3).toSet.intersect(victims.toSet)
+    assert(lshVictims.isEmpty, "delete not visible to the LSH search")
+    // folding only the IVF store must LEAVE the shared tombstones: the LSH
+    // store still physically holds the victims' rows, and clearing here
+    // would resurrect deleted (takedown) vectors in its results
+    AnnIndex.compactIndex(spark, idx)
+    assert(graft.streaming.Fs.layerIds(spark, s"$idx/tombs").nonEmpty,
+      "per-store compaction cleared the tombstones another store still needs")
+    assert(lshVictims.isEmpty,
+      "per-store compaction resurrected tombstoned vectors in the co-located store")
+    // compactAll folds EVERY store against one snapshot, then clears
+    AnnIndex.compactAll(spark, idx)
+    assert(graft.streaming.Fs.layerIds(spark, s"$idx/tombs").isEmpty,
+      "compactAll must clear the folded tombstones")
+    assert(lshVictims.isEmpty, "victims reappeared after compactAll")
+  }
+
   test("LSH appendBatchLsh: search-after-appends equals search-after-rebuild; replay is a no-op") {
     import org.apache.spark.sql.functions.col
     val raw  = Tables.embeddings(spark, dir)

@@ -39,6 +39,44 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.pngDecode("not a png at all".getBytes("UTF-8")).isEmpty)
   }
 
+  test("pngDecode returns None (never crashes or hangs) on adversarial payloads") {
+    def be(i: Long): Array[Byte] = Array(
+      ((i >> 24) & 0xFF).toByte, ((i >> 16) & 0xFF).toByte,
+      ((i >> 8) & 0xFF).toByte, (i & 0xFF).toByte)
+    def chunk(ctype: String, data: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32()
+      val tb = ctype.getBytes("US-ASCII")
+      crc.update(tb); crc.update(data)
+      be(data.length.toLong) ++ tb ++ data ++ be(crc.getValue)
+    }
+    val sig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+    def ihdr(w: Long, h: Long) = chunk("IHDR",
+      be(w) ++ be(h) ++ Array[Byte](8, 2, 0, 0, 0))
+
+    // (1) declared chunk length near Int.MaxValue: `pos + 12 + len` wraps
+    // negative in Int, which slipped past the old bounds check into an
+    // uncaught ArrayIndexOutOfBoundsException
+    val hugeLen = sig ++ be(0x7FFFFFF0L) ++ "IHDR".getBytes("US-ASCII") ++
+      Array.fill[Byte](20)(0)
+    assert(Multimodal.pngDecode(hugeLen).isEmpty, "huge chunk length must be None")
+
+    // (2) declared 50000x50000 dims with a VALID IHDR CRC (CRC is
+    // integrity, not trust): h*(1+w*channels) overflowed Int into a
+    // NegativeArraySizeException; just-under values were a multi-GB
+    // decompression-bomb allocation — both now fall to the size cap
+    val bomb = sig ++ ihdr(50000L, 50000L) ++
+      chunk("IDAT", Array[Byte](0x78, 0x01)) ++ chunk("IEND", Array.emptyByteArray)
+    assert(Multimodal.pngDecode(bomb).isEmpty, "decompression-bomb dims must be None")
+
+    // (3) zlib FDICT stream (header 0x78 0x20: FDICT bit set, check bits
+    // valid): Inflater returns 0 with needsDictionary — neither finished
+    // nor needsInput — which spun the old inflate loop forever
+    val fdict = sig ++ ihdr(2L, 2L) ++
+      chunk("IDAT", Array[Byte](0x78, 0x20, 0, 0, 0, 1)) ++
+      chunk("IEND", Array.emptyByteArray)
+    assert(Multimodal.pngDecode(fdict).isEmpty, "FDICT stream must be None, not a hang")
+  }
+
   test("extractFeatures decodes PNG payloads for real through the mapPartitions plumbing") {
     val imgs = (1L to 6L).map { id =>
       val (w, h) = (4 + (id % 3).toInt, 3 + (id % 2).toInt)
