@@ -122,13 +122,20 @@ object Bench {
     * own work.
     */
   private[graft] final case class ChunkLoad(
-      startLoad: Double, stealPct: Double, externalCores: Double)
+      startLoad: Double, stealPct: Double, externalCores: Double,
+      ioSomePct: Double = 0.0, ioFullPct: Double = 0.0)
 
   /** Hot-chunk predicate (VERDICT r9 next-step #1). A chunk is hot when a
     * competing workload plausibly distorted its timings: external busy CPU
     * above a quarter of the machine, OR — for the FIRST chunk only — start
     * loadavg above 1.5× cores/4 (the run started into an already-saturated
-    * box), OR hypervisor steal above 2%. The loadavg trigger is
+    * box), OR hypervisor steal above 2%, OR (VERDICT r10 next-step #2) IO
+    * pressure past a coarse floor — full-stall above 10% of the chunk's
+    * wall (every non-idle task blocked on IO simultaneously: a CPU-bound
+    * bench chunk cannot do that to itself) or some-stall above 40% (an
+    * idle-box chunk here measures ~0; sustained heavy io_some is a
+    * concurrent IO workload even when its CPU draw is invisible to
+    * ext_cores). The loadavg trigger is
     * first-chunk-only because from chunk 2 onward the 1-min EMA is
     * dominated by the bench's OWN prior-chunk work (≈ `cpus` cores for
     * minutes), so on hosts where cpus ≳ 1.5·cores/4 every later chunk
@@ -141,13 +148,37 @@ object Bench {
       firstChunk: Boolean = false): Boolean =
     cl.externalCores > cores / 4.0 ||
       (firstChunk && cl.startLoad > 1.5 * cores / 4.0) ||
-      cl.stealPct > 2.0
+      cl.stealPct > 2.0 ||
+      cl.ioFullPct > 10.0 || cl.ioSomePct > 40.0
 
   private def loadAvg1(): Option[Double] =
     try {
       val src = scala.io.Source.fromFile("/proc/loadavg")
       try Some(src.getLines().next().split("\\s+")(0).toDouble)
       finally src.close()
+    } catch { case _: Exception => None }
+
+  /** Cumulative PSI stall totals in µs for one resource from
+    * `/proc/pressure/<res>` — (someTotal, fullTotal). PSI sees what
+    * loadavg/ext_cores structurally cannot (VERDICT r10 next-step #2, the
+    * exact r10 failure mode): D-state and IO-wait contention never shows
+    * in busy jiffies, and the loadavg EMA is both laggy and polluted by
+    * the bench's own work. None where the kernel lacks PSI (pre-4.20 or
+    * psi=0) — the io fields then read 0.0, never an error.
+    */
+  private def psiTotals(res: String): Option[(Long, Long)] =
+    try {
+      val src = scala.io.Source.fromFile(s"/proc/pressure/$res")
+      try {
+        val totals = src.getLines().flatMap { l =>
+          val cols = l.trim.split("\\s+")
+          for {
+            kind <- cols.headOption
+            t    <- cols.find(_.startsWith("total="))
+          } yield kind -> t.substring(6).toLong
+        }.toMap
+        totals.get("some").map(s => (s, totals.getOrElse("full", 0L)))
+      } finally src.close()
     } catch { case _: Exception => None }
 
   /** Minimal JSON string escape for builder-controlled content (query
@@ -157,10 +188,15 @@ object Bench {
   private[graft] def jstr(s: String) =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 
-  /** One timed query result: median-of-3 seconds (−1 on failure) + the
-    * first error message if any repeat failed.
+  /** One timed query result: median-of-3 seconds (−1 on failure), the
+    * first error message if any repeat failed, and — for queries whose
+    * eager stages self-attribute through [[graft.Phases]] (the composite
+    * ANN build/train/search cycles) — the phase split of the LAST
+    * successful repeat. Phases are diagnostic sub-timings, not a partition
+    * of the median: `secs − Σ phases` is the lazy serve/residual share.
     */
-  private type Timed = (String, Double, Option[String])
+  private[graft] final case class Timed(name: String, secs: Double,
+      err: Option[String], phases: Seq[(String, Double)] = Nil)
 
   /** Warm up then time one chunk of queries against an OWNED SparkSession
     * (created and stopped here). Median of 3 post-warm-up repeats per query
@@ -185,20 +221,23 @@ object Bench {
       names.foreach { n => clearAllCaches(spark); force(n) }
       val Repeats = 3
       names.map { name =>
+        var phases: Seq[(String, Double)] = Nil
         val runs = (1 to Repeats).map { _ =>
           // drop caches persisted by OTHER queries' evaluation AND by this
           // query's own previous repeat: each timed number must measure the
           // query's own full pipeline. Intra-query persists still apply.
           clearAllCaches(spark)
           val t0 = System.nanoTime()
-          val err = force(name)
+          val (err, ph) = Phases.capture(force(name))
+          if (err.isEmpty && ph.nonEmpty) phases = ph
           (if (err.isEmpty) (System.nanoTime() - t0) / 1e9 else -1.0, err)
         }
         val err = runs.flatMap(_._2).headOption
         val ok  = runs.map(_._1).filter(_ >= 0)
         val median = if (ok.isEmpty) -1.0 else ok.sorted.apply(ok.length / 2)
         err.foreach(m => System.err.println(s"[bench] $name FAILED: $m"))
-        (name, if (err.isEmpty) median else -1.0, err)
+        Timed(name, if (err.isEmpty) median else -1.0, err,
+          if (err.isEmpty) phases else Nil)
       }
     } finally spark.stop()
   }
@@ -213,23 +252,40 @@ object Bench {
     * per-chunk hot/degraded signal).
     */
   private def childMain(csv: String, sfDir: String, cpus: String): Unit = {
-    runChunk(csv.split(',').toSeq.filter(_.nonEmpty), sfDir, cpus).foreach {
-      case (name, secs, err) =>
-        // error text is already whitespace-collapsed by the catch site
-        println((s"GRAFT_Q $name $secs" +: err.toSeq).mkString(" "))
+    runChunk(csv.split(',').toSeq.filter(_.nonEmpty), sfDir, cpus).foreach { t =>
+      // phase names are code-controlled identifiers (no spaces/semicolons),
+      // so `name=secs;name=secs` parses with two splits — same philosophy
+      // as GRAFT_Q: trivially parseable, JSON-hostile-content-proof
+      if (t.phases.nonEmpty)
+        println(s"GRAFT_PH ${t.name} " +
+          t.phases.map { case (p, v) => s"$p=$v" }.mkString(";"))
+      // error text is already whitespace-collapsed by the catch site
+      println((s"GRAFT_Q ${t.name} ${t.secs}" +: t.err.toSeq).mkString(" "))
     }
     println(s"GRAFT_CPU ${ownCpuSec()}")
   }
+
+  /** Parse one `GRAFT_PH` payload (`phase=secs;phase=secs`). */
+  private[graft] def parsePhases(payload: String): Seq[(String, Double)] =
+    payload.split(';').toSeq.filter(_.contains("=")).map { kv =>
+      val i = kv.indexOf('=')
+      (kv.substring(0, i), kv.substring(i + 1).toDouble)
+    }
 
   /** Parse a child's `GRAFT_Q` lines (+ its `GRAFT_CPU` self-report). None
     * (→ in-process fallback) unless EVERY requested query reported.
     */
   private def parseChunk(out: String, names: Seq[String]): Option[(Seq[Timed], Double)] =
     try {
+      val phases = out.linesIterator.filter(_.startsWith("GRAFT_PH ")).map { l =>
+        val parts = l.split(" ", 3)
+        parts(1) -> (if (parts.length >= 3) parsePhases(parts(2)) else Nil)
+      }.toMap
       val rows = out.linesIterator.filter(_.startsWith("GRAFT_Q ")).map { l =>
         val parts = l.split(" ", 4)
         val err = if (parts.length >= 4 && parts(3).nonEmpty) Some(parts(3)) else None
-        parts(1) -> ((parts(1), parts(2).toDouble, err))
+        parts(1) -> Timed(parts(1), parts(2).toDouble, err,
+          phases.getOrElse(parts(1), Nil))
       }.toMap
       val cpu = out.linesIterator.find(_.startsWith("GRAFT_CPU "))
         .map(_.split(" ")(1).toDouble).getOrElse(0.0)
@@ -298,6 +354,7 @@ object Bench {
     def measured[A](work: => (A, Double)): (A, ChunkLoad) = {
       val load0 = loadAvg1().getOrElse(0.0)
       val j0    = cpuJiffies()
+      val psi0  = psiTotals("io")
       val own0  = ownCpuSec()
       val t0    = System.nanoTime()
       val (res, childCpu) = work
@@ -309,8 +366,14 @@ object Bench {
           val busySec = math.max(0L, b1 - b0) / 100.0
           (steal, math.max(0.0, busySec - ownSec) / elapsed)
         }).getOrElse((0.0, 0.0))
+      // PSI totals are cumulative stall µs: delta/1e6 = stalled seconds
+      // over the chunk, /elapsed·100 = percent of the chunk's wall → /1e4
+      val (ioSome, ioFull) =
+        (for ((s0, f0) <- psi0; (s1, f1) <- psiTotals("io")) yield
+          (math.max(0L, s1 - s0) / 1e4 / elapsed,
+            math.max(0L, f1 - f0) / 1e4 / elapsed)).getOrElse((0.0, 0.0))
       def r2(x: Double) = math.round(x * 100) / 100.0
-      (res, ChunkLoad(load0, r2(stealPct), r2(extCores)))
+      (res, ChunkLoad(load0, r2(stealPct), r2(extCores), r2(ioSome), r2(ioFull)))
     }
     val (forkRes, forkLoad) = measured {
       forkChunk(names) match {
@@ -347,12 +410,94 @@ object Bench {
     val degraded = hot.contains(true)
     val perChunk = chunkLoads.zip(hot).map { case (c, h) =>
       s"""{"load":${c.startLoad},"steal_pct":${c.stealPct},""" +
-        s""""ext_cores":${c.externalCores},"hot":$h}"""
+        s""""ext_cores":${c.externalCores},"io_some_pct":${c.ioSomePct},""" +
+        s""""io_full_pct":${c.ioFullPct},"hot":$h}"""
     }.mkString("[", ",", "]")
     val run = runSteal.map(s => s""""steal_pct":$s""").toSeq ++
       runLoad.map(l => s""""loadavg1":$l""").toSeq :+
       s""""cores":$cores""" :+ s""""chunk_load":$perChunk"""
     (run.mkString("{", ",", "}"), degraded)
+  }
+
+  // ---- history-aware per-query plausibility (VERDICT r10 next-step #1) --
+  //
+  // The external-load machinery above measures CPU-shaped contention; the
+  // r10 driver capture proved cache/IO-shaped variance passes it clean
+  // (degraded:false while 7 unchanged queries read 2–9× their idle
+  // medians). The history check closes that blind spot from the other
+  // side: each query's timing is compared to ITS OWN median over the last
+  // clean history entries, and a run where several TRIVIAL queries inflate
+  // together is stamped suspect — one plan change cannot touch unrelated
+  // one-scan queries at once, so co-inflation is contention by definition.
+
+  /** Clean entries consulted from the tail of BENCH_HISTORY.jsonl. */
+  private[graft] val SuspectHistoryWindow = 5
+  /** A query needs this many clean samples before it can be judged. */
+  private[graft] val SuspectMinSamples = 3
+  /** Per-query flag: > ratio × its history median… */
+  private[graft] val SuspectRatio = 2.0
+  /** …AND more than this many seconds above it (sub-100 ms jitter on a
+    * 50 ms query is noise, not contention).
+    */
+  private[graft] val SuspectMinDeltaSec = 0.1
+  /** A query is "trivial" below this median — too simple to regress big. */
+  private[graft] val TrivialMedianSec = 0.5
+  /** Run-level suspect: at least this many trivial queries inflated. */
+  private[graft] val CoInflateCount = 3
+
+  /** Per-query medians over the last `window` CLEAN history entries —
+    * entries that parse, carry a queries map, match this run's scale
+    * factor (`sf`, when given: a dev run appended at sf0.01 must never
+    * feed the medians that judge the driver's sf0.1 capture), and are
+    * neither `degraded` (external-CPU contaminated) nor `suspect` (a
+    * contaminated run must not feed the baseline that judges the next
+    * one). Queries with fewer than `minSamples` clean readings are absent
+    * — no verdict on thin history. Failed timings (−1) never enter a
+    * median.
+    */
+  private[graft] def historyMedians(lines: Seq[String],
+      window: Int = SuspectHistoryWindow,
+      minSamples: Int = SuspectMinSamples,
+      sf: Option[String] = None): Map[String, Double] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val clean = lines.reverseIterator.flatMap { l =>
+      try {
+        val n = mapper.readTree(l)
+        def flagged(f: String) = Option(n.get(f)).exists(_.asBoolean)
+        val sfMismatch = sf.exists(want =>
+          Option(n.get("sf")).exists(_.asText() != want))
+        val qs = Option(n.get("queries")).filter(_.isObject)
+        if (flagged("degraded") || flagged("suspect") || sfMismatch || qs.isEmpty) None
+        else Some {
+          val b = Map.newBuilder[String, Double]
+          qs.get.properties().forEach { e =>
+            val v = e.getValue.asDouble(-1.0)
+            if (v >= 0) b += e.getKey -> v
+          }
+          b.result()
+        }
+      } catch { case _: Exception => None }
+    }.take(window).toSeq
+    clean.flatMap(_.toSeq).groupMap(_._1)(_._2).collect {
+      case (name, vs) if vs.size >= minSamples =>
+        name -> vs.sorted.apply(vs.size / 2)
+    }
+  }
+
+  /** The suspect verdict for one run: the (sorted) names reading past
+    * [[SuspectRatio]]× their history median by at least
+    * [[SuspectMinDeltaSec]], and the run-level flag — true when at least
+    * [[CoInflateCount]] TRIVIAL-median queries inflated together (the
+    * contention signature; a single slow query is as likely a real
+    * regression, which this flag must never mask).
+    */
+  private[graft] def suspectVerdict(timed: Seq[(String, Double)],
+      medians: Map[String, Double]): (Seq[String], Boolean) = {
+    val sus = timed.collect {
+      case (name, secs) if secs >= 0 && medians.get(name).exists(m =>
+        secs > SuspectRatio * m && secs - m > SuspectMinDeltaSec) => name
+    }.sorted
+    (sus, sus.count(n => medians(n) < TrivialMedianSec) >= CoInflateCount)
   }
 
   /** Repo artifact the full per-query map persists to (overwritten per run)
@@ -384,15 +529,26 @@ object Bench {
       System.err.println(s"[bench] artifact write failed: ${e.toString.take(200)}")
     }
 
-  /** Overwrite a single named artifact in the repo dir (best-effort, same
-    * contract as [[writeArtifact]]) — used by the streaming smoke.
+  /** Persist one streaming-smoke health line: `STREAMING.json` is the
+    * latest-run snapshot (overwritten), `STREAMING_HISTORY.jsonl` the
+    * append-only trail (VERDICT r10 next-step #4 — with only the
+    * overwritten file, a suite that flipped red then green between round
+    * captures left no trace a reviewer could see; bench timings already
+    * keep exactly this dual record). Best-effort, same contract as
+    * [[writeArtifact]]; `dir` is injectable so the spec exercises the real
+    * writer against a tmp directory.
     */
-  private[graft] def writeNamedArtifact(name: String, line: String): Unit =
+  private[graft] def writeStreamingRecord(line: String,
+      dir: String = repoDir): Unit =
     try {
       java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(s"$repoDir/$name"), line + "\n")
+        java.nio.file.Paths.get(s"$dir/STREAMING.json"), line + "\n")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$dir/STREAMING_HISTORY.jsonl"),
+        line + "\n", java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
     } catch { case e: Exception =>
-      System.err.println(s"[bench] $name write failed: ${e.toString.take(200)}")
+      System.err.println(s"[bench] STREAMING.json write failed: ${e.toString.take(200)}")
     }
 
   /** Run the streaming-surface smoke ([[graft.tools.StreamingSmoke]]) in a
@@ -406,18 +562,26 @@ object Bench {
     * smoke is skipped with an explicit line rather than half-run.
     * Hard-capped at 10 minutes so a hung stream cannot wedge the bench.
     *
-    * Every failure branch (unforkable, timeout, child died before printing
-    * its health line, launch exception) OVERWRITES `STREAMING.json` with
-    * its skip/fail record: the child only writes the artifact on success,
-    * so without the overwrite a wedged or crashed smoke would leave the
+    * Every failure branch (unforkable, child died before printing its
+    * health line, launch exception) OVERWRITES `STREAMING.json` with its
+    * skip/fail record: the child only writes the artifact on success, so
+    * without the overwrite a wedged or crashed smoke would leave the
     * PREVIOUS run's green record sitting beside a fresh BENCH_FULL.json
-    * with nothing to reveal it is stale.
+    * with nothing to reveal it is stale. The TIMEOUT branch first scans
+    * the child's output for an emitted health line (ADVICE r10): a child
+    * that completed every suite — health line printed, artifact written —
+    * but whose JVM lingered past the cap (e.g. a non-daemon streaming
+    * thread after main returned) keeps its accurate record; only a child
+    * that never reported gets the timeout record.
     */
   private def runStreamingSmoke(): Unit = {
     def record(line: String): Unit = {
       println(line)
-      writeNamedArtifact("STREAMING.json", line)
+      writeStreamingRecord(line)
     }
+    def healthLines(f: java.nio.file.Path): Seq[String] =
+      java.nio.file.Files.readString(f).linesIterator
+        .filter(_.startsWith("""{"metric":"streaming_smoke"""")).toSeq
     try {
       childJvm("graft.tools.StreamingSmoke", Nil) match {
         case None =>
@@ -432,10 +596,16 @@ object Bench {
             val proc = pb.start()
             if (!proc.waitFor(10, java.util.concurrent.TimeUnit.MINUTES)) {
               proc.destroyForcibly(); proc.waitFor()
-              record("""{"metric":"streaming_smoke","skipped":true,"reason":"timeout after 600s"}""")
+              val health = healthLines(outFile)
+              if (health.nonEmpty) {
+                // the child reported and wrote its own artifact before
+                // lingering — echo its line, keep its record
+                health.foreach(println)
+                System.err.println("[bench] streaming smoke JVM lingered past 600s AFTER reporting; its record is kept")
+              } else
+                record("""{"metric":"streaming_smoke","skipped":true,"reason":"timeout after 600s"}""")
             } else {
-              val health = java.nio.file.Files.readString(outFile).linesIterator
-                .filter(_.startsWith("""{"metric":"streaming_smoke"""")).toSeq
+              val health = healthLines(outFile)
               if (health.isEmpty)
                 record(s"""{"metric":"streaming_smoke","skipped":true,"reason":"child rc=${proc.exitValue} with no health line"}""")
               else health.foreach(println)
@@ -478,20 +648,43 @@ object Bench {
     val timed: Seq[Timed] = results.flatMap(_._1)
     val chunkLoads = results.map(_._2)
 
-    val qs = timed.map { case (k, v, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
-    val errs = timed.collect { case (k, _, Some(m)) => s"${jstr(k)}:${jstr(m)}" }
+    val qs = timed.map(t => s"${jstr(t.name)}:${t.secs}").mkString("{", ",", "}")
+    val errs = timed.collect { case Timed(k, _, Some(m), _) => s"${jstr(k)}:${jstr(m)}" }
       .mkString("{", ",", "}")
-    val total = timed.collect { case (_, v, None) => v }.sum
+    // composite-query phase splits (VERDICT r10 next-step #5): a separate
+    // top-level block keyed by query name, so the scalar `queries` map —
+    // what every existing consumer parses — is untouched and totals are
+    // unchanged; `queries[k] − Σ phases[k]` is the lazy serve residual
+    def r3(x: Double) = math.round(x * 1000) / 1000.0
+    val phasesJson = timed.filter(_.phases.nonEmpty).map { t =>
+      s"${jstr(t.name)}:" + t.phases.map { case (p, v) => s"${jstr(p)}:${r3(v)}" }
+        .mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
+    val total = timed.collect { case Timed(_, v, None, _) => v }.sum
     // machine-load context: run-level steal% + end loadavg, per-chunk
     // load/steal/external-cores, and the run's degraded verdict (any chunk
     // still hot after its retry) — VERDICT r9 next-step #1
     val runSteal = for ((s0, _, t0) <- jiffies0; (s1, _, t1) <- cpuJiffies()
         if t1 > t0) yield math.round((s1 - s0) * 10000.0 / (t1 - t0)) / 100.0
     val (loadJson, degraded) = loadFieldsJson(chunkLoads, cores, runSteal, loadAvg1())
+    // history plausibility (VERDICT r10 next-step #1): compare each query
+    // to its own median over the last clean history entries — read BEFORE
+    // this run's line is appended
+    val histLines =
+      try {
+        val p = java.nio.file.Paths.get(historyPath)
+        if (java.nio.file.Files.isRegularFile(p))
+          scala.jdk.CollectionConverters.ListHasAsScala(
+            java.nio.file.Files.readAllLines(p)).asScala.toSeq
+        else Seq.empty[String]
+      } catch { case _: Exception => Seq.empty[String] }
+    val (suspectQs, suspect) = suspectVerdict(timed.map(t => t.name -> t.secs),
+      historyMedians(histLines, sf = Some(sfDir)))
+    val suspectJson = suspectQs.map(jstr).mkString("[", ",", "]")
     val isolation =
       s""""chunks":${chunks.length},"chunks_forked":$forked,"chunk_size":$ChunkSize,"chunks_retried":$retried"""
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","repeats":3,"degraded":$degraded,$isolation,"queries":$qs,"errors":$errs,"load":$loadJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","repeats":3,"degraded":$degraded,"suspect":$suspect,"suspect_queries":$suspectJson,$isolation,"queries":$qs,"phases":$phasesJson,"errors":$errs,"load":$loadJson,"sf":"$sfDir"}"""
     println(fullLine)
     // The full line above grows with the query count and the driver keeps
     // only the tail of the output, so the full map ALSO goes to the repo
@@ -501,11 +694,11 @@ object Bench {
     // JSON-lines consumer filtering metric=="total" never double-counts
     // (ADVICE r7).
     writeArtifact(fullLine)
-    val slowest = timed.filter(_._3.isEmpty).sortBy(-_._2).take(10)
-      .map { case (k, v, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val slowest = timed.filter(_.err.isEmpty).sortBy(-_.secs).take(10)
+      .map(t => s"${jstr(t.name)}:${t.secs}").mkString("{", ",", "}")
     println(s"""{"metric":"slowest10","unit":"sec","queries":$slowest,"sf":"$sfDir"}""")
-    val failed = timed.count(_._3.isDefined)
-    println(s"""{"metric":"total_short","value":$total,"unit":"sec","repeats":3,"degraded":$degraded,$isolation,"queries_run":${names.length},"queries_failed":$failed,"load":$loadJson,"sf":"$sfDir"}""")
+    val failed = timed.count(_.err.isDefined)
+    println(s"""{"metric":"total_short","value":$total,"unit":"sec","repeats":3,"degraded":$degraded,"suspect":$suspect,"suspect_queries":$suspectJson,$isolation,"queries_run":${names.length},"queries_failed":$failed,"load":$loadJson,"sf":"$sfDir"}""")
     // value check, not presence: =0 / empty must mean "run it"
     if (!sys.env.get("GRAFT_SKIP_STREAMING_SMOKE").exists(v => v.nonEmpty && v != "0"))
       runStreamingSmoke()

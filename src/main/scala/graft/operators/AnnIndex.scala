@@ -583,8 +583,11 @@ object AnnIndex {
     val corpus = corpusOf(Tables.embeddings(s, sfDir)).persist()
     try {
       val base = corpus.select("q")
-      buildIvfPqFromCorpus(s, corpus,
-        SQ.trainCodebookFrom(base), SQ.trainPqFrom(base), indexDir)
+      // stage attribution (graft.Phases): no-ops outside a bench capture
+      val coarse = graft.Phases.timed("train_coarse")(SQ.trainCodebookFrom(base))
+      val pq     = graft.Phases.timed("train_pq")(SQ.trainPqFrom(base))
+      graft.Phases.timed("encode_write")(
+        buildIvfPqFromCorpus(s, corpus, coarse, pq, indexDir))
     } finally { corpus.unpersist(); () }
   }
 

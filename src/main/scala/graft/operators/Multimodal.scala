@@ -10,11 +10,17 @@ import org.apache.spark.sql.types._
   * columns with a typed metadata struct — the reference's `image` URL column
   * (pet_scraper.py:279, 294-296) generalized to in-band payloads.
   *
-  * The DECODE step is a stub by design: the real image/audio libraries are
-  * not in this environment, so [[fakeDecode]] is a deterministic placeholder
-  * while everything Spark-side — schema, batch iteration, partitioning, the
-  * executor-side mapPartitions plumbing — is real and tested. Swap
-  * [[fakeDecode]] for a JNI/FFI decoder and nothing else changes.
+  * Decode coverage is split by format (the r8 "stub by design" note is
+  * history for PNG): [[pngDecode]] is a REAL hardened decoder — chunk walk
+  * with CRC verification, JDK-zlib inflate, all five filter-type
+  * reconstructions, Long-widened bounds, a 64 MiB decoded-size cap and a
+  * zero-progress inflate guard against adversarial payloads — and the BMP
+  * pixel/WAV sample paths ([[bmpDHash]], [[pcmFrames]], [[pcmSilence]])
+  * read real payload bytes. Only formats whose codecs genuinely aren't in
+  * this container (JPEG entropy decode, video) keep [[fakeDecode]]'s
+  * deterministic placeholder behind the same mapPartitions plumbing —
+  * schema, batch iteration, partitioning all real; swap in a JNI/FFI codec
+  * and nothing else changes.
   *
   * Scale posture (100 TB): payloads never pass through the driver; feature
   * extraction is `mapPartitions` (one decoder init per partition, streamed

@@ -1184,7 +1184,9 @@ object SimilarityQueries {
       "q_pq_adc",
       s"PQ($PqM x $PqK) ADC shortlist-$PqShort + exact re-rank top-3, trained codebooks",
       (s, dir) => {
-        val cents = trainPq(s, dir)
+        // trainPq is the query's one eager stage; everything after is lazy
+        // and lands in the bench residual (total − Σ phases = serve)
+        val cents = graft.Phases.timed("train_pq")(trainPq(s, dir))
         val base  = pqBase(s, dir)
         val probes = base.filter(col("vec_id").isin(ProbeIds: _*))
           .select(col("vec_id").as("qid"), col("q").as("qq"))
@@ -1267,9 +1269,10 @@ object SimilarityQueries {
         // deleted before returning (ADVICE r9: warm-up + 3 bench repeats
         // each rebuild it; without the sweep every invocation leaked one
         // index dir per process × dataset into java.io.tmpdir)
-        try graft.operators.AnnIndex.searchIvfPq(s, idx,
-          graft.operators.AnnIndex.probeWorkload(s, dir),
-          graft.operators.AnnIndex.corpusOf(Tables.embeddings(s, dir)))
+        try graft.Phases.timed("search")(
+          graft.operators.AnnIndex.searchIvfPq(s, idx,
+            graft.operators.AnnIndex.probeWorkload(s, dir),
+            graft.operators.AnnIndex.corpusOf(Tables.embeddings(s, dir))))
         finally graft.streaming.Fs.deleteRecursively(s, idx)
       },
       Some(s"""WITH n AS (

@@ -304,7 +304,7 @@ object StreamingSmoke {
         s""""suites":${results.length},"assertions":${results.map(_._2).sum},""" +
         s""""failed":${results.count(_._3.isDefined)},"failures":$failures}"""
     println(line)
-    graft.Bench.writeNamedArtifact("STREAMING.json", line)
+    graft.Bench.writeStreamingRecord(line)
     if (results.exists(_._3.isDefined)) sys.exit(1)
   }
 }

@@ -71,6 +71,167 @@ class BenchLoadSpec extends AnyFunSuite {
     assert(!mapper.readTree(json1).get("chunk_load").get(1).get("hot").asBoolean)
   }
 
+  test("IO pressure flags a chunk the CPU signals cannot see") {
+    // the r10 blind spot (VERDICT r10 next-step #2): D-state/IO contention
+    // shows in PSI stall time, never in busy jiffies or steal
+    assert(Bench.isHot(idle.copy(ioFullPct = 12.0), cores),
+      ">10% full-stall must flag — a CPU-bound chunk cannot self-inflict it")
+    assert(Bench.isHot(idle.copy(ioSomePct = 45.0), cores))
+    // boundary: exactly at the thresholds is NOT hot (strict >)
+    assert(!Bench.isHot(idle.copy(ioFullPct = 10.0), cores))
+    assert(!Bench.isHot(idle.copy(ioSomePct = 40.0), cores))
+    // the fields ride the emitted chunk objects (graceful-absence default 0)
+    val (json, deg) = Bench.loadFieldsJson(
+      Seq(idle, idle.copy(ioFullPct = 12.0, ioSomePct = 30.0)), cores, None, None)
+    assert(deg)
+    val chunks = mapper.readTree(json).get("chunk_load")
+    assert(chunks.get(0).get("io_full_pct").asDouble === 0.0)
+    assert(chunks.get(1).get("io_full_pct").asDouble === 12.0)
+    assert(chunks.get(1).get("io_some_pct").asDouble === 30.0)
+    assert(chunks.get(1).get("hot").asBoolean)
+  }
+
+  // ---- history-aware per-query plausibility (VERDICT r10 next-step #1) --
+
+  /** A synthetic clean history line in the BENCH_HISTORY.jsonl format. */
+  private def histLine(qs: Map[String, Double], degraded: Boolean = false,
+      suspect: Boolean = false): String = {
+    val qjson = qs.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    s"""{"metric":"total","value":1.0,"unit":"sec","degraded":$degraded,""" +
+      s""""suspect":$suspect,"queries":$qjson,"sf":"/tmp/sf"}"""
+  }
+
+  // five idle entries shaped like the r10 history: two trivial one-scan
+  // queries, one mid-cost, one heavy
+  private val idleRun = Map(
+    "q_hash_sample" -> 0.16, "q_compaction_summary" -> 0.15,
+    "q_collocations" -> 0.40, "q_ann_ivfpq" -> 5.7)
+  private val idleHistory = Seq.fill(5)(histLine(idleRun))
+
+  test("the r10 scatter fires suspect_queries and the run-level flag") {
+    val medians = Bench.historyMedians(idleHistory)
+    assert(medians("q_hash_sample") === 0.16)
+    // the driver's actual r10 contaminated readings (VERDICT "what's
+    // wrong" #1): unchanged queries at 2–9× their idle medians
+    val contaminated = Seq(
+      "q_hash_sample" -> 0.58, "q_compaction_summary" -> 0.62,
+      "q_collocations" -> 3.63, "q_ann_ivfpq" -> 7.8)
+    val (sus, runSuspect) = Bench.suspectVerdict(contaminated, medians)
+    assert(sus.toSet === Set("q_hash_sample", "q_compaction_summary", "q_collocations"),
+      s"the three >2x readings must flag (ivfpq at 1.4x must not): $sus")
+    assert(runSuspect,
+      "3 trivial-median queries co-inflating IS the contention signature")
+  }
+
+  test("an idle run emits no suspects; one slow query never flags the run") {
+    val medians = Bench.historyMedians(idleHistory)
+    // idle repeat: everything within noise of its median
+    val (none, ok) = Bench.suspectVerdict(idleRun.toSeq.map {
+      case (k, v) => k -> v * 1.2 }, medians)
+    assert(none.isEmpty && !ok)
+    // ONE query 3x slower: listed (a consumer should look at it) but the
+    // RUN is not suspect — a single outlier is as likely a real regression,
+    // which the flag must never mask
+    val (one, run1) = Bench.suspectVerdict(
+      idleRun.updated("q_collocations", 1.3).toSeq, medians)
+    assert(one === Seq("q_collocations") && !run1)
+    // sub-100ms inflation on a trivial query is jitter, not contention,
+    // even past the ratio (0.16 -> 0.25 is 1.56x of... under MinDelta)
+    val (tiny, _) = Bench.suspectVerdict(
+      Seq("q_hash_sample" -> 0.25), medians)
+    assert(tiny.isEmpty, "delta under 0.1s must not flag")
+    // failed timings (-1) never flag
+    val (fail, _) = Bench.suspectVerdict(Seq("q_collocations" -> -1.0), medians)
+    assert(fail.isEmpty)
+  }
+
+  test("contaminated and thin history never feeds the medians") {
+    // degraded/suspect entries are skipped even when they are the tail
+    val dirty = idleHistory ++ Seq(
+      histLine(idleRun.map { case (k, v) => k -> v * 5 }, degraded = true),
+      histLine(idleRun.map { case (k, v) => k -> v * 5 }, suspect = true),
+      "not json at all {{{")
+    assert(Bench.historyMedians(dirty)("q_hash_sample") === 0.16)
+    // a query with fewer than MinSamples clean readings gets no verdict
+    val thin = Seq.fill(2)(histLine(Map("q_new" -> 0.1)))
+    assert(!Bench.historyMedians(thin).contains("q_new"))
+    // failed (-1) history values never enter a median
+    val withFail = Seq.fill(5)(histLine(Map("q_x" -> -1.0)))
+    assert(!Bench.historyMedians(withFail).contains("q_x"))
+    // the window keeps the LAST N clean entries: an old regression-era
+    // median must not outvote five fresh entries
+    val drifted = Seq.fill(10)(histLine(Map("q_y" -> 9.0))) ++
+      Seq.fill(5)(histLine(Map("q_y" -> 1.0)))
+    assert(Bench.historyMedians(drifted)("q_y") === 1.0)
+    // a dev run appended at another scale factor must never feed the
+    // medians that judge a driver sf0.1 capture (histLine stamps /tmp/sf)
+    assert(Bench.historyMedians(idleHistory, sf = Some("/tmp/sf"))("q_hash_sample") === 0.16)
+    assert(Bench.historyMedians(idleHistory, sf = Some("/root/testdata/sf0.1")).isEmpty)
+    // entries predating the sf field (or any missing field) stay eligible
+    val noSf = Seq.fill(5)("""{"degraded":false,"queries":{"q_old":2.0}}""")
+    assert(Bench.historyMedians(noSf, sf = Some("/tmp/sf"))("q_old") === 2.0)
+  }
+
+  // ---- phase sub-timings (VERDICT r10 next-step #5) ----------------------
+
+  test("Phases capture attributes eager stages and is a no-op outside one") {
+    // outside a capture: timed is transparent
+    assert(Phases.timed("x")(41 + 1) === 42)
+    val (res, phases) = Phases.capture {
+      Phases.timed("train")(Thread.sleep(5))
+      Phases.timed("search")(Thread.sleep(5))
+      Phases.timed("train")(Thread.sleep(5)) // re-entry accumulates
+      "done"
+    }
+    assert(res === "done")
+    assert(phases.map(_._1) === Seq("train", "search"), "first-recorded order")
+    val m = phases.toMap
+    assert(m("train") >= 0.010 && m("search") >= 0.005)
+    // a capture must not leak to the next one
+    assert(Phases.capture(7)._2.isEmpty)
+  }
+
+  test("the GRAFT_PH wire format round-trips and rides a parseable line") {
+    val ph = Bench.parsePhases("train_coarse=1.25;train_pq=2.5;encode_write=0.75")
+    assert(ph === Seq("train_coarse" -> 1.25, "train_pq" -> 2.5, "encode_write" -> 0.75))
+    assert(Bench.parsePhases("").isEmpty)
+    // the artifact block: phases keyed by query beside the scalar queries
+    // map (totals unchanged — the consumer contract)
+    val line =
+      s"""{"metric":"total","value":8.2,"queries":{"q_ann_ivfpq":8.2},""" +
+        s""""phases":{"q_ann_ivfpq":{"train_coarse":1.25,"train_pq":2.5}},"errors":{}}"""
+    val node = mapper.readTree(line)
+    assert(node.get("queries").get("q_ann_ivfpq").asDouble === 8.2)
+    assert(node.get("phases").get("q_ann_ivfpq").get("train_pq").asDouble === 2.5)
+  }
+
+  // ---- streaming history (VERDICT r10 next-step #4) ----------------------
+
+  test("streaming records keep a snapshot AND an append-only history") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-hist")
+    try {
+      val l1 = """{"metric":"streaming_smoke","value":1.0,"suites":7,"failed":1}"""
+      val l2 = """{"metric":"streaming_smoke","value":0.9,"suites":7,"failed":0}"""
+      Bench.writeStreamingRecord(l1, dir.toString)
+      Bench.writeStreamingRecord(l2, dir.toString)
+      val snap = java.nio.file.Files.readString(dir.resolve("STREAMING.json"))
+        .linesIterator.toSeq
+      assert(snap === Seq(l2), "snapshot must hold exactly the latest line")
+      val hist = java.nio.file.Files
+        .readString(dir.resolve("STREAMING_HISTORY.jsonl")).linesIterator.toSeq
+      assert(hist === Seq(l1, l2),
+        "history must keep both runs — the red->green flip r10 could not see")
+      hist.foreach { l =>
+        val n = mapper.readTree(l)
+        assert(n.get("metric").asText === "streaming_smoke")
+        assert(n.get("suites").asInt === 7)
+      }
+    } finally {
+      java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+    }
+  }
+
   test("the emitted degraded flag rides a parseable full line") {
     // assemble a line the way main does (same field layout) and check a
     // JSON consumer reads metric/degraded/load back — guards the string

@@ -1,0 +1,206 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+
+/** Seeded corruption fuzz over the binary decoders (VERDICT r10 next-step
+  * #3): the r10 hardening of `pngDecode` (Long-widened chunk bounds, the
+  * 64 MiB decoded-size cap, the zero-progress inflate guard) was pinned
+  * only by the specific fixtures that motivated it. This spec pins the
+  * CLASS of failure: for each format, a deterministic LCG drives hundreds
+  * of mutations of a valid payload — truncations, random byte/bit damage,
+  * length-field overwrites (the chunk-walk attack surface), garbage
+  * appends — and every decoder must (a) never throw, (b) finish in bounded
+  * wall time (no inflate/marker-walk spin), and (c) answer damage with
+  * `None` / `*_ok = 0` + null fields, never garbage dressed as success.
+  *
+  * Deterministic by construction (fixed seed, no time/entropy), so a
+  * failure is replayable by index: the assertion message carries the
+  * mutation number.
+  */
+class DecoderFuzzSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Fixed-seed LCG (Knuth MMIX constants) — the only randomness source. */
+  private final class Lcg(seed: Long) {
+    private var s = seed
+    def next(): Long = { s = s * 6364136223846793005L + 1442695040888963407L; s }
+    /** Uniform in [0, n). */
+    def nextInt(n: Int): Int = (((next() >>> 33) % n).toInt + n) % n
+  }
+
+  /** One seeded mutation of a valid payload. The kinds target the decoder
+    * attack surfaces: truncation (mid-chunk/mid-stream), point damage
+    * (CRC/filter/marker bytes), 4-byte big-endian length-field overwrites
+    * with near-Int.MaxValue values (the Long-widening regression), LE
+    * overwrites (RIFF/BMP size fields), and tail garbage.
+    */
+  private def mutate(valid: Array[Byte], rng: Lcg): Array[Byte] =
+    rng.nextInt(5) match {
+      case 0 => // truncate anywhere, including inside the first header
+        valid.take(rng.nextInt(valid.length))
+      case 1 => // 1-4 random byte overwrites
+        val m = valid.clone()
+        (0 until 1 + rng.nextInt(4)).foreach { _ =>
+          m(rng.nextInt(m.length)) = rng.next().toByte
+        }
+        m
+      case 2 => // big-endian u32 overwrite with a huge value at a random
+        // 4-byte-aligned-ish offset — the crafted-chunk-length shape
+        val m = valid.clone()
+        if (m.length >= 12) {
+          val off = rng.nextInt(m.length - 4)
+          val v = 0x7FFFFF00 | rng.nextInt(256)
+          m(off) = (v >>> 24).toByte; m(off + 1) = (v >>> 16).toByte
+          m(off + 2) = (v >>> 8).toByte; m(off + 3) = v.toByte
+        }
+        m
+      case 3 => // single bit flip
+        val m = valid.clone()
+        val off = rng.nextInt(m.length)
+        m(off) = (m(off) ^ (1 << rng.nextInt(8))).toByte
+        m
+      case _ => // append garbage (trailing-junk tolerance must not loop)
+        valid ++ Array.fill(1 + rng.nextInt(64))(rng.next().toByte)
+    }
+
+  /** Assert the whole fuzz batch finishes inside a generous wall budget —
+    * the "never loops" clause. Idle-box runtime is well under a second per
+    * batch; 120 s only trips on a genuine spin (the pre-r10 zero-progress
+    * inflate state span forever).
+    */
+  private def bounded[A](label: String)(f: => A): A = {
+    val t0 = System.nanoTime()
+    val r = f
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 120.0, s"$label took ${secs}s — a decoder is spinning")
+    r
+  }
+
+  // ---- pngDecode: direct JVM-side fuzz (the hardened decoder) -----------
+
+  test("pngDecode survives 1000 seeded mutations: no throw, no spin, no garbage") {
+    val px = Array.tabulate(8 * 8 * 4)(i => ((i * 37 + 11) % 251).toByte)
+    val valid = Multimodal.pngBytes(8, 8, 4, px, Seq(0, 1, 2, 3, 4))
+    // sanity: the fuzz base decodes before any mutation
+    val base = Multimodal.pngDecode(valid)
+    assert(base.exists(d => d.w == 8 && d.h == 8 && d.pixels.sameElements(px)))
+    val rng = new Lcg(0xD1CEB00L)
+    val inflater = new java.util.zip.Inflater() // reused, as extractFeatures does
+    var decoded = 0
+    bounded("pngDecode fuzz") {
+      (0 until 1000).foreach { i =>
+        val m = mutate(valid, rng)
+        // the contract: total function — None on damage, a structurally
+        // consistent image otherwise, never an exception or a hang
+        val r = try Multimodal.pngDecode(m, inflater)
+        catch { case e: Throwable =>
+          fail(s"mutation $i threw ${e.getClass.getName}: ${e.getMessage}")
+        }
+        r.foreach { img =>
+          decoded += 1
+          assert(img.w > 0 && img.h > 0 && (img.channels == 3 || img.channels == 4),
+            s"mutation $i decoded inconsistent geometry $img")
+          assert(img.pixels.length == img.w * img.h * img.channels,
+            s"mutation $i decoded pixels/geometry mismatch")
+        }
+      }
+    }
+    // CRC-verified chunks make accidental survival rare; tail-append (kind
+    // 4) keeps the stream intact by design, so SOME mutations must decode —
+    // a fuzzer whose base never survives is fuzzing a broken fixture
+    assert(decoded > 0, "no mutation decoded — the fuzz base looks broken")
+  }
+
+  /** Evaluate `parse` over mutated payloads through the real columnar
+    * path (one binary-column DataFrame, collect) and hand each result row
+    * to `check(mutationIndex, row)`.
+    */
+  private def fuzzColumn(valid: Array[Byte], n: Int, seed: Long,
+      parse: org.apache.spark.sql.Column => org.apache.spark.sql.Column)(
+      check: (Int, Row) => Unit): Unit = {
+    val rng = new Lcg(seed)
+    val payloads = (0 until n).map(i => (i, mutate(valid, rng)))
+    val rows = payloads.toDF("i", "payload")
+      .select(col("i"), parse(col("payload")).as("d"))
+      .collect()
+    rows.foreach(r => check(r.getInt(0), r.getStruct(1)))
+  }
+
+  /** Materialize a synth-hex Column expression into payload bytes. */
+  private def synthBytes(hx: org.apache.spark.sql.Column): Array[Byte] =
+    spark.range(1).select(unhex(hx)).head().getAs[Array[Byte]](0)
+
+  // ---- the codegen'd header parsers: ok=0 + null fields on damage --------
+
+  test("imageDims survives seeded PNG and multi-segment JPEG mutations") {
+    val png  = synthBytes(Multimodal.synthPngHex(lit(123), lit(45)))
+    val jpeg = synthBytes(Multimodal.synthJpegMultiHex(lit(1024), lit(768), lit(3), lit(18)))
+    for ((valid, tag) <- Seq((png, "png"), (jpeg, "jpeg")))
+      bounded(s"imageDims fuzz $tag") {
+        fuzzColumn(valid, 500, 0xBEEF00L + tag.length, Multimodal.imageDims) { (i, d) =>
+          // fmt is magic-sniffed, marker_ok gates the dims: whenever the
+          // walk rejects, BOTH dims must be null (no half-parsed garbage)
+          val ok = d.getAs[Long]("marker_ok")
+          assert(ok == 0L || ok == 1L, s"$tag mutation $i: marker_ok=$ok")
+          if (ok == 0L)
+            assert(d.isNullAt(d.fieldIndex("width")) && d.isNullAt(d.fieldIndex("height")),
+              s"$tag mutation $i: rejected payload leaked dims $d")
+        }
+      }
+  }
+
+  test("bmpGifDims survives seeded BMP and GIF mutations") {
+    val bmp = synthBytes(Multimodal.synthBmpHex(lit(640), lit(480), lit(1)))
+    val gif = synthBytes(Multimodal.synthGifHex(lit(320), lit(200), lit(1)))
+    for ((valid, tag) <- Seq((bmp, "bmp"), (gif, "gif")))
+      bounded(s"bmpGifDims fuzz $tag") {
+        fuzzColumn(valid, 500, 0xCAFE00L + tag.length, Multimodal.bmpGifDims) { (i, d) =>
+          val ok = d.getAs[Long]("hdr_ok")
+          assert(ok == 0L || ok == 1L)
+          if (ok == 0L)
+            assert(d.isNullAt(d.fieldIndex("width")) && d.isNullAt(d.fieldIndex("height")) &&
+              d.isNullAt(d.fieldIndex("topdown")),
+              s"$tag mutation $i: rejected payload leaked fields $d")
+        }
+      }
+  }
+
+  test("wavMeta and pcmFrames survive seeded WAV mutations") {
+    val wav = synthBytes(Multimodal.synthWavHex(lit(2), lit(44100), lit(16)))
+    bounded("wavMeta fuzz") {
+      fuzzColumn(wav, 500, 0xF00DL, Multimodal.wavMeta) { (i, d) =>
+        val ok = d.getAs[Long]("riff_ok")
+        assert(ok == 0L || ok == 1L)
+        if (ok == 0L)
+          Seq("channels", "sample_rate", "byte_rate", "bits").foreach(f =>
+            assert(d.isNullAt(d.fieldIndex(f)),
+              s"mutation $i: rejected payload leaked $f: $d"))
+      }
+    }
+    // pcmFrames reads a FIXED frames×perFrame prefix (substr past the end
+    // yields empty hex → conv gives 0, by design: short payloads read as
+    // silence, never as an error) — the fuzz property is total evaluation
+    // with exact geometry, whatever the damage
+    val pcm = synthBytes(Multimodal.synthPcm16Hex(lit(7), 64))
+    val rng = new Lcg(0xA11D10L)
+    bounded("pcmFrames fuzz") {
+      val rows = (0 until 300).map(i => (i, mutate(pcm, rng))).toDF("i", "payload")
+        .select(col("i"), Multimodal.pcmFrames(col("payload"), 4, 16).as("fr"))
+        .collect()
+      rows.foreach { r =>
+        val frames = r.getSeq[Row](1)
+        assert(frames.length == 4, s"mutation ${r.getInt(0)}: frame count drifted")
+        frames.zipWithIndex.foreach { case (f, k) =>
+          assert(f.getAs[Long]("frame") == k.toLong)
+          val (energy, peak) = (f.getAs[Long]("energy"), f.getAs[Long]("peak"))
+          // 16 samples of |s| ≤ 32768 ⇒ exact bounds, damage or not
+          assert(energy >= 0L && energy <= 16L * 32768 && peak >= 0L && peak <= 32768L,
+            s"mutation ${r.getInt(0)} frame $k: out-of-domain energy/peak $f")
+        }
+      }
+    }
+  }
+}
