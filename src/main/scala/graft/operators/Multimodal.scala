@@ -522,18 +522,40 @@ object Multimodal {
     val h       = leIntAt(payload, 23, 4)
     val dataOff = leIntAt(payload, 11, 4)
     val stride  = idiv(w * 3L + 3L, 4L) * 4L
-    def chSum(ch: Int): Column =
+    // geometry sanity gate (r11 fuzz hardening): every loop bound and byte
+    // position below is PAYLOAD-controlled, so a crafted header declaring
+    // 2^32-pixel dimensions would materialize a multi-billion-element
+    // sequence (stage-killing allocation), and a huge dataOff would throw
+    // on the ANSI cast-to-int — one malicious object killing a 100 TB
+    // audit scan. Damage decodes to null sums, never to an error or a
+    // bomb. Condition ORDER is load-bearing: the ≤ 65535 dimension caps
+    // short-circuit BEFORE any product, so `w·h` / `h·stride` can't
+    // themselves overflow ANSI Long arithmetic on hostile values.
+    val ok = hexAt(payload, lit(1), 2) === "424D" &&
+      leIntAt(payload, 15, 4) >= 40L &&       // BITMAPINFOHEADER..V5
+      leIntAt(payload, 29, 2) === 24L &&      // this walk is 24-bpp-only
+      w >= 1L && w <= 65535L && h >= 1L && h <= 65535L &&
+      w * h <= MaxBmpPixels && dataOff >= 54L &&
+      dataOff + h * stride <= length(payload).cast("long")
+    def chSum(ch: Int): Column = when(ok,
       aggregate(sequence(lit(0L), w * h - 1L), lit(0L), (acc, i) =>
         acc + byteAt(payload,
           (dataOff + ((i - pmod(i, w)) / w).cast("long") * stride +
-            pmod(i, w) * 3L + lit(ch.toLong) + 1L).cast("int")))
+            pmod(i, w) * 3L + lit(ch.toLong) + 1L).cast("int"))))
     struct(
       w.as("w"), h.as("h"),
       chSum(0).as("sum_b"), chSum(1).as("sum_g"), chSum(2).as("sum_r"),
-      byteAt(payload, (dataOff + 1L).cast("int")).as("p0_b"),
-      byteAt(payload, (dataOff + 2L).cast("int")).as("p0_g"),
-      byteAt(payload, (dataOff + 3L).cast("int")).as("p0_r"))
+      when(ok, byteAt(payload, (dataOff + 1L).cast("int"))).as("p0_b"),
+      when(ok, byteAt(payload, (dataOff + 2L).cast("int"))).as("p0_g"),
+      when(ok, byteAt(payload, (dataOff + 3L).cast("int"))).as("p0_r"))
   }
+
+  /** Pixel ceiling for [[bmpPixelStats]] (the BMP twin of
+    * [[MaxDecodedBytes]]): the walk is for thumbnails and audit-sized
+    * images; 2^20 pixels (1024×1024, ~3 MiB of 24-bpp data) bounds the
+    * per-row transient sequence a declared-dimension bomb could force.
+    */
+  private[graft] val MaxBmpPixels: Long = 1L << 20
 
   // ---- PNG pixel decoding — real DEFLATE via the JDK's zlib ------------
   //
@@ -759,6 +781,23 @@ object Multimodal {
     * reads, no shuffle.
     */
   def bmpDHash(payload: Column): Column = {
+    // geometry sanity gate (r11 fuzz hardening, same shape as
+    // [[bmpPixelStats]]): the fold length is h·(w−1) with BOTH read from
+    // the payload, so a crafted header could force a billion-element
+    // sequence or an ANSI cast overflow. The ≤ 62-bit bound is also the
+    // hash's own DOMAIN — past it the MSB-first `acc·2 + bit` fold leaves
+    // the non-negative signed-long range (the scaladoc contract callers
+    // size thumbnails to) — so oversize-but-valid images get null, not a
+    // silently truncated fingerprint. Dimension caps short-circuit before
+    // any product (ANSI overflow on hostile values).
+    val wG = leIntAt(payload, 19, 4)
+    val hG = leIntAt(payload, 23, 4)
+    val ok = hexAt(payload, lit(1), 2) === "424D" &&
+      leIntAt(payload, 15, 4) >= 40L && leIntAt(payload, 29, 2) === 24L &&
+      wG >= 2L && wG <= 65535L && hG >= 1L && hG <= 65535L &&
+      hG * (wG - 1L) <= 62L && leIntAt(payload, 11, 4) >= 54L &&
+      leIntAt(payload, 11, 4) +
+        hG * (idiv(wG * 3L + 3L, 4L) * 4L) <= length(payload).cast("long")
     // geometry is evaluated ONCE per row by binding it to a lambda variable
     // (the one-element aggregate below): the fold reads 56×12 payload bytes,
     // and each byte position references w/doff/stride — left as plain
@@ -770,7 +809,7 @@ object Multimodal {
       leIntAt(payload, 23, 4).as("h"),
       leIntAt(payload, 11, 4).as("doff"),
       (idiv(leIntAt(payload, 19, 4) * 3L + 3L, 4L) * 4L).as("stride"))
-    aggregate(array(geo), lit(0L), (_, g) => {
+    when(ok, aggregate(array(geo), lit(0L), (_, g) => {
       val h      = g("h")
       val doff   = g("doff")
       val stride = g("stride")
@@ -783,6 +822,6 @@ object Multimodal {
         val c   = pmod(k, wm1)
         acc * 2L + when(lum(row, c) > lum(row, c + lit(1L)), lit(1L)).otherwise(lit(0L))
       })
-    })
+    }))
   }
 }

@@ -168,6 +168,70 @@ class DecoderFuzzSpec extends SparkTestBase {
       }
   }
 
+  test("the BMP pixel walks survive mutations AND declared-dimension bombs") {
+    // the payload-controlled loop bounds are the attack surface here: a
+    // mutated header declaring huge w/h must answer null FAST (guard short-
+    // circuits before any product/sequence), not allocate a giant sequence
+    // or throw on the ANSI cast of a hostile dataOff
+    val thumb = synthBytes(Multimodal.synthBmp24Hex(lit(7), 8, 8))
+    val small = synthBytes(Multimodal.synthBmp24Hex(lit(7), 3, 3))
+    // sanity: unmutated payloads decode non-null
+    val sane = Seq((0, thumb)).toDF("i", "payload").select(
+      Multimodal.bmpDHash(col("payload")).as("dh"),
+      Multimodal.bmpPixelStats(col("payload")).as("ps")).head()
+    assert(!sane.isNullAt(0), "valid 8x8 thumbnail must hash")
+    assert(sane.getStruct(1).getAs[Long]("sum_b") > 0L)
+    // hand-crafted bombs: valid magic/DIB/bpp, dimensions at the hostile
+    // extremes (u32 max → ANSI-overflow bait; 65535² → sequence bomb)
+    def bomb(whex: String, hhex: String): Array[Byte] = {
+      val m = small.clone()
+      def putLe(off: Int, hx: String): Unit = (0 until 4).foreach { i =>
+        m(off + i) = Integer.parseInt(hx.substring(i * 2, i * 2 + 2), 16).toByte
+      }
+      putLe(18, whex); putLe(22, hhex) // 0-based w@18, h@22
+      m
+    }
+    val bombs = Seq(
+      bomb("FFFFFFFF", "FFFFFFFF"), // u32 max both
+      bomb("FFFF0000", "FFFF0000"), // 65535x65535: past MaxBmpPixels
+      bomb("00000080", "01000000"), // w = 2^31: Int-cast bait
+      bomb("40000000", "40000000")) // 64x64: sane dims, but body too short
+    bounded("bmp bombs") {
+      val rows = bombs.zipWithIndex.map(_.swap).toDF("i", "payload").select(
+        col("i"), Multimodal.bmpDHash(col("payload")).as("dh"),
+        Multimodal.bmpPixelStats(col("payload")).as("ps")).collect()
+      rows.foreach { r =>
+        assert(r.isNullAt(1), s"bomb ${r.getInt(0)} produced a dHash")
+        val ps = r.getStruct(2)
+        Seq("sum_b", "sum_g", "sum_r", "p0_b").foreach(f =>
+          assert(ps.isNullAt(ps.fieldIndex(f)),
+            s"bomb ${r.getInt(0)} leaked pixel stats: $ps"))
+      }
+    }
+    // seeded mutations over both functions
+    val rng = new Lcg(0xB0B0B0L)
+    bounded("bmp pixel-walk fuzz") {
+      val rows = (0 until 400).map(i => (i, mutate(if (i % 2 == 0) thumb else small, rng)))
+        .toDF("i", "payload").select(col("i"),
+          Multimodal.bmpDHash(col("payload")).as("dh"),
+          Multimodal.bmpPixelStats(col("payload")).as("ps")).collect()
+      rows.foreach { r =>
+        if (!r.isNullAt(1)) {
+          val dh = r.getLong(1)
+          assert(dh >= 0L, s"mutation ${r.getInt(0)}: dHash left the 62-bit domain")
+        }
+        val ps = r.getStruct(2)
+        // sums, when present, are bounded by the guard's own geometry cap
+        if (!ps.isNullAt(ps.fieldIndex("sum_b"))) {
+          val n = ps.getAs[Long]("w") * ps.getAs[Long]("h")
+          assert(n >= 1L && n <= Multimodal.MaxBmpPixels)
+          assert(ps.getAs[Long]("sum_b") <= n * 255L,
+            s"mutation ${r.getInt(0)}: channel sum exceeds geometry bound")
+        }
+      }
+    }
+  }
+
   test("wavMeta and pcmFrames survive seeded WAV mutations") {
     val wav = synthBytes(Multimodal.synthWavHex(lit(2), lit(44100), lit(16)))
     bounded("wavMeta fuzz") {
