@@ -135,7 +135,14 @@ object Bench {
     * bench chunk cannot do that to itself) or some-stall above 40% (an
     * idle-box chunk here measures ~0; sustained heavy io_some is a
     * concurrent IO workload even when its CPU draw is invisible to
-    * ext_cores). The loadavg trigger is
+    * ext_cores). The io triggers are VERDICT-ONLY (`includeIo = false` at
+    * the retry site): PSI is system-wide with no per-process attribution,
+    * so on a slow-disk/cold-cache box the bench's OWN first-chunk dataset
+    * read could trip them — a retry cannot outwait a slow disk the way it
+    * can outwait a transient CPU competitor, and burning the retry budget
+    * on self-inflicted IO would double the run for nothing; the run still
+    * publishes degraded:true, which is the part a consumer needs.
+    * The loadavg trigger is
     * first-chunk-only because from chunk 2 onward the 1-min EMA is
     * dominated by the bench's OWN prior-chunk work (≈ `cpus` cores for
     * minutes), so on hosts where cpus ≳ 1.5·cores/4 every later chunk
@@ -145,11 +152,11 @@ object Bench {
     * FILTER contaminated runs, not to rank load.
     */
   private[graft] def isHot(cl: ChunkLoad, cores: Int,
-      firstChunk: Boolean = false): Boolean =
+      firstChunk: Boolean = false, includeIo: Boolean = true): Boolean =
     cl.externalCores > cores / 4.0 ||
       (firstChunk && cl.startLoad > 1.5 * cores / 4.0) ||
       cl.stealPct > 2.0 ||
-      cl.ioFullPct > 10.0 || cl.ioSomePct > 40.0
+      (includeIo && (cl.ioFullPct > 10.0 || cl.ioSomePct > 40.0))
 
   private def loadAvg1(): Option[Double] =
     try {
@@ -454,31 +461,47 @@ object Bench {
     * one). Queries with fewer than `minSamples` clean readings are absent
     * — no verdict on thin history. Failed timings (−1) never enter a
     * median.
+    *
+    * NEW-NORMAL ESCAPE: when the `window` most recent eligible entries
+    * are ALL suspect, they become the baseline instead. Without this, a
+    * genuine persistent shift that slows several trivial queries together
+    * (a config change, a JVM upgrade) would stamp every subsequent run
+    * suspect forever — the stale pre-shift medians keep judging, nothing
+    * new ever feeds them, and the flag degenerates to always-on, masking
+    * both the shift and any real contention on top. A transient
+    * contamination cannot trip the escape (its neighbors are clean); only
+    * the persistent signature — `window` consecutive suspect runs —
+    * re-converges the baseline to the measured new normal.
     */
   private[graft] def historyMedians(lines: Seq[String],
       window: Int = SuspectHistoryWindow,
       minSamples: Int = SuspectMinSamples,
       sf: Option[String] = None): Map[String, Double] = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val clean = lines.reverseIterator.flatMap { l =>
+    // most-recent-first eligible entries, each with its suspect flag
+    val entries = lines.reverseIterator.flatMap { l =>
       try {
         val n = mapper.readTree(l)
         def flagged(f: String) = Option(n.get(f)).exists(_.asBoolean)
         val sfMismatch = sf.exists(want =>
           Option(n.get("sf")).exists(_.asText() != want))
         val qs = Option(n.get("queries")).filter(_.isObject)
-        if (flagged("degraded") || flagged("suspect") || sfMismatch || qs.isEmpty) None
+        if (flagged("degraded") || sfMismatch || qs.isEmpty) None
         else Some {
           val b = Map.newBuilder[String, Double]
           qs.get.properties().forEach { e =>
             val v = e.getValue.asDouble(-1.0)
             if (v >= 0) b += e.getKey -> v
           }
-          b.result()
+          (flagged("suspect"), b.result())
         }
       } catch { case _: Exception => None }
-    }.take(window).toSeq
-    clean.flatMap(_.toSeq).groupMap(_._1)(_._2).collect {
+    }.toSeq
+    val recent = entries.take(window)
+    val pool =
+      if (recent.size >= window && recent.forall(_._1)) recent.map(_._2)
+      else entries.filterNot(_._1).take(window).map(_._2)
+    pool.flatMap(_.toSeq).groupMap(_._1)(_._2).collect {
       case (name, vs) if vs.size >= minSamples =>
         name -> vs.sorted.apply(vs.size / 2)
     }
@@ -518,38 +541,38 @@ object Bench {
   private lazy val artifactPath = s"$repoDir/BENCH_FULL.json"
   private lazy val historyPath  = s"$repoDir/BENCH_HISTORY.jsonl"
 
-  private def writeArtifact(line: String): Unit =
+  /** The snapshot+trail dual write both artifact families share: overwrite
+    * `snapPath` with the line (the latest-run record), append it to
+    * `histPath` (the cross-round trail). Best-effort — an unwritable path
+    * must not fail the run that produced the line.
+    */
+  private def writeSnapshotAndHistory(snapPath: String, histPath: String,
+      line: String): Unit =
     try {
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(artifactPath),
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(snapPath),
         line + "\n")
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(historyPath),
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(histPath),
         line + "\n", java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
     } catch { case e: Exception =>
-      System.err.println(s"[bench] artifact write failed: ${e.toString.take(200)}")
+      System.err.println(s"[bench] $snapPath write failed: ${e.toString.take(200)}")
     }
 
+  private def writeArtifact(line: String): Unit =
+    writeSnapshotAndHistory(artifactPath, historyPath, line)
+
   /** Persist one streaming-smoke health line: `STREAMING.json` is the
-    * latest-run snapshot (overwritten), `STREAMING_HISTORY.jsonl` the
-    * append-only trail (VERDICT r10 next-step #4 — with only the
-    * overwritten file, a suite that flipped red then green between round
-    * captures left no trace a reviewer could see; bench timings already
-    * keep exactly this dual record). Best-effort, same contract as
-    * [[writeArtifact]]; `dir` is injectable so the spec exercises the real
-    * writer against a tmp directory.
+    * latest-run snapshot, `STREAMING_HISTORY.jsonl` the append-only trail
+    * (VERDICT r10 next-step #4 — with only the overwritten file, a suite
+    * that flipped red then green between round captures left no trace a
+    * reviewer could see; bench timings already keep exactly this dual
+    * record). `dir` is injectable so the spec exercises the real writer
+    * against a tmp directory.
     */
   private[graft] def writeStreamingRecord(line: String,
       dir: String = repoDir): Unit =
-    try {
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(s"$dir/STREAMING.json"), line + "\n")
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(s"$dir/STREAMING_HISTORY.jsonl"),
-        line + "\n", java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.APPEND)
-    } catch { case e: Exception =>
-      System.err.println(s"[bench] STREAMING.json write failed: ${e.toString.take(200)}")
-    }
+    writeSnapshotAndHistory(s"$dir/STREAMING.json",
+      s"$dir/STREAMING_HISTORY.jsonl", line)
 
   /** Run the streaming-surface smoke ([[graft.tools.StreamingSmoke]]) in a
     * fresh JVM after the timing run (VERDICT r9 next-step #5: the T1–T8 /
@@ -634,11 +657,15 @@ object Bench {
     var retryBudget = 3
     val results = chunks.zipWithIndex.map { case (chunk, ci) =>
       var (t, fk, cl) = timeChunk(chunk, sfDir, cpus)
-      if (isHot(cl, cores, firstChunk = ci == 0) && retryBudget > 0) {
+      // retry on CPU-shaped signals only (includeIo = false — see isHot):
+      // the io triggers still reach the published verdict via loadFieldsJson
+      if (isHot(cl, cores, firstChunk = ci == 0, includeIo = false) &&
+          retryBudget > 0) {
         retryBudget -= 1; retried += 1
         System.err.println(s"[bench] chunk '${chunk.head}…' ran hot " +
           s"(load=${cl.startLoad} ext_cores=${cl.externalCores} " +
-          s"steal=${cl.stealPct}%) — retrying once")
+          s"steal=${cl.stealPct}% io_some=${cl.ioSomePct}% " +
+          s"io_full=${cl.ioFullPct}%) — retrying once")
         val again = timeChunk(chunk, sfDir, cpus)
         t = again._1; fk = again._2; cl = again._3
       }

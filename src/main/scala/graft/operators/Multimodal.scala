@@ -543,7 +543,10 @@ object Multimodal {
           (dataOff + ((i - pmod(i, w)) / w).cast("long") * stride +
             pmod(i, w) * 3L + lit(ch.toLong) + 1L).cast("int"))))
     struct(
-      w.as("w"), h.as("h"),
+      // w/h gated too: a rejected payload must not leak attacker-declared
+      // dimensions beside its null sums (same null-on-damage contract as
+      // imageDims/bmpGifDims)
+      when(ok, w).as("w"), when(ok, h).as("h"),
       chSum(0).as("sum_b"), chSum(1).as("sum_g"), chSum(2).as("sum_r"),
       when(ok, byteAt(payload, (dataOff + 1L).cast("int"))).as("p0_b"),
       when(ok, byteAt(payload, (dataOff + 2L).cast("int"))).as("p0_g"),

@@ -303,8 +303,13 @@ object StreamingSmoke {
       s"""{"metric":"streaming_smoke","value":$secs,"unit":"sec",""" +
         s""""suites":${results.length},"assertions":${results.map(_._2).sum},""" +
         s""""failed":${results.count(_._3.isDefined)},"failures":$failures}"""
-    println(line)
+    // artifact BEFORE stdout: the parent's timeout branch treats an
+    // emitted health line as proof the record was persisted (it keeps the
+    // record of a child that reported and then lingered) — printing first
+    // would open a kill window where the line exists but the artifact is
+    // the previous run's
     graft.Bench.writeStreamingRecord(line)
+    println(line)
     if (results.exists(_._3.isDefined)) sys.exit(1)
   }
 }

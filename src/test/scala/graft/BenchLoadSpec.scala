@@ -80,6 +80,12 @@ class BenchLoadSpec extends AnyFunSuite {
     // boundary: exactly at the thresholds is NOT hot (strict >)
     assert(!Bench.isHot(idle.copy(ioFullPct = 10.0), cores))
     assert(!Bench.isHot(idle.copy(ioSomePct = 40.0), cores))
+    // the io triggers are verdict-only: the RETRY site passes
+    // includeIo = false (PSI has no per-process attribution, so the
+    // bench's own cold-cache reads must not burn the retry budget), while
+    // CPU-shaped signals keep retrying either way
+    assert(!Bench.isHot(idle.copy(ioFullPct = 50.0), cores, includeIo = false))
+    assert(Bench.isHot(idle.copy(externalCores = 16.0), cores, includeIo = false))
     // the fields ride the emitted chunk objects (graceful-absence default 0)
     val (json, deg) = Bench.loadFieldsJson(
       Seq(idle, idle.copy(ioFullPct = 12.0, ioSomePct = 30.0)), cores, None, None)
@@ -170,6 +176,36 @@ class BenchLoadSpec extends AnyFunSuite {
     // entries predating the sf field (or any missing field) stay eligible
     val noSf = Seq.fill(5)("""{"degraded":false,"queries":{"q_old":2.0}}""")
     assert(Bench.historyMedians(noSf, sf = Some("/tmp/sf"))("q_old") === 2.0)
+  }
+
+  test("a persistent shift escapes the suspect lock-in as the new normal") {
+    // a real config/JVM change slows the trivial queries 3x FOR GOOD: the
+    // first post-shift runs flag suspect against the old medians...
+    val shifted = idleRun.map { case (k, v) => k -> v * 3 }
+    val (sus0, run0) = Bench.suspectVerdict(shifted.toSeq,
+      Bench.historyMedians(idleHistory))
+    assert(run0, "the shift must flag against the pre-shift baseline")
+    assert(sus0.nonEmpty)
+    // ...but once the window's worth of consecutive suspect entries have
+    // accumulated, THEY become the baseline — the next identical run is
+    // clean again instead of suspect forever (degraded entries in between
+    // are ignored, not baseline material)
+    val lockedIn = idleHistory ++
+      Seq(histLine(shifted, degraded = true)) ++
+      Seq.fill(5)(histLine(shifted, suspect = true))
+    val newNormal = Bench.historyMedians(lockedIn)
+    assert(newNormal("q_collocations") === shifted("q_collocations"),
+      s"the suspect window must have become the baseline: $newNormal")
+    val (sus1, run1) = Bench.suspectVerdict(shifted.toSeq, newNormal)
+    assert(sus1.isEmpty && !run1, "the new normal must judge itself clean")
+    // a TRANSIENT contamination cannot trip the escape: one clean entry
+    // inside the recent window keeps the clean-only baseline
+    val transient = idleHistory ++
+      Seq.fill(3)(histLine(shifted, suspect = true)) ++
+      Seq(histLine(idleRun)) ++
+      Seq(histLine(shifted, suspect = true))
+    assert(Bench.historyMedians(transient)("q_collocations") === 0.40,
+      "clean neighbors must keep the clean baseline")
   }
 
   // ---- phase sub-timings (VERDICT r10 next-step #5) ----------------------
