@@ -114,6 +114,75 @@ class DecoderFuzzSpec extends SparkTestBase {
     assert(decoded > 0, "no mutation decoded — the fuzz base looks broken")
   }
 
+  /** Recompute every chunk CRC after a structural mutation, so the damage
+    * travels PAST the integrity check into the decoder's core — without
+    * this, random mutations die at the first CRC mismatch and the inflate
+    * loop, the filter reconstruction, and the geometry-vs-stream checks
+    * are never reached. Tail damage that breaks the chunk walk itself is
+    * left as-is (that path is the plain fuzzer's).
+    */
+  private def repairCrcs(p: Array[Byte]): Array[Byte] = {
+    val m = p.clone()
+    var pos = 8
+    var ok = true
+    while (ok && pos + 12 <= m.length) {
+      val len = ((m(pos) & 0xFF) << 24) | ((m(pos + 1) & 0xFF) << 16) |
+        ((m(pos + 2) & 0xFF) << 8) | (m(pos + 3) & 0xFF)
+      if (len < 0 || pos.toLong + 12L + len > m.length) ok = false
+      else {
+        val crc = new java.util.zip.CRC32()
+        crc.update(m, pos + 4, 4 + len)
+        val v = crc.getValue.toInt
+        m(pos + 8 + len) = (v >>> 24).toByte; m(pos + 9 + len) = (v >>> 16).toByte
+        m(pos + 10 + len) = (v >>> 8).toByte; m(pos + 11 + len) = v.toByte
+        pos += 12 + len
+      }
+    }
+    m
+  }
+
+  test("pngDecode stays total when corruption is CRC-laundered into the core") {
+    val px = Array.tabulate(8 * 8 * 3)(i => ((i * 29 + 5) % 251).toByte)
+    val valid = Multimodal.pngBytes(8, 8, 3, px, Seq(0, 1, 2, 3, 4))
+    val rng = new Lcg(0x5EED5EEDL)
+    val inflater = new java.util.zip.Inflater()
+    var decoded, rejected = 0
+    bounded("pngDecode CRC-laundered fuzz") {
+      (0 until 1000).foreach { i =>
+        // mutate INSIDE the chunk stream (skip the 8-byte signature so the
+        // walk always starts), then re-sign every chunk: IHDR dimension /
+        // depth / color lies, IDAT zlib garbage, filter-byte damage — all
+        // arrive at the inflate + reconstruction code with valid CRCs
+        val m = valid.clone()
+        (0 until 1 + rng.nextInt(6)).foreach { _ =>
+          val off = 8 + rng.nextInt(m.length - 8)
+          m(off) = (m(off) ^ (1 + rng.nextInt(255))).toByte
+        }
+        val laundered = repairCrcs(m)
+        val r = try Multimodal.pngDecode(laundered, inflater)
+        catch { case e: Throwable =>
+          fail(s"laundered mutation $i threw ${e.getClass.getName}: ${e.getMessage}")
+        }
+        r match {
+          case Some(img) =>
+            decoded += 1
+            assert(img.w > 0 && img.h > 0 &&
+              img.pixels.length == img.w * img.h * img.channels,
+              s"laundered mutation $i decoded inconsistent geometry")
+            // the decode cap must hold even for header lies that pass
+            assert(img.h.toLong * (1L + img.w.toLong * img.channels) <=
+              Multimodal.MaxDecodedBytes, s"laundered mutation $i broke the size cap")
+          case None => rejected += 1
+        }
+      }
+    }
+    // both branches must be genuinely exercised: CRC laundering lets some
+    // mutations through to a successful (filter-scrambled but consistent)
+    // decode, while geometry/stream lies still reject
+    assert(decoded > 0, "no laundered mutation decoded — laundering is broken")
+    assert(rejected > 0, "every laundered mutation decoded — damage isn't reaching the core")
+  }
+
   /** Evaluate `parse` over mutated payloads through the real columnar
     * path (one binary-column DataFrame, collect) and hand each result row
     * to `check(mutationIndex, row)`.
