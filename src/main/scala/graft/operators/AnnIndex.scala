@@ -93,11 +93,19 @@ object AnnIndex {
     * re-appended rows; a CHANGED re-appended vector keeps both its rows —
     * the store's documented staleness, restored to exact by a full
     * [[build]]/[[buildLsh]]. The `_APPLIED` pointer is untouched, so the
-    * replay protocol continues across compactions.
+    * replay protocol continues across compactions. `clusterBy` re-imposes
+    * a writer's one-file-per-list layout on the folded generation
+    * (`repartition(n, col)` before the partitioned write): without it the
+    * dropDuplicates shuffle hands every task a slice of every partition,
+    * so the first compaction of the PQ store would regress each `cid=`
+    * directory from ONE file back to the tasks×lists lattice the build
+    * writer exists to prevent — a pruned search then opens
+    * shuffle-partitions files per probed list instead of one.
     */
   private[graft] def compactStore(s: SparkSession, store: String,
       partCols: Seq[String], sweep: Boolean,
-      minus: Option[DataFrame] = None): Unit = {
+      minus: Option[DataFrame] = None,
+      clusterBy: Option[(Int, String)] = None): Unit = {
     if (!graft.streaming.Fs.isDirectory(s, store)) return
     if (graft.streaming.Fs.layerIds(s, store).isEmpty) return
     // the reserve-gen / write / sweep ordering is the shared crash-safety
@@ -106,7 +114,9 @@ object AnnIndex {
     graft.streaming.Fs.compactLayers(s, store, sweep) { gen =>
       val folded = s.read.parquet(store)
         .drop("batch").dropDuplicates()
-      minus.fold(folded)(t => folded.join(broadcast(t), Seq("vec_id"), "left_anti"))
+      val cleaned =
+        minus.fold(folded)(t => folded.join(broadcast(t), Seq("vec_id"), "left_anti"))
+      clusterBy.fold(cleaned) { case (n, c) => cleaned.repartition(n, col(c)) }
         .withColumn("batch", lit(gen))
         .write.mode("append")
         .partitionBy("batch" +: partCols: _*)
@@ -129,11 +139,18 @@ object AnnIndex {
 
   /** Clear the shared tombstones iff `store` is the ONLY data store under
     * `indexDir`; co-located stores keep them (stale-but-safe — the search
-    * anti-join stays active) until [[compactAll]] folds every store.
+    * anti-join stays active) until [[compactAll]] folds every store. The
+    * nonEmpty guard is load-bearing: with NO data stores present (deletes
+    * arrived before the first build, then someone ran a compaction — which
+    * no-ops on the absent store), a vacuous `forall` would clear tombstones
+    * that were never folded into anything, silently resurrecting the
+    * deleted ids in the first subsequent build.
     */
   private def clearTombstonesIfSole(s: SparkSession, indexDir: String,
-      store: String): Unit =
-    if (dataStores(s, indexDir).forall(_ == store)) clearTombstones(s, indexDir)
+      store: String): Unit = {
+    val stores = dataStores(s, indexDir)
+    if (stores.nonEmpty && stores.forall(_ == store)) clearTombstones(s, indexDir)
+  }
 
   /** Fold the IVF store's batch layers into one generation; tombstoned
     * vectors are physically dropped, and the tombstones cleared when this
@@ -163,7 +180,8 @@ object AnnIndex {
     val t = tombstones(s, indexDir)
     compactStore(s, vectorsPath(indexDir), Seq("cid"), sweep = true, minus = t)
     compactStore(s, lshPath(indexDir), Seq("pb"), sweep = true, minus = t)
-    compactStore(s, pqCodesPath(indexDir), Seq("cid"), sweep = true, minus = t)
+    compactStore(s, pqCodesPath(indexDir), Seq("cid"), sweep = true, minus = t,
+      clusterBy = pqClusterBy(s, indexDir))
     clearTombstones(s, indexDir)
   }
 
@@ -214,15 +232,12 @@ object AnnIndex {
 
   /** Drop tombstone LAYERS after a compaction folded them into the data
     * (the `_APPLIED` pointer survives, so replayed delete batch ids are
-    * still refused after the clear).
+    * still refused after the clear). The clear discipline itself is
+    * single-sourced in [[graft.streaming.Fs.clearLayers]] with the dedup
+    * band index's tombstones.
     */
-  private def clearTombstones(s: SparkSession, indexDir: String): Unit = {
-    val store = tombsPath(indexDir)
-    if (graft.streaming.Fs.isDirectory(s, store))
-      graft.streaming.Fs.layerIds(s, store).foreach { v =>
-        graft.streaming.Fs.deleteRecursively(s, s"$store/batch=$v")
-      }
-  }
+  private def clearTombstones(s: SparkSession, indexDir: String): Unit =
+    graft.streaming.Fs.clearLayers(s, tombsPath(indexDir))
 
   /** Subtract the tombstone set from a candidate frame (no-op when none). */
   private def minusTombs(s: SparkSession, indexDir: String,
@@ -249,6 +264,17 @@ object AnnIndex {
     * the base-layer writer [[build]] delegates to, and the spec's honest
     * rebuild-for-comparison path (append parity only holds under the SAME
     * codebook; a retrained codebook may re-list vectors).
+    *
+    * Write order (crash discipline): the HEAVY data layer first, the tiny
+    * codebook overwrite last — deliberately. The two writes cannot be
+    * atomic together, so some window where stored assignments and served
+    * codebook disagree is unavoidable on a rebuild that moves centroids;
+    * codebook-last makes that window the milliseconds of one coalesce(1)
+    * parquet write instead of the whole corpus-sized assignment pass the
+    * reverse order would leave (new codebook serving old/partial layers
+    * for minutes at scale). A crash inside the residual window is repaired
+    * by re-running the build — the deployment's recovery for a died build
+    * either way.
     */
   private[graft] def buildFrom(s: SparkSession, vectorsRaw: DataFrame,
       cents: Seq[(Int, Seq[Long])], indexDir: String): Unit = {
@@ -383,8 +409,17 @@ object AnnIndex {
     * Absent marker = the graded default (pre-knob stores).
     */
   private def lshBits(s: SparkSession, indexDir: String): Int =
-    graft.streaming.Fs.readString(s, lshPath(indexDir) + "/_BITS")
+    graft.streaming.Fs.readString(s, lshBitsPath(indexDir))
+      // legacy location (pre-r11 stores kept the marker INSIDE the store
+      // dir, where a full rebuild's static overwrite deletes it)
+      .orElse(graft.streaming.Fs.readString(s, lshPath(indexDir) + "/_BITS"))
       .map(_.trim.toInt).getOrElse(SQ.BitsPerTable)
+
+  /** Geometry marker OUTSIDE the store dir, so it survives the store's
+    * static-overwrite rebuild and can be written BEFORE the heavy layer
+    * write (see [[buildLshFromCorpus]]).
+    */
+  private def lshBitsPath(dir: String) = dir + "/_LSH_BITS"
 
   private def bucketSpan(bits: Int): Long = 1L << bits
 
@@ -420,10 +455,17 @@ object AnnIndex {
   private def buildLshFromCorpus(corpus: DataFrame, indexDir: String,
       bits: Int): Unit = {
     val s = corpus.sparkSession
+    // geometry marker BEFORE the heavy layer write, at a path the store's
+    // static overwrite cannot delete: the old in-store marker-after-layer
+    // order left a crash window (layer committed, marker not yet written)
+    // where a scaled store silently served and appended under the DEFAULT
+    // geometry — wrong pb arithmetic, no error. Marker-first closes that
+    // for fresh builds outright (marker + empty store is consistent: reads
+    // empty, appends bucketize correctly); for a rebuild that CHANGES bits
+    // the window shrinks to the instant before the overwrite's delete,
+    // and a crashed rebuild's re-run restores consistency either way.
+    graft.streaming.Fs.writeString(s, lshBitsPath(indexDir), bits.toString)
     writeLshLayer(corpus, indexDir, -1L, full = true, bits)
-    // geometry marker AFTER the layer (a full build overwrites the store
-    // dir, which would delete a pre-written marker)
-    graft.streaming.Fs.writeString(s, lshPath(indexDir) + "/_BITS", bits.toString)
     markApplied(s, lshPath(indexDir), -1L)
   }
 
@@ -547,7 +589,9 @@ object AnnIndex {
 
   /** Build the composed index from an explicit ALREADY-PROJECTED corpus
     * frame (vec_id, q, n2) and explicit codebooks — the shared writer both
-    * build paths end in.
+    * build paths end in. Same heavy-layer-first/tiny-codebooks-last crash
+    * discipline as [[buildFrom]] (see its scaladoc): the mismatch window is
+    * two coalesce(1) writes, not the corpus-sized encode pass.
     */
   private def buildIvfPqFromCorpus(s: SparkSession, corpus: DataFrame,
       coarse: Seq[(Int, Seq[Long])], pq: Seq[Seq[(Int, Seq[Long])]],
@@ -633,9 +677,18 @@ object AnnIndex {
     */
   def compactIndexPq(s: SparkSession, indexDir: String): Unit = {
     compactStore(s, pqCodesPath(indexDir), Seq("cid"), sweep = true,
-      minus = tombstones(s, indexDir))
+      minus = tombstones(s, indexDir), clusterBy = pqClusterBy(s, indexDir))
     clearTombstonesIfSole(s, indexDir, pqCodesPath(indexDir))
   }
+
+  /** The PQ store's one-file-per-list fold layout — writePqLayer's
+    * `repartition(lists, cid)`, re-derived from the stored coarse codebook
+    * (None when the dir has no codebook to read, e.g. a bare-store test).
+    */
+  private def pqClusterBy(s: SparkSession, indexDir: String): Option[(Int, String)] =
+    if (graft.streaming.Fs.isDirectory(s, codebookPath(indexDir)))
+      Some((codebook(s, indexDir).size, "cid"))
+    else None
 
   /** The stored PQ codebooks, code-id order within each subspace. */
   private def pqCodebooks(s: SparkSession, indexDir: String): Seq[Seq[(Int, Seq[Long])]] = {
@@ -655,9 +708,16 @@ object AnnIndex {
     val pq     = pqCodebooks(s, indexDir)
     // per-probe ADC distance table computed ONCE per probe row (PqM·PqK
     // dots), so the corpus-sized scoring path below is pure table lookups —
-    // same move as the graded q_pq_adc (SQ.pqAdcTableCol scaladoc)
-    val probeCids = probeCidsOf(probes, coarse)
-      .withColumn("tbl", SQ.pqAdcTableCol(pq, col("qq")))
+    // same move as the graded q_pq_adc (SQ.pqAdcTableCol scaladoc). The
+    // table projects BEFORE the NProbe explode: as an attribute it rides
+    // the generated rows for free, where the post-explode withColumn form
+    // re-evaluated the 256-dot expression once per (probe, cid) row —
+    // NProbe× the advertised cost
+    val probeCids = probes
+      .withColumn("tbl", SQ.pqAdcTableCol(pq, col("q")))
+      .withColumn("dots", SQ.dotsColOf(coarse))
+      .select(col("vec_id").as("qid"), col("q").as("qq"),
+        col("n2").as("qn"), col("tbl"), explode(SQ.probeCidsCol).as("cid"))
       .persist()
     try {
       val touched = probeCids.select("cid").distinct().collect().map(_.getInt(0)).toSeq

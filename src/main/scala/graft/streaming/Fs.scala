@@ -91,6 +91,16 @@ private[graft] object Fs {
     ()
   }
 
+  /** Delete every `batch=` layer under `root` (no-op on a missing dir) —
+    * the tombstone-clearing step after a compaction has folded the layers
+    * into the data. Single-sourced like [[compactLayers]]: the ANN index
+    * and the dedup band index both clear this way, and a fix to the
+    * discipline must reach both.
+    */
+  def clearLayers(spark: SparkSession, root: String): Unit =
+    if (isDirectory(spark, root))
+      layerIds(spark, root).foreach(v => deleteRecursively(spark, s"$root/batch=$v"))
+
   /** Small whole-file read (pointer files) — None when absent. */
   def readString(spark: SparkSession, path: String): Option[String] = {
     val (fs, p) = resolve(spark, path)

@@ -169,11 +169,7 @@ object IncrementalDedup {
       // the rebuild came from the post-delete signature table, so the
       // tombstones are folded in — clear their layers (a crash before this
       // leaves tombstones whose anti-join is a no-op over clean bands)
-      val tombs = tombsPath(table)
-      if (Fs.isDirectory(spark, tombs))
-        Fs.layerIds(spark, tombs).foreach { v =>
-          Fs.deleteRecursively(spark, s"$tombs/batch=$v")
-        }
+      Fs.clearLayers(spark, tombsPath(table))
     }
 
   /** Index `docs` (doc_id, text, ...) under `batchId` and return the near-dup

@@ -18,8 +18,15 @@ package graft.streaming
   * split across batches would emit the early rows without their later
   * peers — feeds that cannot guarantee whole runs buffer to the watermark
   * first (the [[TemporalJoins.asofStream]] pattern). Cross-batch stragglers
-  * older than the frontier violate the time-ordered contract and are folded
-  * as-is (same order-dependent stance as [[Funnels.funnelStream]]).
+  * older than the frontier are inserted into the state in timestamp order
+  * and emitted with their EXACT trailing window (a bounded scan of the
+  * straggler's slice of the deque) — NOT with the frontier totals: an
+  * append-at-tail fold would break the deque's ascending invariant, and
+  * head-only eviction would then keep the aged straggler inside every
+  * LATER conforming row's count until it happened to reach the head —
+  * poisoning rows the parity contract does cover. The straggler itself
+  * cannot retro-enter windows already emitted (append-mode streams don't
+  * retract), which is the one residual divergence from the batch twin.
   */
 object Velocity {
 
@@ -103,15 +110,45 @@ object Velocity {
             var j = i
             while (j < arr.length && arr(j)._2 == arr(i)._2) j += 1
             val us = arr(i)._2
-            // absorb the WHOLE equal-us run before emitting: RANGE peers
-            arr.slice(i, j).foreach { r =>
-              dq.append((r._2, r._3, r._4)); n += 1; cents += r._4
-            }
-            while (dq.nonEmpty && dq.head._1 < us - windowUs) { // inclusive lower bound
-              val h = dq.removeHead(); n -= 1; cents -= h._3
-            }
-            arr.slice(i, j).foreach { r =>
-              out += VelocityRow(r._3, user, r._2, n, cents)
+            if (dq.isEmpty || dq.last._1 <= us) {
+              // in-order run: absorb the WHOLE equal-us run before
+              // emitting (RANGE peers), evict the aged head, emit totals
+              arr.slice(i, j).foreach { r =>
+                dq.append((r._2, r._3, r._4)); n += 1; cents += r._4
+              }
+              while (dq.nonEmpty && dq.head._1 < us - windowUs) { // inclusive lower bound
+                val h = dq.removeHead(); n -= 1; cents -= h._3
+              }
+              arr.slice(i, j).foreach { r =>
+                out += VelocityRow(r._3, user, r._2, n, cents)
+              }
+            } else {
+              // cross-batch straggler (us behind the state frontier):
+              // INSERT in timestamp order — an append would break the
+              // ascending invariant head-eviction depends on, leaving the
+              // aged straggler inside every later conforming row's totals —
+              // and emit the straggler's own exact trailing window by a
+              // bounded head scan (≤ deque length, stragglers are the rare
+              // contract-violation path). No eviction here: the frontier
+              // has not advanced, and rows past `us` are ahead of this
+              // window, not aged out of it.
+              var k = dq.length
+              while (k > 0 && dq(k - 1)._1 > us) k -= 1
+              arr.slice(i, j).foreach { r =>
+                dq.insert(k, (r._2, r._3, r._4)); n += 1; cents += r._4; k += 1
+              }
+              var sn = 0L
+              var sc = 0L
+              val it = dq.iterator
+              var ahead = false
+              while (!ahead && it.hasNext) {
+                val e = it.next()
+                if (e._1 > us) ahead = true
+                else if (e._1 >= us - windowUs) { sn += 1; sc += e._3 }
+              }
+              arr.slice(i, j).foreach { r =>
+                out += VelocityRow(r._3, user, r._2, sn, sc)
+              }
             }
             i = j
           }

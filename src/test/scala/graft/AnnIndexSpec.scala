@@ -293,6 +293,47 @@ class AnnIndexSpec extends SparkTestBase {
     // compaction folds the delete into the codes store and clears tombs
     AnnIndex.compactIndexPq(spark, idx)
     assert(top3(AnnIndex.searchIvfPq(spark, idx, probes, rawC)) == after)
+    // ...and the folded generation keeps the build writer's ONE file per
+    // cid list: the generic fold's dedup shuffle would otherwise hand every
+    // task a slice of every list, regressing the pruned search from NProbe
+    // file opens to NProbe × shuffle-partitions
+    val gen = graft.streaming.Fs.layerIds(spark, idx + "/pqcodes").filter(_ < 0).min
+    val cidDirs = new java.io.File(s"$idx/pqcodes/batch=$gen")
+      .listFiles().filter(f => f.isDirectory && f.getName.startsWith("cid="))
+    assert(cidDirs.nonEmpty)
+    cidDirs.foreach { d =>
+      val parts = d.listFiles().count(_.getName.startsWith("part-"))
+      assert(parts == 1,
+        s"compacted list ${d.getName} holds $parts files — the fold lost the one-file-per-list layout")
+    }
+  }
+
+  test("tombstones laid before any build survive a premature compaction") {
+    import spark.implicits._
+    val raw    = Tables.embeddings(spark, dir)
+    val cents  = graft.queries.SimilarityQueries.trainCodebook(spark, dir)
+    val probes = AnnIndex.probeWorkload(spark, dir)
+    val idx = java.nio.file.Files.createTempDirectory("ann_tombs_first").toString
+    // a takedown arrives before the first build ever runs
+    val victims = top3(AnnIndex.search(spark,
+      { val tmp = java.nio.file.Files.createTempDirectory("ann_tf_ref").toString
+        AnnIndex.buildFrom(spark, raw, cents, tmp); tmp }, probes))
+      .filter(_._2 == 1L).map(_._3).distinct
+    assert(AnnIndex.deleteIds(spark, idx, victims.toDF("vec_id"), 0L))
+    // maintenance runs against the not-yet-built dir: every per-store
+    // compaction no-ops on the absent store and must NOT clear the pending
+    // tombstones (the empty-store forall is vacuous — a cleared tombstone
+    // here silently resurrects the deleted ids in the first build)
+    AnnIndex.compactIndex(spark, idx)
+    AnnIndex.compactIndexLsh(spark, idx)
+    AnnIndex.compactIndexPq(spark, idx)
+    assert(graft.streaming.Fs.layerIds(spark, idx + "/tombs").nonEmpty,
+      "premature compaction cleared tombstones that were never folded")
+    // the delete still wins once the store exists
+    AnnIndex.buildFrom(spark, raw, cents, idx)
+    val served = top3(AnnIndex.search(spark, idx, probes))
+    assert(!served.exists(r => victims.contains(r._3)),
+      "pre-build delete was lost — deleted ids are being served")
   }
 
   test("IVF+PQ planCentroids growth knob: list population stays flat and recall holds at 1x and 4x") {

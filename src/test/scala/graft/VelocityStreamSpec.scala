@@ -57,6 +57,29 @@ class VelocityStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("a cross-batch straggler neither poisons later rows nor reads the frontier totals") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Long, Long)]
+    val q = Velocity.velocityStream(in.toDS(), windowUs = 50L, None).writeStream
+      .format("memory").queryName("velocity_straggler").outputMode("append").start()
+    try {
+      // batch 1 establishes frontier ts=100; batch 2 delivers a straggler
+      // (ts=10, behind the frontier) and a conforming event (ts=120)
+      in.addData((1L, 100L, 1L, 7L)); q.processAllAvailable()
+      in.addData((1L, 10L, 2L, 3L), (1L, 120L, 3L, 5L)); q.processAllAvailable()
+      val got = spark.table("velocity_straggler").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+      // the straggler's own window [-40, 10] holds only itself — NOT the
+      // whole-deque frontier totals
+      assert(got(2L) === ((1L, 3L)), s"straggler window drifted: $got")
+      // the conforming event's window [70, 120] is {100, 120}: the aged
+      // straggler must have been evicted despite arriving after ts=100 —
+      // an append-at-tail fold would leave it stuck behind the head and
+      // count 3 here
+      assert(got(3L) === ((2L, 12L)), s"straggler poisoned a later row: $got")
+    } finally q.stop()
+  }
+
   test("keyed state survives a query RESTART from checkpoint") {
     // the stronger recovery claim: stop the query entirely after the first
     // half, start a NEW query on the same checkpoint, feed the second half —
