@@ -344,6 +344,25 @@ object SimilarityQueries {
       .filter(dotLong(col("q"), col("q")) > 0)
       .select("vec_id", "q")
 
+  /** (vec_id, label, embedding, q, n2) — the norm-carrying base every
+    * cosine-measuring similarity query starts from: dim-conformant rows
+    * only, integer-quantized vector, exact integer squared norm, zero-norm
+    * rows dropped. The dim filter and the n2 > 0 guard are
+    * CORRECTNESS-BEARING (a zero vector would divide the cosine by zero; a
+    * mixed-dimension row would NULL the Spark dot while ERRORING the
+    * oracle's list_dot_product), and they were previously copy-pasted at
+    * seven graded call sites — a new guard added to one and missed at
+    * another would grade a per-query population mismatch. Callers project
+    * the columns they need ([[pqBase]] stays the norm-free PQ variant).
+    */
+  private[graft] def normedBase(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Tables.embeddings(s, dir)
+      .filter(size(col("embedding")) === Dim)
+      .withColumn("q", expr(quantSql))
+      .withColumn("n2", dotLong(col("q"), col("q")))
+      .filter(col("n2") > 0)
+
   /** The full ADC stage: (qid, vec_id, adc) for every probe × encoded
     * corpus vector. This is PQ's asymmetric-distance-computation table
     * trick proper: each probe's subvector dots against every codebook
@@ -591,11 +610,7 @@ object SimilarityQueries {
       "q_cosine_topk",
       "exact cosine top-3 neighbors for a fixed probe workload (brute force)",
       (s, dir) => {
-        val base = Tables.embeddings(s, dir)
-          .filter(size(col("embedding")) === Dim)
-          .withColumn("q", expr(quantSql))
-          .withColumn("n2", dotLong(col("q"), col("q")))
-          .filter(col("n2") > 0)
+        val base = normedBase(s, dir)
           .select("vec_id", "q", "n2")
         val probes = base.filter(col("vec_id").isin(ProbeIds: _*))
           .select(col("vec_id").as("qid"), col("q").as("qq"), col("n2").as("qn"))
@@ -672,11 +687,7 @@ object SimilarityQueries {
           .filter(col("lex_rank") <= K)
           .select("qid", "doc_id", "lex_rank")
         // semantic: the E2a exact scan to rank depth K
-        val base = Tables.embeddings(s, dir)
-          .filter(size(col("embedding")) === Dim)
-          .withColumn("q", expr(quantSql))
-          .withColumn("n2", dotLong(col("q"), col("q")))
-          .filter(col("n2") > 0)
+        val base = normedBase(s, dir)
           .select("vec_id", "q", "n2")
         val probes = base.filter(col("vec_id").isin(ProbeIds: _*))
           .select(col("vec_id").as("qid"), col("q").as("qq"), col("n2").as("qn"))
@@ -764,11 +775,7 @@ object SimilarityQueries {
       "q_hard_examples",
       "3 hardest negatives (closest other-label) + 3 hardest positives (farthest same-label) per anchor",
       (s, dir) => {
-        val base = Tables.embeddings(s, dir)
-          .filter(size(col("embedding")) === Dim)
-          .withColumn("q", expr(quantSql))
-          .withColumn("n2", dotLong(col("q"), col("q")))
-          .filter(col("n2") > 0)
+        val base = normedBase(s, dir)
           .select("vec_id", "label", "q", "n2")
         val probes = base.filter(col("vec_id").isin(ProbeIds: _*))
           .select(col("vec_id").as("qid"), col("label").as("qlabel"),
@@ -826,11 +833,7 @@ object SimilarityQueries {
       "q_ann_lsh",
       "LSH-bucketed cosine top-3 (4 tables x 4 sign bits, Hamming-1 multi-probe)",
       (s, dir) => {
-        val base = Tables.embeddings(s, dir)
-          .filter(size(col("embedding")) === Dim)
-          .withColumn("q", expr(quantSql))
-          .withColumn("n2", dotLong(col("q"), col("q")))
-          .filter(col("n2") > 0)
+        val base = normedBase(s, dir)
           .withColumn("bs", bucketsCol)
           .select("vec_id", "q", "n2", "bs")
         val exploded = base.select(col("vec_id"), col("q"), col("n2"),
@@ -899,11 +902,7 @@ object SimilarityQueries {
       s"IVF-bucketed cosine top-3 (16 seeds + $TrainIters Lloyd iterations, $NProbe probe lists)",
       (s, dir) => {
         val cents = trainCodebook(s, dir).map(_._2)
-        val base = Tables.embeddings(s, dir)
-          .filter(size(col("embedding")) === Dim)
-          .withColumn("q", expr(quantSql))
-          .withColumn("n2", dotLong(col("q"), col("q")))
-          .filter(col("n2") > 0)
+        val base = normedBase(s, dir)
           .select("vec_id", "q", "n2")
         val assigned = base.withColumn("cid", cidColOf(cents))
         val probes = base.filter(col("vec_id").isin(ProbeIds: _*))
@@ -970,11 +969,7 @@ object SimilarityQueries {
       s"SemDeDup prune list: earlier cosine >= $SemTau neighbor in the same trained cluster",
       (s, dir) => {
         val cents = trainCodebook(s, dir).map(_._2)
-        val base = Tables.embeddings(s, dir)
-          .filter(size(col("embedding")) === Dim)
-          .withColumn("q", expr(quantSql))
-          .withColumn("n2", dotLong(col("q"), col("q")))
-          .filter(col("n2") > 0)
+        val base = normedBase(s, dir)
           .select("vec_id", "q", "n2")
         val assigned = base.withColumn("cid", cidColOf(cents))
         val l = assigned.select(col("cid"), col("vec_id").as("a"),
@@ -1067,11 +1062,7 @@ object SimilarityQueries {
       "q_kmeans_refine",
       "one k-means step: nearest-centroid assignment -> floor-mean recompute",
       (s, dir) =>
-        Tables.embeddings(s, dir)
-          .filter(size(col("embedding")) === Dim)
-          .withColumn("q", expr(quantSql))
-          .withColumn("n2", dotLong(col("q"), col("q")))
-          .filter(col("n2") > 0)
+        normedBase(s, dir)
           .withColumn("cid", cidCol.cast("bigint"))
           .select(col("cid"), posexplode(col("q")).as(Seq("pos", "v")))
           .groupBy("cid", "pos")
