@@ -455,7 +455,9 @@ object Bench {
   /** Per-query medians over the last `window` CLEAN history entries —
     * entries that parse, carry a queries map, match this run's scale
     * factor (`sf`, when given: a dev run appended at sf0.01 must never
-    * feed the medians that judge the driver's sf0.1 capture), and are
+    * feed the medians that judge the driver's sf0.1 capture; an entry
+    * MISSING the stamp counts as a mismatch unless the whole history
+    * predates the field — see the grandfather clause below), and are
     * neither `degraded` (external-CPU contaminated) nor `suspect` (a
     * contaminated run must not feed the baseline that judges the next
     * one). Queries with fewer than `minSamples` clean readings are absent
@@ -478,25 +480,38 @@ object Bench {
       minSamples: Int = SuspectMinSamples,
       sf: Option[String] = None): Map[String, Double] = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    // most-recent-first eligible entries, each with its suspect flag
-    val entries = lines.reverseIterator.flatMap { l =>
+    // most-recent-first parsed entries: (sf stamp, suspect flag, timings)
+    val parsed = lines.reverseIterator.flatMap { l =>
       try {
         val n = mapper.readTree(l)
         def flagged(f: String) = Option(n.get(f)).exists(_.asBoolean)
-        val sfMismatch = sf.exists(want =>
-          Option(n.get("sf")).exists(_.asText() != want))
         val qs = Option(n.get("queries")).filter(_.isObject)
-        if (flagged("degraded") || sfMismatch || qs.isEmpty) None
+        if (flagged("degraded") || qs.isEmpty) None
         else Some {
           val b = Map.newBuilder[String, Double]
           qs.get.properties().forEach { e =>
             val v = e.getValue.asDouble(-1.0)
             if (v >= 0) b += e.getKey -> v
           }
-          (flagged("suspect"), b.result())
+          (Option(n.get("sf")).map(_.asText()), flagged("suspect"), b.result())
         }
       } catch { case _: Exception => None }
     }.toSeq
+    // An entry with NO `sf` stamp is a mismatch the moment ANY entry in the
+    // history carries one (ADVICE r11): "absent matches anything" let
+    // pre-sf dev-scale lines keep feeding the medians that judge an sf0.1
+    // capture long after stamped entries existed. The grandfather clause is
+    // only for a wholly pre-sf history, where excluding unstamped entries
+    // would mean no baseline at all.
+    val anyStamped = parsed.exists(_._1.isDefined)
+    val entries = parsed.collect {
+      case (sfStamp, suspectFlag, qs)
+          if sf.forall(want => sfStamp match {
+            case Some(have) => have == want
+            case None       => !anyStamped
+          }) =>
+        (suspectFlag, qs)
+    }
     val recent = entries.take(window)
     val pool =
       if (recent.size >= window && recent.forall(_._1)) recent.map(_._2)
@@ -507,20 +522,24 @@ object Bench {
     }
   }
 
-  /** The suspect verdict for one run: the (sorted) names reading past
-    * [[SuspectRatio]]× their history median by at least
-    * [[SuspectMinDeltaSec]], and the run-level flag — true when at least
-    * [[CoInflateCount]] TRIVIAL-median queries inflated together (the
-    * contention signature; a single slow query is as likely a real
-    * regression, which this flag must never mask).
+  /** The suspect verdict for one run: the (name-sorted) flagged queries,
+    * each with its inflation RATIO over its history median (VERDICT r11
+    * next-step #2 — a name list made r11's 5.2× `q_crossmodal_dups` and a
+    * 2.1× wobble read the same; the ratio lets a consumer rank severity),
+    * and the run-level flag — true when at least [[CoInflateCount]]
+    * TRIVIAL-median queries inflated together (the contention signature; a
+    * single slow query is as likely a real regression, which this flag
+    * must never mask). A query flags past [[SuspectRatio]]× its median by
+    * at least [[SuspectMinDeltaSec]]. Ratios are rounded to 0.1.
     */
   private[graft] def suspectVerdict(timed: Seq[(String, Double)],
-      medians: Map[String, Double]): (Seq[String], Boolean) = {
+      medians: Map[String, Double]): (Seq[(String, Double)], Boolean) = {
     val sus = timed.collect {
       case (name, secs) if secs >= 0 && medians.get(name).exists(m =>
-        secs > SuspectRatio * m && secs - m > SuspectMinDeltaSec) => name
-    }.sorted
-    (sus, sus.count(n => medians(n) < TrivialMedianSec) >= CoInflateCount)
+        secs > SuspectRatio * m && secs - m > SuspectMinDeltaSec) =>
+        name -> math.round(secs / medians(name) * 10) / 10.0
+    }.sortBy(_._1)
+    (sus, sus.count { case (n, _) => medians(n) < TrivialMedianSec } >= CoInflateCount)
   }
 
   /** Repo artifact the full per-query map persists to (overwritten per run)
@@ -597,10 +616,10 @@ object Bench {
     * thread after main returned) keeps its accurate record; only a child
     * that never reported gets the timeout record.
     */
-  private def runStreamingSmoke(): Unit = {
-    def record(line: String): Unit = {
-      println(line)
+  private def runStreamingSmoke(): (Seq[String], Option[String]) = {
+    def record(line: String): (Seq[String], Option[String]) = {
       writeStreamingRecord(line)
+      (Seq(line), None)
     }
     def healthLines(f: java.nio.file.Path): Seq[String] =
       java.nio.file.Files.readString(f).linesIterator
@@ -623,15 +642,15 @@ object Bench {
               if (health.nonEmpty) {
                 // the child reported and wrote its own artifact before
                 // lingering — echo its line, keep its record
-                health.foreach(println)
                 System.err.println("[bench] streaming smoke JVM lingered past 600s AFTER reporting; its record is kept")
+                (health, health.lastOption)
               } else
                 record("""{"metric":"streaming_smoke","skipped":true,"reason":"timeout after 600s"}""")
             } else {
               val health = healthLines(outFile)
               if (health.isEmpty)
                 record(s"""{"metric":"streaming_smoke","skipped":true,"reason":"child rc=${proc.exitValue} with no health line"}""")
-              else health.foreach(println)
+              else (health, health.lastOption)
             }
           } finally { java.nio.file.Files.deleteIfExists(outFile); () }
       }
@@ -640,6 +659,58 @@ object Bench {
       record(s"""{"metric":"streaming_smoke","skipped":true,"reason":${jstr("launch failed: " + e.toString.replaceAll("\\s+", " ").take(160))}}""")
     }
   }
+
+  /** Last non-empty line of a file, if readable. */
+  private def lastLine(path: String): Option[String] =
+    try {
+      val p = java.nio.file.Paths.get(path)
+      if (java.nio.file.Files.isRegularFile(p))
+        java.nio.file.Files.readString(p).linesIterator
+          .filter(_.nonEmpty).foldLeft(Option.empty[String])((_, l) => Some(l))
+      else None
+    } catch { case _: Exception => None }
+
+  /** Streaming-health fields for the final headline (VERDICT r11 next-step
+    * #6): this run's smoke `failed` count against the PREVIOUS
+    * `STREAMING_HISTORY.jsonl` entry's, plus the one-field regression
+    * verdict — a red→green (or green→red) flap between round captures is
+    * now visible in the bench record itself, not only by diffing the
+    * history file by hand. Returns `"k":v,…,` (trailing comma) ready to
+    * splice ahead of the headline body; a field is `null` when its side
+    * did not report (smoke skipped / no health line / no prior entry), and
+    * the regression verdict is only non-null when BOTH sides did — a first
+    * run or a skipped smoke must read unknown, not clean.
+    */
+  private[graft] def streamingRegression(current: Option[String],
+      previous: Option[String]): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def failedOf(line: Option[String]): Option[Int] = line.flatMap { l =>
+      try Option(mapper.readTree(l).get("failed")).filter(_.isNumber).map(_.asInt)
+      catch { case _: Exception => None }
+    }
+    val cur  = failedOf(current)
+    val prev = failedOf(previous)
+    val regressed = (cur, prev) match {
+      case (Some(c), Some(p)) => (c > p).toString
+      case _                  => "null"
+    }
+    s""""streaming_failed":${cur.fold("null")(_.toString)},""" +
+      s""""streaming_prev_failed":${prev.fold("null")(_.toString)},""" +
+      s""""streaming_regressed":$regressed,"""
+  }
+
+  /** The bench's closing stdout sequence (VERDICT r11 next-step #1): the
+    * smoke's record lines first, the repeated headline LAST. The driver
+    * keeps only a fixed-size tail of the output, and every `BENCH_r*.json`
+    * since r8 was `parsed: null` because the single `total_short` print
+    * preceded the smoke child's ~20 inherited-stderr Spark startup lines,
+    * which pushed every metric line except the smoke's own out of that
+    * window. Main prints THROUGH this function so the ordering is pinned
+    * by BenchLoadSpec, not by code layout.
+    */
+  private[graft] def closingLines(headline: String,
+      smokeLines: Seq[String]): Seq[String] =
+    smokeLines :+ headline
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -707,27 +778,45 @@ object Bench {
       } catch { case _: Exception => Seq.empty[String] }
     val (suspectQs, suspect) = suspectVerdict(timed.map(t => t.name -> t.secs),
       historyMedians(histLines, sf = Some(sfDir)))
-    val suspectJson = suspectQs.map(jstr).mkString("[", ",", "]")
+    val suspectJson = suspectQs.map { case (n, _) => jstr(n) }.mkString("[", ",", "]")
+    // the SAME flagged set as an object keyed by ratio (VERDICT r11 #2):
+    // the name list stays for existing consumers, the ratios rank severity
+    val ratiosJson = suspectQs.map { case (n, r) => s"${jstr(n)}:$r" }
+      .mkString("{", ",", "}")
     val isolation =
       s""""chunks":${chunks.length},"chunks_forked":$forked,"chunk_size":$ChunkSize,"chunks_retried":$retried"""
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","repeats":3,"degraded":$degraded,"suspect":$suspect,"suspect_queries":$suspectJson,$isolation,"queries":$qs,"phases":$phasesJson,"errors":$errs,"load":$loadJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","repeats":3,"degraded":$degraded,"suspect":$suspect,"suspect_queries":$suspectJson,"suspect_ratios":$ratiosJson,$isolation,"queries":$qs,"phases":$phasesJson,"errors":$errs,"load":$loadJson,"sf":"$sfDir"}"""
     println(fullLine)
     // The full line above grows with the query count and the driver keeps
     // only the tail of the output, so the full map ALSO goes to the repo
     // artifact + history (VERDICT r8 missing #2), and the headline fields
-    // repeat on two SHORT lines the stdout tail always keeps: the top-10
-    // slowest timings, then the total. Distinct metric names so a
-    // JSON-lines consumer filtering metric=="total" never double-counts
-    // (ADVICE r7).
+    // repeat on SHORT lines the stdout tail always keeps: the top-10
+    // slowest timings, then the total — printed once here for a live
+    // reader, and once more as the FINAL stdout line after the streaming
+    // smoke (whose child JVM inherits stderr and spews ~20 Spark startup
+    // lines) so the driver's tail parser is guaranteed to see it
+    // (VERDICT r11 #1). Distinct metric names so a JSON-lines consumer
+    // filtering metric=="total" never double-counts (ADVICE r7); the
+    // repeated total_short is safe for a tail parser that takes the last
+    // match, which the fixed-size-tail driver is.
     writeArtifact(fullLine)
     val slowest = timed.filter(_.err.isEmpty).sortBy(-_.secs).take(10)
       .map(t => s"${jstr(t.name)}:${t.secs}").mkString("{", ",", "}")
     println(s"""{"metric":"slowest10","unit":"sec","queries":$slowest,"sf":"$sfDir"}""")
     val failed = timed.count(_.err.isDefined)
-    println(s"""{"metric":"total_short","value":$total,"unit":"sec","repeats":3,"degraded":$degraded,"suspect":$suspect,"suspect_queries":$suspectJson,$isolation,"queries_run":${names.length},"queries_failed":$failed,"load":$loadJson,"sf":"$sfDir"}""")
+    val shortBody =
+      s""""value":$total,"unit":"sec","repeats":3,"degraded":$degraded,"suspect":$suspect,"suspect_queries":$suspectJson,"suspect_ratios":$ratiosJson,$isolation,"queries_run":${names.length},"queries_failed":$failed,"load":$loadJson,"sf":"$sfDir""""
+    println(s"""{"metric":"total_short",$shortBody}""")
+    // the PREVIOUS smoke record, read before this run's smoke appends its own
+    val prevSmoke = lastLine(s"$repoDir/STREAMING_HISTORY.jsonl")
     // value check, not presence: =0 / empty must mean "run it"
-    if (!sys.env.get("GRAFT_SKIP_STREAMING_SMOKE").exists(v => v.nonEmpty && v != "0"))
-      runStreamingSmoke()
+    val (smokeLines, health) =
+      if (!sys.env.get("GRAFT_SKIP_STREAMING_SMOKE").exists(v => v.nonEmpty && v != "0"))
+        runStreamingSmoke()
+      else (Seq.empty[String], None)
+    val finalHeadline =
+      s"""{"metric":"total_short",${streamingRegression(health, prevSmoke)}$shortBody}"""
+    closingLines(finalHeadline, smokeLines).foreach(println)
   }
 }

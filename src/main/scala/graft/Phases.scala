@@ -24,6 +24,14 @@ object Phases {
   private val active =
     new ThreadLocal[scala.collection.mutable.LinkedHashMap[String, Double]]()
 
+  /** True when a capture is active on this thread. Lets a query whose cost
+    * lives in LAZY composition (the crossmodal composite — no eager
+    * train/build stage to self-attribute) materialize its sides inside
+    * [[timed]] stages ONLY under the bench's capture, keeping the plain
+    * lazy plan for Verify/specs/production callers byte-identical.
+    */
+  def capturing: Boolean = active.get != null
+
   /** Run `f`, attributing its wall time to `phase` when a capture is
     * active on this thread. Re-entrant stages accumulate (a phase name
     * seen twice sums), and the attribution survives `f` throwing — a

@@ -182,7 +182,12 @@ object AnnIndex {
     compactStore(s, lshPath(indexDir), Seq("pb"), sweep = true, minus = t)
     compactStore(s, pqCodesPath(indexDir), Seq("cid"), sweep = true, minus = t,
       clusterBy = pqClusterBy(s, indexDir))
-    clearTombstones(s, indexDir)
+    // Same empty-dir guard as [[clearTombstonesIfSole]] (ADVICE r11): with
+    // deletes laid before the FIRST build, every compactStore above no-ops
+    // on the absent stores, and an unconditional clear here would wipe
+    // tombstones that were never folded into anything — resurrecting the
+    // deleted (takedown/GDPR) vec_ids in the first subsequent build.
+    if (dataStores(s, indexDir).nonEmpty) clearTombstones(s, indexDir)
   }
 
   // ---- tombstone deletes ------------------------------------------------

@@ -444,14 +444,38 @@ object MultimodalQueries {
     // s-/p-prefixed oracle CTE chains composed into one WITH clause), so
     // this query cannot drift from its parents; the join is (a, b)
     // equi — pair sets, both already capped upstream.
+    //
+    // Phase attribution (VERDICT r11 next-step #3): this is the most
+    // expensive graded key (2.2–3.3 s idle) and the one that swung 5.2×
+    // under the r11 host contention — with no split, a simhash-side, a
+    // phash-side, and a join regression were indistinguishable without a
+    // rerun. Under a bench capture ONLY, each stage is materialized
+    // eagerly (persist + count) inside its own Phases.timed, so
+    // BENCH_FULL.json carries `phases.q_crossmodal_dups` =
+    // {simhash_side, phash_side, pair_join}; outside a capture
+    // (Verify, specs, production) the stages are identity and the lazy
+    // plan is exactly the pre-r12 one. Same total work either way — the
+    // pair sets are capped upstream, so the extra caching is bounded by
+    // the fingerprint space, and the bench sweeps caches between repeats.
     GraftQuery(
       "q_crossmodal_dups",
       "pairs near-dup in BOTH text (simhash <= 6) and thumbnail (dHash <= 6)",
-      (s, dir) =>
-        DedupQueries.simhashPairsFrame(s, dir).withColumnRenamed("dist", "text_dist")
-          .join(phashPairsFrame(s, dir).withColumnRenamed("dist", "image_dist"), Seq("a", "b"))
-          .select("a", "b", "text_dist", "image_dist")
-          .orderBy("a", "b"),
+      (s, dir) => {
+        val capturing = graft.Phases.capturing
+        def stage(name: String)(df: org.apache.spark.sql.DataFrame) =
+          if (!capturing) df
+          else graft.Phases.timed(name) { val p = df.persist(); p.count(); p }
+        val text  = stage("simhash_side")(DedupQueries.simhashPairsFrame(s, dir))
+        val image = stage("phash_side")(phashPairsFrame(s, dir))
+        val joined = stage("pair_join")(
+          text.withColumnRenamed("dist", "text_dist")
+            .join(image.withColumnRenamed("dist", "image_dist"), Seq("a", "b"))
+            .select("a", "b", "text_dist", "image_dist")
+            .orderBy("a", "b"))
+        // the join is materialized; its parents' cache is dead weight now
+        if (capturing) { text.unpersist(); image.unpersist(); () }
+        joined
+      },
       // no outer stripMargin — see q_phash_pairs
       Some(s"WITH ${DedupQueries.duckSimhashPairsCtes},\n$duckPhashPairsCtes\n" +
         "SELECT s.a, s.b, s.dist AS text_dist, p.dist AS image_dist\n" +

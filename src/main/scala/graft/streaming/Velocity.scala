@@ -19,14 +19,19 @@ package graft.streaming
   * peers — feeds that cannot guarantee whole runs buffer to the watermark
   * first (the [[TemporalJoins.asofStream]] pattern). Cross-batch stragglers
   * older than the frontier are inserted into the state in timestamp order
-  * and emitted with their EXACT trailing window (a bounded scan of the
-  * straggler's slice of the deque) — NOT with the frontier totals: an
-  * append-at-tail fold would break the deque's ascending invariant, and
-  * head-only eviction would then keep the aged straggler inside every
-  * LATER conforming row's count until it happened to reach the head —
-  * poisoning rows the parity contract does cover. The straggler itself
-  * cannot retro-enter windows already emitted (append-mode streams don't
-  * retract), which is the one residual divergence from the batch twin.
+  * and emitted with their trailing window computed exactly OVER RETAINED
+  * STATE (a bounded scan of the straggler's slice of the deque) — NOT with
+  * the frontier totals: an append-at-tail fold would break the deque's
+  * ascending invariant, and head-only eviction would then keep the aged
+  * straggler inside every LATER conforming row's count until it happened
+  * to reach the head — poisoning rows the parity contract does cover. Two
+  * residual divergences from the batch twin, both inherent to bounded
+  * state on an append-mode stream: (1) the straggler cannot retro-enter
+  * windows already emitted (no retractions), and (2) rows in
+  * [us − window, frontier − window) were already evicted by earlier
+  * in-order emits — eviction follows the frontier — so a straggler's own
+  * count/sum can UNDER-report relative to the batch twin when its window
+  * reaches below the evicted horizon.
   */
 object Velocity {
 

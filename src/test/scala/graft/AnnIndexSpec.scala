@@ -327,6 +327,11 @@ class AnnIndexSpec extends SparkTestBase {
     AnnIndex.compactIndex(spark, idx)
     AnnIndex.compactIndexLsh(spark, idx)
     AnnIndex.compactIndexPq(spark, idx)
+    // compactAll shares the entry-point family and had its OWN unconditional
+    // clear (ADVICE r11): on the not-yet-built dir every per-store fold
+    // no-ops, so its final clear must be guarded exactly like the sole-store
+    // paths above
+    AnnIndex.compactAll(spark, idx)
     assert(graft.streaming.Fs.layerIds(spark, idx + "/tombs").nonEmpty,
       "premature compaction cleared tombstones that were never folded")
     // the delete still wins once the store exists

@@ -123,10 +123,16 @@ class BenchLoadSpec extends AnyFunSuite {
       "q_hash_sample" -> 0.58, "q_compaction_summary" -> 0.62,
       "q_collocations" -> 3.63, "q_ann_ivfpq" -> 7.8)
     val (sus, runSuspect) = Bench.suspectVerdict(contaminated, medians)
-    assert(sus.toSet === Set("q_hash_sample", "q_compaction_summary", "q_collocations"),
+    assert(sus.map(_._1).toSet === Set("q_hash_sample", "q_compaction_summary", "q_collocations"),
       s"the three >2x readings must flag (ivfpq at 1.4x must not): $sus")
     assert(runSuspect,
       "3 trivial-median queries co-inflating IS the contention signature")
+    // each flagged query carries its inflation ratio (VERDICT r11 #2) so a
+    // consumer can rank severity — 0.1-rounded secs/median
+    val ratios = sus.toMap
+    assert(ratios("q_collocations") === 9.1, s"3.63/0.40 must read 9.1: $ratios")
+    assert(ratios("q_hash_sample") === 3.6)
+    assert(ratios("q_compaction_summary") === 4.1)
   }
 
   test("an idle run emits no suspects; one slow query never flags the run") {
@@ -140,7 +146,8 @@ class BenchLoadSpec extends AnyFunSuite {
     // which the flag must never mask
     val (one, run1) = Bench.suspectVerdict(
       idleRun.updated("q_collocations", 1.3).toSeq, medians)
-    assert(one === Seq("q_collocations") && !run1)
+    assert(one.map(_._1) === Seq("q_collocations") && !run1)
+    assert(one.head._2 === 3.3, "1.3/0.40 rounds to 3.3")
     // sub-100ms inflation on a trivial query is jitter, not contention,
     // even past the ratio (0.16 -> 0.25 is 1.56x of... under MinDelta)
     val (tiny, _) = Bench.suspectVerdict(
@@ -173,9 +180,20 @@ class BenchLoadSpec extends AnyFunSuite {
     // medians that judge a driver sf0.1 capture (histLine stamps /tmp/sf)
     assert(Bench.historyMedians(idleHistory, sf = Some("/tmp/sf"))("q_hash_sample") === 0.16)
     assert(Bench.historyMedians(idleHistory, sf = Some("/root/testdata/sf0.1")).isEmpty)
-    // entries predating the sf field (or any missing field) stay eligible
+    // a WHOLLY pre-sf history is grandfathered: excluding every unstamped
+    // entry would mean no baseline at all
     val noSf = Seq.fill(5)("""{"degraded":false,"queries":{"q_old":2.0}}""")
     assert(Bench.historyMedians(noSf, sf = Some("/tmp/sf"))("q_old") === 2.0)
+    // ...but the moment ANY entry is sf-stamped, unstamped entries count
+    // as mismatches (ADVICE r11): "absent matches anything" let legacy
+    // dev-scale lines keep feeding the medians that judge an sf0.1 capture
+    val mixed = noSf ++ Seq.fill(2)(histLine(Map("q_old" -> 9.0)))
+    assert(Bench.historyMedians(mixed, sf = Some("/tmp/sf")) ===
+      Map.empty[String, Double],
+      "2 stamped samples are under MinSamples; the 5 unstamped must not fill in")
+    val mixedEnough = noSf ++ Seq.fill(3)(histLine(Map("q_old" -> 9.0)))
+    assert(Bench.historyMedians(mixedEnough, sf = Some("/tmp/sf"))("q_old") === 9.0,
+      "stamped-only baseline once stamped entries exist")
   }
 
   test("a persistent shift escapes the suspect lock-in as the new normal") {
@@ -266,6 +284,56 @@ class BenchLoadSpec extends AnyFunSuite {
       java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
         .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
     }
+  }
+
+  // ---- the driver-parseable closing sequence (VERDICT r11 next-step #1) --
+
+  test("the closing stdout sequence puts the headline LAST, after smoke lines") {
+    // r8–r11's BENCH_r*.json were parsed:null because the smoke's startup
+    // spew printed AFTER the one total_short line; main now prints through
+    // closingLines, whose contract is headline-last whatever precedes it
+    val headline = """{"metric":"total_short","value":1.0,"sf":"/tmp/sf"}"""
+    val smoke = Seq("""{"metric":"streaming_smoke","failed":0}""")
+    assert(Bench.closingLines(headline, smoke).last === headline)
+    assert(Bench.closingLines(headline, Nil) === Seq(headline),
+      "a skipped smoke still ends on the headline")
+    assert(Bench.closingLines(headline, smoke).head === smoke.head,
+      "the smoke record must still be emitted")
+  }
+
+  test("suspect_ratios and streaming fields ride a parseable headline") {
+    val smokeNow  = Some("""{"metric":"streaming_smoke","value":30.5,"suites":7,"failed":1}""")
+    val smokePrev = Some("""{"metric":"streaming_smoke","value":29.9,"suites":7,"failed":0}""")
+    val line = s"""{"metric":"total_short",${Bench.streamingRegression(smokeNow, smokePrev)}""" +
+      s""""value":100.5,"suspect":true,"suspect_queries":["q_a","q_b"],""" +
+      s""""suspect_ratios":{"q_a":5.2,"q_b":2.4},"sf":"/tmp/sf"}"""
+    val n = mapper.readTree(line)
+    assert(n.get("streaming_failed").asInt === 1)
+    assert(n.get("streaming_prev_failed").asInt === 0)
+    assert(n.get("streaming_regressed").asBoolean === true,
+      "0 -> 1 failed between captures IS the red flap the field exists for")
+    assert(n.get("suspect_ratios").get("q_a").asDouble === 5.2)
+    assert(n.get("suspect_queries").get(0).asText === "q_a")
+  }
+
+  test("streaming regression reads unknown — not clean — when a side is missing") {
+    val green = Some("""{"metric":"streaming_smoke","failed":0}""")
+    val red   = Some("""{"metric":"streaming_smoke","failed":2}""")
+    def node(cur: Option[String], prev: Option[String]) =
+      mapper.readTree(s"""{${Bench.streamingRegression(cur, prev)}"sf":"x"}""")
+    // green -> green: explicit false
+    assert(node(green, green).get("streaming_regressed").asBoolean === false)
+    // recovering run (red -> green) is not a regression
+    assert(node(green, red).get("streaming_regressed").asBoolean === false)
+    // no prior entry / skipped smoke / unparseable sides: null, never false
+    assert(node(green, None).get("streaming_regressed").isNull)
+    assert(node(None, green).get("streaming_regressed").isNull)
+    assert(node(None, green).get("streaming_failed").isNull)
+    assert(node(Some("not json"), green).get("streaming_regressed").isNull)
+    // a skip record (no `failed` field) must not parse as failed=0
+    val skip = Some("""{"metric":"streaming_smoke","skipped":true,"reason":"timeout"}""")
+    assert(node(skip, green).get("streaming_failed").isNull)
+    assert(node(skip, green).get("streaming_regressed").isNull)
   }
 
   test("the emitted degraded flag rides a parseable full line") {
