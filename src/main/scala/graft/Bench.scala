@@ -660,36 +660,41 @@ object Bench {
     }
   }
 
-  /** Last non-empty line of a file, if readable. */
-  private def lastLine(path: String): Option[String] =
+  /** All lines of a file, empty on any trouble. */
+  private def fileLines(path: String): Seq[String] =
     try {
       val p = java.nio.file.Paths.get(path)
       if (java.nio.file.Files.isRegularFile(p))
         java.nio.file.Files.readString(p).linesIterator
-          .filter(_.nonEmpty).foldLeft(Option.empty[String])((_, l) => Some(l))
-      else None
-    } catch { case _: Exception => None }
+          .filter(_.nonEmpty).toSeq
+      else Seq.empty
+    } catch { case _: Exception => Seq.empty }
 
   /** Streaming-health fields for the final headline (VERDICT r11 next-step
-    * #6): this run's smoke `failed` count against the PREVIOUS
-    * `STREAMING_HISTORY.jsonl` entry's, plus the one-field regression
+    * #6): this run's smoke `failed` count against the previous
+    * `STREAMING_HISTORY.jsonl` entries', plus the one-field regression
     * verdict — a red→green (or green→red) flap between round captures is
     * now visible in the bench record itself, not only by diffing the
-    * history file by hand. Returns `"k":v,…,` (trailing comma) ready to
-    * splice ahead of the headline body; a field is `null` when its side
-    * did not report (smoke skipped / no health line / no prior entry), and
-    * the regression verdict is only non-null when BOTH sides did — a first
-    * run or a skipped smoke must read unknown, not clean.
+    * history file by hand. The baseline is the LAST entry that actually
+    * REPORTED (carries a numeric `failed`): skip/timeout records — which
+    * the failure branches append so staleness is visible — would otherwise
+    * blind the comparison for a round after every wedged smoke. Returns
+    * `"k":v,…,` (trailing comma) ready to splice ahead of the headline
+    * body; a field is `null` when its side never reported (smoke skipped /
+    * no health line / no reporting prior entry), and the regression
+    * verdict is only non-null when BOTH sides did — a first run or a
+    * skipped smoke must read unknown, not clean.
     */
   private[graft] def streamingRegression(current: Option[String],
-      previous: Option[String]): String = {
+      previous: Seq[String]): String = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     def failedOf(line: Option[String]): Option[Int] = line.flatMap { l =>
       try Option(mapper.readTree(l).get("failed")).filter(_.isNumber).map(_.asInt)
       catch { case _: Exception => None }
     }
     val cur  = failedOf(current)
-    val prev = failedOf(previous)
+    val prev = previous.reverseIterator.flatMap(l => failedOf(Some(l)))
+      .nextOption()
     val regressed = (cur, prev) match {
       case (Some(c), Some(p)) => (c > p).toString
       case _                  => "null"
@@ -808,8 +813,8 @@ object Bench {
     val shortBody =
       s""""value":$total,"unit":"sec","repeats":3,"degraded":$degraded,"suspect":$suspect,"suspect_queries":$suspectJson,"suspect_ratios":$ratiosJson,$isolation,"queries_run":${names.length},"queries_failed":$failed,"load":$loadJson,"sf":"$sfDir""""
     println(s"""{"metric":"total_short",$shortBody}""")
-    // the PREVIOUS smoke record, read before this run's smoke appends its own
-    val prevSmoke = lastLine(s"$repoDir/STREAMING_HISTORY.jsonl")
+    // the PREVIOUS smoke records, read before this run's smoke appends its own
+    val prevSmoke = fileLines(s"$repoDir/STREAMING_HISTORY.jsonl")
     // value check, not presence: =0 / empty must mean "run it"
     val (smokeLines, health) =
       if (!sys.env.get("GRAFT_SKIP_STREAMING_SMOKE").exists(v => v.nonEmpty && v != "0"))

@@ -303,7 +303,7 @@ class BenchLoadSpec extends AnyFunSuite {
 
   test("suspect_ratios and streaming fields ride a parseable headline") {
     val smokeNow  = Some("""{"metric":"streaming_smoke","value":30.5,"suites":7,"failed":1}""")
-    val smokePrev = Some("""{"metric":"streaming_smoke","value":29.9,"suites":7,"failed":0}""")
+    val smokePrev = Seq("""{"metric":"streaming_smoke","value":29.9,"suites":7,"failed":0}""")
     val line = s"""{"metric":"total_short",${Bench.streamingRegression(smokeNow, smokePrev)}""" +
       s""""value":100.5,"suspect":true,"suspect_queries":["q_a","q_b"],""" +
       s""""suspect_ratios":{"q_a":5.2,"q_b":2.4},"sf":"/tmp/sf"}"""
@@ -317,23 +317,35 @@ class BenchLoadSpec extends AnyFunSuite {
   }
 
   test("streaming regression reads unknown — not clean — when a side is missing") {
-    val green = Some("""{"metric":"streaming_smoke","failed":0}""")
-    val red   = Some("""{"metric":"streaming_smoke","failed":2}""")
-    def node(cur: Option[String], prev: Option[String]) =
+    val greenL = """{"metric":"streaming_smoke","failed":0}"""
+    val redL   = """{"metric":"streaming_smoke","failed":2}"""
+    val skipL  = """{"metric":"streaming_smoke","skipped":true,"reason":"timeout"}"""
+    val green  = Some(greenL)
+    def node(cur: Option[String], prev: Seq[String]) =
       mapper.readTree(s"""{${Bench.streamingRegression(cur, prev)}"sf":"x"}""")
     // green -> green: explicit false
-    assert(node(green, green).get("streaming_regressed").asBoolean === false)
+    assert(node(green, Seq(greenL)).get("streaming_regressed").asBoolean === false)
     // recovering run (red -> green) is not a regression
-    assert(node(green, red).get("streaming_regressed").asBoolean === false)
+    assert(node(green, Seq(redL)).get("streaming_regressed").asBoolean === false)
+    // ...and going red IS one
+    assert(node(Some(redL), Seq(greenL)).get("streaming_regressed").asBoolean === true)
     // no prior entry / skipped smoke / unparseable sides: null, never false
-    assert(node(green, None).get("streaming_regressed").isNull)
-    assert(node(None, green).get("streaming_regressed").isNull)
-    assert(node(None, green).get("streaming_failed").isNull)
-    assert(node(Some("not json"), green).get("streaming_regressed").isNull)
-    // a skip record (no `failed` field) must not parse as failed=0
-    val skip = Some("""{"metric":"streaming_smoke","skipped":true,"reason":"timeout"}""")
-    assert(node(skip, green).get("streaming_failed").isNull)
-    assert(node(skip, green).get("streaming_regressed").isNull)
+    assert(node(green, Nil).get("streaming_regressed").isNull)
+    assert(node(None, Seq(greenL)).get("streaming_regressed").isNull)
+    assert(node(None, Seq(greenL)).get("streaming_failed").isNull)
+    assert(node(Some("not json"), Seq(greenL)).get("streaming_regressed").isNull)
+    // a current-side skip record (no `failed` field) must not parse as failed=0
+    assert(node(Some(skipL), Seq(greenL)).get("streaming_failed").isNull)
+    assert(node(Some(skipL), Seq(greenL)).get("streaming_regressed").isNull)
+    // the PREVIOUS baseline scans back past skip/timeout records to the
+    // last entry that actually reported — a wedged smoke last round must
+    // not blind this round's comparison
+    val n = node(Some(redL), Seq(redL, greenL, skipL))
+    assert(n.get("streaming_prev_failed").asInt === 0,
+      "baseline must be the last REPORTING entry, not the skip record")
+    assert(n.get("streaming_regressed").asBoolean === true)
+    // a history of only skip records reads unknown
+    assert(node(green, Seq(skipL, skipL)).get("streaming_regressed").isNull)
   }
 
   test("the emitted degraded flag rides a parseable full line") {
