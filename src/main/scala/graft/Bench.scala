@@ -480,21 +480,21 @@ object Bench {
       minSamples: Int = SuspectMinSamples,
       sf: Option[String] = None): Map[String, Double] = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    // most-recent-first parsed entries: (sf stamp, suspect flag, timings)
+    // most-recent-first parsed entries: (sf stamp, degraded, suspect, timings)
     val parsed = lines.reverseIterator.flatMap { l =>
       try {
         val n = mapper.readTree(l)
         def flagged(f: String) = Option(n.get(f)).exists(_.asBoolean)
-        val qs = Option(n.get("queries")).filter(_.isObject)
-        if (flagged("degraded") || qs.isEmpty) None
-        else Some {
+        val qs = Option(n.get("queries")).filter(_.isObject).map { q =>
           val b = Map.newBuilder[String, Double]
-          qs.get.properties().forEach { e =>
+          q.properties().forEach { e =>
             val v = e.getValue.asDouble(-1.0)
             if (v >= 0) b += e.getKey -> v
           }
-          (Option(n.get("sf")).map(_.asText()), flagged("suspect"), b.result())
+          b.result()
         }
+        Some((Option(n.get("sf")).map(_.asText()),
+          flagged("degraded"), flagged("suspect"), qs))
       } catch { case _: Exception => None }
     }.toSeq
     // An entry with NO `sf` stamp is a mismatch the moment ANY entry in the
@@ -502,10 +502,12 @@ object Bench {
     // pre-sf dev-scale lines keep feeding the medians that judge an sf0.1
     // capture long after stamped entries existed. The grandfather clause is
     // only for a wholly pre-sf history, where excluding unstamped entries
-    // would mean no baseline at all.
+    // would mean no baseline at all — and the era test reads EVERY parsed
+    // line, degraded/suspect included: a stamped-but-contaminated entry
+    // still proves the stamp era began, it just cannot feed a median.
     val anyStamped = parsed.exists(_._1.isDefined)
     val entries = parsed.collect {
-      case (sfStamp, suspectFlag, qs)
+      case (sfStamp, false, suspectFlag, Some(qs))
           if sf.forall(want => sfStamp match {
             case Some(have) => have == want
             case None       => !anyStamped
@@ -679,11 +681,13 @@ object Bench {
     * REPORTED (carries a numeric `failed`): skip/timeout records — which
     * the failure branches append so staleness is visible — would otherwise
     * blind the comparison for a round after every wedged smoke. Returns
-    * `"k":v,…,` (trailing comma) ready to splice ahead of the headline
-    * body; a field is `null` when its side never reported (smoke skipped /
-    * no health line / no reporting prior entry), and the regression
-    * verdict is only non-null when BOTH sides did — a first run or a
-    * skipped smoke must read unknown, not clean.
+    * `"k":v,…` (no braces, no trailing comma) to splice AFTER the headline
+    * body — appending keeps the historical `{"metric":"total_short",
+    * "value":…` byte prefix intact for any consumer that matches on it; a
+    * field is `null` when its side never reported (smoke skipped / no
+    * health line / no reporting prior entry), and the regression verdict
+    * is only non-null when BOTH sides did — a first run or a skipped
+    * smoke must read unknown, not clean.
     */
   private[graft] def streamingRegression(current: Option[String],
       previous: Seq[String]): String = {
@@ -701,7 +705,7 @@ object Bench {
     }
     s""""streaming_failed":${cur.fold("null")(_.toString)},""" +
       s""""streaming_prev_failed":${prev.fold("null")(_.toString)},""" +
-      s""""streaming_regressed":$regressed,"""
+      s""""streaming_regressed":$regressed"""
   }
 
   /** The bench's closing stdout sequence (VERDICT r11 next-step #1): the
@@ -820,8 +824,10 @@ object Bench {
       if (!sys.env.get("GRAFT_SKIP_STREAMING_SMOKE").exists(v => v.nonEmpty && v != "0"))
         runStreamingSmoke()
       else (Seq.empty[String], None)
+    // streaming fields APPENDED so the final line's byte prefix is exactly
+    // the historical total_short shape a prefix-matching parser expects
     val finalHeadline =
-      s"""{"metric":"total_short",${streamingRegression(health, prevSmoke)}$shortBody}"""
+      s"""{"metric":"total_short",$shortBody,${streamingRegression(health, prevSmoke)}}"""
     closingLines(finalHeadline, smokeLines).foreach(println)
   }
 }

@@ -194,6 +194,15 @@ class BenchLoadSpec extends AnyFunSuite {
     val mixedEnough = noSf ++ Seq.fill(3)(histLine(Map("q_old" -> 9.0)))
     assert(Bench.historyMedians(mixedEnough, sf = Some("/tmp/sf"))("q_old") === 9.0,
       "stamped-only baseline once stamped entries exist")
+    // the stamp-era test reads EVERY parsed line: a stamped-but-DEGRADED
+    // entry proves the era began (it just cannot feed a median), so the
+    // unstamped legacy lines are already out even though no stamped entry
+    // is itself baseline-eligible
+    val eraByDegraded = noSf ++
+      Seq(histLine(Map("q_old" -> 9.0), degraded = true))
+    assert(Bench.historyMedians(eraByDegraded, sf = Some("/tmp/sf")) ===
+      Map.empty[String, Double],
+      "a stamped degraded entry must end the grandfather era")
   }
 
   test("a persistent shift escapes the suspect lock-in as the new normal") {
@@ -304,9 +313,13 @@ class BenchLoadSpec extends AnyFunSuite {
   test("suspect_ratios and streaming fields ride a parseable headline") {
     val smokeNow  = Some("""{"metric":"streaming_smoke","value":30.5,"suites":7,"failed":1}""")
     val smokePrev = Seq("""{"metric":"streaming_smoke","value":29.9,"suites":7,"failed":0}""")
-    val line = s"""{"metric":"total_short",${Bench.streamingRegression(smokeNow, smokePrev)}""" +
-      s""""value":100.5,"suspect":true,"suspect_queries":["q_a","q_b"],""" +
-      s""""suspect_ratios":{"q_a":5.2,"q_b":2.4},"sf":"/tmp/sf"}"""
+    // streaming fields ride at the END: the final line's byte prefix must
+    // stay the historical {"metric":"total_short","value":… shape
+    val line = s"""{"metric":"total_short","value":100.5,"suspect":true,""" +
+      s""""suspect_queries":["q_a","q_b"],"suspect_ratios":{"q_a":5.2,"q_b":2.4},""" +
+      s""""sf":"/tmp/sf",${Bench.streamingRegression(smokeNow, smokePrev)}}"""
+    assert(line.startsWith("""{"metric":"total_short","value":"""),
+      "appending the streaming fields must not disturb the headline prefix")
     val n = mapper.readTree(line)
     assert(n.get("streaming_failed").asInt === 1)
     assert(n.get("streaming_prev_failed").asInt === 0)
@@ -322,7 +335,7 @@ class BenchLoadSpec extends AnyFunSuite {
     val skipL  = """{"metric":"streaming_smoke","skipped":true,"reason":"timeout"}"""
     val green  = Some(greenL)
     def node(cur: Option[String], prev: Seq[String]) =
-      mapper.readTree(s"""{${Bench.streamingRegression(cur, prev)}"sf":"x"}""")
+      mapper.readTree(s"""{"sf":"x",${Bench.streamingRegression(cur, prev)}}""")
     // green -> green: explicit false
     assert(node(green, Seq(greenL)).get("streaming_regressed").asBoolean === false)
     // recovering run (red -> green) is not a regression
