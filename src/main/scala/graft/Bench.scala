@@ -196,14 +196,30 @@ object Bench {
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 
   /** One timed query result: median-of-3 seconds (−1 on failure), the
-    * first error message if any repeat failed, and — for queries whose
-    * eager stages self-attribute through [[graft.Phases]] (the composite
-    * ANN build/train/search cycles) — the phase split of the LAST
-    * successful repeat. Phases are diagnostic sub-timings, not a partition
-    * of the median: `secs − Σ phases` is the lazy serve/residual share.
+    * first error message if any repeat failed, and — for the
+    * [[PhasedQueries]] composites — the phase split of one DEDICATED
+    * untimed evaluation run after the repeats. Phases are diagnostic
+    * sub-timings, never a partition of the median: the capture evaluation
+    * may execute a different physical shape than the timed lazy plan (the
+    * crossmodal composite materializes its sides eagerly under capture,
+    * which measured ~2× its lazy wall — the reason the timed repeats are
+    * capture-free), so compare phases to PHASES across rounds and totals
+    * to totals, never one to the other.
     */
   private[graft] final case class Timed(name: String, secs: Double,
       err: Option[String], phases: Seq[(String, Double)] = Nil)
+
+  /** The queries that self-attribute phase splits under a
+    * [[graft.Phases]] capture. Only these pay the extra diagnostic
+    * evaluation — it rides the bench's wall clock, never `queries[k]` —
+    * and the TIMED repeats run capture-free so every published total is
+    * the plain lazy plan's (VERDICT r11 #3's "totals unchanged" clause:
+    * in-repeat capture held that for the ANN pair, whose timed stages are
+    * driver-eager under either mode, but not for the crossmodal
+    * composite, whose capture mode inserts persist+count barriers).
+    */
+  private[graft] val PhasedQueries: Set[String] =
+    Set("q_ann_ivfpq", "q_pq_adc", "q_crossmodal_dups")
 
   /** Warm up then time one chunk of queries against an OWNED SparkSession
     * (created and stopped here). Median of 3 post-warm-up repeats per query
@@ -228,23 +244,32 @@ object Bench {
       names.foreach { n => clearAllCaches(spark); force(n) }
       val Repeats = 3
       names.map { name =>
-        var phases: Seq[(String, Double)] = Nil
         val runs = (1 to Repeats).map { _ =>
           // drop caches persisted by OTHER queries' evaluation AND by this
           // query's own previous repeat: each timed number must measure the
           // query's own full pipeline. Intra-query persists still apply.
+          // NO capture here: a capture-sensitive composite must never let
+          // its diagnostic shape contaminate the published total.
           clearAllCaches(spark)
           val t0 = System.nanoTime()
-          val (err, ph) = Phases.capture(force(name))
-          if (err.isEmpty && ph.nonEmpty) phases = ph
+          val err = force(name)
           (if (err.isEmpty) (System.nanoTime() - t0) / 1e9 else -1.0, err)
         }
         val err = runs.flatMap(_._2).headOption
         val ok  = runs.map(_._1).filter(_ >= 0)
         val median = if (ok.isEmpty) -1.0 else ok.sorted.apply(ok.length / 2)
         err.foreach(m => System.err.println(s"[bench] $name FAILED: $m"))
-        Timed(name, if (err.isEmpty) median else -1.0, err,
-          if (err.isEmpty) phases else Nil)
+        // the phase split comes from ONE dedicated untimed evaluation —
+        // see [[PhasedQueries]]; a failure here only costs the split
+        val phases =
+          if (err.isEmpty && PhasedQueries(name)) {
+            clearAllCaches(spark)
+            Phases.capture(force(name)) match {
+              case (None, ph) => ph
+              case _          => Nil
+            }
+          } else Nil
+        Timed(name, if (err.isEmpty) median else -1.0, err, phases)
       }
     } finally spark.stop()
   }

@@ -6,7 +6,9 @@ package graft
   * running `tools/IvfPqProfile` by hand — so a build-side regression and a
   * search-side regression were indistinguishable in the round artifact.
   * The eager stages of those queries wrap themselves in [[timed]]; when a
-  * capture is active on the calling thread (Bench's timed repeats), the
+  * capture is active on the calling thread (Bench's dedicated untimed
+  * diagnostic evaluation of each [[graft.Bench.PhasedQueries]] entry —
+  * never its timed repeats, whose totals must stay the lazy plan's), the
   * stage durations accumulate into a named map the bench emits as an
   * optional `"phases"` block; otherwise [[timed]] is a bare call with one
   * `nanoTime` pair of overhead, so Verify/specs/production callers pay
@@ -53,7 +55,8 @@ object Phases {
   /** Run `f` with a fresh capture on this thread; returns its result with
     * the phases recorded during it, in first-recorded order. Nested
     * captures are not supported (the inner one would steal the outer's
-    * attributions) — the single caller is Bench's repeat loop.
+    * attributions) — callers are Bench's per-query diagnostic evaluation
+    * and the dev tools/specs that A/B the capture shape.
     */
   def capture[A](f: => A): (A, Seq[(String, Double)]) = {
     val m = scala.collection.mutable.LinkedHashMap.empty[String, Double]

@@ -454,9 +454,13 @@ object MultimodalQueries {
     // BENCH_FULL.json carries `phases.q_crossmodal_dups` =
     // {simhash_side, phash_side, pair_join}; outside a capture
     // (Verify, specs, production) the stages are identity and the lazy
-    // plan is exactly the pre-r12 one. Same total work either way — the
-    // pair sets are capped upstream, so the extra caching is bounded by
-    // the fingerprint space, and the bench sweeps caches between repeats.
+    // plan is exactly the pre-r12 one. The eager barriers are NOT free —
+    // measured ~2× the lazy wall at sf0.1 (cache encode + extra action
+    // scheduling + losing stage fusion), which is why the bench times its
+    // repeats capture-free and takes this split from one dedicated
+    // untimed evaluation (Bench.PhasedQueries): the published total is
+    // always the lazy plan's, and the phases are a diagnostic shape
+    // comparable only to other rounds' phases.
     GraftQuery(
       "q_crossmodal_dups",
       "pairs near-dup in BOTH text (simhash <= 6) and thumbnail (dHash <= 6)",

@@ -254,6 +254,14 @@ class BenchLoadSpec extends AnyFunSuite {
     assert(Phases.capture(7)._2.isEmpty)
   }
 
+  test("every PhasedQueries entry is a live graded key") {
+    // the diagnostic-capture allowlist is maintained by hand; a renamed
+    // query would otherwise silently stop shipping its phase split
+    val live = SparkEntry.queries.keySet
+    assert(Bench.PhasedQueries.subsetOf(live),
+      s"stale PhasedQueries entries: ${Bench.PhasedQueries -- live}")
+  }
+
   test("the GRAFT_PH wire format round-trips and rides a parseable line") {
     val ph = Bench.parsePhases("train_coarse=1.25;train_pq=2.5;encode_write=0.75")
     assert(ph === Seq("train_coarse" -> 1.25, "train_pq" -> 2.5, "encode_write" -> 0.75))
