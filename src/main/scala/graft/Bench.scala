@@ -219,7 +219,8 @@ object Bench {
     * composite, whose capture mode inserts persist+count barriers).
     */
   private[graft] val PhasedQueries: Set[String] =
-    Set("q_ann_ivfpq", "q_pq_adc", "q_crossmodal_dups")
+    Set("q_ann_ivfpq", "q_pq_adc", "q_crossmodal_dups", "q_hybrid_rrf",
+      "q_semdedup")
 
   /** Warm up then time one chunk of queries against an OWNED SparkSession
     * (created and stopped here). Median of 3 post-warm-up repeats per query

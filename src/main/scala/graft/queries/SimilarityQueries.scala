@@ -668,6 +668,16 @@ object SimilarityQueries {
       "hybrid more-like-this: shingle-overlap top-10 + cosine top-10 fused by RRF, top-3 per probe",
       (s, dir) => {
         val K = 10
+        // Phase attribution, Bench.PhasedQueries member: under the bench's
+        // dedicated diagnostic capture ONLY, each ranker materializes
+        // eagerly (persist + count) inside its own Phases.timed, so a
+        // lexical-side and a semantic-side swing are distinguishable in the
+        // round artifact; outside a capture the stages are identity and the
+        // lazy graded plan is untouched (see q_crossmodal_dups for why the
+        // bench never captures its TIMED repeats).
+        def stage(name: String)(df: org.apache.spark.sql.DataFrame) =
+          if (!graft.Phases.capturing) df
+          else graft.Phases.timed(name) { val p = df.persist(); p.count(); p }
         // lexical: df-capped distinct shingles, probe sets broadcast
         val shd = DedupQueries.shingleRows(Tables.spread(Tables.documents(s, dir)))
           .select("doc_id", "shingle")
@@ -678,39 +688,42 @@ object SimilarityQueries {
         val capped = shd.join(keep, "shingle")
         val probeSh = capped.filter(col("doc_id").isin(ProbeIds: _*))
           .select(col("doc_id").as("qid"), col("shingle"))
-        val lexTop = capped.join(broadcast(probeSh), "shingle")
+        val lexTop = stage("lexical_side")(capped.join(broadcast(probeSh), "shingle")
           .filter(col("doc_id") =!= col("qid"))
           .groupBy("qid", "doc_id").agg(count(lit(1)).as("ov"))
           .withColumn("lex_rank", row_number().over(
             Window.partitionBy(col("qid")).orderBy(col("ov").desc, col("doc_id").asc))
             .cast("long"))
           .filter(col("lex_rank") <= K)
-          .select("qid", "doc_id", "lex_rank")
+          .select("qid", "doc_id", "lex_rank"))
         // semantic: the E2a exact scan to rank depth K
         val base = normedBase(s, dir)
           .select("vec_id", "q", "n2")
         val probes = base.filter(col("vec_id").isin(ProbeIds: _*))
           .select(col("vec_id").as("qid"), col("q").as("qq"), col("n2").as("qn"))
-        val semTop = base.join(broadcast(probes), col("vec_id") =!= col("qid"))
+        val semTop = stage("semantic_side")(base.join(broadcast(probes), col("vec_id") =!= col("qid"))
           .withColumn("cos", cosine(col("qq"), col("q"), col("qn"), col("n2")))
           .withColumn("sem_rank", row_number().over(
             Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc))
             .cast("long"))
           .filter(col("sem_rank") <= K)
-          .select(col("qid"), col("vec_id").as("doc_id"), col("sem_rank"))
+          .select(col("qid"), col("vec_id").as("doc_id"), col("sem_rank")))
         // fuse: docs missing from a list contribute only the other term
-        lexTop.join(semTop, Seq("qid", "doc_id"), "full_outer")
-          .withColumn("rrf",
-            expr("coalesce(1000000L div (60L + lex_rank), 0L)" +
-              " + coalesce(1000000L div (60L + sem_rank), 0L)"))
-          .withColumn("lex_rank", coalesce(col("lex_rank"), lit(-1L)))
-          .withColumn("sem_rank", coalesce(col("sem_rank"), lit(-1L)))
-          .withColumn("rank", row_number().over(
-            Window.partitionBy(col("qid")).orderBy(col("rrf").desc, col("doc_id").asc))
-            .cast("long"))
-          .filter(col("rank") <= 3)
-          .select("qid", "rank", "doc_id", "lex_rank", "sem_rank", "rrf")
-          .orderBy("qid", "rank")
+        val fused = stage("fuse")(
+          lexTop.join(semTop, Seq("qid", "doc_id"), "full_outer")
+            .withColumn("rrf",
+              expr("coalesce(1000000L div (60L + lex_rank), 0L)" +
+                " + coalesce(1000000L div (60L + sem_rank), 0L)"))
+            .withColumn("lex_rank", coalesce(col("lex_rank"), lit(-1L)))
+            .withColumn("sem_rank", coalesce(col("sem_rank"), lit(-1L)))
+            .withColumn("rank", row_number().over(
+              Window.partitionBy(col("qid")).orderBy(col("rrf").desc, col("doc_id").asc))
+              .cast("long"))
+            .filter(col("rank") <= 3)
+            .select("qid", "rank", "doc_id", "lex_rank", "sem_rank", "rrf")
+            .orderBy("qid", "rank"))
+        if (graft.Phases.capturing) { lexTop.unpersist(); semTop.unpersist(); () }
+        fused
       },
       Some(s"""WITH w AS (
               |  SELECT doc_id, ${Dialect.duckWordsSql} AS words FROM documents),
@@ -968,7 +981,12 @@ object SimilarityQueries {
       "q_semdedup",
       s"SemDeDup prune list: earlier cosine >= $SemTau neighbor in the same trained cluster",
       (s, dir) => {
-        val cents = trainCodebook(s, dir).map(_._2)
+        // Bench.PhasedQueries member: the k-means training loop is DRIVER-
+        // EAGER under either mode (capture changes no plan here, unlike the
+        // crossmodal/hybrid composites), so the diagnostic capture splits
+        // train_coarse from the lazy assign+pair+agg residual for free
+        val cents = graft.Phases.timed("train_coarse")(
+          trainCodebook(s, dir)).map(_._2)
         val base = normedBase(s, dir)
           .select("vec_id", "q", "n2")
         val assigned = base.withColumn("cid", cidColOf(cents))

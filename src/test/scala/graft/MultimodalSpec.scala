@@ -15,21 +15,8 @@ class MultimodalSpec extends SparkTestBase {
 
   import spark.implicits._
 
-  test("q_crossmodal_dups phase capture splits the composite without changing rows") {
-    // VERDICT r11 next-step #3: under a bench capture the composite
-    // materializes its sides inside timed stages; the graded rows must be
-    // IDENTICAL to the plain lazy plan's, and the three stages must all be
-    // attributed (their sum ≤ wall is implicit in how Phases accumulates)
-    val dir = "/root/testdata/sf0.001"
-    val q = SparkEntry.queries("q_crossmodal_dups")
-    val plain = q(spark, dir).collect().toSeq
-    val (captured, phases) = Phases.capture(q(spark, dir).collect().toSeq)
-    assert(captured === plain,
-      "phase-captured evaluation changed the graded output")
-    assert(phases.map(_._1) === Seq("simhash_side", "phash_side", "pair_join"),
-      s"expected the three composite stages, got $phases")
-    assert(phases.forall(_._2 >= 0.0))
-  }
+  // (the q_crossmodal_dups phase-capture parity test lives in
+  // PhasedQueriesSpec, which covers every Bench.PhasedQueries entry)
 
   test("pngBytes/pngDecode: real deflate round-trip, every filter type, RGB + RGBA") {
     for (channels <- Seq(3, 4);
