@@ -586,7 +586,9 @@ object Bench {
         else None)
       .getOrElse("/root/repo")
   private lazy val artifactPath = s"$repoDir/BENCH_FULL.json"
-  private lazy val historyPath  = s"$repoDir/BENCH_HISTORY.jsonl"
+  // private[graft]: tools/HistoryReport reads the same trail the suspect
+  // verdict feeds on, so the two can never disagree on WHICH file is history
+  private[graft] lazy val historyPath = s"$repoDir/BENCH_HISTORY.jsonl"
 
   /** The snapshot+trail dual write both artifact families share: overwrite
     * `snapPath` with the line (the latest-run record), append it to

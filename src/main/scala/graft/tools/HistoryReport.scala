@@ -1,0 +1,82 @@
+package graft.tools
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+/** Dev/review tool: the per-query adjudication table every round's bench
+  * review rebuilds by hand from `BENCH_HISTORY.jsonl` — each query's latest
+  * timing against its clean-history median, worst inflations first — plus
+  * the run-level trail (total / degraded / suspect per entry). The medians
+  * come from [[graft.Bench.historyMedians]], the SAME function the live
+  * suspect verdict feeds on, so this report can never disagree with the
+  * flags the bench actually emitted.
+  *
+  * Usage: `graft.tools.HistoryReport [historyPath]` — default is the
+  * bench's own trail ([[graft.Bench.historyPath]]). Read-only; no Spark
+  * session.
+  */
+object HistoryReport {
+
+  private val mapper = new ObjectMapper()
+
+  private def parse(line: String): Option[JsonNode] =
+    try Some(mapper.readTree(line)) catch { case _: Exception => None }
+
+  private def flag(n: JsonNode, f: String): Boolean =
+    Option(n.get(f)).exists(_.asBoolean)
+
+  /** The rendered report for one history trail (pure — spec'd directly).
+    * `lines` is the raw JSONL; the LATEST entry is adjudicated against the
+    * clean-median baseline of everything before it (the same read-before-
+    * append discipline the bench itself uses), so the report answers the
+    * reviewer's actual question: "is the newest capture plausible?".
+    */
+  private[graft] def report(lines: Seq[String], topN: Int = 15): String = {
+    val parsed = lines.flatMap(parse)
+    if (parsed.isEmpty) return "no parseable history entries"
+    val latest = parsed.last
+    val sf = Option(latest.get("sf")).map(_.asText())
+    val medians = graft.Bench.historyMedians(lines.dropRight(1), sf = sf)
+
+    val sb = new StringBuilder
+    sb ++= "== run trail (oldest first) ==\n"
+    parsed.takeRight(10).foreach { n =>
+      val v = Option(n.get("value")).map(x => f"${x.asDouble}%8.1f").getOrElse("       ?")
+      sb ++= s"$v s  degraded=${flag(n, "degraded")}  suspect=${flag(n, "suspect")}" +
+        s"  sf=${Option(n.get("sf")).map(_.asText()).getOrElse("-")}\n"
+    }
+
+    val qs = Option(latest.get("queries")).filter(_.isObject).map { q =>
+      var out = List.empty[(String, Double)]
+      q.properties().forEach(e => out ::= (e.getKey, e.getValue.asDouble(-1.0)))
+      out.reverse
+    }.getOrElse(Nil)
+    if (qs.isEmpty) { sb ++= "latest entry carries no queries map\n"; return sb.result() }
+
+    val rows = qs.collect { case (name, secs) if secs >= 0 && medians.contains(name) =>
+      (name, secs, medians(name), secs / medians(name))
+    }
+    sb ++= s"\n== latest vs clean-median baseline (${rows.size} judged, worst first) ==\n"
+    rows.sortBy(-_._4).take(topN).foreach { case (name, secs, med, r) =>
+      sb ++= f"$name%-24s ${secs}%7.2f s  med ${med}%7.2f s  x$r%5.2f\n"
+    }
+    sb ++= s"\n== most expensive (latest) ==\n"
+    rows.sortBy(-_._2).take(topN).foreach { case (name, secs, med, r) =>
+      sb ++= f"$name%-24s ${secs}%7.2f s  med ${med}%7.2f s  x$r%5.2f\n"
+    }
+    val unjudged = qs.collect { case (n, s) if s >= 0 && !medians.contains(n) => n }
+    if (unjudged.nonEmpty)
+      sb ++= s"\n(no clean baseline yet: ${unjudged.size} queries, e.g. ${unjudged.take(5).mkString(", ")})\n"
+    sb.result()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val path = args.headOption.getOrElse(graft.Bench.historyPath)
+    val lines =
+      try scala.jdk.CollectionConverters.ListHasAsScala(
+        java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path))).asScala.toSeq
+      catch { case e: Exception =>
+        System.err.println(s"cannot read $path: ${e.toString.take(120)}"); return
+      }
+    println(report(lines))
+  }
+}

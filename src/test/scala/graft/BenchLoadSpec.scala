@@ -369,6 +369,25 @@ class BenchLoadSpec extends AnyFunSuite {
     assert(node(green, Seq(skipL, skipL)).get("streaming_regressed").isNull)
   }
 
+  test("HistoryReport adjudicates the latest entry against the prior clean baseline") {
+    // the report must reuse the LIVE median logic (read-before-append:
+    // the latest entry judges against everything before it) and sort worst
+    // inflation first — the table a round review builds by hand
+    val hist = idleHistory :+ histLine(idleRun ++ Map(
+      "q_collocations" -> 1.2, "q_hash_sample" -> 0.17))
+    val rep = graft.tools.HistoryReport.report(hist)
+    assert(rep.contains("x 3.00"), s"collocations at 3x its 0.40 median must lead: $rep")
+    val worstBlock = rep.split("worst first")(1)
+    assert(worstBlock.linesIterator.toSeq(1).startsWith("q_collocations"),
+      "worst inflation must sort first")
+    assert(rep.contains("suspect=false"))
+    // degenerate inputs answer text, never throw
+    assert(graft.tools.HistoryReport.report(Nil).nonEmpty)
+    assert(graft.tools.HistoryReport.report(Seq("{not json")).nonEmpty)
+    assert(graft.tools.HistoryReport.report(
+      Seq("""{"metric":"total","value":1.0}""")).contains("no queries map"))
+  }
+
   test("the emitted degraded flag rides a parseable full line") {
     // assemble a line the way main does (same field layout) and check a
     // JSON consumer reads metric/degraded/load back — guards the string
