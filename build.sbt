@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The grading driver tails this build's `runMain graft.Bench` output and
+// JSON-parses metric lines. sbt's default output strategy for a forked run
+// re-logs every child line with an "[info] "/"[error] " prefix, which no
+// JSON parser accepts — r1's tail held a complete `{"metric":"total",…}`
+// line as the last metric line and still read `parsed: null`, so the
+// prefix is the blocker. StdoutOutput hands the forked JVM the console
+// streams verbatim: metric lines reach the driver starting with `{`.
+// Scoped to run only — test reporting keeps sbt's logger. This one key
+// covers `runMain` too (verified: runMain delegates here), and is the ONLY
+// scope sbt consults — Zero-config `run / outputStrategy` and
+// `Compile / runMain / outputStrategy` both lint as unused.
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -220,7 +220,7 @@ object Bench {
     */
   private[graft] val PhasedQueries: Set[String] =
     Set("q_ann_ivfpq", "q_pq_adc", "q_crossmodal_dups", "q_hybrid_rrf",
-      "q_semdedup")
+      "q_semdedup", "q_containment_pairs")
 
   /** Warm up then time one chunk of queries against an OWNED SparkSession
     * (created and stopped here). Median of 3 post-warm-up repeats per query
@@ -570,6 +570,15 @@ object Bench {
     (sus, sus.count { case (n, _) => medians(n) < TrivialMedianSec } >= CoInflateCount)
   }
 
+  /** The `retimed` field body (VERDICT r12 next-step #2): the suspect
+    * queries' one-pass re-readings as `{"q_x":secs,…}` — `{}` when the
+    * run had nothing flagged, a raw `-1` when a retime repeat failed
+    * (a failure must read as a failure, not vanish). Split out so the
+    * spec can pin the shape without running a bench.
+    */
+  private[graft] def retimedFieldJson(vals: Seq[(String, Double)]): String =
+    vals.map { case (n, v) => s"${jstr(n)}:$v" }.mkString("{", ",", "}")
+
   /** Repo artifact the full per-query map persists to (overwritten per run)
     * + an append-only JSONL history — the record the driver's stdout tail
     * truncation cannot eat. Best-effort: an unwritable path must not fail
@@ -736,18 +745,58 @@ object Bench {
       s""""streaming_regressed":$regressed"""
   }
 
-  /** The bench's closing stdout sequence (VERDICT r11 next-step #1): the
-    * smoke's record lines first, the repeated headline LAST. The driver
-    * keeps only a fixed-size tail of the output, and every `BENCH_r*.json`
-    * since r8 was `parsed: null` because the single `total_short` print
-    * preceded the smoke child's ~20 inherited-stderr Spark startup lines,
-    * which pushed every metric line except the smoke's own out of that
-    * window. Main prints THROUGH this function so the ordering is pinned
-    * by BenchLoadSpec, not by code layout.
+  /** The bench's closing stdout sequence (VERDICT r11 next-step #1 +
+    * r12 next-step #1): the smoke's record lines first, the repeated
+    * `total_short` headline, then ONE compact `"metric":"total"` line as
+    * the absolute last program output. The driver keeps only a 2000-char
+    * tail of the output, and every `BENCH_r*.json` through r12 was
+    * `parsed: null`: r8–r11 because startup spew pushed the metric lines
+    * out of that window, r12 because — as r1's tail proves, where a
+    * complete in-window `[info] {"metric":"total",…}` line still nulled —
+    * the parser rejects sbt's log prefix (fixed in build.sbt via
+    * `Compile / run / outputStrategy := StdoutOutput`) and most plausibly
+    * keys on the `"metric":"total"` name its own full records carry
+    * (the full `total` line with its ~6 KB queries map prints early and
+    * always exceeds the window — hence the compact repeat, same headline
+    * fields minus the big maps, short enough that line + sbt's
+    * `[success]` trailer always fit the window together). Main prints
+    * THROUGH this function so the ordering is pinned by BenchLoadSpec,
+    * not by code layout.
     */
-  private[graft] def closingLines(headline: String,
+  private[graft] def closingLines(headline: String, closingTotal: String,
       smokeLines: Seq[String]): Seq[String] =
-    smokeLines :+ headline
+    smokeLines :+ headline :+ closingTotal
+
+  /** The compact closing `"metric":"total"` line (VERDICT r12 next-step
+    * #1): the headline's scalar fields, none of the per-query /
+    * per-chunk maps, so the whole line stays a few hundred bytes — small
+    * enough that it plus sbt's trailer always fit the driver's 2000-char
+    * stdout tail. `"metric":"total"` therefore appears TWICE per run
+    * (the early full line with the queries map feeds BENCH_FULL.json /
+    * history; this compact one feeds the tail parser): the consumer
+    * contract for both `total` and the repeated `total_short` is
+    * at-least-once / LAST-wins — a JSONL consumer must key on the final
+    * occurrence, never count or sum per metric name (ADVICE r12).
+    */
+  private[graft] def closingTotalLine(total: Double, degraded: Boolean,
+      suspect: Boolean, run: Int, failed: Int, sfDir: String,
+      streamingFields: String): String =
+    s"""{"metric":"total","value":$total,"unit":"sec","repeats":3,""" +
+      s""""degraded":$degraded,"suspect":$suspect,""" +
+      s""""queries_run":$run,"queries_failed":$failed,""" +
+      s"""$streamingFields,"sf":${jstr(sfDir)}}"""
+
+  /** Print one line as a single write+flush. Under the prefix-free
+    * `StdoutOutput` strategy the forked bench shares the console pipe
+    * with its children's inherited stderr; `println`'s two writes (text,
+    * then newline) could let a late stderr burst land mid-line in a
+    * merged capture, and a torn closing line is exactly the parse this
+    * exists to guarantee. One ≤4 KB write on a pipe is atomic on Linux.
+    */
+  private def printAtomic(line: String): Unit = {
+    System.out.write((line + "\n").getBytes("UTF-8"))
+    System.out.flush()
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -820,10 +869,27 @@ object Bench {
     // the name list stays for existing consumers, the ratios rank severity
     val ratiosJson = suspectQs.map { case (n, r) => s"${jstr(n)}:$r" }
       .mkString("{", ",", "}")
+    // self-healing suspect captures (VERDICT r12 next-step #2): two rounds
+    // running, the official capture landed under host load the chunk-level
+    // isHot never saw (per-query inflation, not a load/steal/PSI breach) —
+    // so after the verdict, the flagged queries get ONE more sequential
+    // pass through the existing chunk fork machinery (fresh JVM, warm-up,
+    // median-of-3) and the re-readings ride beside suspect_ratios as
+    // `retimed`. Strictly ADDITIVE: `value` and `queries[k]` stay the
+    // original capture's (the retime is adjudication evidence, not a
+    // do-over — a retime that also ran hot must not silently overwrite a
+    // number the flags already mark); a flagged query whose retime lands
+    // inside its median band is thereby adjudicated environmental in the
+    // artifact itself, no reach into history needed.
+    val retimed: Seq[(String, Double)] =
+      if (suspectQs.isEmpty) Nil
+      else suspectQs.map(_._1).grouped(ChunkSize).toSeq
+        .flatMap(c => timeChunk(c, sfDir, cpus)._1.map(t => t.name -> t.secs))
+    val retimedJson = retimedFieldJson(retimed)
     val isolation =
       s""""chunks":${chunks.length},"chunks_forked":$forked,"chunk_size":$ChunkSize,"chunks_retried":$retried"""
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","repeats":3,"degraded":$degraded,"suspect":$suspect,"suspect_queries":$suspectJson,"suspect_ratios":$ratiosJson,$isolation,"queries":$qs,"phases":$phasesJson,"errors":$errs,"load":$loadJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","repeats":3,"degraded":$degraded,"suspect":$suspect,"suspect_queries":$suspectJson,"suspect_ratios":$ratiosJson,"retimed":$retimedJson,$isolation,"queries":$qs,"phases":$phasesJson,"errors":$errs,"load":$loadJson,"sf":"$sfDir"}"""
     println(fullLine)
     // The full line above grows with the query count and the driver keeps
     // only the tail of the output, so the full map ALSO goes to the repo
@@ -833,17 +899,20 @@ object Bench {
     // reader, and once more as the FINAL stdout line after the streaming
     // smoke (whose child JVM inherits stderr and spews ~20 Spark startup
     // lines) so the driver's tail parser is guaranteed to see it
-    // (VERDICT r11 #1). Distinct metric names so a JSON-lines consumer
-    // filtering metric=="total" never double-counts (ADVICE r7); the
-    // repeated total_short is safe for a tail parser that takes the last
-    // match, which the fixed-size-tail driver is.
+    // (VERDICT r11 #1), and once more — compact, no maps — as the final
+    // `"metric":"total"` line (VERDICT r12 #1). Both `total` and
+    // `total_short` are therefore at-least-once / LAST-wins on stdout
+    // (ADVICE r12): the repeats carry identical headline values, so a
+    // last-match consumer — which the fixed-size-tail driver is — reads
+    // one consistent record; a per-metric counter/summer must not run on
+    // this stream (documented in README's bench-contract section).
     writeArtifact(fullLine)
     val slowest = timed.filter(_.err.isEmpty).sortBy(-_.secs).take(10)
       .map(t => s"${jstr(t.name)}:${t.secs}").mkString("{", ",", "}")
     println(s"""{"metric":"slowest10","unit":"sec","queries":$slowest,"sf":"$sfDir"}""")
     val failed = timed.count(_.err.isDefined)
     val shortBody =
-      s""""value":$total,"unit":"sec","repeats":3,"degraded":$degraded,"suspect":$suspect,"suspect_queries":$suspectJson,"suspect_ratios":$ratiosJson,$isolation,"queries_run":${names.length},"queries_failed":$failed,"load":$loadJson,"sf":"$sfDir""""
+      s""""value":$total,"unit":"sec","repeats":3,"degraded":$degraded,"suspect":$suspect,"suspect_queries":$suspectJson,"suspect_ratios":$ratiosJson,"retimed":$retimedJson,$isolation,"queries_run":${names.length},"queries_failed":$failed,"load":$loadJson,"sf":"$sfDir""""
     println(s"""{"metric":"total_short",$shortBody}""")
     // the PREVIOUS smoke records, read before this run's smoke appends its own
     val prevSmoke = fileLines(s"$repoDir/STREAMING_HISTORY.jsonl")
@@ -854,8 +923,12 @@ object Bench {
       else (Seq.empty[String], None)
     // streaming fields APPENDED so the final line's byte prefix is exactly
     // the historical total_short shape a prefix-matching parser expects
+    val streamingFields = streamingRegression(health, prevSmoke)
     val finalHeadline =
-      s"""{"metric":"total_short",$shortBody,${streamingRegression(health, prevSmoke)}}"""
-    closingLines(finalHeadline, smokeLines).foreach(println)
+      s"""{"metric":"total_short",$shortBody,$streamingFields}"""
+    closingLines(finalHeadline,
+      closingTotalLine(total, degraded, suspect, names.length, failed,
+        sfDir, streamingFields),
+      smokeLines).foreach(printAtomic)
   }
 }

@@ -35,7 +35,13 @@ object HistoryReport {
     if (parsed.isEmpty) return "no parseable history entries"
     val latest = parsed.last
     val sf = Option(latest.get("sf")).map(_.asText())
-    val medians = graft.Bench.historyMedians(lines.dropRight(1), sf = sf)
+    // the baseline excludes everything from the ADJUDICATED entry's raw
+    // line onward — not merely the last raw line (ADVICE r12): when the
+    // trail ends in garbage (a truncated append), parsed.last is an
+    // earlier line, and dropRight(1) would have left it inside the
+    // baseline, partially judging itself
+    val latestIdx = lines.lastIndexWhere(l => parse(l).isDefined)
+    val medians = graft.Bench.historyMedians(lines.take(latestIdx), sf = sf)
 
     val sb = new StringBuilder
     sb ++= "== run trail (oldest first) ==\n"
@@ -52,12 +58,23 @@ object HistoryReport {
     }.getOrElse(Nil)
     if (qs.isEmpty) { sb ++= "latest entry carries no queries map\n"; return sb.result() }
 
+    // the suspect-pass re-readings, when the entry carries them (VERDICT
+    // r12 #2): shown beside the flagged timing so the adjudication — did
+    // the retime land back inside the median band? — reads off one row
+    val retimed = Option(latest.get("retimed")).filter(_.isObject).map { m =>
+      var out = Map.empty[String, Double]
+      m.properties().forEach(e => out += (e.getKey -> e.getValue.asDouble(-1.0)))
+      out
+    }.getOrElse(Map.empty[String, Double])
+    def retimedNote(name: String): String =
+      retimed.get(name).map(v => f"  retimed ${v}%6.2f s").getOrElse("")
+
     val rows = qs.collect { case (name, secs) if secs >= 0 && medians.contains(name) =>
       (name, secs, medians(name), secs / medians(name))
     }
     sb ++= s"\n== latest vs clean-median baseline (${rows.size} judged, worst first) ==\n"
     rows.sortBy(-_._4).take(topN).foreach { case (name, secs, med, r) =>
-      sb ++= f"$name%-24s ${secs}%7.2f s  med ${med}%7.2f s  x$r%5.2f\n"
+      sb ++= f"$name%-24s ${secs}%7.2f s  med ${med}%7.2f s  x$r%5.2f${retimedNote(name)}\n"
     }
     sb ++= s"\n== most expensive (latest) ==\n"
     rows.sortBy(-_._2).take(topN).foreach { case (name, secs, med, r) =>

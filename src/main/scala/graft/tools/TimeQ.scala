@@ -5,9 +5,10 @@ package graft.tools
   * rep2 is the comparable number), forcing full evaluation through the
   * bench's own hash fold so the timed work is identical to `graft.Bench`'s.
   * `GRAFT_TIMEQ_CAPTURE=1` runs each repeat under a [[graft.Phases]]
-  * capture — the bench's timed-repeat condition — and prints the phase
-  * split, so a composite's capture-mode cost is A/B-able against its
-  * plain lazy plan from the same JVM.
+  * capture — the bench's dedicated diagnostic-evaluation condition (its
+  * timed repeats are capture-free) — and prints the phase split, so a
+  * composite's capture-mode cost is A/B-able against its plain lazy plan
+  * from the same JVM.
   */
 object TimeQ {
   def main(args: Array[String]): Unit = {

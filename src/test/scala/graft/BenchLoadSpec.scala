@@ -305,17 +305,62 @@ class BenchLoadSpec extends AnyFunSuite {
 
   // ---- the driver-parseable closing sequence (VERDICT r11 next-step #1) --
 
-  test("the closing stdout sequence puts the headline LAST, after smoke lines") {
-    // r8–r11's BENCH_r*.json were parsed:null because the smoke's startup
-    // spew printed AFTER the one total_short line; main now prints through
-    // closingLines, whose contract is headline-last whatever precedes it
+  test("the closing stdout sequence ends on the compact total, after headline and smoke") {
+    // every BENCH_r*.json through r12 was parsed:null — r8–r11 because
+    // startup spew pushed the metric lines out of the driver's 2000-char
+    // tail, r12 (headline already last) because the parser rejects sbt's
+    // log prefix and plausibly keys on "metric":"total". Main prints
+    // through closingLines, whose contract is: smoke lines, then the
+    // total_short headline, then the compact total as the ABSOLUTE last
+    // program output.
     val headline = """{"metric":"total_short","value":1.0,"sf":"/tmp/sf"}"""
+    val closing  = """{"metric":"total","value":1.0,"sf":"/tmp/sf"}"""
     val smoke = Seq("""{"metric":"streaming_smoke","failed":0}""")
-    assert(Bench.closingLines(headline, smoke).last === headline)
-    assert(Bench.closingLines(headline, Nil) === Seq(headline),
-      "a skipped smoke still ends on the headline")
-    assert(Bench.closingLines(headline, smoke).head === smoke.head,
-      "the smoke record must still be emitted")
+    assert(Bench.closingLines(headline, closing, smoke) ===
+      smoke ++ Seq(headline, closing))
+    assert(Bench.closingLines(headline, closing, Nil) === Seq(headline, closing),
+      "a skipped smoke still ends headline-then-total")
+  }
+
+  test("the compact closing total parses, is tail-sized, and keys metric=total") {
+    val streaming = Bench.streamingRegression(
+      Some("""{"metric":"streaming_smoke","failed":0}"""),
+      Seq("""{"metric":"streaming_smoke","failed":0}"""))
+    val line = Bench.closingTotalLine(total = 148.553, degraded = false,
+      suspect = true, run = 144, failed = 0,
+      sfDir = "/root/testdata/sf0.1", streamingFields = streaming)
+    val n = mapper.readTree(line)
+    assert(n.get("metric").asText === "total",
+      "the tail parser's most plausible key is the full record's own name")
+    assert(n.get("value").asDouble === 148.553)
+    assert(n.get("queries_run").asInt === 144)
+    assert(n.get("suspect").asBoolean === true)
+    assert(n.get("streaming_failed").asInt === 0)
+    assert(n.get("sf").asText === "/root/testdata/sf0.1")
+    assert(n.get("queries") === null, "no per-query map — that is what keeps it compact")
+    // the binding constraint: this line + sbt's ~90-char [success] trailer
+    // must ALWAYS fit the driver's 2000-char stdout tail together
+    assert(line.length < 600, s"closing total must stay tail-sized: ${line.length}")
+    assert(line.startsWith("""{"metric":"total","value":"""),
+      "prefix pinned — a tail parser may match on it")
+  }
+
+  test("retimed re-readings ride the headline as an additive map") {
+    // VERDICT r12 #2: a suspect capture re-times JUST the flagged queries
+    // once and publishes the re-readings beside suspect_ratios — the
+    // original value/queries stay untouched (additive adjudication
+    // evidence, never a do-over)
+    assert(Bench.retimedFieldJson(Nil) === "{}")
+    val body = Bench.retimedFieldJson(Seq("q_hybrid_rrf" -> 2.31,
+      "q_hopping_window" -> 0.38, "q_broken" -> -1.0))
+    val line = s"""{"metric":"total_short","value":148.5,"suspect":true,"retimed":$body,"sf":"/tmp/sf"}"""
+    val n = mapper.readTree(line)
+    assert(n.get("retimed").get("q_hybrid_rrf").asDouble === 2.31)
+    assert(n.get("retimed").get("q_hopping_window").asDouble === 0.38)
+    assert(n.get("retimed").get("q_broken").asDouble === -1.0,
+      "a failed retime must read as a failure, not vanish")
+    assert(n.get("value").asDouble === 148.5,
+      "the published total stays the original capture's")
   }
 
   test("suspect_ratios and streaming fields ride a parseable headline") {
@@ -386,6 +431,33 @@ class BenchLoadSpec extends AnyFunSuite {
     assert(graft.tools.HistoryReport.report(Seq("{not json")).nonEmpty)
     assert(graft.tools.HistoryReport.report(
       Seq("""{"metric":"total","value":1.0}""")).contains("no queries map"))
+  }
+
+  test("HistoryReport never lets the adjudicated entry feed its own baseline") {
+    // ADVICE r12: with a truncated (unparseable) final append, parsed.last
+    // is the PREVIOUS line — dropping only the raw last line left the
+    // adjudicated entry inside the baseline, partially judging itself.
+    // Pin via the min-samples rule: 2 clean entries + the adjudicated one
+    // + trailing garbage. Self-inclusion hands every query a 3rd sample —
+    // enough to mint a (self-fed) median and print a verdict row; the fix
+    // leaves 2 clean samples, below SuspectMinSamples, so the adjudicated
+    // entry must come back UNJUDGED, never self-judged.
+    val short = Seq.fill(2)(histLine(idleRun)) ++
+      Seq(histLine(idleRun ++ Map("q_collocations" -> 1.2)), "{truncated garb")
+    val rep = graft.tools.HistoryReport.report(short)
+    assert(!rep.contains("x 3.00"),
+      s"a verdict row here can only come from a self-fed median: $rep")
+    assert(rep.contains("no clean baseline yet"),
+      s"thin history must read 'unjudged', not judge itself: $rep")
+  }
+
+  test("HistoryReport surfaces retimed re-readings beside the flagged timing") {
+    val latest = s"""{"metric":"total","value":9.9,"unit":"sec","suspect":true,""" +
+      s""""queries":{"q_collocations":1.2,"q_hash_sample":0.16},""" +
+      s""""retimed":{"q_collocations":0.41},"sf":"/tmp/sf"}"""
+    val rep = graft.tools.HistoryReport.report(idleHistory :+ latest)
+    assert(rep.contains("retimed   0.41 s"),
+      s"the adjudication must read off the row, no reach into history: $rep")
   }
 
   test("the emitted degraded flag rides a parseable full line") {
