@@ -162,14 +162,27 @@ object DedupQueries {
     * different set semantics.
     */
   private def gramPairSizes(s: SparkSession, dir: String): DataFrame = {
+    val capturing = graft.Phases.capturing
     val buckets = gramRows(Tables.spread(Tables.documents(s, dir)), Seq("source"))
       .groupBy("source", "gram")
       .agg(array_sort(collect_set(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) <= MaxBucket)
       .persist() // evaluated lazily by the caller; see the file-head note
+    // Phase attribution (VERDICT r12 next-step #3), capture-gated like the
+    // q_crossmodal_dups stages: under the bench's dedicated diagnostic
+    // evaluation of q_containment_pairs ONLY, `gram_agg` materializes the
+    // capped (source, gram) bucket table — the shared scan→explode→agg
+    // trunk — and `pair_expand` then counts the pre-measure five-column
+    // pair frame over that cache, so a trunk regression and a
+    // pair-fan-out regression are distinguishable in the round artifact
+    // (the last un-split expensive family; q_ngram_jaccard shares this
+    // lineage but is not a PhasedQueries member, so it never pays the
+    // extra evaluation). Outside a capture both branches are identity and
+    // the lazy graded plan is byte-identical.
+    if (capturing) graft.Phases.timed("gram_agg") { buckets.count(); () }
     val sz = buckets.select(explode(col("ids")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    buckets
+    val pairs = buckets
       .filter(size(col("ids")) >= 2)
       .select(explode(expr(pairExpansionSql("ids")(
         (x, y) => s"named_struct('a', $x, 'b', $y)"))).as("p"))
@@ -177,6 +190,14 @@ object DedupQueries {
       .agg(count(lit(1)).as("inter"))
       .join(sz.select(col("doc_id").as("a"), col("sz").as("sa")), "a")
       .join(sz.select(col("doc_id").as("b"), col("sz").as("sb")), "b")
+    if (capturing) {
+      graft.Phases.timed("pair_expand") { pairs.count(); () }
+      // a capture must leave no stage frame behind (ADVICE r12): the
+      // caller's forceFrame re-derives the rows lazily without the cache
+      buckets.unpersist()
+      ()
+    }
+    pairs
   }
 
   /** Oracle twin of [[gramPairSizes]]: the g0/g/sz/pairs CTE chain both

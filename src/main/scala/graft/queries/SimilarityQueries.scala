@@ -678,6 +678,12 @@ object SimilarityQueries {
         def stage(name: String)(df: org.apache.spark.sql.DataFrame) =
           if (!graft.Phases.capturing) df
           else graft.Phases.timed(name) { val p = df.persist(); p.count(); p }
+        // final stage: timed by its materialize, never persisted — see
+        // q_crossmodal_dups (ADVICE r12: a persisted result frame outlived
+        // the capture in shared-session callers)
+        def finalStage(name: String)(df: org.apache.spark.sql.DataFrame) =
+          if (!graft.Phases.capturing) df
+          else { graft.Phases.timed(name) { df.count(); () }; df }
         // lexical: df-capped distinct shingles, probe sets broadcast
         val shd = DedupQueries.shingleRows(Tables.spread(Tables.documents(s, dir)))
           .select("doc_id", "shingle")
@@ -709,7 +715,7 @@ object SimilarityQueries {
           .filter(col("sem_rank") <= K)
           .select(col("qid"), col("vec_id").as("doc_id"), col("sem_rank")))
         // fuse: docs missing from a list contribute only the other term
-        val fused = stage("fuse")(
+        val fused = finalStage("fuse")(
           lexTop.join(semTop, Seq("qid", "doc_id"), "full_outer")
             .withColumn("rrf",
               expr("coalesce(1000000L div (60L + lex_rank), 0L)" +

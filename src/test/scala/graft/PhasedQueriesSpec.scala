@@ -25,7 +25,8 @@ class PhasedQueriesSpec extends SparkTestBase {
     "q_pq_adc" -> Seq("train_pq"),
     "q_crossmodal_dups" -> Seq("simhash_side", "phash_side", "pair_join"),
     "q_hybrid_rrf" -> Seq("lexical_side", "semantic_side", "fuse"),
-    "q_semdedup" -> Seq("train_coarse"))
+    "q_semdedup" -> Seq("train_coarse"),
+    "q_containment_pairs" -> Seq("gram_agg", "pair_expand"))
 
   test("the expectation table and Bench.PhasedQueries are the same set") {
     assert(expectedPhases.keySet === Bench.PhasedQueries,
@@ -33,14 +34,26 @@ class PhasedQueriesSpec extends SparkTestBase {
   }
 
   for (name <- Bench.PhasedQueries.toSeq.sorted)
-    test(s"$name: capture changes no rows and attributes its stages") {
+    test(s"$name: capture changes no rows, attributes its stages, leaks no cache") {
       val q = SparkEntry.queries(name)
+      // cache accounting baseline: the PLAIN evaluation's own persisted
+      // lineage (shared shingle/payload frames deliberately stay cached —
+      // file-head note in DedupQueries)
+      Bench.clearAllCaches(spark)
       val plain = q(spark, dir).collect().toSeq
+      val plainCached = spark.sparkContext.getPersistentRDDs.size
+      Bench.clearAllCaches(spark)
       val (captured, phases) = Phases.capture(q(spark, dir).collect().toSeq)
       assert(captured === plain,
         s"$name: phase-captured evaluation changed the graded output")
       assert(phases.map(_._1) === expectedPhases(name),
         s"$name: expected stages ${expectedPhases(name)}, got $phases")
       assert(phases.forall(_._2 >= 0.0))
+      // ADVICE r12: a capture must leave no stage frame behind — at most
+      // the plain plan's own persisted lineage (the stage-based composites
+      // unpersist their sides AND skip persisting the final frame, so they
+      // typically leave LESS than the plain run)
+      assert(spark.sparkContext.getPersistentRDDs.size <= plainCached,
+        s"$name: capture left more cached frames than the plain plan")
     }
 }
