@@ -109,6 +109,78 @@ class StreamingSpec extends SparkTestBase {
     assert(d12 == Seq("a" -> "removed"))
   }
 
+  test("diff property sweep: (add/drop column) x (null payload) x (same-key rewrite)") {
+    // VERDICT r12 next-step #6: the publish audit (S5) had example-based
+    // coverage but nothing sweeping the combination space where the J6
+    // presence-flag trap lives — a row PRESENT with an all-null payload
+    // must never read like an ABSENT row, under any column-evolution
+    // shape. Seeded generator, so a failure replays exactly.
+    val rnd = new scala.util.Random(20260815L)
+    val colPool = Seq("v", "w", "x")
+    type Rows = Map[String, Map[String, String]] // key -> (col -> non-null value)
+
+    def mkDf(rows: Rows, cols: Seq[String]) = {
+      val sch = StructType(StructField("link", StringType, nullable = false) +:
+        cols.map(c => StructField(c, StringType, nullable = true)))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toSeq.map { case (k, m) =>
+          Row.fromSeq(k +: cols.map(c => m.getOrElse(c, null))) }, 2), sch)
+    }
+    // the diff's documented semantics as a driver-side model: common
+    // non-key columns only, null-safe state compare (a null cell and an
+    // absent cell are the same non-value — to_json drops null fields)
+    def model(o: Rows, n: Rows, oCols: Seq[String], nCols: Seq[String]) = {
+      val common = oCols.toSet.intersect(nCols.toSet).toSeq.sorted
+      def state(m: Map[String, String]) = common.flatMap(c => m.get(c).map(c -> _))
+      (o.keySet ++ n.keySet).flatMap { k =>
+        (o.get(k), n.get(k)) match {
+          case (None, Some(_))     => Some(k -> "added")
+          case (Some(_), None)     => Some(k -> "removed")
+          case (Some(a), Some(b))  =>
+            if (state(a) != state(b)) Some(k -> "changed") else None
+          case _                   => None
+        }
+      }.toMap
+    }
+    def check(trial: String, o: Rows, n: Rows, oCols: Seq[String], nCols: Seq[String]): Unit = {
+      val table = new KeyedTable(spark, tmp(s"diffprop"), "link")
+      table.publish(mkDf(o, oCols))
+      table.publish(mkDf(n, nCols))
+      val got = table.diff(0L, 1L).collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(got == model(o, n, oCols, nCols),
+        s"$trial: oCols=$oCols nCols=$nCols old=$o new=$n")
+    }
+
+    // the trap, pinned deterministically: an all-null-payload row is
+    // PRESENT (k0 removed, not changed; k2 unchanged, not added/removed)
+    check("null-payload presence",
+      o = Map("k0" -> Map.empty, "k1" -> Map("v" -> "1"), "k2" -> Map.empty),
+      n = Map("k1" -> Map.empty, "k2" -> Map.empty),
+      oCols = Seq("v"), nCols = Seq("v"))
+    // disjoint payload schemas: nothing comparable, shared keys unchanged
+    check("full column swap",
+      o = Map("k0" -> Map("v" -> "1"), "k1" -> Map.empty),
+      n = Map("k0" -> Map("w" -> "2"), "k2" -> Map("w" -> "3")),
+      oCols = Seq("v"), nCols = Seq("w"))
+
+    for (trial <- 0 until 10) {
+      def someCols() = colPool.filter(_ => rnd.nextBoolean()) match {
+        case Nil => Seq(colPool(rnd.nextInt(colPool.length))); case s => s
+      }
+      val (oCols, nCols) = (someCols(), someCols())
+      def randRows(cols: Seq[String]): Rows = (0 until 8).flatMap { i =>
+        if (rnd.nextBoolean())
+          Some(s"k$i" -> cols.flatMap(c => rnd.nextInt(3) match {
+            case 0 => None // null cell
+            case j => Some(c -> j.toString)
+          }).toMap)
+        else None
+      }.toMap
+      check(s"seeded trial $trial", randRows(oCols), randRows(nCols), oCols, nCols)
+    }
+  }
+
   test("T7 compact: delete-by-predicate republishes atomically with counts") {
     val table = new KeyedTable(spark, tmp("compact"), "link")
     table.merge(Seq(("a", 1), ("b", 9), ("c", 2)).toDF("link", "n"), batchId = 0L)
