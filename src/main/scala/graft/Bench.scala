@@ -579,6 +579,24 @@ object Bench {
   private[graft] def retimedFieldJson(vals: Seq[(String, Double)]): String =
     vals.map { case (n, v) => s"${jstr(n)}:$v" }.mkString("{", ",", "}")
 
+  /** Retime-pass cost bound: at most this many flagged queries re-run.
+    * A typical contended capture flags ~10 (r11/r12), well under the cap;
+    * a fully-saturated box could flag most of the 144-key surface, and an
+    * uncapped retime would then double the whole run — the cap keeps the
+    * pass at one-to-two chunks. NOT a silent cap: the retimed map's
+    * missing entries are visible against suspect_queries, and the
+    * selection is worst-ratio-first so what gets dropped is the mildest
+    * inflation — the part history medians adjudicate fine on their own.
+    */
+  private[graft] val RetimeCap = 24
+
+  /** The flagged queries the retime pass re-runs: worst inflation ratio
+    * first (the readings a consumer most needs a second opinion on),
+    * capped at [[RetimeCap]], name-tiebroken for determinism.
+    */
+  private[graft] def retimeTargets(suspectQs: Seq[(String, Double)]): Seq[String] =
+    suspectQs.sortBy { case (n, r) => (-r, n) }.take(RetimeCap).map(_._1)
+
   /** Repo artifact the full per-query map persists to (overwritten per run)
     * + an append-only JSONL history — the record the driver's stdout tail
     * truncation cannot eat. Best-effort: an unwritable path must not fail
@@ -883,7 +901,7 @@ object Bench {
     // artifact itself, no reach into history needed.
     val retimed: Seq[(String, Double)] =
       if (suspectQs.isEmpty) Nil
-      else suspectQs.map(_._1).grouped(ChunkSize).toSeq
+      else retimeTargets(suspectQs).grouped(ChunkSize).toSeq
         .flatMap(c => timeChunk(c, sfDir, cpus)._1.map(t => t.name -> t.secs))
     val retimedJson = retimedFieldJson(retimed)
     val isolation =

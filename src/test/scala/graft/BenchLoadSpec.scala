@@ -361,6 +361,15 @@ class BenchLoadSpec extends AnyFunSuite {
       "a failed retime must read as a failure, not vanish")
     assert(n.get("value").asDouble === 148.5,
       "the published total stays the original capture's")
+    // the pass is cost-bounded, worst-ratio-first: a fully-saturated box
+    // flagging most of the surface must not double the run
+    val many = (1 to 40).map(i => (f"q_$i%02d", i / 10.0 + 2.0))
+    val targets = Bench.retimeTargets(many)
+    assert(targets.size === Bench.RetimeCap)
+    assert(targets.head === "q_40", "worst inflation retimes first")
+    assert(!targets.contains("q_01"), "the mildest inflation is what drops")
+    assert(Bench.retimeTargets(Seq("q_b" -> 3.0, "q_a" -> 3.0)) ===
+      Seq("q_a", "q_b"), "equal ratios tiebreak by name for determinism")
   }
 
   test("suspect_ratios and streaming fields ride a parseable headline") {
