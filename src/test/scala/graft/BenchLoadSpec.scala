@@ -343,6 +343,14 @@ class BenchLoadSpec extends AnyFunSuite {
     assert(line.length < 600, s"closing total must stay tail-sized: ${line.length}")
     assert(line.startsWith("""{"metric":"total","value":"""),
       "prefix pinned — a tail parser may match on it")
+    // a SKIPPED smoke rides null streaming fields — the closing line must
+    // still parse (nulls are valid JSON; a formatting slip here would
+    // resurrect parsed:null exactly when the smoke is off)
+    val skipped = Bench.closingTotalLine(total = 1.0, degraded = false,
+      suspect = false, run = 144, failed = 0, sfDir = "/tmp/sf",
+      streamingFields = Bench.streamingRegression(None, Nil))
+    val sn = mapper.readTree(skipped)
+    assert(sn.get("streaming_failed").isNull && sn.get("metric").asText === "total")
   }
 
   test("retimed re-readings ride the headline as an additive map") {
