@@ -48,7 +48,7 @@ object Components {
     // sum() over zero rows is NULL — normalize so an empty node set reads
     // as already-converged instead of NPE-ing on compareTo
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      Option(df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0))
+      Option(df.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0))
         .getOrElse(java.math.BigDecimal.ZERO)
     var curSum  = labelSum(labels)
     var changed = labels.head(1).nonEmpty

@@ -161,7 +161,7 @@ object Sessions {
         (user: Long, rows: Iterator[(Long, java.sql.Timestamp)], state: GroupState[PendingEvents]) =>
           // one code path for data batches AND timeouts (rows is just empty
           // there): merge, refold, emit what the watermark proves closed
-          val wmUs = state.getCurrentWatermarkMs * 1000L
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
           val all = (state.getOption.map(_.ts).getOrElse(Seq.empty[Long]) ++
             rows.map(r => micros(r._2))).sorted
           if (all.isEmpty) { state.remove(); Iterator.empty }
@@ -178,7 +178,7 @@ object Sessions {
               // session closed; must sit strictly above the current watermark
               state.setTimeoutTimestamp(math.max(
                 open.map(_.last).min / 1000L + gapUs / 1000L + 1L,
-                state.getCurrentWatermarkMs + 1L))
+                state.getCurrentWatermarkMs() + 1L))
             } else state.remove()
             closed.iterator
               .map(s => ClosedSession(user, s.head, s.last, s.length.toLong))

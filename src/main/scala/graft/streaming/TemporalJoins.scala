@@ -75,7 +75,7 @@ object TemporalJoins {
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (key: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, Boolean)],
             state: GroupState[AsofState]) =>
-          val wmUs = state.getCurrentWatermarkMs * 1000L
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
           val prev = state.getOption.getOrElse(AsofState(Nil, Nil))
           val (newProbes, newBuilds) = rows.toSeq.partition(_._4)
           val probes = prev.probes ++ newProbes.map(r => (Sessions.micros(r._2), r._3))
@@ -112,7 +112,7 @@ object TemporalJoins {
               case Nil => Nil; case xs => Seq(xs.min)
             }
             nextUs.foreach(us => state.setTimeoutTimestamp(
-              math.max(us / 1000L + 1L, state.getCurrentWatermarkMs + 1L)))
+              math.max(us / 1000L + 1L, state.getCurrentWatermarkMs() + 1L)))
           }
           out
       }
