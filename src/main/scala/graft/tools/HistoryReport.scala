@@ -44,11 +44,33 @@ object HistoryReport {
     val medians = graft.Bench.historyMedians(lines.take(latestIdx), sf = sf)
 
     val sb = new StringBuilder
+    // the tree's clean band (VERDICT r13 next-step #6): min–max of the
+    // non-suspect, non-degraded, same-sf totals across the whole trail —
+    // the "97–107 s" a round review used to re-derive by hand now reads
+    // off the report header. The band describes CLEAN entries only, so
+    // the adjudicated (latest) entry is included exactly when its own
+    // flags say it qualifies.
+    val cleanTotals = parsed.collect {
+      case n if !flag(n, "degraded") && !flag(n, "suspect") &&
+        Option(n.get("sf")).map(_.asText()) == sf &&
+        Option(n.get("value")).exists(_.isNumber) =>
+        n.get("value").asDouble
+    }
+    if (cleanTotals.nonEmpty)
+      sb ++= f"== clean band (sf=${sf.getOrElse("-")}%s, n=${cleanTotals.size}%d): " +
+        f"${cleanTotals.min}%.1f-${cleanTotals.max}%.1f s ==\n"
+    else
+      sb ++= s"== clean band (sf=${sf.getOrElse("-")}): no clean entries ==\n"
     sb ++= "== run trail (oldest first) ==\n"
     parsed.takeRight(10).foreach { n =>
       val v = Option(n.get("value")).map(x => f"${x.asDouble}%8.1f").getOrElse("       ?")
+      // tri-state adjudication (r14): only printed when the entry carries
+      // it — suspect=true + retime_clean=true reads "flagged but the run's
+      // own retime pass proved the flags ambient"
+      val adjudicated = Option(n.get("retime_clean")).filterNot(_.isNull)
+        .map(b => s"  retime_clean=${b.asBoolean}").getOrElse("")
       sb ++= s"$v s  degraded=${flag(n, "degraded")}  suspect=${flag(n, "suspect")}" +
-        s"  sf=${Option(n.get("sf")).map(_.asText()).getOrElse("-")}\n"
+        s"$adjudicated  sf=${Option(n.get("sf")).map(_.asText()).getOrElse("-")}\n"
     }
 
     val qs = Option(latest.get("queries")).filter(_.isObject).map { q =>

@@ -1,0 +1,113 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import com.fasterxml.jackson.databind.ObjectMapper
+
+/** End-to-end gate for the bench's self-healing machinery (VERDICT r13
+  * next-step #4): the suspect→retime→closing-line path now FEEDS THE
+  * DRIVER'S PARSED RECORD, but through r13 it was only ever validated live
+  * with a hand-crafted history in a tmp `SPARK_GRAFT_REPO_DIR`. This spec
+  * scripts that trick: a real forked `graft.Bench` run over a small
+  * `GRAFT_BENCH_QUERIES` subset, against a synthetic history whose medians
+  * are absurdly tiny (0.02 s) — so every query must flag, the retime pass
+  * must fire, and the retimes (still far above the fake medians) must
+  * adjudicate `retime_clean:false` — and the ABSOLUTE last stdout line
+  * must be the compact `"metric":"total"` record, parseable, carrying the
+  * adjudication tri-states.
+  *
+  * Env-gated like ScaleSmoke (`GRAFT_BENCH_E2E=1`): the run forks two JVM
+  * generations (bench parent + its chunk child) and times real queries at
+  * sf0.001, ~3–6 min — too heavy for every `sbt test`, cheap enough for a
+  * per-round dev_verify. Canceled (not passed) when the flag is off.
+  */
+class BenchE2eSpec extends AnyFunSuite {
+
+  private val mapper = new ObjectMapper()
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** Queries heavy enough at sf0.001 that each certainly reads well above
+    * the 2×0.02 s + 0.1 s flag bar, cheap enough that one chunk + one
+    * retime chunk stay a few minutes.
+    */
+  private val subset =
+    Seq("q_dedup_minhash", "q_sessionize", "q_bm25_topk", "q_tfidf_terms")
+
+  test("a suspect run flags, retimes, and closes with a parseable adjudicated total (GRAFT_BENCH_E2E=1)") {
+    assume(sys.env.get("GRAFT_BENCH_E2E").exists(v => v.nonEmpty && v != "0"),
+      "set GRAFT_BENCH_E2E=1 to run the bench retime e2e")
+    val dir = java.nio.file.Files.createTempDirectory("graft-bench-e2e")
+    try {
+      // 5 clean sf-stamped entries at 0.02 s per subset query: enough
+      // samples (>= SuspectMinSamples) for every key, medians trivial
+      // (< TrivialMedianSec) so >= 3 flags also stamp the run suspect
+      val qjson = subset.map(q => s""""$q":0.02""").mkString("{", ",", "}")
+      val hist = Seq.fill(5)(
+        s"""{"metric":"total","value":1.0,"unit":"sec","degraded":false,""" +
+          s""""suspect":false,"queries":$qjson,"sf":"$sfDir"}""").mkString("", "\n", "\n")
+      java.nio.file.Files.writeString(dir.resolve("BENCH_HISTORY.jsonl"), hist)
+
+      // fork the bench exactly the way its own chunk fork does: this test
+      // JVM's flags (sans agents) + classpath, graft.Bench main
+      val javaBin = java.nio.file.Paths.get(
+        System.getProperty("java.home"), "bin", "java").toString
+      val cmd = new java.util.ArrayList[String]()
+      cmd.add(javaBin)
+      java.lang.management.ManagementFactory.getRuntimeMXBean.getInputArguments
+        .forEach(a => if (!a.startsWith("-agentlib")) { cmd.add(a); () })
+      cmd.add("-cp"); cmd.add(System.getProperty("java.class.path"))
+      cmd.add("graft.Bench")
+      val pb = new ProcessBuilder(cmd)
+      pb.environment().put("SPARK_GRAFT_REPO_DIR", dir.toString)
+      pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+      pb.environment().put("SPARK_GRAFT_CPUS", "4")
+      pb.environment().put("GRAFT_SKIP_STREAMING_SMOKE", "1")
+      pb.environment().put("GRAFT_BENCH_QUERIES", subset.mkString(","))
+      pb.redirectErrorStream(false)
+      pb.redirectError(ProcessBuilder.Redirect.DISCARD) // Spark startup spew
+      val proc = pb.start()
+      val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+      assert(proc.waitFor(15, java.util.concurrent.TimeUnit.MINUTES),
+        "bench e2e run exceeded 15 minutes")
+      assert(proc.exitValue === 0, s"bench exited rc=${proc.exitValue}:\n$out")
+
+      val lines = out.linesIterator.toSeq.filter(_.nonEmpty)
+      // the driver's contract: the ABSOLUTE last stdout line is the
+      // compact total, JSON-parseable with no log prefix
+      val last = lines.last
+      assert(last.startsWith("""{"metric":"total","value":"""),
+        s"last line must be the compact closing total: $last")
+      val n = mapper.readTree(last)
+      assert(n.get("queries_run").asInt === subset.size)
+      assert(n.get("queries_failed").asInt === 0, last)
+      assert(n.get("suspect").asBoolean,
+        s"tiny medians must stamp the run suspect: $last")
+      assert(!n.get("retime_clean").asBoolean,
+        s"retimes stay far above the fake 0.02 s medians -> false: $last")
+      assert(n.get("retime_hot").isBoolean,
+        s"a fired retime pass must report its own load verdict: $last")
+      assert(last.length < 600, s"closing line over budget: ${last.length}")
+
+      // the full artifact carries the flag set and the retime evidence
+      val full = mapper.readTree(
+        java.nio.file.Files.readString(dir.resolve("BENCH_FULL.json")))
+      val flagged = {
+        val b = Seq.newBuilder[String]
+        full.get("suspect_queries").forEach(x => b += x.asText)
+        b.result()
+      }
+      assert(flagged.size >= 3 && flagged.toSet.subsetOf(subset.toSet),
+        s"expected >=3 of the subset flagged: $flagged")
+      flagged.foreach { q =>
+        val v = full.get("retimed").get(q)
+        assert(v != null && v.asDouble >= 0,
+          s"every flagged query must carry a non-failed retime: $q")
+      }
+      // adjudication fields ride the full line too, matching the tail's
+      assert(full.get("retime_clean").asBoolean === n.get("retime_clean").asBoolean)
+      assert(full.get("retime_hot").isBoolean)
+    } finally {
+      java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+    }
+  }
+}

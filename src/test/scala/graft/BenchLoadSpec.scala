@@ -158,6 +158,79 @@ class BenchLoadSpec extends AnyFunSuite {
     assert(fail.isEmpty)
   }
 
+  test("moderate co-inflation flags one tier down; lone moderates never do") {
+    // VERDICT r13 next-step #3: the r13 committed capture carried its
+    // 2nd-most-expensive key at 1.8x (median 1.65 s) unflagged — real
+    // money left un-adjudicated. The mechanism under test is the
+    // 1.7x–2.0x window on >=0.4 s medians, gated on a co-inflation quorum
+    val medians = Map("q_heavy" -> 1.65, "q_mid" -> 0.45, "q_other" -> 0.60,
+      "q_tiny" -> 0.16, "q_cheap" -> 0.05)
+    // three moderate (1.7x–2.0x) inflations on >=0.4 s medians co-inflate:
+    // all three must flag even though none clears tier 1's 2.0x bar
+    val (sus, _) = Bench.suspectVerdict(Seq(
+      "q_heavy" -> 3.0, "q_mid" -> 0.81, "q_other" -> 1.08), medians)
+    assert(sus.map(_._1) === Seq("q_heavy", "q_mid", "q_other"),
+      s"3 co-inflating moderates must all flag: $sus")
+    assert(sus.toMap.apply("q_heavy") === 1.8)
+    // only TWO moderates: below the quorum, neither flags (a pair of 1.8x
+    // readings is not yet the contention signature)
+    val (two, _) = Bench.suspectVerdict(Seq(
+      "q_heavy" -> 3.0, "q_mid" -> 0.81), medians)
+    assert(two.isEmpty, s"2 moderates are under the co-inflation quorum: $two")
+    // a LONE moderate never flags — as likely a real regression
+    val (one, flag1) = Bench.suspectVerdict(Seq("q_heavy" -> 3.0), medians)
+    assert(one.isEmpty && !flag1)
+    // tier-1 flags count toward the moderate quorum (a 2.5x on a >=0.4 s
+    // median is a fortiori moderate): 2 moderates + 1 tier-1 = 3
+    val (mixed, _) = Bench.suspectVerdict(Seq(
+      "q_heavy" -> 3.0, "q_mid" -> 0.81, "q_other" -> 1.55), medians)
+    assert(mixed.map(_._1) === Seq("q_heavy", "q_mid", "q_other"),
+      s"tier-1 q_other at 2.6x must complete the quorum: $mixed")
+    // ...and the combined list carries no duplicate for a query that
+    // satisfies both tiers
+    assert(mixed.map(_._1).distinct === mixed.map(_._1))
+    // sub-0.4 s medians never enter tier 2 (that band belongs to the
+    // trivial co-inflation rule, which needs the full 2.0x)
+    val (tiny, _) = Bench.suspectVerdict(Seq(
+      "q_tiny" -> 0.29, "q_cheap" -> 0.09, "q_mid" -> 0.81), medians)
+    assert(tiny.isEmpty,
+      s"1.8x on trivial medians must not flag via the moderate tier: $tiny")
+    // tier 1 keeps flagging unconditionally regardless of any quorum
+    val (t1, _) = Bench.suspectVerdict(Seq("q_heavy" -> 4.0), medians)
+    assert(t1.map(_._1) === Seq("q_heavy"), "2.4x flags alone via tier 1")
+  }
+
+  test("retimeCleanVerdict is tri-state and demands evidence for every flag") {
+    val medians = Map("q_a" -> 0.2, "q_b" -> 1.0, "q_m" -> 0.5)
+    val flagged = Seq("q_a" -> 3.0, "q_b" -> 2.5)
+    // nothing flagged: no adjudication ran -> None (null in the line)
+    assert(Bench.retimeCleanVerdict(Nil, Nil, medians).isEmpty)
+    // every retime back inside its band -> clean
+    assert(Bench.retimeCleanVerdict(flagged,
+      Seq("q_a" -> 0.22, "q_b" -> 1.1), medians) === Some(true))
+    // one retime still tier-1 inflated -> not clean
+    assert(Bench.retimeCleanVerdict(flagged,
+      Seq("q_a" -> 0.22, "q_b" -> 2.6), medians) === Some(false))
+    // a retime in the MODERATE band (1.7x–2.0x on a >=0.4 s median) is
+    // still inflated — "clean" must mean "would re-flag under neither
+    // tier", not merely "under 2x"
+    assert(Bench.retimeCleanVerdict(Seq("q_m" -> 2.2),
+      Seq("q_m" -> 0.9), medians) === Some(false))
+    assert(Bench.retimeCleanVerdict(Seq("q_m" -> 2.2),
+      Seq("q_m" -> 0.55), medians) === Some(true))
+    // an errored retime (-1) is not evidence
+    assert(Bench.retimeCleanVerdict(flagged,
+      Seq("q_a" -> 0.22, "q_b" -> -1.0), medians) === Some(false))
+    // a flagged query the RetimeCap dropped has no retime at all — absence
+    // of evidence must never read as clean
+    assert(Bench.retimeCleanVerdict(flagged,
+      Seq("q_a" -> 0.22), medians) === Some(false))
+    // the tri-state JSON rendering
+    assert(Bench.triState(None) === "null")
+    assert(Bench.triState(Some(true)) === "true")
+    assert(Bench.triState(Some(false)) === "false")
+  }
+
   test("contaminated and thin history never feeds the medians") {
     // degraded/suspect entries are skipped even when they are the tail
     val dirty = idleHistory ++ Seq(
@@ -327,7 +400,8 @@ class BenchLoadSpec extends AnyFunSuite {
       Some("""{"metric":"streaming_smoke","failed":0}"""),
       Seq("""{"metric":"streaming_smoke","failed":0}"""))
     val line = Bench.closingTotalLine(total = 148.553, degraded = false,
-      suspect = true, run = 144, failed = 0,
+      suspect = true, retimeClean = Some(true), retimeHot = Some(false),
+      run = 144, failed = 0,
       sfDir = "/root/testdata/sf0.1", streamingFields = streaming)
     val n = mapper.readTree(line)
     assert(n.get("metric").asText === "total",
@@ -335,6 +409,11 @@ class BenchLoadSpec extends AnyFunSuite {
     assert(n.get("value").asDouble === 148.553)
     assert(n.get("queries_run").asInt === 144)
     assert(n.get("suspect").asBoolean === true)
+    // VERDICT r13 #1: the r13 tail read suspect:true for a run whose own
+    // retime pass proved every flag ambient — the adjudication now rides
+    // the tail-visible line itself
+    assert(n.get("retime_clean").asBoolean === true)
+    assert(n.get("retime_hot").asBoolean === false)
     assert(n.get("streaming_failed").asInt === 0)
     assert(n.get("sf").asText === "/root/testdata/sf0.1")
     assert(n.get("queries") === null, "no per-query map — that is what keeps it compact")
@@ -345,12 +424,61 @@ class BenchLoadSpec extends AnyFunSuite {
       "prefix pinned — a tail parser may match on it")
     // a SKIPPED smoke rides null streaming fields — the closing line must
     // still parse (nulls are valid JSON; a formatting slip here would
-    // resurrect parsed:null exactly when the smoke is off)
+    // resurrect parsed:null exactly when the smoke is off); an unflagged
+    // run likewise rides tri-state null adjudication fields
     val skipped = Bench.closingTotalLine(total = 1.0, degraded = false,
-      suspect = false, run = 144, failed = 0, sfDir = "/tmp/sf",
+      suspect = false, retimeClean = None, retimeHot = None,
+      run = 144, failed = 0, sfDir = "/tmp/sf",
       streamingFields = Bench.streamingRegression(None, Nil))
     val sn = mapper.readTree(skipped)
     assert(sn.get("streaming_failed").isNull && sn.get("metric").asText === "total")
+    assert(sn.get("retime_clean").isNull && sn.get("retime_hot").isNull,
+      "no flags -> no adjudication -> null, never a fake clean/dirty")
+    // the remaining tri-state arm: a retime that stayed inflated (or never
+    // ran for a capped/errored flag) must read explicitly false
+    val dirty = mapper.readTree(Bench.closingTotalLine(total = 1.0,
+      degraded = false, suspect = true, retimeClean = Some(false),
+      retimeHot = Some(true), run = 144, failed = 0, sfDir = "/tmp/sf",
+      streamingFields = Bench.streamingRegression(None, Nil)))
+    assert(dirty.get("retime_clean").asBoolean === false)
+    assert(dirty.get("retime_hot").asBoolean === true)
+  }
+
+  test("the closing total stays under the byte budget at worst-case widths") {
+    // VERDICT r13 next-step #2: now that the tail parser works, the
+    // biggest regression risk is the closing line growing past the
+    // driver's 2000-char window (it must fit TOGETHER with sbt's
+    // [success] trailer and any stderr burst sharing the pipe). Pin a
+    // hard budget with every numeric field at its widest plausible
+    // rendering and every tri-state/streaming field non-null.
+    val worstStreaming = Bench.streamingRegression(
+      Some("""{"metric":"streaming_smoke","failed":999999}"""),
+      Seq("""{"metric":"streaming_smoke","failed":999999}"""))
+    val line = Bench.closingTotalLine(total = 8640000.123456789,
+      degraded = true, suspect = true, retimeClean = Some(false),
+      retimeHot = Some(false), run = 999999, failed = 999999,
+      sfDir = "/very/long/testdata/path/that/should/never/happen/sf0.0000001",
+      streamingFields = worstStreaming)
+    assert(mapper.readTree(line).get("metric").asText === "total")
+    assert(line.length < 600,
+      s"worst-case closing total must stay under the 600-byte budget: ${line.length}")
+  }
+
+  test("emitClosing writes the closing sequence and nothing else, ending on the total") {
+    // main's last statement is emitClosing; this pins that the emitted
+    // stream IS closingLines' order — smoke, headline, compact total —
+    // with the total as the final write (the driver's tail parser keys on
+    // it; anything printed after it would resurrect parsed:null)
+    val headline = """{"metric":"total_short","value":1.0,"sf":"/tmp/sf"}"""
+    val closing  = """{"metric":"total","value":1.0,"sf":"/tmp/sf"}"""
+    val smoke = Seq("""{"metric":"streaming_smoke","failed":0}""")
+    val got = scala.collection.mutable.ArrayBuffer.empty[String]
+    Bench.emitClosing(headline, closing, smoke, got += _)
+    assert(got.toSeq === smoke ++ Seq(headline, closing))
+    assert(got.last === closing, "the compact total must be the final write")
+    val gotNoSmoke = scala.collection.mutable.ArrayBuffer.empty[String]
+    Bench.emitClosing(headline, closing, Nil, gotNoSmoke += _)
+    assert(gotNoSmoke.last === closing)
   }
 
   test("retimed re-readings ride the headline as an additive map") {
@@ -468,6 +596,28 @@ class BenchLoadSpec extends AnyFunSuite {
       s"thin history must read 'unjudged', not judge itself: $rep")
   }
 
+  test("HistoryReport prints the tree's clean band in its header") {
+    // VERDICT r13 next-step #6: the clean-entry band ("97–107 s") used to
+    // be re-derived by hand each round; now the tool prints it — min-max
+    // of non-suspect, non-degraded, same-sf totals, contaminated and
+    // other-sf entries excluded
+    def line(v: Double, degraded: Boolean = false, suspect: Boolean = false,
+        sf: String = "/tmp/sf") =
+      s"""{"metric":"total","value":$v,"unit":"sec","degraded":$degraded,""" +
+        s""""suspect":$suspect,"queries":{"q_x":0.1},"sf":"$sf"}"""
+    val rep = graft.tools.HistoryReport.report(Seq(
+      line(97.2), line(105.9),
+      line(150.0, degraded = true), line(140.0, suspect = true),
+      line(50.0, sf = "/other/sf"),
+      line(100.0)))
+    assert(rep.contains("clean band (sf=/tmp/sf, n=3): 97.2-105.9 s"),
+      s"band must be min-max over the 3 clean same-sf totals: $rep")
+    // a trail with no clean same-sf entry says so instead of a fake band
+    val dirty = graft.tools.HistoryReport.report(
+      Seq(line(150.0, degraded = true)))
+    assert(dirty.contains("no clean entries"), dirty)
+  }
+
   test("HistoryReport surfaces retimed re-readings beside the flagged timing") {
     val latest = s"""{"metric":"total","value":9.9,"unit":"sec","suspect":true,""" +
       s""""queries":{"q_collocations":1.2,"q_hash_sample":0.16},""" +
@@ -475,6 +625,13 @@ class BenchLoadSpec extends AnyFunSuite {
     val rep = graft.tools.HistoryReport.report(idleHistory :+ latest)
     assert(rep.contains("retimed   0.41 s"),
       s"the adjudication must read off the row, no reach into history: $rep")
+    // the run trail surfaces the tri-state when an entry carries it (r14)
+    // and stays silent when it does not (pre-r14 entries have no field)
+    val adjudicated = latest.replace(""""suspect":true""",
+      """"suspect":true,"retime_clean":true""")
+    val rep2 = graft.tools.HistoryReport.report(idleHistory :+ adjudicated)
+    assert(rep2.contains("retime_clean=true"), rep2)
+    assert(!rep.contains("retime_clean"), "absent field must not print")
   }
 
   test("the emitted degraded flag rides a parseable full line") {

@@ -26,7 +26,11 @@ class PhasedQueriesSpec extends SparkTestBase {
     "q_crossmodal_dups" -> Seq("simhash_side", "phash_side", "pair_join"),
     "q_hybrid_rrf" -> Seq("lexical_side", "semantic_side", "fuse"),
     "q_semdedup" -> Seq("train_coarse"),
-    "q_containment_pairs" -> Seq("gram_agg", "pair_expand"))
+    "q_containment_pairs" -> Seq("gram_agg", "pair_expand"),
+    // r14, the iterative graph family (VERDICT r13 #5): convergence-round
+    // regressions vs trunk regressions become attributable
+    "q_dup_clusters" -> Seq("cc_seed", "cc_rounds"),
+    "q_reach_hops" -> Seq("edge_derive", "hop_rounds"))
 
   test("the expectation table and Bench.PhasedQueries are the same set") {
     assert(expectedPhases.keySet === Bench.PhasedQueries,
