@@ -45,19 +45,23 @@ object HistoryReport {
 
     val sb = new StringBuilder
     // the tree's clean band (VERDICT r13 next-step #6): min–max of the
-    // non-suspect, non-degraded, same-sf totals across the whole trail —
-    // the "97–107 s" a round review used to re-derive by hand now reads
-    // off the report header. The band describes CLEAN entries only, so
-    // the adjudicated (latest) entry is included exactly when its own
-    // flags say it qualifies.
+    // non-suspect, non-degraded, same-sf totals — the "97–107 s" a round
+    // review used to re-derive by hand now reads off the report header.
+    // The band describes CLEAN entries only, so the adjudicated (latest)
+    // entry is included exactly when its own flags say it qualifies, and
+    // it is WINDOWED to the 10 most recent clean entries: the trail spans
+    // many trees, and the oldest clean-stamped totals predate both the
+    // current plan set and the contention flags themselves (the live
+    // trail's unwindowed band read 89–248 s off one pre-flag-era
+    // contaminated entry — useless as a plausibility yardstick).
     val cleanTotals = parsed.collect {
       case n if !flag(n, "degraded") && !flag(n, "suspect") &&
         Option(n.get("sf")).map(_.asText()) == sf &&
         Option(n.get("value")).exists(_.isNumber) =>
         n.get("value").asDouble
-    }
+    }.takeRight(10)
     if (cleanTotals.nonEmpty)
-      sb ++= f"== clean band (sf=${sf.getOrElse("-")}%s, n=${cleanTotals.size}%d): " +
+      sb ++= f"== clean band (sf=${sf.getOrElse("-")}%s, last ${cleanTotals.size}%d clean): " +
         f"${cleanTotals.min}%.1f-${cleanTotals.max}%.1f s ==\n"
     else
       sb ++= s"== clean band (sf=${sf.getOrElse("-")}): no clean entries ==\n"
@@ -66,9 +70,11 @@ object HistoryReport {
       val v = Option(n.get("value")).map(x => f"${x.asDouble}%8.1f").getOrElse("       ?")
       // tri-state adjudication (r14): only printed when the entry carries
       // it — suspect=true + retime_clean=true reads "flagged but the run's
-      // own retime pass proved the flags ambient"
-      val adjudicated = Option(n.get("retime_clean")).filterNot(_.isNull)
-        .map(b => s"  retime_clean=${b.asBoolean}").getOrElse("")
+      // own retime pass proved the flags ambient"; retime_hot=true beside
+      // a false retime_clean reads "the second opinion was also hot"
+      val adjudicated = Seq("retime_clean", "retime_hot").flatMap { f =>
+        Option(n.get(f)).filterNot(_.isNull).map(b => s"  $f=${b.asBoolean}")
+      }.mkString
       sb ++= s"$v s  degraded=${flag(n, "degraded")}  suspect=${flag(n, "suspect")}" +
         s"$adjudicated  sf=${Option(n.get("sf")).map(_.asText()).getOrElse("-")}\n"
     }

@@ -610,8 +610,15 @@ class BenchLoadSpec extends AnyFunSuite {
       line(150.0, degraded = true), line(140.0, suspect = true),
       line(50.0, sf = "/other/sf"),
       line(100.0)))
-    assert(rep.contains("clean band (sf=/tmp/sf, n=3): 97.2-105.9 s"),
+    assert(rep.contains("clean band (sf=/tmp/sf, last 3 clean): 97.2-105.9 s"),
       s"band must be min-max over the 3 clean same-sf totals: $rep")
+    // the band is WINDOWED to the 10 most recent clean entries: a pre-flag
+    // contaminated total from an ancient tree must not stretch it forever
+    // (the live trail's unwindowed band read 89-248 s off one such entry)
+    val old = Seq(line(247.5)) ++ (1 to 10).map(_ => line(100.0))
+    val windowed = graft.tools.HistoryReport.report(old :+ line(99.0))
+    assert(windowed.contains("last 10 clean): 99.0-100.0 s"),
+      s"the 247.5 s entry is outside the 10-entry window: $windowed")
     // a trail with no clean same-sf entry says so instead of a fake band
     val dirty = graft.tools.HistoryReport.report(
       Seq(line(150.0, degraded = true)))
@@ -628,9 +635,9 @@ class BenchLoadSpec extends AnyFunSuite {
     // the run trail surfaces the tri-state when an entry carries it (r14)
     // and stays silent when it does not (pre-r14 entries have no field)
     val adjudicated = latest.replace(""""suspect":true""",
-      """"suspect":true,"retime_clean":true""")
+      """"suspect":true,"retime_clean":false,"retime_hot":true""")
     val rep2 = graft.tools.HistoryReport.report(idleHistory :+ adjudicated)
-    assert(rep2.contains("retime_clean=true"), rep2)
+    assert(rep2.contains("retime_clean=false  retime_hot=true"), rep2)
     assert(!rep.contains("retime_clean"), "absent field must not print")
   }
 
