@@ -619,7 +619,14 @@ object Bench {
     val sus =
       (if (moderate.size >= CoInflateCount) (tier1 ++ moderate).distinctBy(_._1)
        else tier1).sortBy(_._1)
-    (sus, sus.count { case (n, _) => medians(n) < TrivialMedianSec } >= CoInflateCount)
+    // the RUN-level stamp counts TIER-1 trivial flags only: tier 2 widens
+    // which queries get retimed, never the documented run signature (≥3
+    // trivial-median queries past 2.0×) — counting 1.7× tier-2 entries
+    // with medians in [0.4, 0.5) would silently lower that bar, and a
+    // suspect-stamped entry is excluded from the history baseline, so a
+    // genuine shared-trunk regression at 1.8× would re-flag every run
+    // until the all-suspect escape re-converged
+    (sus, tier1.count { case (n, _) => medians(n) < TrivialMedianSec } >= CoInflateCount)
   }
 
   /** The `retimed` field body (VERDICT r12 next-step #2): the suspect
@@ -719,6 +726,24 @@ object Bench {
 
   private def writeArtifact(line: String): Unit =
     writeSnapshotAndHistory(artifactPath, historyPath, line)
+
+  /** Subset-run artifact (GRAFT_BENCH_QUERIES set): snapshot ONLY, to a
+    * side path, and NO history append. A subset run's total is partial by
+    * construction — letting it overwrite BENCH_FULL.json would ship a
+    * misleading snapshot, and a clean-stamped partial entry appended to
+    * BENCH_HISTORY.jsonl would both starve the 5-entry median window of
+    * the non-subset queries' samples (silently disarming the next real
+    * capture's suspect machinery) and shrink HistoryReport's clean band
+    * toward the subset's tiny total.
+    */
+  private def writeSubsetArtifact(line: String): Unit =
+    try {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$repoDir/BENCH_SUBSET.json"), line + "\n")
+      ()
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] BENCH_SUBSET.json write failed: ${e.toString.take(200)}")
+    }
 
   /** Persist one streaming-smoke health line: `STREAMING.json` is the
     * latest-run snapshot, `STREAMING_HISTORY.jsonl` the append-only trail
@@ -926,6 +951,21 @@ object Bench {
     System.out.flush()
   }
 
+  /** The run's query list from the optional `GRAFT_BENCH_QUERIES` comma
+    * list (dev/e2e plumbing, never set by the driver): the retime e2e gate
+    * (BenchE2eSpec) exercises the whole suspect→retime→closing-line path
+    * against a handful of queries instead of the full surface. Unknown
+    * names are dropped; an unset, empty, or all-unknown list falls back to
+    * everything rather than emitting an empty (and misleading) zero-second
+    * total. Always sorted — the deterministic order is what keeps warm-up
+    * attribution comparable across runs.
+    */
+  private[graft] def benchQueryNames(env: Option[String]): Seq[String] =
+    env.map(_.split(',').toSeq.map(_.trim).filter(SparkEntry.queries.contains))
+      .filter(_.nonEmpty)
+      .getOrElse(SparkEntry.queries.keys.toSeq)
+      .sorted
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -933,17 +973,10 @@ object Bench {
 
     val jiffies0 = cpuJiffies()
     val cores = Runtime.getRuntime.availableProcessors
-    // GRAFT_BENCH_QUERIES (dev/e2e plumbing, never set by the driver): a
-    // comma list restricting the run to a subset — the retime e2e gate
-    // (BenchE2eSpec) exercises the whole suspect→retime→closing-line path
-    // against a handful of queries instead of the full surface. Unknown
-    // names are dropped; an all-unknown list falls back to everything
-    // rather than emitting an empty (and misleading) zero-second total.
-    val names = sys.env.get("GRAFT_BENCH_QUERIES")
-      .map(_.split(',').toSeq.map(_.trim).filter(SparkEntry.queries.contains))
-      .filter(_.nonEmpty)
-      .getOrElse(SparkEntry.queries.keys.toSeq)
-      .sorted
+    val names = benchQueryNames(sys.env.get("GRAFT_BENCH_QUERIES"))
+    // a subset run is any run not covering the full graded surface — its
+    // artifacts go to the side path (see writeSubsetArtifact)
+    val subsetRun = names.size < SparkEntry.queries.size
     val chunks = names.grouped(ChunkSize).toSeq
     var forked = 0
     var retried = 0
@@ -1061,7 +1094,7 @@ object Bench {
     // last-match consumer — which the fixed-size-tail driver is — reads
     // one consistent record; a per-metric counter/summer must not run on
     // this stream (documented in README's bench-contract section).
-    writeArtifact(fullLine)
+    if (subsetRun) writeSubsetArtifact(fullLine) else writeArtifact(fullLine)
     val slowest = timed.filter(_.err.isEmpty).sortBy(-_.secs).take(10)
       .map(t => s"${jstr(t.name)}:${t.secs}").mkString("{", ",", "}")
     println(s"""{"metric":"slowest10","unit":"sec","queries":$slowest,"sf":"$sfDir"}""")

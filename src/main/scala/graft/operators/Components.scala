@@ -108,7 +108,7 @@ object Components {
     * contraction round just to observe "nothing changed".
     */
   def connectedAlternating(nodes: DataFrame, edges: DataFrame,
-      maxRounds: Int = 60): DataFrame = {
+      maxRounds: Int = 60, phased: Boolean = false): DataFrame = {
     checkShapes(nodes, edges)
     val Seq(ac, bc) = edges.columns.toSeq.map(edges(_))
     // drop self-loops; orient arbitrarily — both passes re-symmetrize.
@@ -175,8 +175,14 @@ object Components {
     // alternating loop (recorded even at zero iterations, so the phase
     // names are deterministic across inputs) — a convergence regression
     // (more rounds) and an edge-pipeline regression now read differently
-    // in the round artifact.
-    val (e1, eRdd1, done1) = graft.Phases.timed("cc_seed") {
+    // in the round artifact. Gated on `phased` as well as the capture
+    // (the gramPairSizes rule, ADVICE r13 #3): q_cluster_split shares
+    // this operator but is not a PhasedQueries member, so a tool capture
+    // of it must not emit stage names the bench never tracks — only the
+    // q_dup_clusters call site opts in.
+    def stage[A](name: String)(f: => A): A =
+      if (phased) graft.Phases.timed(name)(f) else f
+    val (e1, eRdd1, done1) = stage("cc_seed") {
       val ep = e0.persist()
       // debug-only phase breakdown: materialize each cache layer as its own
       // timed job (changes job boundaries, not results — profiling aid)
@@ -206,7 +212,7 @@ object Components {
       (e, eRdd, done)
     }
     var e = e1; var eRdd = eRdd1; var done = done1
-    graft.Phases.timed("cc_rounds") {
+    stage("cc_rounds") {
       var rounds = 0
       while (!done) {
         rounds += 1

@@ -1141,10 +1141,14 @@ object DedupQueries {
       (s, dir) =>
         // Tables.spread: the per-shingle md5 + minhash fold is the hot
         // stage; on the single-split local files it would otherwise run on
-        // one core (no-op on real multi-split inputs — r8 profile)
+        // one core (no-op on real multi-split inputs — r8 profile).
+        // phased = true: this is the PhasedQueries member, so only THIS
+        // call site self-attributes cc_seed/cc_rounds under a capture
+        // (q_cluster_split shares the operator and must stay silent).
         graft.operators.Components.connectedAlternating(
           Tables.documents(s, dir).select("doc_id"),
-          bucketStarEdges(arraySignatures(Tables.spread(Tables.documents(s, dir)))))
+          bucketStarEdges(arraySignatures(Tables.spread(Tables.documents(s, dir)))),
+          phased = true)
           .select(col("id").as("doc_id"), col("lbl").as("canon"))
           .orderBy("doc_id"),
       // Independent oracle algorithm: transitive closure by recursive CTE —

@@ -64,10 +64,16 @@ class BenchE2eSpec extends AnyFunSuite {
       pb.environment().put("GRAFT_BENCH_QUERIES", subset.mkString(","))
       pb.redirectErrorStream(false)
       pb.redirectError(ProcessBuilder.Redirect.DISCARD) // Spark startup spew
+      // child stdout goes to a FILE, not a pipe (the runStreamingSmoke
+      // rule): reading a pipe to EOF blocks for as long as a hung child
+      // holds stdout open, which would make the timeout below dead code
+      val outFile = java.nio.file.Files.createTempFile(dir, "bench-e2e", ".out")
+      pb.redirectOutput(outFile.toFile)
       val proc = pb.start()
-      val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
-      assert(proc.waitFor(15, java.util.concurrent.TimeUnit.MINUTES),
-        "bench e2e run exceeded 15 minutes")
+      val finished = proc.waitFor(15, java.util.concurrent.TimeUnit.MINUTES)
+      if (!finished) { proc.destroyForcibly(); proc.waitFor() }
+      val out = java.nio.file.Files.readString(outFile)
+      assert(finished, s"bench e2e run exceeded 15 minutes; tail:\n${out.takeRight(800)}")
       assert(proc.exitValue === 0, s"bench exited rc=${proc.exitValue}:\n$out")
 
       val lines = out.linesIterator.toSeq.filter(_.nonEmpty)
@@ -87,9 +93,17 @@ class BenchE2eSpec extends AnyFunSuite {
         s"a fired retime pass must report its own load verdict: $last")
       assert(last.length < 600, s"closing line over budget: ${last.length}")
 
-      // the full artifact carries the flag set and the retime evidence
+      // a subset run persists its full line to the SIDE artifact only:
+      // the graded snapshot must not be overwritten by a partial total and
+      // the crafted history must not gain a clean-stamped partial entry
+      // (which would starve the median window of every non-subset query)
+      assert(!java.nio.file.Files.exists(dir.resolve("BENCH_FULL.json")),
+        "a subset run must never write the graded BENCH_FULL.json")
+      assert(java.nio.file.Files.readString(dir.resolve("BENCH_HISTORY.jsonl"))
+        .linesIterator.size === 5,
+        "a subset run must never append to BENCH_HISTORY.jsonl")
       val full = mapper.readTree(
-        java.nio.file.Files.readString(dir.resolve("BENCH_FULL.json")))
+        java.nio.file.Files.readString(dir.resolve("BENCH_SUBSET.json")))
       val flagged = {
         val b = Seq.newBuilder[String]
         full.get("suspect_queries").forEach(x => b += x.asText)

@@ -167,11 +167,19 @@ class BenchLoadSpec extends AnyFunSuite {
       "q_tiny" -> 0.16, "q_cheap" -> 0.05)
     // three moderate (1.7x–2.0x) inflations on >=0.4 s medians co-inflate:
     // all three must flag even though none clears tier 1's 2.0x bar
-    val (sus, _) = Bench.suspectVerdict(Seq(
+    val (sus, runFlag) = Bench.suspectVerdict(Seq(
       "q_heavy" -> 3.0, "q_mid" -> 0.81, "q_other" -> 1.08), medians)
     assert(sus.map(_._1) === Seq("q_heavy", "q_mid", "q_other"),
       s"3 co-inflating moderates must all flag: $sus")
     assert(sus.toMap.apply("q_heavy") === 1.8)
+    // ...but the RUN-level stamp counts tier-1 trivial flags only: tier 2
+    // widens what gets retimed, never the documented >=3-trivials-past-2x
+    // run signature (q_mid's 0.45 s median is trivial, yet its 1.8x tier-2
+    // flag must not help stamp the run — a suspect entry is excluded from
+    // the history baseline, so lowering that bar would make a genuine
+    // shared-trunk 1.8x regression re-flag every run until the all-suspect
+    // escape re-converged)
+    assert(!runFlag, "tier-2-only flags must never stamp the run suspect")
     // only TWO moderates: below the quorum, neither flags (a pair of 1.8x
     // readings is not yet the contention signature)
     val (two, _) = Bench.suspectVerdict(Seq(
@@ -325,6 +333,20 @@ class BenchLoadSpec extends AnyFunSuite {
     assert(m("train") >= 0.010 && m("search") >= 0.005)
     // a capture must not leak to the next one
     assert(Phases.capture(7)._2.isEmpty)
+  }
+
+  test("GRAFT_BENCH_QUERIES subsets the run; junk falls back to everything") {
+    // dev/e2e plumbing (BenchE2eSpec rides it): unknown names drop, an
+    // unset/empty/all-unknown list must yield the FULL sorted surface —
+    // a zero-query bench would publish a misleading 0-second total
+    val all = SparkEntry.queries.keys.toSeq.sorted
+    assert(Bench.benchQueryNames(None) === all)
+    assert(Bench.benchQueryNames(Some("")) === all)
+    assert(Bench.benchQueryNames(Some("q_no_such,also_junk")) === all)
+    assert(Bench.benchQueryNames(Some("q_count_rows, q_add_literal")) ===
+      Seq("q_add_literal", "q_count_rows"), "trimmed, filtered, sorted")
+    assert(Bench.benchQueryNames(Some("q_count_rows,q_bogus")) ===
+      Seq("q_count_rows"), "unknown names drop silently")
   }
 
   test("every PhasedQueries entry is a live graded key") {
