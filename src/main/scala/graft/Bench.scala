@@ -487,9 +487,11 @@ object Bench {
   private[graft] val ModerateMedianSec = 0.4
   /** …past this inflation ratio become retime-eligible when
     * [[CoInflateCount]] of them co-inflate in one capture — the r13
-    * committed capture carried its 2nd-most-expensive key at 1.8× and a
-    * 0.45 s-median key at 2.2× unflagged (threshold + trivial guard),
-    * leaving real money un-adjudicated.
+    * committed capture carried three such readings unflagged and
+    * therefore un-retimed (its 2nd-most-expensive key at 1.82× of a
+    * 1.65 s median, a 0.52 s-median key at 1.89×, a 0.44 s-median key at
+    * 1.71× — all under tier 1's 2.0× bar), leaving real money
+    * un-adjudicated.
     */
   private[graft] val ModerateRatio = 1.7
 
@@ -957,11 +959,17 @@ object Bench {
     * against a handful of queries instead of the full surface. Unknown
     * names are dropped; an unset, empty, or all-unknown list falls back to
     * everything rather than emitting an empty (and misleading) zero-second
-    * total. Always sorted — the deterministic order is what keeps warm-up
-    * attribution comparable across runs.
+    * total. Deduplicated — a repeated name would be timed and counted
+    * twice (triple-counting `total`, duplicate JSON keys, and one query's
+    * inflation contributing multiple entries to the co-inflation quorum),
+    * and a duplicate could make a PARTIAL list read as size == the full
+    * surface, defeating the subset-artifact guard. Always sorted — the
+    * deterministic order is what keeps warm-up attribution comparable
+    * across runs.
     */
   private[graft] def benchQueryNames(env: Option[String]): Seq[String] =
-    env.map(_.split(',').toSeq.map(_.trim).filter(SparkEntry.queries.contains))
+    env.map(_.split(',').toSeq.map(_.trim).distinct
+        .filter(SparkEntry.queries.contains))
       .filter(_.nonEmpty)
       .getOrElse(SparkEntry.queries.keys.toSeq)
       .sorted

@@ -87,8 +87,10 @@ class BenchE2eSpec extends AnyFunSuite {
       assert(n.get("queries_failed").asInt === 0, last)
       assert(n.get("suspect").asBoolean,
         s"tiny medians must stamp the run suspect: $last")
-      assert(!n.get("retime_clean").asBoolean,
-        s"retimes stay far above the fake 0.02 s medians -> false: $last")
+      // isBoolean guards BOTH asserts: NullNode.asBoolean is false, so
+      // without them a regression to retime_clean:null would still pass
+      assert(n.get("retime_clean").isBoolean && !n.get("retime_clean").asBoolean,
+        s"retimes stay far above the fake 0.02 s medians -> explicit false: $last")
       assert(n.get("retime_hot").isBoolean,
         s"a fired retime pass must report its own load verdict: $last")
       assert(last.length < 600, s"closing line over budget: ${last.length}")
@@ -117,6 +119,8 @@ class BenchE2eSpec extends AnyFunSuite {
           s"every flagged query must carry a non-failed retime: $q")
       }
       // adjudication fields ride the full line too, matching the tail's
+      // (isBoolean first: null===null would vacuously pass the comparison)
+      assert(full.get("retime_clean").isBoolean)
       assert(full.get("retime_clean").asBoolean === n.get("retime_clean").asBoolean)
       assert(full.get("retime_hot").isBoolean)
     } finally {

@@ -347,6 +347,12 @@ class BenchLoadSpec extends AnyFunSuite {
       Seq("q_add_literal", "q_count_rows"), "trimmed, filtered, sorted")
     assert(Bench.benchQueryNames(Some("q_count_rows,q_bogus")) ===
       Seq("q_count_rows"), "unknown names drop silently")
+    // duplicates collapse: a repeated name would be timed and counted
+    // twice (inflating total, duplicating JSON keys, and double-feeding
+    // the co-inflation quorum), and padding a partial list with repeats
+    // must never reach full-surface size and defeat the subset guard
+    assert(Bench.benchQueryNames(Some("q_count_rows,q_count_rows")) ===
+      Seq("q_count_rows"), "duplicate names must collapse")
   }
 
   test("every PhasedQueries entry is a live graded key") {
