@@ -521,6 +521,19 @@ object Bench {
     * — no verdict on thin history. Failed timings (−1) never enter a
     * median.
     *
+    * A non-suspect entry whose retime pass read `retime_clean:false` is
+    * DELIBERATELY still baseline-eligible: excluding it would have no
+    * escape hatch — a genuine persistent regression of a few moderate
+    * keys re-flags every run (tier 2) with retimes that honestly stay at
+    * the new level, so `retime_clean` stays false forever, and an
+    * excluded-forever entry class would freeze the stale medians and the
+    * flag loop with them. Feeding the baseline instead re-converges the
+    * medians after `minSamples` such runs and the flags clear — the same
+    * self-healing direction as the all-suspect escape below, one tier
+    * down. The cost (a contended-window entry nudges a few medians up
+    * for one window) is bounded by the median, which one outlier cannot
+    * move.
+    *
     * NEW-NORMAL ESCAPE: when the `window` most recent eligible entries
     * are ALL suspect, they become the baseline instead. Without this, a
     * genuine persistent shift that slows several trivial queries together
