@@ -123,7 +123,9 @@ object Bench {
     */
   private[graft] final case class ChunkLoad(
       startLoad: Double, stealPct: Double, externalCores: Double,
-      ioSomePct: Double = 0.0, ioFullPct: Double = 0.0)
+      ioSomePct: Double = 0.0, ioFullPct: Double = 0.0,
+      cpuSomePct: Double = 0.0, throttledPct: Double = 0.0,
+      calibSec: Double = 0.0)
 
   /** Hot-chunk predicate (VERDICT r9 next-step #1). A chunk is hot when a
     * competing workload plausibly distorted its timings: external busy CPU
@@ -135,28 +137,77 @@ object Bench {
     * bench chunk cannot do that to itself) or some-stall above 40% (an
     * idle-box chunk here measures ~0; sustained heavy io_some is a
     * concurrent IO workload even when its CPU draw is invisible to
-    * ext_cores). The io triggers are VERDICT-ONLY (`includeIo = false` at
-    * the retry site): PSI is system-wide with no per-process attribution,
-    * so on a slow-disk/cold-cache box the bench's OWN first-chunk dataset
-    * read could trip them — a retry cannot outwait a slow disk the way it
-    * can outwait a transient CPU competitor, and burning the retry budget
-    * on self-inflicted IO would double the run for nothing; the run still
-    * publishes degraded:true, which is the part a consumer needs.
-    * The loadavg trigger is
-    * first-chunk-only because from chunk 2 onward the 1-min EMA is
-    * dominated by the bench's OWN prior-chunk work (≈ `cpus` cores for
-    * minutes), so on hosts where cpus ≳ 1.5·cores/4 every later chunk
+    * ext_cores), OR (VERDICT r14 next-step #1 — the r14 capture ran 2.6×
+    * its clean band with every one of the above quiet) cpu-PSI some-stall
+    * past [[CpuPsiHotPct]] ("runnable but not running" sees queueing
+    * regardless of who the contender is; the floor sits well above the
+    * bench's own local[N] oversubscription, measured single-digit on an
+    * idle box), OR cgroup throttling past [[ThrottleHotPct]] of the
+    * chunk's wall (a quota'd cgroup being throttled measures the quota,
+    * not the plan), OR the chunk's fixed-work calibration probe
+    * ([[ChunkLoad.calibSec]]) past [[CalibHotRatio]]× the clean-history
+    * probe baseline `calibRef` — the attribution-free sensor that catches
+    * whatever the rest cannot name.
+    *
+    * VERDICT-ONLY triggers (`includeNonRetryable = false` at the retry
+    * site): the IO pair — PSI is system-wide with no per-process
+    * attribution, so on a slow-disk/cold-cache box the bench's OWN
+    * first-chunk dataset read could trip them, and a retry cannot outwait
+    * a slow disk — and cgroup throttling, which a static quota makes
+    * permanent (retrying into the same quota burns the budget for
+    * nothing). CPU-shaped signals (ext_cores, steal, loadavg, cpu-PSI,
+    * calib) keep retrying: a transient competitor can vanish. The loadavg
+    * trigger is first-chunk-only because from chunk 2 onward the 1-min
+    * EMA is dominated by the bench's OWN prior-chunk work (≈ `cpus` cores
+    * for minutes), so on hosts where cpus ≳ 1.5·cores/4 every later chunk
     * would self-flag hot on an idle machine; external cores already
     * subtract own CPU and carry the signal for those chunks. Thresholds
     * are deliberately coarse — the flag exists so a history consumer can
     * FILTER contaminated runs, not to rank load.
     */
   private[graft] def isHot(cl: ChunkLoad, cores: Int,
-      firstChunk: Boolean = false, includeIo: Boolean = true): Boolean =
+      firstChunk: Boolean = false, includeNonRetryable: Boolean = true,
+      calibRef: Option[Double] = None): Boolean =
     cl.externalCores > cores / 4.0 ||
       (firstChunk && cl.startLoad > 1.5 * cores / 4.0) ||
       cl.stealPct > 2.0 ||
-      (includeIo && (cl.ioFullPct > 10.0 || cl.ioSomePct > 40.0))
+      cl.cpuSomePct > CpuPsiHotPct ||
+      calibRef.exists(r =>
+        cl.calibSec > CalibHotRatio * r && cl.calibSec - r > CalibMinDeltaSec) ||
+      (includeNonRetryable &&
+        (cl.ioFullPct > 10.0 || cl.ioSomePct > 40.0 ||
+          cl.throttledPct > ThrottleHotPct))
+
+  /** cpu-PSI some-stall floor, % of the chunk's wall. An idle-box bench
+    * chunk measures single digits (the bench's own local[N] session
+    * briefly oversubscribes during shuffles and GC); a box whose runqueue
+    * is systematically deeper than its cores — an invisible competitor, an
+    * overcommitted hypervisor — sustains far more. Sits at 25% so the
+    * bench's own bursts can never flag an idle box, while r14-grade
+    * whole-window contention (everything 2.6× slow) clears it easily when
+    * the contention is queueing-shaped at all.
+    */
+  private[graft] val CpuPsiHotPct = 25.0
+
+  /** cgroup-throttle floor, % of the chunk's wall spent throttled. ANY
+    * sustained throttling distorts timings (the chunk measures the quota,
+    * not the plan), but sub-5% transients — a burst quota refilling — are
+    * within the noise the median-of-3 repeats already absorb.
+    */
+  private[graft] val ThrottleHotPct = 5.0
+
+  /** Calibration-probe inflation bar: a chunk (or run) whose fixed-work
+    * probe reads past this ratio × the clean-history probe baseline is
+    * hot. 1.5, not tier-1's 2.0: the probe is single-threaded fixed work
+    * with no plan variance, so its clean spread is a few percent — 1.5×
+    * is far outside noise while still catching moderate whole-window
+    * contention (r14's 2.6× inflation would read ~2.6× here).
+    */
+  private[graft] val CalibHotRatio = 1.5
+  /** …with an absolute floor so sub-50 ms jitter on a ~0.2 s probe can
+    * never flag (same rationale as [[SuspectMinDeltaSec]]).
+    */
+  private[graft] val CalibMinDeltaSec = 0.05
 
   private def loadAvg1(): Option[Double] =
     try {
@@ -164,6 +215,55 @@ object Bench {
       try Some(src.getLines().next().split("\\s+")(0).toDouble)
       finally src.close()
     } catch { case _: Exception => None }
+
+  /** Cumulative cgroup CPU-throttle time in µs, across the v2 and v1
+    * layouts (VERDICT r14 next-step #1): a quota'd cgroup being throttled
+    * slows every timed query while busy jiffies, steal, loadavg and PSI-io
+    * all read idle — exactly the invisible-contention signature of the r14
+    * capture. v2 publishes `throttled_usec` in `cpu.stat`; hybrid hosts
+    * mount v2 under `unified/`; v1 publishes `throttled_time` in
+    * NANOseconds. None where no layout carries the counter (no cpu
+    * controller, or no quota ever set — v1 files then read 0, which is a
+    * valid Some(0): deltas stay 0 and the trigger never fires).
+    */
+  private def throttledUsec(): Option[Long] = {
+    def read(path: String, key: String, perUsec: Long): Option[Long] =
+      try {
+        val p = java.nio.file.Paths.get(path)
+        if (!java.nio.file.Files.isRegularFile(p)) None
+        else java.nio.file.Files.readString(p).linesIterator
+          .map(_.trim.split("\\s+"))
+          .collectFirst { case Array(k, v) if k == key => v.toLong / perUsec }
+      } catch { case _: Exception => None }
+    read("/sys/fs/cgroup/cpu.stat", "throttled_usec", 1L)
+      .orElse(read("/sys/fs/cgroup/unified/cpu.stat", "throttled_usec", 1L))
+      .orElse(read("/sys/fs/cgroup/cpu/cpu.stat", "throttled_time", 1000L))
+  }
+
+  /** Fixed-work single-thread CPU probe: ~67M integer mix rounds, timed.
+    * The one sensor that needs NO attribution model (VERDICT r14 next-step
+    * #2): whatever steals cycles — an invisible-to-steal hypervisor cap,
+    * cgroup throttling, frequency scaling, an unaccounted competitor —
+    * slows this loop in the same proportion it slows the timed queries,
+    * so comparing the probe to its own clean-history baseline adjudicates
+    * contention even when every attribution-based sensor (ext_cores,
+    * steal, PSI) reads idle, which is byte-for-byte the r14 capture. The
+    * result feeds [[ChunkLoad.calibSec]]; the loop's value is folded into
+    * a volatile sink so JIT cannot dead-code it. Callers warm it once
+    * (see main) so chunk 0 never pays the C2-compile of the loop itself.
+    */
+  @volatile private var calibSink = 0L
+  private[graft] def calibProbe(): Double = {
+    val t0 = System.nanoTime()
+    var h = 0x9E3779B97F4A7C15L
+    var i = 0
+    while (i < (1 << 26)) {
+      h = java.lang.Long.rotateLeft(h * 0x100000001B3L, 31) ^ (h >>> 17)
+      i += 1
+    }
+    calibSink = h
+    math.round((System.nanoTime() - t0) / 1e9 * 1000) / 1000.0
+  }
 
   /** Cumulative PSI stall totals in µs for one resource from
     * `/proc/pressure/<res>` — (someTotal, fullTotal). PSI sees what
@@ -224,7 +324,10 @@ object Bench {
       // VERDICT r13 next-step #5 — the iterative graph family: dup_clusters
       // self-attributes for free (the contraction is driver-eager);
       // reach_hops uses the capture-gated count pattern
-      "q_dup_clusters", "q_reach_hops")
+      "q_dup_clusters", "q_reach_hops",
+      // VERDICT r14 next-step #5 — the last two ≥2 s-median keys without
+      // stage attribution, both on the capture-gated count pattern
+      "q_pagerank", "q_dup_span_coverage")
 
   /** Warm up then time one chunk of queries against an OWNED SparkSession
     * (created and stopped here). Median of 3 post-warm-up repeats per query
@@ -389,11 +492,18 @@ object Bench {
     // window with childCpu unreported (the GRAFT_CPU line never printed),
     // mis-attributing the dead child's own work to external load
     def measured[A](work: => (A, Double)): (A, ChunkLoad) = {
-      val load0 = loadAvg1().getOrElse(0.0)
-      val j0    = cpuJiffies()
-      val psi0  = psiTotals("io")
-      val own0  = ownCpuSec()
-      val t0    = System.nanoTime()
+      // the calibration probe runs BEFORE the measurement window: it
+      // samples the box's effective single-thread speed at chunk start
+      // (attribution-free — see calibProbe), and keeping its ~0.2 s out of
+      // the window keeps ext_cores/PSI attribution about the chunk itself
+      val calib = calibProbe()
+      val load0   = loadAvg1().getOrElse(0.0)
+      val j0      = cpuJiffies()
+      val psiIo0  = psiTotals("io")
+      val psiCpu0 = psiTotals("cpu")
+      val thr0    = throttledUsec()
+      val own0    = ownCpuSec()
+      val t0      = System.nanoTime()
       val (res, childCpu) = work
       val elapsed = math.max(0.001, (System.nanoTime() - t0) / 1e9)
       val ownSec  = math.max(0.0, ownCpuSec() - own0) + childCpu
@@ -405,12 +515,20 @@ object Bench {
         }).getOrElse((0.0, 0.0))
       // PSI totals are cumulative stall µs: delta/1e6 = stalled seconds
       // over the chunk, /elapsed·100 = percent of the chunk's wall → /1e4
-      val (ioSome, ioFull) =
-        (for ((s0, f0) <- psi0; (s1, f1) <- psiTotals("io")) yield
+      def psiPct(before: Option[(Long, Long)], res: String): (Double, Double) =
+        (for ((s0, f0) <- before; (s1, f1) <- psiTotals(res)) yield
           (math.max(0L, s1 - s0) / 1e4 / elapsed,
             math.max(0L, f1 - f0) / 1e4 / elapsed)).getOrElse((0.0, 0.0))
+      val (ioSome, ioFull) = psiPct(psiIo0, "io")
+      // cpu-PSI full is 0 at system scope by kernel design; some carries
+      // the runnable-but-not-running signal (VERDICT r14 next-step #1)
+      val (cpuSome, _) = psiPct(psiCpu0, "cpu")
+      val throttled =
+        (for (a <- thr0; b <- throttledUsec()) yield
+          math.max(0L, b - a) / 1e4 / elapsed).getOrElse(0.0)
       def r2(x: Double) = math.round(x * 100) / 100.0
-      (res, ChunkLoad(load0, r2(stealPct), r2(extCores), r2(ioSome), r2(ioFull)))
+      (res, ChunkLoad(load0, r2(stealPct), r2(extCores), r2(ioSome),
+        r2(ioFull), r2(cpuSome), r2(throttled), calib))
     }
     val (forkRes, forkLoad) = measured {
       forkChunk(names) match {
@@ -440,18 +558,25 @@ object Bench {
     * bias is toward flagging: the cheap direction for a filter flag.
     */
   private[graft] def loadFieldsJson(chunkLoads: Seq[ChunkLoad], cores: Int,
-      runSteal: Option[Double], runLoad: Option[Double]): (String, Boolean) = {
+      runSteal: Option[Double], runLoad: Option[Double],
+      calibRef: Option[Double] = None): (String, Boolean) = {
     val hot = chunkLoads.zipWithIndex.map { case (c, i) =>
-      isHot(c, cores, firstChunk = i == 0)
+      isHot(c, cores, firstChunk = i == 0, calibRef = calibRef)
     }
     val degraded = hot.contains(true)
     val perChunk = chunkLoads.zip(hot).map { case (c, h) =>
       s"""{"load":${c.startLoad},"steal_pct":${c.stealPct},""" +
         s""""ext_cores":${c.externalCores},"io_some_pct":${c.ioSomePct},""" +
-        s""""io_full_pct":${c.ioFullPct},"hot":$h}"""
+        s""""io_full_pct":${c.ioFullPct},"cpu_some_pct":${c.cpuSomePct},""" +
+        s""""throttled_pct":${c.throttledPct},"calib_sec":${c.calibSec},""" +
+        s""""hot":$h}"""
     }.mkString("[", ",", "]")
     val run = runSteal.map(s => s""""steal_pct":$s""").toSeq ++
-      runLoad.map(l => s""""loadavg1":$l""").toSeq :+
+      runLoad.map(l => s""""loadavg1":$l""").toSeq ++
+      // the clean-history probe baseline the calib triggers judged against
+      // (absent on a first run / thin history) — published so an artifact
+      // reader can recompute every chunk's calib verdict from the line
+      calibRef.map(r => s""""calib_ref":$r""").toSeq :+
       s""""cores":$cores""" :+ s""""chunk_load":$perChunk"""
     (run.mkString("{", ",", "}"), degraded)
   }
@@ -594,6 +719,171 @@ object Bench {
     }
   }
 
+  /** Clean-history calibration baseline (VERDICT r14 next-step #1/#2): the
+    * median of every per-chunk `load.chunk_load[*].calib_sec` over the
+    * last [[SuspectHistoryWindow]] baseline-eligible entries — same
+    * eligibility as [[historyMedians]] (parses, sf-matched, neither
+    * degraded nor suspect), so a contaminated run's inflated probes never
+    * feed the yardstick that judges the next run. None below
+    * [[SuspectMinSamples]] probe values (a first run has no baseline —
+    * the calib verdicts then read null, never a guess).
+    *
+    * DELIBERATELY not filtered on the entries' own calib/env verdicts: a
+    * genuinely slower new normal (hardware change, permanent quota) stamps
+    * `env_inflated` runs only until a window of non-suspect entries at the
+    * new speed re-converges this median — the same self-healing direction
+    * as historyMedians' escape hatch, without needing one (the median
+    * absorbs ≤2 contaminated entries per window on its own).
+    */
+  private[graft] def calibBaseline(lines: Seq[String],
+      sf: Option[String] = None,
+      window: Int = SuspectHistoryWindow): Option[Double] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val vals = lines.reverseIterator.flatMap { l =>
+      try {
+        val n = mapper.readTree(l)
+        def flagged(f: String) = Option(n.get(f)).exists(_.asBoolean)
+        val sfOk = sf.forall(want =>
+          Option(n.get("sf")).map(_.asText()).contains(want))
+        if (flagged("degraded") || flagged("suspect") || !sfOk) None
+        else
+          Option(n.get("load")).flatMap(ld => Option(ld.get("chunk_load")))
+            .filter(_.isArray).map { arr =>
+              val b = Seq.newBuilder[Double]
+              arr.forEach { c =>
+                Option(c.get("calib_sec")).filter(_.isNumber)
+                  .map(_.asDouble).filter(_ > 0).foreach(b += _)
+              }
+              b.result()
+            }.filter(_.nonEmpty)
+      } catch { case _: Exception => None }
+    }.take(window).flatten.toSeq
+    if (vals.size < SuspectMinSamples) None
+    else Some(vals.sorted.apply(vals.size / 2))
+  }
+
+  /** The windowed clean-band totals (VERDICT r14 next-step #3): the last
+    * `window` baseline-eligible entries' run totals, oldest first — the
+    * "97–107 s" a round review re-derived from history by hand. Shared
+    * between the bench's emitted `band` field and
+    * [[graft.tools.HistoryReport]]'s header so the two can never disagree.
+    * Eligibility mirrors the baseline rules (non-degraded, non-suspect,
+    * sf-matched, numeric value) plus the r15 env verdicts: an entry that
+    * stamped itself `env_inflated` or `calib_inflated` is contaminated by
+    * its own admission and must not stretch the band it exists to anchor.
+    */
+  private[graft] def cleanBandTotals(lines: Seq[String],
+      sf: Option[String] = None, window: Int = 10): Seq[Double] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    lines.flatMap { l =>
+      try {
+        val n = mapper.readTree(l)
+        def flagged(f: String) = Option(n.get(f)).exists(_.asBoolean)
+        val sfOk = sf.forall(want =>
+          Option(n.get("sf")).map(_.asText()).contains(want))
+        if (flagged("degraded") || flagged("suspect") ||
+            flagged("env_inflated") || flagged("calib_inflated") || !sfOk) None
+        else Option(n.get("value")).filter(_.isNumber).map(_.asDouble)
+      } catch { case _: Exception => None }
+    }.takeRight(window)
+  }
+
+  /** The `band` field body: `[lo,hi]` over the clean totals, `null` when
+    * the trail has none — one compact field that makes the closing line
+    * self-contextualizing (VERDICT r14 next-step #3: a tail-only consumer
+    * had to re-derive the clean band from the repo to read 276 s as an
+    * outlier). 0.1-rounded: the band is a plausibility yardstick, not a
+    * measurement.
+    */
+  private[graft] def bandJson(cleanTotals: Seq[Double]): String =
+    if (cleanTotals.isEmpty) "null"
+    else {
+      def r1(x: Double) = math.round(x * 10) / 10.0
+      s"[${r1(cleanTotals.min)},${r1(cleanTotals.max)}]"
+    }
+
+  // ---- plan-independent environment adjudication (VERDICT r14 #2) -------
+  //
+  // The r14 capture proved a whole-window contention mode no per-chunk
+  // sensor saw: every query inflated ~2.6×, ext_cores/steal/io-PSI all
+  // idle, and the artifact bottomed out at "suspect, retime not clean,
+  // retime not hot" — byte-for-byte what a real multi-query regression
+  // prints. Two FIXED workloads adjudicate that case without any
+  // attribution model: the per-chunk calibration probe (calibProbe) and
+  // the streaming smoke, whose 21-assertion suite is identical every run
+  // (it read 105.16 s in r14 vs a 26–29 s history — a 3.8× scream nothing
+  // consumed). Each is compared to its own clean-history median; the
+  // combined `env_inflated` tri-state rides the closing line.
+
+  /** Smoke-duration inflation bar (and its absolute floor): the smoke is
+    * a fixed ~27 s workload whose clean spread is a couple of seconds, so
+    * 1.5× + 3 s is far outside noise; r14's 105.16 s read 3.8×.
+    */
+  private[graft] val EnvSmokeRatio = 1.5
+  private[graft] val EnvSmokeMinDeltaSec = 3.0
+  /** Reporting smoke entries consulted for the baseline median. */
+  private[graft] val SmokeBaselineWindow = 5
+
+  /** The smoke duration (`value`) of one health line — None for skip
+    * records and junk (a skipped smoke must never read as a 0-second
+    * baseline sample).
+    */
+  private[graft] def smokeValueOf(line: String): Option[Double] =
+    try {
+      val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+      if (Option(n.get("failed")).exists(_.isNumber))
+        Option(n.get("value")).filter(_.isNumber).map(_.asDouble)
+      else None
+    } catch { case _: Exception => None }
+
+  /** Median smoke duration over the last [[SmokeBaselineWindow]] REPORTING
+    * history entries (skip/timeout records don't count — same rule as
+    * [[streamingRegression]]'s baseline). None below [[SuspectMinSamples]]
+    * samples. Not filtered on contention flags — smoke lines carry none —
+    * so the median's outlier absorption is the only defense; at window 5
+    * it absorbs 2 contaminated captures, and a longer streak is the
+    * new-normal case the baseline SHOULD converge to.
+    */
+  private[graft] def smokeBaseline(lines: Seq[String],
+      window: Int = SmokeBaselineWindow): Option[Double] = {
+    val vals = lines.reverseIterator.flatMap(smokeValueOf).take(window).toSeq
+    if (vals.size < SuspectMinSamples) None
+    else Some(vals.sorted.apply(vals.size / 2))
+  }
+
+  /** The calib side of the environment verdict: this run's MEDIAN chunk
+    * probe against the clean-history baseline. Median, not max — one hot
+    * chunk is the per-chunk flags' job; THIS verdict asks whether the
+    * whole window ran slow. None without both sides.
+    */
+  private[graft] def calibVerdict(chunkCalibs: Seq[Double],
+      ref: Option[Double]): Option[Boolean] = {
+    val probes = chunkCalibs.filter(_ > 0)
+    for (r <- ref; if probes.nonEmpty) yield {
+      val med = probes.sorted.apply(probes.size / 2)
+      med > CalibHotRatio * r && med - r > CalibMinDeltaSec
+    }
+  }
+
+  /** The combined plan-independent verdict, tri-state like the retime
+    * fields: true when EITHER fixed workload (chunk probes, smoke) read
+    * inflated against its own clean history; false when at least one
+    * could be judged and none was; null when neither had a baseline (a
+    * first run must read unknown, never clean). An r14-style capture —
+    * all queries inflated, every attribution sensor quiet — stamps true
+    * here via the smoke alone, which is exactly the evidence the r14
+    * artifact could not carry.
+    */
+  private[graft] def envInflatedVerdict(calib: Option[Boolean],
+      smokeSec: Option[Double], smokeBase: Option[Double]): Option[Boolean] = {
+    val smoke = for (cur <- smokeSec; base <- smokeBase)
+      yield cur > EnvSmokeRatio * base && cur - base > EnvSmokeMinDeltaSec
+    (calib, smoke) match {
+      case (None, None) => None
+      case _ => Some(calib.getOrElse(false) || smoke.getOrElse(false))
+    }
+  }
+
   /** The suspect verdict for one run: the (name-sorted) flagged queries,
     * each with its inflation RATIO over its history median (VERDICT r11
     * next-step #2 — a name list made r11's 5.2× `q_crossmodal_dups` and a
@@ -631,9 +921,6 @@ object Bench {
         medians.get(name).exists(tier2Inflated(secs, _)) =>
         name -> ratio(secs, medians(name))
     }
-    val sus =
-      (if (moderate.size >= CoInflateCount) (tier1 ++ moderate).distinctBy(_._1)
-       else tier1).sortBy(_._1)
     // the RUN-level stamp counts TIER-1 trivial flags only: tier 2 widens
     // which queries get retimed, never the documented run signature (≥3
     // trivial-median queries past 2.0×) — counting 1.7× tier-2 entries
@@ -641,7 +928,21 @@ object Bench {
     // suspect-stamped entry is excluded from the history baseline, so a
     // genuine shared-trunk regression at 1.8× would re-flag every run
     // until the all-suspect escape re-converged
-    (sus, tier1.count { case (n, _) => medians(n) < TrivialMedianSec } >= CoInflateCount)
+    val runSuspect =
+      tier1.count { case (n, _) => medians(n) < TrivialMedianSec } >= CoInflateCount
+    // tier-2 eligibility is satisfied by its own quorum OR by a run-level
+    // tier-1 suspect stamp (ADVICE r14 #3): once ≥3 trivial queries have
+    // confirmed contention for the capture, a lone 1.7–2.0× moderate
+    // reading in the same window is adjudicated by the same contention —
+    // requiring a second, moderate-only quorum left exactly the r13-shaped
+    // gap one notch narrower (1–2 moderates beside a confirmed-hot run
+    // stayed unflagged and un-retimed). Retiming them is cheap under the
+    // existing RetimeCap.
+    val sus =
+      (if (moderate.size >= CoInflateCount || (runSuspect && moderate.nonEmpty))
+        (tier1 ++ moderate).distinctBy(_._1)
+       else tier1).sortBy(_._1)
+    (sus, runSuspect)
   }
 
   /** The `retimed` field body (VERDICT r12 next-step #2): the suspect
@@ -767,11 +1068,29 @@ object Bench {
     * reviewer could see; bench timings already keep exactly this dual
     * record). `dir` is injectable so the spec exercises the real writer
     * against a tmp directory.
+    *
+    * A SUBSET bench run diverts to `STREAMING_SUBSET.json`, snapshot only
+    * (ADVICE r14 #2, mirroring writeSubsetArtifact's rationale): a dev/e2e
+    * subset run's smoke is as real as any, but letting it overwrite the
+    * official snapshot and append to the trail would mutate the record the
+    * round review and [[smokeBaseline]] feed on — the exact official-
+    * artifact mutation the bench-side subset guard exists to prevent. The
+    * subset bit reaches the forked smoke child via `GRAFT_STREAMING_SUBSET`
+    * (the child writes its own record on success).
     */
   private[graft] def writeStreamingRecord(line: String,
-      dir: String = repoDir): Unit =
-    writeSnapshotAndHistory(s"$dir/STREAMING.json",
-      s"$dir/STREAMING_HISTORY.jsonl", line)
+      dir: String = repoDir, subset: Boolean = false): Unit =
+    if (subset)
+      try {
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$dir/STREAMING_SUBSET.json"), line + "\n")
+        ()
+      } catch { case e: Exception =>
+        System.err.println(s"[bench] STREAMING_SUBSET.json write failed: ${e.toString.take(200)}")
+      }
+    else
+      writeSnapshotAndHistory(s"$dir/STREAMING.json",
+        s"$dir/STREAMING_HISTORY.jsonl", line)
 
   /** Run the streaming-surface smoke ([[graft.tools.StreamingSmoke]]) in a
     * fresh JVM after the timing run (VERDICT r9 next-step #5: the T1–T8 /
@@ -796,9 +1115,9 @@ object Bench {
     * thread after main returned) keeps its accurate record; only a child
     * that never reported gets the timeout record.
     */
-  private def runStreamingSmoke(): (Seq[String], Option[String]) = {
+  private def runStreamingSmoke(subset: Boolean): (Seq[String], Option[String]) = {
     def record(line: String): (Seq[String], Option[String]) = {
-      writeStreamingRecord(line)
+      writeStreamingRecord(line, subset = subset)
       (Seq(line), None)
     }
     def healthLines(f: java.nio.file.Path): Seq[String] =
@@ -809,6 +1128,9 @@ object Bench {
         case None =>
           record("""{"metric":"streaming_smoke","skipped":true,"reason":"classpath not forkable"}""")
         case Some(pb) =>
+          // a subset run's child must divert its own success record too
+          // (ADVICE r14 #2 — the child writes the artifact, not the parent)
+          if (subset) { pb.environment().put("GRAFT_STREAMING_SUBSET", "1"); () }
           // child stdout goes to a file, NOT a pipe: reading a pipe to EOF
           // would block this thread for as long as the child hangs, so the
           // 10-minute cap below could never fire
@@ -942,15 +1264,27 @@ object Bench {
     * can be read as "the second opinion was also hot", not as a
     * confirmed regression. Both tri-state: `null` when nothing was
     * flagged (no adjudication ran).
+    *
+    * r15 additions (VERDICT r14 next-steps #2/#3): `env_inflated` — the
+    * plan-independent fixed-workload verdict ([[envInflatedVerdict]]);
+    * true means "this window ran slow against clean history for reasons
+    * no query plan can explain", which is the reading the r14 artifact
+    * could not give — and `band`, the clean-history total band `[lo,hi]`
+    * (null on a bandless trail), so a tail-only consumer can read this
+    * line's `value` AS an outlier (or not) without the repo. The decision
+    * table for the flag pair lives in README's bench-contract section.
     */
   private[graft] def closingTotalLine(total: Double, degraded: Boolean,
       suspect: Boolean, retimeClean: Option[Boolean],
-      retimeHot: Option[Boolean], run: Int, failed: Int, sfDir: String,
+      retimeHot: Option[Boolean], envInflated: Option[Boolean],
+      band: String, run: Int, failed: Int, sfDir: String,
       streamingFields: String): String =
     s"""{"metric":"total","value":$total,"unit":"sec","repeats":3,""" +
       s""""degraded":$degraded,"suspect":$suspect,""" +
       s""""retime_clean":${triState(retimeClean)},""" +
       s""""retime_hot":${triState(retimeHot)},""" +
+      s""""env_inflated":${triState(envInflated)},""" +
+      s""""band":$band,""" +
       s""""queries_run":$run,"queries_failed":$failed,""" +
       s"""$streamingFields,"sf":${jstr(sfDir)}}"""
 
@@ -970,22 +1304,34 @@ object Bench {
     * list (dev/e2e plumbing, never set by the driver): the retime e2e gate
     * (BenchE2eSpec) exercises the whole suspect→retime→closing-line path
     * against a handful of queries instead of the full surface. Unknown
-    * names are dropped; an unset, empty, or all-unknown list falls back to
-    * everything rather than emitting an empty (and misleading) zero-second
-    * total. Deduplicated — a repeated name would be timed and counted
-    * twice (triple-counting `total`, duplicate JSON keys, and one query's
-    * inflation contributing multiple entries to the co-inflation quorum),
-    * and a duplicate could make a PARTIAL list read as size == the full
-    * surface, defeating the subset-artifact guard. Always sorted — the
-    * deterministic order is what keeps warm-up attribution comparable
-    * across runs.
+    * names drop with a stderr warning; a NON-EMPTY list that resolves to
+    * ZERO known names is a HARD ERROR (ADVICE r14 #1): the old silent
+    * fallback-to-everything meant a typo'd prefix on every entry turned an
+    * intended subset run into a full run — which then wrote the official
+    * BENCH_FULL.json and appended a real history entry, the exact
+    * official-artifact mutation the subset guard exists to prevent. An
+    * unset or blank variable still means the full surface. Deduplicated —
+    * a repeated name would be timed and counted twice (triple-counting
+    * `total`, duplicate JSON keys, and one query's inflation contributing
+    * multiple entries to the co-inflation quorum), and a duplicate could
+    * make a PARTIAL list read as size == the full surface, defeating the
+    * subset-artifact guard. Always sorted — the deterministic order is
+    * what keeps warm-up attribution comparable across runs.
     */
   private[graft] def benchQueryNames(env: Option[String]): Seq[String] =
-    env.map(_.split(',').toSeq.map(_.trim).distinct
-        .filter(SparkEntry.queries.contains))
-      .filter(_.nonEmpty)
-      .getOrElse(SparkEntry.queries.keys.toSeq)
-      .sorted
+    env.filter(_.trim.nonEmpty) match {
+      case Some(s) =>
+        val asked = s.split(',').toSeq.map(_.trim).filter(_.nonEmpty).distinct
+        val (known, unknown) = asked.partition(SparkEntry.queries.contains)
+        if (unknown.nonEmpty)
+          System.err.println(
+            s"[bench] GRAFT_BENCH_QUERIES: dropping unknown names: ${unknown.mkString(",")}")
+        if (known.isEmpty)
+          throw new IllegalArgumentException(
+            s"GRAFT_BENCH_QUERIES is set but resolves to zero known queries: '$s'")
+        known.sorted
+      case None => SparkEntry.queries.keys.toSeq.sorted
+    }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -998,6 +1344,15 @@ object Bench {
     // a subset run is any run not covering the full graded surface — its
     // artifacts go to the side path (see writeSubsetArtifact)
     val subsetRun = names.size < SparkEntry.queries.size
+    // history is read ONCE, before anything appends (the discipline every
+    // history consumer here shares): it feeds the per-query medians, the
+    // calibration-probe baseline the chunk loop's hot checks use, and the
+    // clean band the closing line publishes
+    val histLines = fileLines(historyPath)
+    val calibRef = calibBaseline(histLines, sf = Some(sfDir))
+    // JIT-warm the probe once so chunk 0's reading measures the box, not
+    // the C2 compile of the probe loop itself
+    calibProbe(); calibProbe()
     val chunks = names.grouped(ChunkSize).toSeq
     var forked = 0
     var retried = 0
@@ -1006,15 +1361,17 @@ object Bench {
     var retryBudget = 3
     val results = chunks.zipWithIndex.map { case (chunk, ci) =>
       var (t, fk, cl) = timeChunk(chunk, sfDir, cpus)
-      // retry on CPU-shaped signals only (includeIo = false — see isHot):
-      // the io triggers still reach the published verdict via loadFieldsJson
-      if (isHot(cl, cores, firstChunk = ci == 0, includeIo = false) &&
-          retryBudget > 0) {
+      // retry on CPU-shaped signals only (includeNonRetryable = false —
+      // see isHot): the io/throttle triggers still reach the published
+      // verdict via loadFieldsJson
+      if (isHot(cl, cores, firstChunk = ci == 0, includeNonRetryable = false,
+          calibRef = calibRef) && retryBudget > 0) {
         retryBudget -= 1; retried += 1
         System.err.println(s"[bench] chunk '${chunk.head}…' ran hot " +
           s"(load=${cl.startLoad} ext_cores=${cl.externalCores} " +
           s"steal=${cl.stealPct}% io_some=${cl.ioSomePct}% " +
-          s"io_full=${cl.ioFullPct}%) — retrying once")
+          s"io_full=${cl.ioFullPct}% cpu_some=${cl.cpuSomePct}% " +
+          s"calib=${cl.calibSec}s) — retrying once")
         val again = timeChunk(chunk, sfDir, cpus)
         t = again._1; fk = again._2; cl = again._3
       }
@@ -1042,18 +1399,11 @@ object Bench {
     // still hot after its retry) — VERDICT r9 next-step #1
     val runSteal = for ((s0, _, t0) <- jiffies0; (s1, _, t1) <- cpuJiffies()
         if t1 > t0) yield math.round((s1 - s0) * 10000.0 / (t1 - t0)) / 100.0
-    val (loadJson, degraded) = loadFieldsJson(chunkLoads, cores, runSteal, loadAvg1())
+    val (loadJson, degraded) =
+      loadFieldsJson(chunkLoads, cores, runSteal, loadAvg1(), calibRef)
     // history plausibility (VERDICT r10 next-step #1): compare each query
-    // to its own median over the last clean history entries — read BEFORE
-    // this run's line is appended
-    val histLines =
-      try {
-        val p = java.nio.file.Paths.get(historyPath)
-        if (java.nio.file.Files.isRegularFile(p))
-          scala.jdk.CollectionConverters.ListHasAsScala(
-            java.nio.file.Files.readAllLines(p)).asScala.toSeq
-        else Seq.empty[String]
-      } catch { case _: Exception => Seq.empty[String] }
+    // to its own median over the last clean history entries — histLines
+    // was read at startup, BEFORE this run's line is appended
     val medians = historyMedians(histLines, sf = Some(sfDir))
     val (suspectQs, suspect) = suspectVerdict(timed.map(t => t.name -> t.secs),
       medians)
@@ -1088,13 +1438,41 @@ object Bench {
     val retimed = retimeRuns.flatMap(_._1.map(t => t.name -> t.secs))
     val retimedJson = retimedFieldJson(retimed)
     // no firstChunk trigger: the retime runs after minutes of the bench's
-    // own work, so loadavg is self-polluted there (same rule as chunk 2+)
+    // own work, so loadavg is self-polluted there (same rule as chunk 2+);
+    // the retime chunks' own calib probes are judged against the same
+    // clean-history reference as the timed chunks'
     val retimeHot: Option[Boolean] =
       if (retimeRuns.isEmpty) None
-      else Some(retimeRuns.exists(r => isHot(r._3, cores)))
+      else Some(retimeRuns.exists(r => isHot(r._3, cores, calibRef = calibRef)))
     val retimeClean = retimeCleanVerdict(suspectQs, retimed, medians)
+    // the PREVIOUS smoke records, read before this run's smoke appends its own
+    val prevSmoke = fileLines(s"$repoDir/STREAMING_HISTORY.jsonl")
+    // the streaming smoke runs BEFORE the artifact lines are built (moved
+    // in r15): its duration doubles as the second fixed-workload sensor of
+    // the env verdict, so the full line and the closing line can carry ONE
+    // consistent `env_inflated` instead of a calib-only preview. The
+    // smoke's own stdout lines still print last, via emitClosing.
+    // Value check, not presence: =0 / empty must mean "run it".
+    val (smokeLines, health) =
+      if (!sys.env.get("GRAFT_SKIP_STREAMING_SMOKE").exists(v => v.nonEmpty && v != "0"))
+        runStreamingSmoke(subsetRun)
+      else (Seq.empty[String], None)
+    // plan-independent environment adjudication (VERDICT r14 next-step
+    // #2): both fixed workloads against their own clean history — the
+    // chunk probes (calib_inflated) and the smoke duration — combined as
+    // env_inflated. This is what the r14 capture was missing: 276 s with
+    // every sensor quiet now stamps env_inflated:true off the 3.8×
+    // smoke + inflated probes, readable from the tail alone.
+    val calibInf = calibVerdict(chunkLoads.map(_.calibSec), calibRef)
+    val envInf = envInflatedVerdict(calibInf,
+      health.flatMap(smokeValueOf), smokeBaseline(prevSmoke))
+    // the clean-history band, so a tail-only consumer can read `value`
+    // as inside/outside the tree's normal range (VERDICT r14 next-step #3)
+    val band = bandJson(cleanBandTotals(histLines, sf = Some(sfDir)))
     val adjudication =
-      s""""retime_clean":${triState(retimeClean)},"retime_hot":${triState(retimeHot)}"""
+      s""""retime_clean":${triState(retimeClean)},"retime_hot":${triState(retimeHot)},""" +
+        s""""env_inflated":${triState(envInf)},"calib_inflated":${triState(calibInf)},""" +
+        s""""band":$band"""
     val isolation =
       s""""chunks":${chunks.length},"chunks_forked":$forked,"chunk_size":$ChunkSize,"chunks_retried":$retried"""
     val fullLine =
@@ -1105,16 +1483,17 @@ object Bench {
     // artifact + history (VERDICT r8 missing #2), and the headline fields
     // repeat on SHORT lines the stdout tail always keeps: the top-10
     // slowest timings, then the total — printed once here for a live
-    // reader, and once more as the FINAL stdout line after the streaming
-    // smoke (whose child JVM inherits stderr and spews ~20 Spark startup
-    // lines) so the driver's tail parser is guaranteed to see it
-    // (VERDICT r11 #1), and once more — compact, no maps — as the final
-    // `"metric":"total"` line (VERDICT r12 #1). Both `total` and
-    // `total_short` are therefore at-least-once / LAST-wins on stdout
-    // (ADVICE r12): the repeats carry identical headline values, so a
-    // last-match consumer — which the fixed-size-tail driver is — reads
-    // one consistent record; a per-metric counter/summer must not run on
-    // this stream (documented in README's bench-contract section).
+    // reader, and once more as the FINAL stdout line (the smoke's child
+    // JVM inherits stderr and spews ~20 Spark startup lines, but since
+    // r15 the smoke completes before any metric line prints) so the
+    // driver's tail parser is guaranteed to see it (VERDICT r11 #1), and
+    // once more — compact, no maps — as the final `"metric":"total"` line
+    // (VERDICT r12 #1). Both `total` and `total_short` are therefore
+    // at-least-once / LAST-wins on stdout (ADVICE r12): the repeats carry
+    // identical headline values, so a last-match consumer — which the
+    // fixed-size-tail driver is — reads one consistent record; a
+    // per-metric counter/summer must not run on this stream (documented
+    // in README's bench-contract section).
     if (subsetRun) writeSubsetArtifact(fullLine) else writeArtifact(fullLine)
     val slowest = timed.filter(_.err.isEmpty).sortBy(-_.secs).take(10)
       .map(t => s"${jstr(t.name)}:${t.secs}").mkString("{", ",", "}")
@@ -1123,13 +1502,6 @@ object Bench {
     val shortBody =
       s""""value":$total,"unit":"sec","repeats":3,"degraded":$degraded,"suspect":$suspect,"suspect_queries":$suspectJson,"suspect_ratios":$ratiosJson,"retimed":$retimedJson,$adjudication,$isolation,"queries_run":${names.length},"queries_failed":$failed,"load":$loadJson,"sf":"$sfDir""""
     println(s"""{"metric":"total_short",$shortBody}""")
-    // the PREVIOUS smoke records, read before this run's smoke appends its own
-    val prevSmoke = fileLines(s"$repoDir/STREAMING_HISTORY.jsonl")
-    // value check, not presence: =0 / empty must mean "run it"
-    val (smokeLines, health) =
-      if (!sys.env.get("GRAFT_SKIP_STREAMING_SMOKE").exists(v => v.nonEmpty && v != "0"))
-        runStreamingSmoke()
-      else (Seq.empty[String], None)
     // streaming fields APPENDED so the final line's byte prefix is exactly
     // the historical total_short shape a prefix-matching parser expects
     val streamingFields = streamingRegression(health, prevSmoke)
@@ -1139,7 +1511,7 @@ object Bench {
     // (see emitClosing; BenchLoadSpec pins the order and byte budget)
     emitClosing(finalHeadline,
       closingTotalLine(total, degraded, suspect, retimeClean, retimeHot,
-        names.length, failed, sfDir, streamingFields),
+        envInf, band, names.length, failed, sfDir, streamingFields),
       smokeLines, printAtomic)
   }
 }

@@ -1239,10 +1239,21 @@ object DedupQueries {
       "per-source token coverage (bp) of 3-gram spans duplicated across docs",
       (s, dir) => {
         val ps = positionalShingles(Tables.spread(Tables.documents(s, dir)), Nil).persist()
+        // Phase attribution (VERDICT r14 next-step #5), capture-gated: the
+        // bench's diagnostic evaluation splits the positional-shingle build
+        // (`shingle_pos` — materializes the persisted frame the later
+        // stages share), the duplicated-shingle df aggregate (`dup_df`,
+        // over that cache), and the island-merge window+aggregate pipeline
+        // (`island_agg`); the residual is the final per-source rollup.
+        // Outside a capture every branch is identity — the lazy graded
+        // plan, and the Verify/oracle path, are byte-identical.
+        val capturing = graft.Phases.capturing
+        if (capturing) graft.Phases.timed("shingle_pos") { ps.count(); () }
         val dup = ps.groupBy("shingle")
           .agg(countDistinct(col("doc_id")).as("df"))
           .filter(col("df") >= 2)
           .select("shingle")
+        if (capturing) graft.Phases.timed("dup_df") { dup.count(); () }
         // matched positions merge into islands exactly as in
         // q_span_decontaminate (shared spanIslands helper), so each island
         // covers max - min + 3 tokens with no double count
@@ -1252,6 +1263,7 @@ object DedupQueries {
           .agg((max(col("pos")) - min(col("pos")) + 3).as("span_tokens"))
           .groupBy("doc_id")
           .agg(sum(col("span_tokens")).as("cov"))
+        if (capturing) graft.Phases.timed("island_agg") { covered.count(); () }
         Tables.documents(s, dir)
           .select(col("doc_id"), col("source"),
             expr(s"cast(size($wordsSql) as bigint)").as("toks"))
@@ -1603,7 +1615,19 @@ object DedupQueries {
           .repartition(math.max(4, s.sparkContext.defaultParallelism / 8),
             col("src"))
           .persist()
-        graft.operators.LinkAnalysis.pageRank(edges, 5)
+        // Phase attribution (VERDICT r14 next-step #5), capture-gated like
+        // q_reach_hops': under the bench's dedicated diagnostic evaluation
+        // ONLY, `edge_derive` materializes the persisted symmetric edge
+        // list (the shared scan→minhash→bucket trunk) and `rank_rounds`
+        // counts the 5-round integer fixed point over that cache — so a
+        // trunk regression and a per-round join regression read apart in
+        // the round artifact. Outside a capture both branches are identity
+        // and the lazy graded plan is byte-identical.
+        val capturing = graft.Phases.capturing
+        if (capturing) graft.Phases.timed("edge_derive") { edges.count(); () }
+        val pr = graft.operators.LinkAnalysis.pageRank(edges, 5)
+        if (capturing) graft.Phases.timed("rank_rounds") { pr.count(); () }
+        pr
           .select(col("id").as("doc_id"), col("deg"), col("rank"))
           .orderBy("doc_id")
       },

@@ -24,6 +24,16 @@ object HistoryReport {
   private def flag(n: JsonNode, f: String): Boolean =
     Option(n.get(f)).exists(_.asBoolean)
 
+  /** Locale-pinned numeric formatting (ADVICE r14 #4): the `f""`
+    * interpolator uses the JVM default locale, so under e.g. a German
+    * default the band rendered "97,2-105,9" — breaking the spec's
+    * substring assertions and any text consumer downstream. Every numeric
+    * field in this report formats through here.
+    */
+  private def fnum(pattern: String, args: Any*): String =
+    String.format(java.util.Locale.ROOT, pattern,
+      args.map(_.asInstanceOf[AnyRef]): _*)
+
   /** The rendered report for one history trail (pure — spec'd directly).
     * `lines` is the raw JSONL; the LATEST entry is adjudicated against the
     * clean-median baseline of everything before it (the same read-before-
@@ -45,36 +55,37 @@ object HistoryReport {
 
     val sb = new StringBuilder
     // the tree's clean band (VERDICT r13 next-step #6): min–max of the
-    // non-suspect, non-degraded, same-sf totals — the "97–107 s" a round
-    // review used to re-derive by hand now reads off the report header.
-    // The band describes CLEAN entries only, so the adjudicated (latest)
-    // entry is included exactly when its own flags say it qualifies, and
-    // it is WINDOWED to the 10 most recent clean entries: the trail spans
-    // many trees, and the oldest clean-stamped totals predate both the
-    // current plan set and the contention flags themselves (the live
-    // trail's unwindowed band read 89–248 s off one pre-flag-era
-    // contaminated entry — useless as a plausibility yardstick).
-    val cleanTotals = parsed.collect {
-      case n if !flag(n, "degraded") && !flag(n, "suspect") &&
-        Option(n.get("sf")).map(_.asText()) == sf &&
-        Option(n.get("value")).exists(_.isNumber) =>
-        n.get("value").asDouble
-    }.takeRight(10)
+    // non-suspect, non-degraded, non-env-inflated, same-sf totals — the
+    // "97–107 s" a round review used to re-derive by hand now reads off
+    // the report header. Since r15 the computation is
+    // [[graft.Bench.cleanBandTotals]] — the SAME function whose result the
+    // bench emits as the closing line's `band` field, so the report and
+    // the artifact can never disagree on what the band is. Windowed to the
+    // 10 most recent clean entries: the trail spans many trees, and the
+    // oldest clean-stamped totals predate both the current plan set and
+    // the contention flags themselves (the live trail's unwindowed band
+    // read 89–248 s off one pre-flag-era contaminated entry — useless as
+    // a plausibility yardstick).
+    val cleanTotals = graft.Bench.cleanBandTotals(lines, sf)
     if (cleanTotals.nonEmpty)
-      sb ++= f"== clean band (sf=${sf.getOrElse("-")}%s, last ${cleanTotals.size}%d clean): " +
-        f"${cleanTotals.min}%.1f-${cleanTotals.max}%.1f s ==\n"
+      sb ++= s"== clean band (sf=${sf.getOrElse("-")}, last ${cleanTotals.size} clean): " +
+        fnum("%.1f-%.1f", cleanTotals.min, cleanTotals.max) + " s ==\n"
     else
       sb ++= s"== clean band (sf=${sf.getOrElse("-")}): no clean entries ==\n"
     sb ++= "== run trail (oldest first) ==\n"
     parsed.takeRight(10).foreach { n =>
-      val v = Option(n.get("value")).map(x => f"${x.asDouble}%8.1f").getOrElse("       ?")
-      // tri-state adjudication (r14): only printed when the entry carries
-      // it — suspect=true + retime_clean=true reads "flagged but the run's
-      // own retime pass proved the flags ambient"; retime_hot=true beside
-      // a false retime_clean reads "the second opinion was also hot"
-      val adjudicated = Seq("retime_clean", "retime_hot").flatMap { f =>
-        Option(n.get(f)).filterNot(_.isNull).map(b => s"  $f=${b.asBoolean}")
-      }.mkString
+      val v = Option(n.get("value")).map(x => fnum("%8.1f", x.asDouble)).getOrElse("       ?")
+      // tri-state adjudication (r14, widened r15): only printed when the
+      // entry carries it — suspect=true + retime_clean=true reads "flagged
+      // but the run's own retime pass proved the flags ambient";
+      // retime_hot=true beside a false retime_clean reads "the second
+      // opinion was also hot"; env_inflated=true reads "the fixed-workload
+      // sensors saw the whole window slow" (the r14 blind spot)
+      val adjudicated =
+        Seq("retime_clean", "retime_hot", "env_inflated", "calib_inflated")
+          .flatMap { f =>
+            Option(n.get(f)).filterNot(_.isNull).map(b => s"  $f=${b.asBoolean}")
+          }.mkString
       sb ++= s"$v s  degraded=${flag(n, "degraded")}  suspect=${flag(n, "suspect")}" +
         s"$adjudicated  sf=${Option(n.get("sf")).map(_.asText()).getOrElse("-")}\n"
     }
@@ -95,18 +106,19 @@ object HistoryReport {
       out
     }.getOrElse(Map.empty[String, Double])
     def retimedNote(name: String): String =
-      retimed.get(name).map(v => f"  retimed ${v}%6.2f s").getOrElse("")
+      retimed.get(name).map(v => "  retimed " + fnum("%6.2f", v) + " s").getOrElse("")
 
     val rows = qs.collect { case (name, secs) if secs >= 0 && medians.contains(name) =>
       (name, secs, medians(name), secs / medians(name))
     }
     sb ++= s"\n== latest vs clean-median baseline (${rows.size} judged, worst first) ==\n"
     rows.sortBy(-_._4).take(topN).foreach { case (name, secs, med, r) =>
-      sb ++= f"$name%-24s ${secs}%7.2f s  med ${med}%7.2f s  x$r%5.2f${retimedNote(name)}\n"
+      sb ++= fnum("%-24s %7.2f s  med %7.2f s  x%5.2f", name, secs, med, r) +
+        s"${retimedNote(name)}\n"
     }
     sb ++= s"\n== most expensive (latest) ==\n"
     rows.sortBy(-_._2).take(topN).foreach { case (name, secs, med, r) =>
-      sb ++= f"$name%-24s ${secs}%7.2f s  med ${med}%7.2f s  x$r%5.2f\n"
+      sb ++= fnum("%-24s %7.2f s  med %7.2f s  x%5.2f", name, secs, med, r) + "\n"
     }
     val unjudged = qs.collect { case (n, s) if s >= 0 && !medians.contains(n) => n }
     if (unjudged.nonEmpty)

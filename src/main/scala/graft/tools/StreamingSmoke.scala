@@ -307,8 +307,11 @@ object StreamingSmoke {
     // emitted health line as proof the record was persisted (it keeps the
     // record of a child that reported and then lingered) — printing first
     // would open a kill window where the line exists but the artifact is
-    // the previous run's
-    graft.Bench.writeStreamingRecord(line)
+    // the previous run's. A subset bench parent sets GRAFT_STREAMING_SUBSET
+    // (ADVICE r14 #2): the record then diverts to STREAMING_SUBSET.json so
+    // a dev/e2e subset run never mutates the official streaming trail.
+    graft.Bench.writeStreamingRecord(line, subset =
+      sys.env.get("GRAFT_STREAMING_SUBSET").exists(v => v.nonEmpty && v != "0"))
     println(line)
     if (results.exists(_._3.isDefined)) sys.exit(1)
   }

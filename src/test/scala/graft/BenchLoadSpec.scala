@@ -81,11 +81,11 @@ class BenchLoadSpec extends AnyFunSuite {
     assert(!Bench.isHot(idle.copy(ioFullPct = 10.0), cores))
     assert(!Bench.isHot(idle.copy(ioSomePct = 40.0), cores))
     // the io triggers are verdict-only: the RETRY site passes
-    // includeIo = false (PSI has no per-process attribution, so the
-    // bench's own cold-cache reads must not burn the retry budget), while
-    // CPU-shaped signals keep retrying either way
-    assert(!Bench.isHot(idle.copy(ioFullPct = 50.0), cores, includeIo = false))
-    assert(Bench.isHot(idle.copy(externalCores = 16.0), cores, includeIo = false))
+    // includeNonRetryable = false (PSI has no per-process attribution, so
+    // the bench's own cold-cache reads must not burn the retry budget),
+    // while CPU-shaped signals keep retrying either way
+    assert(!Bench.isHot(idle.copy(ioFullPct = 50.0), cores, includeNonRetryable = false))
+    assert(Bench.isHot(idle.copy(externalCores = 16.0), cores, includeNonRetryable = false))
     // the fields ride the emitted chunk objects (graceful-absence default 0)
     val (json, deg) = Bench.loadFieldsJson(
       Seq(idle, idle.copy(ioFullPct = 12.0, ioSomePct = 30.0)), cores, None, None)
@@ -335,14 +335,19 @@ class BenchLoadSpec extends AnyFunSuite {
     assert(Phases.capture(7)._2.isEmpty)
   }
 
-  test("GRAFT_BENCH_QUERIES subsets the run; junk falls back to everything") {
-    // dev/e2e plumbing (BenchE2eSpec rides it): unknown names drop, an
-    // unset/empty/all-unknown list must yield the FULL sorted surface —
-    // a zero-query bench would publish a misleading 0-second total
+  test("GRAFT_BENCH_QUERIES subsets the run; an all-unknown list is a hard error") {
+    // dev/e2e plumbing (BenchE2eSpec rides it): unknown names drop with a
+    // warning; an unset/blank variable means the FULL sorted surface; a
+    // NON-EMPTY list resolving to zero known names must THROW (ADVICE r14
+    // #1 — the old silent fallback turned a typo'd subset run into a full
+    // run that overwrote BENCH_FULL.json and appended real history)
     val all = SparkEntry.queries.keys.toSeq.sorted
     assert(Bench.benchQueryNames(None) === all)
     assert(Bench.benchQueryNames(Some("")) === all)
-    assert(Bench.benchQueryNames(Some("q_no_such,also_junk")) === all)
+    assert(Bench.benchQueryNames(Some("   ")) === all)
+    assertThrows[IllegalArgumentException] {
+      Bench.benchQueryNames(Some("q_no_such,also_junk"))
+    }
     assert(Bench.benchQueryNames(Some("q_count_rows, q_add_literal")) ===
       Seq("q_add_literal", "q_count_rows"), "trimmed, filtered, sorted")
     assert(Bench.benchQueryNames(Some("q_count_rows,q_bogus")) ===
@@ -429,6 +434,7 @@ class BenchLoadSpec extends AnyFunSuite {
       Seq("""{"metric":"streaming_smoke","failed":0}"""))
     val line = Bench.closingTotalLine(total = 148.553, degraded = false,
       suspect = true, retimeClean = Some(true), retimeHot = Some(false),
+      envInflated = Some(false), band = "[97.2,107.1]",
       run = 144, failed = 0,
       sfDir = "/root/testdata/sf0.1", streamingFields = streaming)
     val n = mapper.readTree(line)
@@ -442,6 +448,11 @@ class BenchLoadSpec extends AnyFunSuite {
     // the tail-visible line itself
     assert(n.get("retime_clean").asBoolean === true)
     assert(n.get("retime_hot").asBoolean === false)
+    // VERDICT r14 #2/#3: the plan-independent env verdict and the clean
+    // band make the line self-contextualizing for a tail-only consumer
+    assert(n.get("env_inflated").asBoolean === false)
+    assert(n.get("band").get(0).asDouble === 97.2)
+    assert(n.get("band").get(1).asDouble === 107.1)
     assert(n.get("streaming_failed").asInt === 0)
     assert(n.get("sf").asText === "/root/testdata/sf0.1")
     assert(n.get("queries") === null, "no per-query map — that is what keeps it compact")
@@ -453,23 +464,30 @@ class BenchLoadSpec extends AnyFunSuite {
     // a SKIPPED smoke rides null streaming fields — the closing line must
     // still parse (nulls are valid JSON; a formatting slip here would
     // resurrect parsed:null exactly when the smoke is off); an unflagged
-    // run likewise rides tri-state null adjudication fields
+    // run likewise rides tri-state null adjudication fields, and a
+    // bandless trail a literal null band
     val skipped = Bench.closingTotalLine(total = 1.0, degraded = false,
       suspect = false, retimeClean = None, retimeHot = None,
+      envInflated = None, band = "null",
       run = 144, failed = 0, sfDir = "/tmp/sf",
       streamingFields = Bench.streamingRegression(None, Nil))
     val sn = mapper.readTree(skipped)
     assert(sn.get("streaming_failed").isNull && sn.get("metric").asText === "total")
     assert(sn.get("retime_clean").isNull && sn.get("retime_hot").isNull,
       "no flags -> no adjudication -> null, never a fake clean/dirty")
+    assert(sn.get("env_inflated").isNull && sn.get("band").isNull,
+      "no baseline -> unknown, never a fake clean band/verdict")
     // the remaining tri-state arm: a retime that stayed inflated (or never
     // ran for a capped/errored flag) must read explicitly false
     val dirty = mapper.readTree(Bench.closingTotalLine(total = 1.0,
       degraded = false, suspect = true, retimeClean = Some(false),
-      retimeHot = Some(true), run = 144, failed = 0, sfDir = "/tmp/sf",
+      retimeHot = Some(true), envInflated = Some(true), band = "[1.0,1.1]",
+      run = 144, failed = 0, sfDir = "/tmp/sf",
       streamingFields = Bench.streamingRegression(None, Nil)))
     assert(dirty.get("retime_clean").asBoolean === false)
     assert(dirty.get("retime_hot").asBoolean === true)
+    assert(dirty.get("env_inflated").asBoolean === true,
+      "the r14 reading: still-inflated retimes + fixed workloads slow = environmental")
   }
 
   test("the closing total stays under the byte budget at worst-case widths") {
@@ -484,7 +502,8 @@ class BenchLoadSpec extends AnyFunSuite {
       Seq("""{"metric":"streaming_smoke","failed":999999}"""))
     val line = Bench.closingTotalLine(total = 8640000.123456789,
       degraded = true, suspect = true, retimeClean = Some(false),
-      retimeHot = Some(false), run = 999999, failed = 999999,
+      retimeHot = Some(false), envInflated = Some(false),
+      band = "[8640000.1,8640000.9]", run = 999999, failed = 999999,
       sfDir = "/very/long/testdata/path/that/should/never/happen/sf0.0000001",
       streamingFields = worstStreaming)
     assert(mapper.readTree(line).get("metric").asText === "total")
@@ -667,6 +686,214 @@ class BenchLoadSpec extends AnyFunSuite {
     val rep2 = graft.tools.HistoryReport.report(idleHistory :+ adjudicated)
     assert(rep2.contains("retime_clean=false  retime_hot=true"), rep2)
     assert(!rep.contains("retime_clean"), "absent field must not print")
+  }
+
+  // ---- invisible-contention sensors + env adjudication (VERDICT r14) ----
+
+  test("cpu-PSI, cgroup throttle, and the calib probe flag what r14's sensors missed") {
+    // the r14 capture: 2.6x the clean band with ext_cores 0, steal 0.26%,
+    // io-PSI ~0 — every trigger quiet. The three r15 sensors each catch a
+    // mode of that signature.
+    assert(!Bench.isHot(idle, cores), "baseline: idle stays not hot")
+    // cpu-PSI some-stall: runnable-but-not-running sees queueing no matter
+    // who the contender is; the floor sits above bench-self oversubscription
+    assert(Bench.isHot(idle.copy(cpuSomePct = 30.0), cores))
+    assert(!Bench.isHot(idle.copy(cpuSomePct = Bench.CpuPsiHotPct), cores),
+      "exactly at the floor is NOT hot (strict >)")
+    // cpu pressure is a retryable (CPU-shaped) signal — a competitor can go
+    assert(Bench.isHot(idle.copy(cpuSomePct = 30.0), cores,
+      includeNonRetryable = false))
+    // cgroup throttling: measures the quota, not the plan — verdict-only
+    // (a retry cannot outwait a static quota)
+    assert(Bench.isHot(idle.copy(throttledPct = 6.0), cores))
+    assert(!Bench.isHot(idle.copy(throttledPct = 6.0), cores,
+      includeNonRetryable = false))
+    assert(!Bench.isHot(idle.copy(throttledPct = Bench.ThrottleHotPct), cores))
+    // the calibration probe judges against the clean-history reference:
+    // no reference, no verdict — a first run can never self-flag on it
+    val slowProbe = idle.copy(calibSec = 0.35)
+    assert(!Bench.isHot(slowProbe, cores), "no calibRef -> calib never triggers")
+    assert(Bench.isHot(slowProbe, cores, calibRef = Some(0.2)),
+      "0.35 s probe vs 0.2 s baseline is 1.75x — hot")
+    assert(!Bench.isHot(idle.copy(calibSec = 0.25), cores, calibRef = Some(0.2)),
+      "1.25x is inside the probe's noise band")
+    assert(!Bench.isHot(idle.copy(calibSec = 0.3), cores, calibRef = Some(0.2)),
+      "exactly 1.5x is NOT hot (strict >)")
+    assert(!Bench.isHot(idle.copy(calibSec = 0.06), cores, calibRef = Some(0.02)),
+      "a 40 ms delta is jitter even at 3x — the absolute floor holds")
+    assert(Bench.isHot(slowProbe, cores, calibRef = Some(0.2),
+      includeNonRetryable = false), "the calib trigger is retryable")
+  }
+
+  test("loadFieldsJson publishes the new sensors and the calib reference") {
+    val c = idle.copy(cpuSomePct = 3.2, throttledPct = 0.0, calibSec = 0.21)
+    val (json, deg) = Bench.loadFieldsJson(Seq(c), cores, None, None,
+      calibRef = Some(0.2))
+    assert(!deg)
+    val n = mapper.readTree(json)
+    assert(n.get("calib_ref").asDouble === 0.2,
+      "the baseline the chunk verdicts used must ride the line")
+    val chunk = n.get("chunk_load").get(0)
+    assert(chunk.get("cpu_some_pct").asDouble === 3.2)
+    assert(chunk.get("throttled_pct").asDouble === 0.0)
+    assert(chunk.get("calib_sec").asDouble === 0.21)
+    assert(!chunk.get("hot").asBoolean)
+    // an inflated probe degrades the run through the same plumbing
+    val (hotJson, hotDeg) = Bench.loadFieldsJson(
+      Seq(c.copy(calibSec = 0.5)), cores, None, None, calibRef = Some(0.2))
+    assert(hotDeg, "2.5x probe inflation must degrade the run")
+    assert(mapper.readTree(hotJson).get("chunk_load").get(0).get("hot").asBoolean)
+    // without a reference the same chunk publishes no calib_ref and stays
+    // unjudged on the probe
+    val (noRef, noRefDeg) = Bench.loadFieldsJson(
+      Seq(c.copy(calibSec = 0.5)), cores, None, None)
+    assert(!noRefDeg && mapper.readTree(noRef).get("calib_ref") === null)
+  }
+
+  /** A history line with per-chunk calib probes in the r15 load shape. */
+  private def calLine(calibs: Seq[Double], degraded: Boolean = false,
+      suspect: Boolean = false, sf: String = "/tmp/sf"): String =
+    s"""{"metric":"total","value":100.0,"degraded":$degraded,""" +
+      s""""suspect":$suspect,"queries":{"q_x":0.1},""" +
+      s""""load":{"cores":32,"chunk_load":[""" +
+      calibs.map(c => s"""{"load":0.1,"calib_sec":$c,"hot":false}""")
+        .mkString(",") + s"""]},"sf":"$sf"}"""
+
+  test("calibBaseline pools clean same-sf probes and refuses thin history") {
+    val hist = Seq(calLine(Seq(0.2, 0.22)), calLine(Seq(0.21, 0.2)))
+    assert(Bench.calibBaseline(hist, sf = Some("/tmp/sf")) === Some(0.21),
+      "median of the pooled chunk probes")
+    // contaminated entries never feed the yardstick that judges the next run
+    val dirty = hist ++ Seq(calLine(Seq(0.9, 0.95), suspect = true),
+      calLine(Seq(0.8), degraded = true))
+    assert(Bench.calibBaseline(dirty, sf = Some("/tmp/sf")) === Some(0.21))
+    // other-sf entries are not baseline material
+    assert(Bench.calibBaseline(hist, sf = Some("/other")) === None)
+    // below SuspectMinSamples probe values: no baseline, no verdict
+    assert(Bench.calibBaseline(Seq(calLine(Seq(0.2, 0.21))),
+      sf = Some("/tmp/sf")) === None)
+    // pre-r15 entries (no load.chunk_load.calib_sec) contribute nothing
+    assert(Bench.calibBaseline(Seq.fill(5)(histLine(idleRun)),
+      sf = Some("/tmp/sf")) === None)
+    // zero/absent probes are filtered, not counted as 0-second samples
+    assert(Bench.calibBaseline(Seq(calLine(Seq(0.0, 0.0, 0.0))),
+      sf = Some("/tmp/sf")) === None)
+  }
+
+  test("calibVerdict judges the run median, tri-state") {
+    assert(Bench.calibVerdict(Seq(0.2, 0.21, 0.22), Some(0.2)) === Some(false))
+    assert(Bench.calibVerdict(Seq(0.5, 0.55, 0.6), Some(0.2)) === Some(true))
+    // one hot chunk is the per-chunk flags' job — the run median holds
+    assert(Bench.calibVerdict(Seq(0.2, 0.21, 0.9), Some(0.2)) === Some(false))
+    assert(Bench.calibVerdict(Seq(0.5), None) === None, "no baseline -> unknown")
+    assert(Bench.calibVerdict(Nil, Some(0.2)) === None, "no probes -> unknown")
+  }
+
+  test("the clean band is shared, windowed, and excludes self-stamped entries") {
+    def line(v: Double, extra: String = "") =
+      s"""{"metric":"total","value":$v,"degraded":false,"suspect":false$extra,""" +
+        s""""queries":{"q_x":0.1},"sf":"/tmp/sf"}"""
+    val totals = Bench.cleanBandTotals(Seq(line(97.2), line(105.9),
+      line(276.3, extra = ""","env_inflated":true"""),
+      line(150.0, extra = ""","calib_inflated":true"""),
+      line(100.0)), sf = Some("/tmp/sf"))
+    assert(totals === Seq(97.2, 105.9, 100.0),
+      "env/calib-stamped entries must not stretch the band they anchor")
+    assert(Bench.bandJson(totals) === "[97.2,105.9]")
+    assert(Bench.bandJson(Nil) === "null")
+    // the 10-entry window drops ancient outliers
+    val many = (1 to 12).map(i => line(100.0 + i))
+    assert(Bench.cleanBandTotals(many, sf = Some("/tmp/sf")).size === 10)
+  }
+
+  test("smoke baselines read reporting entries only") {
+    val rep = (v: Double) =>
+      s"""{"metric":"streaming_smoke","value":$v,"suites":7,"failed":0}"""
+    val skip = """{"metric":"streaming_smoke","skipped":true,"reason":"timeout"}"""
+    assert(Bench.smokeValueOf(rep(27.5)) === Some(27.5))
+    assert(Bench.smokeValueOf(skip) === None,
+      "a skip record must never read as a 0-second sample")
+    assert(Bench.smokeValueOf("not json") === None)
+    assert(Bench.smokeBaseline(Seq(rep(27.46), rep(26.4), skip, rep(29.0))) ===
+      Some(27.46), "median of the last reporting values; skips don't count")
+    assert(Bench.smokeBaseline(Seq(rep(27.0), rep(28.0))) === None,
+      "below MinSamples -> no baseline")
+    // the window keeps the LAST N reporting entries
+    val drifted = Seq.fill(10)(rep(99.0)) ++ Seq.fill(5)(rep(27.0))
+    assert(Bench.smokeBaseline(drifted) === Some(27.0))
+  }
+
+  test("envInflatedVerdict stamps the r14 capture true from the tail alone") {
+    // THE r14 replay (VERDICT r14 next-step #2): smoke history 26-29 s,
+    // this capture's smoke 105.16 s, no calib baseline yet (pre-r15
+    // history carries no probes) — the artifact must stamp env_inflated
+    // true even though every attribution sensor read idle
+    val smokeHist = Seq(27.46, 26.4, 29.0).map(v =>
+      s"""{"metric":"streaming_smoke","value":$v,"suites":7,"failed":0}""")
+    val verdict = Bench.envInflatedVerdict(
+      calib = Bench.calibVerdict(Nil, None),
+      smokeSec = Bench.smokeValueOf(
+        """{"metric":"streaming_smoke","value":105.16,"suites":7,"failed":0}"""),
+      smokeBase = Bench.smokeBaseline(smokeHist))
+    assert(verdict === Some(true),
+      "the 3.8x fixed-workload smoke IS the contention evidence r14 lacked")
+    // a clean capture with both sides judged reads explicit false
+    assert(Bench.envInflatedVerdict(Some(false), Some(27.9),
+      Bench.smokeBaseline(smokeHist)) === Some(false))
+    // either side alone can stamp true
+    assert(Bench.envInflatedVerdict(Some(true), None, None) === Some(true))
+    // under the ratio or under the absolute floor: not inflated
+    assert(Bench.envInflatedVerdict(None, Some(38.0),
+      Bench.smokeBaseline(smokeHist)) === Some(false), "1.38x is under 1.5x")
+    // no evidence at all: unknown, never a fake clean
+    assert(Bench.envInflatedVerdict(None, None, None) === None)
+    assert(Bench.envInflatedVerdict(None, Some(105.16), None) === None,
+      "a smoke value with no baseline is not evidence")
+  }
+
+  test("a run-level tier-1 suspect stamp admits lone moderates to the retime set") {
+    // ADVICE r14 #3: >=3 trivial tier-1 flags already adjudicate the
+    // capture as contention — a lone 1.7-2.0x moderate in the same window
+    // must get its retime without needing a moderate-only quorum
+    val medians = Map("q_t1" -> 0.16, "q_t2" -> 0.15, "q_t3" -> 0.2,
+      "q_heavy" -> 1.65)
+    val (sus, runFlag) = Bench.suspectVerdict(Seq(
+      "q_t1" -> 0.58, "q_t2" -> 0.62, "q_t3" -> 0.75, "q_heavy" -> 3.0),
+      medians)
+    assert(runFlag, "3 trivial tier-1 flags stamp the run")
+    assert(sus.map(_._1).contains("q_heavy"),
+      s"the 1.8x moderate must flag beside a confirmed-hot run: $sus")
+    // without the run-level stamp the lone moderate still never flags
+    val (lone, loneFlag) = Bench.suspectVerdict(Seq("q_heavy" -> 3.0), medians)
+    assert(lone.isEmpty && !loneFlag)
+    // and a confirmed-hot run with NO moderate readings adds nothing
+    val (noMod, _) = Bench.suspectVerdict(Seq(
+      "q_t1" -> 0.58, "q_t2" -> 0.62, "q_t3" -> 0.75, "q_heavy" -> 1.9),
+      medians)
+    assert(!noMod.map(_._1).contains("q_heavy"),
+      "1.15x on the moderate key is not inflated; the stamp must not invent flags")
+  }
+
+  test("subset streaming records divert to the side file (ADVICE r14 #2)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-subset")
+    try {
+      val official = """{"metric":"streaming_smoke","value":27.0,"failed":0}"""
+      Bench.writeStreamingRecord(official, dir.toString)
+      val sub = """{"metric":"streaming_smoke","value":3.0,"failed":0}"""
+      Bench.writeStreamingRecord(sub, dir.toString, subset = true)
+      assert(java.nio.file.Files.readString(dir.resolve("STREAMING_SUBSET.json"))
+        .linesIterator.toSeq === Seq(sub))
+      assert(java.nio.file.Files.readString(dir.resolve("STREAMING.json"))
+        .linesIterator.toSeq === Seq(official),
+        "a subset smoke must never overwrite the official snapshot")
+      assert(java.nio.file.Files.readString(dir.resolve("STREAMING_HISTORY.jsonl"))
+        .linesIterator.toSeq === Seq(official),
+        "a subset smoke must never append to the official trail " +
+          "(it would feed smokeBaseline and the round review)")
+    } finally {
+      java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+    }
   }
 
   test("the emitted degraded flag rides a parseable full line") {

@@ -30,7 +30,10 @@ class PhasedQueriesSpec extends SparkTestBase {
     // r14, the iterative graph family (VERDICT r13 #5): convergence-round
     // regressions vs trunk regressions become attributable
     "q_dup_clusters" -> Seq("cc_seed", "cc_rounds"),
-    "q_reach_hops" -> Seq("edge_derive", "hop_rounds"))
+    "q_reach_hops" -> Seq("edge_derive", "hop_rounds"),
+    // r15, the last two >=2 s-median keys (VERDICT r14 #5)
+    "q_pagerank" -> Seq("edge_derive", "rank_rounds"),
+    "q_dup_span_coverage" -> Seq("shingle_pos", "dup_df", "island_agg"))
 
   test("the expectation table and Bench.PhasedQueries are the same set") {
     assert(expectedPhases.keySet === Bench.PhasedQueries,
