@@ -86,8 +86,50 @@ object HistoryReport {
           .flatMap { f =>
             Option(n.get(f)).filterNot(_.isNull).map(b => s"  $f=${b.asBoolean}")
           }.mkString
+      // the run-median calibration probe (r15): a fixed-work number
+      // comparable straight down the column — contention reads as the
+      // probe column inflating with the total, a regression as the total
+      // moving alone
+      val calib = Option(n.get("load"))
+        .flatMap(l => Option(l.get("chunk_load"))).filter(_.isArray).map { arr =>
+          val b = Seq.newBuilder[Double]
+          arr.forEach(c => Option(c.get("calib_sec")).filter(_.isNumber)
+            .map(_.asDouble).filter(_ > 0).foreach(b += _))
+          b.result()
+        }.filter(_.nonEmpty)
+        .map(v => "  calib=" + fnum("%.2f", v.sorted.apply(v.size / 2)))
+        .getOrElse("")
       sb ++= s"$v s  degraded=${flag(n, "degraded")}  suspect=${flag(n, "suspect")}" +
-        s"$adjudicated  sf=${Option(n.get("sf")).map(_.asText()).getOrElse("-")}\n"
+        s"$adjudicated$calib  sf=${Option(n.get("sf")).map(_.asText()).getOrElse("-")}\n"
+    }
+    // README's bench-contract decision table, applied to the latest entry
+    // (r15): the one-line answer to the round review's actual question —
+    // is this capture's total trustworthy, environmental, or a regression
+    // candidate? Keyed on retime_clean's PRESENCE (it is non-null exactly
+    // when something was flagged), so a lone-outlier run with a run-level
+    // suspect=false still gets its retime verdict read.
+    locally {
+      def tri(f: String): Option[Boolean] =
+        Option(latest.get(f)).filterNot(_.isNull).map(_.asBoolean)
+      val verdict =
+        (tri("retime_clean"), tri("env_inflated"), tri("retime_hot")) match {
+          case (None, Some(true), _) =>
+            "nothing flagged, but the fixed workloads read inflated — treat the total with caution"
+          case (None, _, _) if flag(latest, "suspect") =>
+            "flagged, pre-adjudication entry — read the trail by hand"
+          case (None, _, _) => "clean (nothing flagged)"
+          case (Some(true), _, _) =>
+            "flags ambient — every retime landed back inside its band"
+          case (Some(false), Some(true), _) =>
+            "environmental — fixed workloads confirm a slow window; discard the totals"
+          case (Some(false), _, Some(true)) =>
+            "environmental-leaning — the retime window itself ran hot"
+          case (Some(false), Some(false), _) =>
+            "REAL-REGRESSION CANDIDATE — fixed workloads ran at speed while flags stayed inflated"
+          case (Some(false), None, _) =>
+            "unadjudicable — flags stayed inflated and no fixed-workload baseline exists"
+        }
+      sb ++= s"latest adjudication: $verdict\n"
     }
 
     val qs = Option(latest.get("queries")).filter(_.isObject).map { q =>

@@ -896,6 +896,43 @@ class BenchLoadSpec extends AnyFunSuite {
     }
   }
 
+  test("HistoryReport applies the decision table to the latest entry") {
+    def entry(extra: String) =
+      s"""{"metric":"total","value":100.0,"unit":"sec","degraded":false,""" +
+        s"""$extra"queries":{"q_x":0.1},"sf":"/tmp/sf"}"""
+    def verdictOf(latest: String): String =
+      graft.tools.HistoryReport.report(idleHistory :+ latest)
+        .linesIterator.find(_.startsWith("latest adjudication:")).getOrElse("")
+    assert(verdictOf(entry(""""suspect":false,"""))
+      .contains("clean (nothing flagged)"))
+    assert(verdictOf(entry(""""suspect":true,"retime_clean":true,"retime_hot":false,"""))
+      .contains("flags ambient"))
+    assert(verdictOf(entry(
+      """"suspect":true,"retime_clean":false,"retime_hot":false,"env_inflated":true,"""))
+      .contains("environmental — fixed workloads confirm"))
+    assert(verdictOf(entry(""""suspect":true,"retime_clean":false,"retime_hot":true,"""))
+      .contains("environmental-leaning"))
+    assert(verdictOf(entry(
+      """"suspect":true,"retime_clean":false,"retime_hot":false,"env_inflated":false,"""))
+      .contains("REAL-REGRESSION CANDIDATE"))
+    assert(verdictOf(entry(""""suspect":true,"retime_clean":false,"retime_hot":false,"""))
+      .contains("unadjudicable"))
+    // a pre-r14 suspect entry carries no adjudication fields at all
+    assert(verdictOf(entry(""""suspect":true,"""))
+      .contains("pre-adjudication"))
+    // an unflagged run whose fixed workloads still read inflated (possible:
+    // thin per-query medians, rich probe/smoke baselines) must warn
+    assert(verdictOf(entry(""""suspect":false,"env_inflated":true,"""))
+      .contains("treat the total with caution"))
+    // the trail column: run-median probe beside each entry that carries one
+    val withCalib = entry(""""suspect":false,""").replace(""""queries"""",
+      """"load":{"cores":32,"chunk_load":[{"calib_sec":0.11,"hot":false},""" +
+        """{"calib_sec":0.13,"hot":false}]},"queries"""")
+    assert(graft.tools.HistoryReport.report(idleHistory :+ withCalib)
+      .contains("calib=0.13"),
+      "upper-median of [0.11,0.13]; pre-r15 entries print no calib column")
+  }
+
   test("the emitted degraded flag rides a parseable full line") {
     // assemble a line the way main does (same field layout) and check a
     // JSON consumer reads metric/degraded/load back — guards the string
