@@ -732,20 +732,33 @@ object Bench {
     * genuinely slower new normal (hardware change, permanent quota) stamps
     * `env_inflated` runs only until a window of non-suspect entries at the
     * new speed re-converges this median — the same self-healing direction
-    * as historyMedians' escape hatch, without needing one (the median
-    * absorbs ≤2 contaminated entries per window on its own).
+    * as historyMedians' escape hatch (the median absorbs ≤2 contaminated
+    * entries per window on its own).
+    *
+    * NEW-NORMAL ESCAPE (r15, the probe twin of historyMedians'): when the
+    * `window` most recent probe-carrying, sf-matched entries are ALL
+    * contaminated (degraded or suspect), THEIR probes become the baseline.
+    * Without it, a box that becomes permanently ≳1.5× slower (hardware
+    * class change) flags every chunk hot on the calib trigger, every run
+    * stamps degraded, degraded entries never feed this baseline, and the
+    * stale fast-era reference judges forever — the exact lock-in the
+    * all-suspect escape was built against, one sensor over. A transient
+    * contamination cannot trip it (its clean neighbors keep the clean
+    * pool); only `window` consecutive contaminated probe-carrying entries
+    * re-converge the reference to the measured new speed.
     */
   private[graft] def calibBaseline(lines: Seq[String],
       sf: Option[String] = None,
       window: Int = SuspectHistoryWindow): Option[Double] = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val vals = lines.reverseIterator.flatMap { l =>
+    // most-recent-first (contaminated?, probes) for probe-carrying entries
+    val parsed = lines.reverseIterator.flatMap { l =>
       try {
         val n = mapper.readTree(l)
         def flagged(f: String) = Option(n.get(f)).exists(_.asBoolean)
         val sfOk = sf.forall(want =>
           Option(n.get("sf")).map(_.asText()).contains(want))
-        if (flagged("degraded") || flagged("suspect") || !sfOk) None
+        if (!sfOk) None
         else
           Option(n.get("load")).flatMap(ld => Option(ld.get("chunk_load")))
             .filter(_.isArray).map { arr =>
@@ -756,8 +769,14 @@ object Bench {
               }
               b.result()
             }.filter(_.nonEmpty)
+            .map(probes => (flagged("degraded") || flagged("suspect"), probes))
       } catch { case _: Exception => None }
-    }.take(window).flatten.toSeq
+    }.toSeq
+    val recent = parsed.take(window)
+    val pool =
+      if (recent.size >= window && recent.forall(_._1)) recent.map(_._2)
+      else parsed.filterNot(_._1).take(window).map(_._2)
+    val vals = pool.flatten
     if (vals.size < SuspectMinSamples) None
     else Some(vals.sorted.apply(vals.size / 2))
   }

@@ -780,6 +780,27 @@ class BenchLoadSpec extends AnyFunSuite {
       sf = Some("/tmp/sf")) === None)
   }
 
+  test("a permanently slower box escapes the calib-baseline lock-in") {
+    // the probe twin of the all-suspect escape: a hardware-class slowdown
+    // past 1.5x flags every chunk hot -> every run degraded -> degraded
+    // entries never feed the baseline -> the stale fast-era reference
+    // judges forever. Five consecutive contaminated probe-carrying entries
+    // must BECOME the baseline instead.
+    val fastEra = Seq.fill(3)(calLine(Seq(0.1, 0.1)))
+    val slowRuns = Seq.fill(5)(calLine(Seq(0.2, 0.2), degraded = true))
+    assert(Bench.calibBaseline(fastEra ++ slowRuns, sf = Some("/tmp/sf")) ===
+      Some(0.2), "5 consecutive degraded probe entries are the new normal")
+    // a TRANSIENT contamination cannot trip the escape: one clean entry
+    // inside the recent window keeps the clean-era reference
+    val transient = fastEra ++ Seq.fill(3)(calLine(Seq(0.9), suspect = true)) ++
+      Seq(calLine(Seq(0.1))) ++ Seq(calLine(Seq(0.9), degraded = true))
+    assert(Bench.calibBaseline(transient, sf = Some("/tmp/sf")) === Some(0.1))
+    // pre-r15 entries with no probes are invisible to the escape count —
+    // they can neither trip it nor block it
+    val withLegacy = fastEra ++ Seq.fill(3)(histLine(idleRun)) ++ slowRuns
+    assert(Bench.calibBaseline(withLegacy, sf = Some("/tmp/sf")) === Some(0.2))
+  }
+
   test("calibVerdict judges the run median, tri-state") {
     assert(Bench.calibVerdict(Seq(0.2, 0.21, 0.22), Some(0.2)) === Some(false))
     assert(Bench.calibVerdict(Seq(0.5, 0.55, 0.6), Some(0.2)) === Some(true))
