@@ -305,9 +305,20 @@ object Bench {
     * which measured ~2× its lazy wall — the reason the timed repeats are
     * capture-free), so compare phases to PHASES across rounds and totals
     * to totals, never one to the other.
+    *
+    * `stealPct` (r15): hypervisor steal across THIS query's three timed
+    * repeats. Chunk-level load averaging has a structural blind spot for
+    * BURST contention — a 2-second 100 % steal burst inside a 3-minute
+    * chunk averages ~1 % (under every threshold) yet makes a 0.4 s query
+    * read 18× (observed twice in the r15 trail: q_asof_join 8.1 s vs a
+    * 0.42 s median with chunk steal 0.5–1.4 %, all sensors quiet, fresh-JVM
+    * retime normal). The per-query window is short enough that a burst
+    * landing on the query IS visible in its own steal number — diagnostic
+    * context for the suspect flags, never an input to the verdicts.
     */
   private[graft] final case class Timed(name: String, secs: Double,
-      err: Option[String], phases: Seq[(String, Double)] = Nil)
+      err: Option[String], phases: Seq[(String, Double)] = Nil,
+      stealPct: Double = 0.0)
 
   /** The queries that self-attribute phase splits under a
     * [[graft.Phases]] capture. Only these pay the extra diagnostic
@@ -352,6 +363,10 @@ object Bench {
       names.foreach { n => clearAllCaches(spark); force(n) }
       val Repeats = 3
       names.map { name =>
+        // per-query steal window (see Timed.stealPct): jiffies around the
+        // three repeats — a burst that lands on this query shows here even
+        // when the chunk-average stays under every threshold
+        val j0 = cpuJiffies()
         val runs = (1 to Repeats).map { _ =>
           // drop caches persisted by OTHER queries' evaluation AND by this
           // query's own previous repeat: each timed number must measure the
@@ -363,6 +378,10 @@ object Bench {
           val err = force(name)
           (if (err.isEmpty) (System.nanoTime() - t0) / 1e9 else -1.0, err)
         }
+        val qSteal =
+          (for ((s0, _, t0) <- j0; (s1, _, t1) <- cpuJiffies() if t1 > t0)
+            yield math.round((s1 - s0) * 1000.0 / (t1 - t0)) / 10.0)
+            .getOrElse(0.0)
         val err = runs.flatMap(_._2).headOption
         val ok  = runs.map(_._1).filter(_ >= 0)
         val median = if (ok.isEmpty) -1.0 else ok.sorted.apply(ok.length / 2)
@@ -377,7 +396,7 @@ object Bench {
               case _          => Nil
             }
           } else Nil
-        Timed(name, if (err.isEmpty) median else -1.0, err, phases)
+        Timed(name, if (err.isEmpty) median else -1.0, err, phases, qSteal)
       }
     } finally spark.stop()
   }
@@ -399,6 +418,9 @@ object Bench {
       if (t.phases.nonEmpty)
         println(s"GRAFT_PH ${t.name} " +
           t.phases.map { case (p, v) => s"$p=$v" }.mkString(";"))
+      // the query's own steal window (r15, burst-contention context) — its
+      // own line, because GRAFT_Q's 4th token is reserved for error text
+      if (t.stealPct > 0.0) println(s"GRAFT_QS ${t.name} ${t.stealPct}")
       // error text is already whitespace-collapsed by the catch site
       println((s"GRAFT_Q ${t.name} ${t.secs}" +: t.err.toSeq).mkString(" "))
     }
@@ -421,11 +443,15 @@ object Bench {
         val parts = l.split(" ", 3)
         parts(1) -> (if (parts.length >= 3) parsePhases(parts(2)) else Nil)
       }.toMap
+      val steals = out.linesIterator.filter(_.startsWith("GRAFT_QS ")).map { l =>
+        val parts = l.split(" ", 3)
+        parts(1) -> parts(2).toDouble
+      }.toMap
       val rows = out.linesIterator.filter(_.startsWith("GRAFT_Q ")).map { l =>
         val parts = l.split(" ", 4)
         val err = if (parts.length >= 4 && parts(3).nonEmpty) Some(parts(3)) else None
         parts(1) -> Timed(parts(1), parts(2).toDouble, err,
-          phases.getOrElse(parts(1), Nil))
+          phases.getOrElse(parts(1), Nil), steals.getOrElse(parts(1), 0.0))
       }.toMap
       val cpu = out.linesIterator.find(_.startsWith("GRAFT_CPU "))
         .map(_.split(" ")(1).toDouble).getOrElse(0.0)
@@ -1401,8 +1427,15 @@ object Bench {
     val chunkLoads = results.map(_._2)
 
     val qs = timed.map(t => s"${jstr(t.name)}:${t.secs}").mkString("{", ",", "}")
-    val errs = timed.collect { case Timed(k, _, Some(m), _) => s"${jstr(k)}:${jstr(m)}" }
+    val errs = timed.collect { case Timed(k, _, Some(m), _, _) => s"${jstr(k)}:${jstr(m)}" }
       .mkString("{", ",", "}")
+    // per-query steal context (r15): SPARSE — only queries whose own repeat
+    // window saw any steal carry a key (an absent key reads "quiet window",
+    // a 0.0 from a /proc-less host never emits). Diagnostic beside the
+    // suspect flags: a flagged query with 20% steal in ITS window is burst
+    // contention the chunk averages structurally cannot show.
+    val qStealJson = timed.filter(_.stealPct > 0.0)
+      .map(t => s"${jstr(t.name)}:${t.stealPct}").mkString("{", ",", "}")
     // composite-query phase splits (VERDICT r10 next-step #5): a separate
     // top-level block keyed by query name, so the scalar `queries` map —
     // what every existing consumer parses — is untouched and totals are
@@ -1412,7 +1445,7 @@ object Bench {
       s"${jstr(t.name)}:" + t.phases.map { case (p, v) => s"${jstr(p)}:${r3(v)}" }
         .mkString("{", ",", "}")
     }.mkString("{", ",", "}")
-    val total = timed.collect { case Timed(_, v, None, _) => v }.sum
+    val total = timed.collect { case Timed(_, v, None, _, _) => v }.sum
     // machine-load context: run-level steal% + end loadavg, per-chunk
     // load/steal/external-cores, and the run's degraded verdict (any chunk
     // still hot after its retry) — VERDICT r9 next-step #1
@@ -1495,7 +1528,7 @@ object Bench {
     val isolation =
       s""""chunks":${chunks.length},"chunks_forked":$forked,"chunk_size":$ChunkSize,"chunks_retried":$retried"""
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","repeats":3,"degraded":$degraded,"suspect":$suspect,"suspect_queries":$suspectJson,"suspect_ratios":$ratiosJson,"retimed":$retimedJson,$adjudication,$isolation,"queries":$qs,"phases":$phasesJson,"errors":$errs,"load":$loadJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","repeats":3,"degraded":$degraded,"suspect":$suspect,"suspect_queries":$suspectJson,"suspect_ratios":$ratiosJson,"retimed":$retimedJson,$adjudication,$isolation,"queries":$qs,"phases":$phasesJson,"query_steal":$qStealJson,"errors":$errs,"load":$loadJson,"sf":"$sfDir"}"""
     println(fullLine)
     // The full line above grows with the query count and the driver keeps
     // only the tail of the output, so the full map ALSO goes to the repo

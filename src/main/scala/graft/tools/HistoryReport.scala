@@ -150,13 +150,25 @@ object HistoryReport {
     def retimedNote(name: String): String =
       retimed.get(name).map(v => "  retimed " + fnum("%6.2f", v) + " s").getOrElse("")
 
+    // the query's own steal window (r15): burst contention that lands on
+    // one query is invisible to the chunk averages but shows right here —
+    // a flagged row with material steal reads environmental at a glance
+    val qSteal = Option(latest.get("query_steal")).filter(_.isObject).map { m =>
+      var out = Map.empty[String, Double]
+      m.properties().forEach(e => out += (e.getKey -> e.getValue.asDouble(0.0)))
+      out
+    }.getOrElse(Map.empty[String, Double])
+    def stealNote(name: String): String =
+      qSteal.get(name).filter(_ >= 1.0)
+        .map(v => "  steal " + fnum("%.1f", v) + "%").getOrElse("")
+
     val rows = qs.collect { case (name, secs) if secs >= 0 && medians.contains(name) =>
       (name, secs, medians(name), secs / medians(name))
     }
     sb ++= s"\n== latest vs clean-median baseline (${rows.size} judged, worst first) ==\n"
     rows.sortBy(-_._4).take(topN).foreach { case (name, secs, med, r) =>
       sb ++= fnum("%-24s %7.2f s  med %7.2f s  x%5.2f", name, secs, med, r) +
-        s"${retimedNote(name)}\n"
+        s"${retimedNote(name)}${stealNote(name)}\n"
     }
     sb ++= s"\n== most expensive (latest) ==\n"
     rows.sortBy(-_._2).take(topN).foreach { case (name, secs, med, r) =>

@@ -138,6 +138,10 @@ class BenchE2eSpec extends AnyFunSuite {
         assert(v != null && v.asDouble >= 0,
           s"every flagged query must carry a non-failed retime: $q")
       }
+      // per-query steal context (r15) rides the full line as an object —
+      // sparse, so emptiness is legal on a quiet box; shape must hold
+      assert(full.get("query_steal") != null && full.get("query_steal").isObject,
+        "query_steal must ride the full line")
       // adjudication fields ride the full line too, matching the tail's
       // (isBoolean first: null===null would vacuously pass the comparison)
       assert(full.get("retime_clean").isBoolean)

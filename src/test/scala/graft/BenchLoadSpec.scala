@@ -688,6 +688,22 @@ class BenchLoadSpec extends AnyFunSuite {
     assert(!rep.contains("retime_clean"), "absent field must not print")
   }
 
+  test("HistoryReport shows the flagged query's own steal window") {
+    // burst contention (r15): a 2-second 100% steal burst inside a
+    // 3-minute chunk averages ~1% — under every chunk threshold — yet
+    // makes a 0.4 s query read 18x; the per-query steal window is the
+    // evidence, shown beside the inflated row
+    val latest = s"""{"metric":"total","value":9.9,"unit":"sec","suspect":true,""" +
+      s""""queries":{"q_collocations":3.6,"q_hash_sample":0.16},""" +
+      s""""query_steal":{"q_collocations":23.4,"q_hash_sample":0.4},""" +
+      s""""sf":"/tmp/sf"}"""
+    val rep = graft.tools.HistoryReport.report(idleHistory :+ latest)
+    assert(rep.contains("steal 23.4%"),
+      s"material steal in the query's own window must read off the row: $rep")
+    assert(!rep.contains("steal 0.4%"),
+      "sub-1% steal is noise, not evidence — stays silent")
+  }
+
   // ---- invisible-contention sensors + env adjudication (VERDICT r14) ----
 
   test("cpu-PSI, cgroup throttle, and the calib probe flag what r14's sensors missed") {
