@@ -114,20 +114,20 @@ object HistoryReport {
       val verdict =
         (tri("retime_clean"), tri("env_inflated"), tri("retime_hot")) match {
           case (None, Some(true), _) =>
-            "nothing flagged, but the fixed workloads read inflated — treat the total with caution"
+            "nothing flagged, but the fixed workloads read inflated -- treat the total with caution"
           case (None, _, _) if flag(latest, "suspect") =>
-            "flagged, pre-adjudication entry — read the trail by hand"
+            "flagged, pre-adjudication entry -- read the trail by hand"
           case (None, _, _) => "clean (nothing flagged)"
           case (Some(true), _, _) =>
-            "flags ambient — every retime landed back inside its band"
+            "flags ambient -- every retime landed back inside its band"
           case (Some(false), Some(true), _) =>
-            "environmental — fixed workloads confirm a slow window; discard the totals"
+            "environmental -- fixed workloads confirm a slow window; discard the totals"
           case (Some(false), _, Some(true)) =>
-            "environmental-leaning — the retime window itself ran hot"
+            "environmental-leaning -- the retime window itself ran hot"
           case (Some(false), Some(false), _) =>
-            "REAL-REGRESSION CANDIDATE — fixed workloads ran at speed while flags stayed inflated"
+            "REAL-REGRESSION CANDIDATE -- fixed workloads ran at speed while flags stayed inflated"
           case (Some(false), None, _) =>
-            "unadjudicable — flags stayed inflated and no fixed-workload baseline exists"
+            "unadjudicable -- flags stayed inflated and no fixed-workload baseline exists"
         }
       sb ++= s"latest adjudication: $verdict\n"
     }

@@ -946,7 +946,7 @@ class BenchLoadSpec extends AnyFunSuite {
       .contains("flags ambient"))
     assert(verdictOf(entry(
       """"suspect":true,"retime_clean":false,"retime_hot":false,"env_inflated":true,"""))
-      .contains("environmental — fixed workloads confirm"))
+      .contains("environmental -- fixed workloads confirm"))
     assert(verdictOf(entry(""""suspect":true,"retime_clean":false,"retime_hot":true,"""))
       .contains("environmental-leaning"))
     assert(verdictOf(entry(
