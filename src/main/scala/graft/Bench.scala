@@ -410,20 +410,31 @@ object Bench {
     * subtracts from the host's busy CPU to isolate EXTERNAL load (the
     * per-chunk hot/degraded signal).
     */
-  private def childMain(csv: String, sfDir: String, cpus: String): Unit = {
-    runChunk(csv.split(',').toSeq.filter(_.nonEmpty), sfDir, cpus).foreach { t =>
-      // phase names are code-controlled identifiers (no spaces/semicolons),
-      // so `name=secs;name=secs` parses with two splits — same philosophy
-      // as GRAFT_Q: trivially parseable, JSON-hostile-content-proof
+  /** One timed result as its child-wire lines — split from [[childMain]]
+    * so the wire format and [[parseChunk]] can be property-tested as a
+    * round-trip (the fork isolation depends on this parse: a child line
+    * the parent cannot read silently demotes the chunk to the in-process
+    * fallback, losing the fresh-JVM isolation with no visible failure).
+    */
+  private[graft] def childLines(t: Timed): Seq[String] = {
+    // phase names are code-controlled identifiers (no spaces/semicolons),
+    // so `name=secs;name=secs` parses with two splits — same philosophy
+    // as GRAFT_Q: trivially parseable, JSON-hostile-content-proof
+    val ph =
       if (t.phases.nonEmpty)
-        println(s"GRAFT_PH ${t.name} " +
+        Seq(s"GRAFT_PH ${t.name} " +
           t.phases.map { case (p, v) => s"$p=$v" }.mkString(";"))
-      // the query's own steal window (r15, burst-contention context) — its
-      // own line, because GRAFT_Q's 4th token is reserved for error text
-      if (t.stealPct > 0.0) println(s"GRAFT_QS ${t.name} ${t.stealPct}")
-      // error text is already whitespace-collapsed by the catch site
-      println((s"GRAFT_Q ${t.name} ${t.secs}" +: t.err.toSeq).mkString(" "))
-    }
+      else Nil
+    // the query's own steal window (r15, burst-contention context) — its
+    // own line, because GRAFT_Q's 4th token is reserved for error text
+    val qs = if (t.stealPct > 0.0) Seq(s"GRAFT_QS ${t.name} ${t.stealPct}") else Nil
+    // error text is already whitespace-collapsed by the catch site
+    ph ++ qs :+ (s"GRAFT_Q ${t.name} ${t.secs}" +: t.err.toSeq).mkString(" ")
+  }
+
+  private def childMain(csv: String, sfDir: String, cpus: String): Unit = {
+    runChunk(csv.split(',').toSeq.filter(_.nonEmpty), sfDir, cpus)
+      .foreach(t => childLines(t).foreach(println))
     println(s"GRAFT_CPU ${ownCpuSec()}")
   }
 
@@ -436,8 +447,9 @@ object Bench {
 
   /** Parse a child's `GRAFT_Q` lines (+ its `GRAFT_CPU` self-report). None
     * (→ in-process fallback) unless EVERY requested query reported.
+    * private[graft]: property-tested as [[childLines]]' round-trip inverse.
     */
-  private def parseChunk(out: String, names: Seq[String]): Option[(Seq[Timed], Double)] =
+  private[graft] def parseChunk(out: String, names: Seq[String]): Option[(Seq[Timed], Double)] =
     try {
       val phases = out.linesIterator.filter(_.startsWith("GRAFT_PH ")).map { l =>
         val parts = l.split(" ", 3)
