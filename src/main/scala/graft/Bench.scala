@@ -340,15 +340,85 @@ object Bench {
       // stage attribution, both on the capture-gated count pattern
       "q_pagerank", "q_dup_span_coverage")
 
+  // ---- wall-clock self-deadline + cost controls (VERDICT r15) ------------
+  //
+  // r15's driver bench invocation died at the driver's own finite wall
+  // cap (rc 124, `parsed: null`, stdout tail = Spark startup logs): the
+  // bench capped its streaming-smoke CHILD at 600 s but nothing bounded
+  // the RUN, so every closing-line guarantee was conditional on the
+  // process reaching its own epilogue. Three layered defenses:
+  //  1. an internal deadline checked between chunks (and before the
+  //     retime pass and the smoke) — when it trips, everything un-run is
+  //     SKIPPED with visible skip records and the closing sequence prints
+  //     immediately (`deadline_hit:true`, run stamped degraded);
+  //  2. a degrade ladder — when the measured pace projects past the
+  //     deadline, remaining chunks drop to repeats=1 and skip the phase
+  //     evaluations (stamped `ladder:true` + degraded, never silent);
+  //  3. a provisional cumulative closing line after every chunk (the
+  //     `partial:true` stamp on [[closingTotalLine]]), so even a kill the
+  //     bench cannot see leaves a parseable record in the stdout tail.
+
+  /** Internal wall-clock budget (seconds), `GRAFT_BENCH_DEADLINE_SEC`.
+    * Default 1200: the r13/r14 driver invocations COMPLETED (rc 0), so the
+    * driver's unknown cap sits above their ~12–25-minute walls, and the
+    * r16 idle protocol measures well under 1200 s — the default clears an
+    * idle run with margin while cutting a contended run's tail before
+    * whatever finite cap killed r15 can. Junk / non-positive values fall
+    * back to the default (a zero budget would skip the whole surface).
+    */
+  private[graft] val DefaultDeadlineSec = 1200.0
+  private[graft] def benchDeadlineSec(env: Option[String]): Double =
+    env.flatMap(_.trim.toDoubleOption).filter(_ > 0).getOrElse(DefaultDeadlineSec)
+
+  /** Ladder decision: with `done` of `total` chunks finished in
+    * `elapsedSec`, does the measured per-chunk pace project the remaining
+    * chunks past `remainingSec`? Once true the run degrades (repeats=1, no
+    * phase evaluations, ~2.5× cheaper per chunk) for everything still
+    * un-run — a stamped degrade beats both a silent overshoot into the
+    * driver's kill and an unnecessarily early skip.
+    */
+  private[graft] def ladderNeeded(done: Int, total: Int,
+      elapsedSec: Double, remainingSec: Double): Boolean =
+    done > 0 && total > done &&
+      elapsedSec / done * (total - done) > remainingSec
+
+  /** Keys timed with ONE post-warm-up repeat instead of three: clean-history
+    * median under this bar (VERDICT r15 next-step #3). The capture protocol
+    * paid 4 evaluations per query for a 119 s metric (~12 idle minutes);
+    * sub-second keys are 107 of the 144 yet only ~47 s of that metric, and
+    * they are noise-floor for the suspect machinery (tier 1 needs 2× AND
+    * +0.1 s; tier 2 needs a ≥0.4 s median — a warm single-shot's jitter
+    * cannot reach either bar on a sub-second key, and the retime pass
+    * adjudicates any outlier that somehow does). The ≥1 s keys — where the
+    * per-query history verdicts do real work — keep the full median-of-3.
+    * History-driven: a first run (no medians yet) times everything at
+    * repeats=3.
+    */
+  private[graft] val QuickMedianSec = 1.0
+  private[graft] def quickKeys(names: Seq[String],
+      medians: Map[String, Double]): Set[String] =
+    names.filter(n => medians.get(n).exists(_ < QuickMedianSec)).toSet
+
+  /** Chunk size override (`GRAFT_BENCH_CHUNK_SIZE`) — dev/e2e plumbing
+    * only, never set by the driver: the deadline/kill e2e needs a run with
+    * >1 chunk over a 4-query subset. Junk / non-positive → [[ChunkSize]].
+    */
+  private[graft] def chunkSizeFromEnv(env: Option[String]): Int =
+    env.flatMap(_.trim.toIntOption).filter(_ > 0).getOrElse(ChunkSize)
+
   /** Warm up then time one chunk of queries against an OWNED SparkSession
     * (created and stopped here). Median of 3 post-warm-up repeats per query
     * (VERDICT r5 next-step #5): this host is virtualized, and a single-shot
     * number conflates the plan with whatever the hypervisor was doing that
-    * second. ANY failed repeat marks the query failed (−1 + error): a
-    * median over surviving repeats would print a healthy-looking number for
-    * a flaky query.
+    * second — except for `quick` keys (clean-history median under
+    * [[QuickMedianSec]]) and ladder-degraded chunks (`repeats`=1), which
+    * take the one post-warm-up reading (see [[quickKeys]]). ANY failed
+    * repeat marks the query failed (−1 + error): a median over surviving
+    * repeats would print a healthy-looking number for a flaky query.
     */
-  private def runChunk(names: Seq[String], sfDir: String, cpus: String): Seq[Timed] = {
+  private def runChunk(names: Seq[String], sfDir: String, cpus: String,
+      repeats: Int = 3, quick: Set[String] = Set.empty,
+      phasesEnabled: Boolean = true): Seq[Timed] = {
     val spark = LocalSpark.session(cpus, "graft-bench")
     try {
       def force(name: String): Option[String] =
@@ -361,13 +431,13 @@ object Bench {
       // warm-up: classloading, codegen, parquet footers (cache-swept like
       // the timed loop — warm-up leaks pollute the timed numbers identically)
       names.foreach { n => clearAllCaches(spark); force(n) }
-      val Repeats = 3
       names.map { name =>
+        val reps = if (quick(name)) 1 else repeats
         // per-query steal window (see Timed.stealPct): jiffies around the
-        // three repeats — a burst that lands on this query shows here even
+        // timed repeats — a burst that lands on this query shows here even
         // when the chunk-average stays under every threshold
         val j0 = cpuJiffies()
-        val runs = (1 to Repeats).map { _ =>
+        val runs = (1 to reps).map { _ =>
           // drop caches persisted by OTHER queries' evaluation AND by this
           // query's own previous repeat: each timed number must measure the
           // query's own full pipeline. Intra-query persists still apply.
@@ -387,9 +457,12 @@ object Bench {
         val median = if (ok.isEmpty) -1.0 else ok.sorted.apply(ok.length / 2)
         err.foreach(m => System.err.println(s"[bench] $name FAILED: $m"))
         // the phase split comes from ONE dedicated untimed evaluation —
-        // see [[PhasedQueries]]; a failure here only costs the split
+        // see [[PhasedQueries]]; a failure here only costs the split.
+        // Skipped under the deadline ladder (phasesEnabled=false): phases
+        // are diagnostics, and a run racing its budget spends wall on
+        // timings first.
         val phases =
-          if (err.isEmpty && PhasedQueries(name)) {
+          if (err.isEmpty && phasesEnabled && PhasedQueries(name)) {
             clearAllCaches(spark)
             Phases.capture(force(name)) match {
               case (None, ph) => ph
@@ -432,8 +505,10 @@ object Bench {
     ph ++ qs :+ (s"GRAFT_Q ${t.name} ${t.secs}" +: t.err.toSeq).mkString(" ")
   }
 
-  private def childMain(csv: String, sfDir: String, cpus: String): Unit = {
-    runChunk(csv.split(',').toSeq.filter(_.nonEmpty), sfDir, cpus)
+  private def childMain(csv: String, sfDir: String, cpus: String,
+      repeats: Int, phasesEnabled: Boolean, quickCsv: String): Unit = {
+    runChunk(csv.split(',').toSeq.filter(_.nonEmpty), sfDir, cpus, repeats,
+      quickCsv.split(',').toSet.filter(_.nonEmpty), phasesEnabled)
       .foreach(t => childLines(t).foreach(println))
     println(s"GRAFT_CPU ${ownCpuSec()}")
   }
@@ -505,9 +580,14 @@ object Bench {
     Some(pb)
   }
 
-  private def forkChunk(names: Seq[String]): Option[(Seq[Timed], Double)] =
+  private def forkChunk(names: Seq[String], repeats: Int,
+      quick: Set[String], phasesEnabled: Boolean): Option[(Seq[Timed], Double)] =
     try {
-      childJvm("graft.Bench", Seq("--chunk", names.mkString(","))).flatMap { pb =>
+      // the chunk protocol rides argv (not env): repeats, phase flag, and
+      // the chunk's quick-key subset — all builder-controlled identifiers
+      childJvm("graft.Bench", Seq("--chunk", names.mkString(","),
+        repeats.toString, if (phasesEnabled) "1" else "0",
+        names.filter(quick).mkString(","))).flatMap { pb =>
         val proc = pb.start()
         val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
         val rc = proc.waitFor()
@@ -524,7 +604,8 @@ object Bench {
     * per wall second). USER_HZ is 100 on every Linux this runs on.
     */
   private def timeChunk(names: Seq[String], sfDir: String,
-      cpus: String): (Seq[Timed], Boolean, ChunkLoad) = {
+      cpus: String, repeats: Int = 3, quick: Set[String] = Set.empty,
+      phasesEnabled: Boolean = true): (Seq[Timed], Boolean, ChunkLoad) = {
     // each attempt gets its OWN measurement window: a fork whose child died
     // mid-chunk would otherwise leave its burned CPU inside the fallback's
     // window with childCpu unreported (the GRAFT_CPU line never printed),
@@ -569,7 +650,7 @@ object Bench {
         r2(ioFull), r2(cpuSome), r2(throttled), calib))
     }
     val (forkRes, forkLoad) = measured {
-      forkChunk(names) match {
+      forkChunk(names, repeats, quick, phasesEnabled) match {
         case Some((t, cpu)) => (Some(t), cpu)
         case None           => (None, 0.0)
       }
@@ -577,7 +658,8 @@ object Bench {
     forkRes match {
       case Some(t) => (t, true, forkLoad)
       case None =>
-        val (t, fbLoad) = measured((runChunk(names, sfDir, cpus), 0.0))
+        val (t, fbLoad) = measured(
+          (runChunk(names, sfDir, cpus, repeats, quick, phasesEnabled), 0.0))
         (t, false, fbLoad)
     }
   }
@@ -828,22 +910,54 @@ object Bench {
     * sf-matched, numeric value) plus the r15 env verdicts: an entry that
     * stamped itself `env_inflated` or `calib_inflated` is contaminated by
     * its own admission and must not stretch the band it exists to anchor.
+    *
+    * `sf` matching is EXACT, including absence (ADVICE r15 #3): an entry
+    * matches when its own stamp equals the Option — `None` matches only
+    * entries that carry NO stamp. The prior `forall` made an sf-less
+    * caller (a HistoryReport over a trail whose latest entry predates the
+    * stamp) pool totals across ALL scales into one meaningless band.
     */
   private[graft] def cleanBandTotals(lines: Seq[String],
-      sf: Option[String] = None, window: Int = 10): Seq[Double] = {
+      sf: Option[String], window: Int = 10): Seq[Double] = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     lines.flatMap { l =>
       try {
         val n = mapper.readTree(l)
         def flagged(f: String) = Option(n.get(f)).exists(_.asBoolean)
-        val sfOk = sf.forall(want =>
-          Option(n.get("sf")).map(_.asText()).contains(want))
+        val sfOk = Option(n.get("sf")).map(_.asText()) == sf
         if (flagged("degraded") || flagged("suspect") ||
             flagged("env_inflated") || flagged("calib_inflated") || !sfOk) None
         else Option(n.get("value")).filter(_.isNumber).map(_.asDouble)
       } catch { case _: Exception => None }
     }.takeRight(window)
   }
+
+  /** Windowed drift verdict over the clean totals (VERDICT r15 next-step
+    * #4): median of the last [[TrendRecentN]] clean totals vs the median of
+    * the up-to-[[TrendPriorN]] clean totals before them, with the creep
+    * flag when the recent median sits past [[CreepRatio]]× the prior by at
+    * least [[CreepMinDeltaSec]]. A slow creep hides inside a widening
+    * min-max band (r14's clean captures were 101–105 s, r15's 119.4 s —
+    * "inside" the adjudicated 98.9–120.9 band, so nothing flagged); the
+    * trend asks the drift question directly. None below
+    * [[TrendRecentN]]+[[TrendRecentN]] clean entries — a two-total trail
+    * has no trend, only noise. Input is [[cleanBandTotals]]' output
+    * (oldest first), so trend and band can never disagree on eligibility.
+    */
+  private[graft] val TrendRecentN = 3
+  private[graft] val TrendPriorN = 5
+  private[graft] val CreepRatio = 1.15
+  private[graft] val CreepMinDeltaSec = 5.0
+  private[graft] def cleanTrend(
+      cleanTotals: Seq[Double]): Option[(Double, Double, Boolean)] =
+    if (cleanTotals.size < 2 * TrendRecentN) None
+    else {
+      def med(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
+      val recent = med(cleanTotals.takeRight(TrendRecentN))
+      val prior  = med(cleanTotals.dropRight(TrendRecentN).takeRight(TrendPriorN))
+      Some((recent, prior,
+        recent > CreepRatio * prior && recent - prior > CreepMinDeltaSec))
+    }
 
   /** The `band` field body: `[lo,hi]` over the clean totals, `null` when
     * the trail has none — one compact field that makes the closing line
@@ -1100,6 +1214,20 @@ object Bench {
   private def writeArtifact(line: String): Unit =
     writeSnapshotAndHistory(artifactPath, historyPath, line)
 
+  /** Snapshot-only overwrite (ADVICE r15 #1): the pre-smoke provisional
+    * artifact — if the JVM dies inside the smoke window, BENCH_FULL.json
+    * still holds this run's complete timings (stamped `partial:true`, env
+    * fields calib-side only). NO history append: the final line owns the
+    * trail entry, so one run can never appear twice in the medians window.
+    */
+  private def writeSnapshotOnly(path: String, line: String): Unit =
+    try {
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(path), line + "\n")
+      ()
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] $path write failed: ${e.toString.take(200)}")
+    }
+
   /** Subset-run artifact (GRAFT_BENCH_QUERIES set): snapshot ONLY, to a
     * side path, and NO history append. A subset run's total is partial by
     * construction — letting it overwrite BENCH_FULL.json would ship a
@@ -1330,19 +1458,34 @@ object Bench {
     * (null on a bandless trail), so a tail-only consumer can read this
     * line's `value` AS an outlier (or not) without the repo. The decision
     * table for the flag pair lives in README's bench-contract section.
+    *
+    * r16 additions (VERDICT r15 next-steps #1–#3): `partial:true` stamps
+    * the PROVISIONAL cumulative record printed after every chunk (and
+    * once more pre-smoke) so a kill at any instant leaves a parseable
+    * best-available record in the stdout tail — the final line DROPS the
+    * stamp (absent, not false), and last-wins still holds; `wall_sec` is
+    * the run's own wall clock so the capture's protocol cost is a
+    * published number, not a verdict estimate; `queries_skipped` counts
+    * keys the internal deadline skipped (0 on a completed run) — a
+    * nonzero count beside `deadline_hit:true` in the full line is the
+    * skip-record signature, never a silent truncation.
     */
   private[graft] def closingTotalLine(total: Double, degraded: Boolean,
       suspect: Boolean, retimeClean: Option[Boolean],
       retimeHot: Option[Boolean], envInflated: Option[Boolean],
       band: String, run: Int, failed: Int, sfDir: String,
-      streamingFields: String): String =
-    s"""{"metric":"total","value":$total,"unit":"sec","repeats":3,""" +
+      streamingFields: String, wallSec: Double = 0.0, skipped: Int = 0,
+      repeats: Int = 3, partial: Boolean = false): String =
+    s"""{"metric":"total","value":$total,"unit":"sec","repeats":$repeats,""" +
+      (if (partial) """"partial":true,""" else "") +
+      s""""wall_sec":${math.round(wallSec * 10) / 10.0},""" +
       s""""degraded":$degraded,"suspect":$suspect,""" +
       s""""retime_clean":${triState(retimeClean)},""" +
       s""""retime_hot":${triState(retimeHot)},""" +
       s""""env_inflated":${triState(envInflated)},""" +
       s""""band":$band,""" +
       s""""queries_run":$run,"queries_failed":$failed,""" +
+      s""""queries_skipped":$skipped,""" +
       s"""$streamingFields,"sf":${jstr(sfDir)}}"""
 
   /** Print one line as a single write+flush. Under the prefix-free
@@ -1393,7 +1536,20 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    if (args.length >= 2 && args(0) == "--chunk") { childMain(args(1), sfDir, cpus); return }
+    if (args.length >= 2 && args(0) == "--chunk") {
+      val repeats  = if (args.length >= 3) args(2).toIntOption.getOrElse(3) else 3
+      val phasesOn = if (args.length >= 4) args(3) != "0" else true
+      val quickCsv = if (args.length >= 5) args(4) else ""
+      childMain(args(1), sfDir, cpus, repeats, phasesOn, quickCsv); return
+    }
+
+    // the run's own wall clock, started before any work: feeds the
+    // internal deadline (VERDICT r15 next-step #1) and the published
+    // wall_sec (next-step #3 — the protocol's cost is now a number)
+    val startNanos = System.nanoTime()
+    def elapsedSec = (System.nanoTime() - startNanos) / 1e9
+    val deadlineSec = benchDeadlineSec(sys.env.get("GRAFT_BENCH_DEADLINE_SEC"))
+    def remainingSec = deadlineSec - elapsedSec
 
     val jiffies0 = cpuJiffies()
     val cores = Runtime.getRuntime.availableProcessors
@@ -1403,40 +1559,98 @@ object Bench {
     val subsetRun = names.size < SparkEntry.queries.size
     // history is read ONCE, before anything appends (the discipline every
     // history consumer here shares): it feeds the per-query medians, the
-    // calibration-probe baseline the chunk loop's hot checks use, and the
-    // clean band the closing line publishes
+    // calibration-probe baseline the chunk loop's hot checks use, the
+    // quick-key set, and the clean band the closing lines publish
     val histLines = fileLines(historyPath)
     val calibRef = calibBaseline(histLines, sf = Some(sfDir))
+    // history plausibility (VERDICT r10 next-step #1): each query judged
+    // against its own median over the last clean history entries — also
+    // the source of the quick-key (repeats=1) set, and of the cumulative
+    // suspect verdicts on the provisional closing lines
+    val medians = historyMedians(histLines, sf = Some(sfDir))
+    val quick = quickKeys(names, medians)
+    // the clean-history band, so a tail-only consumer can read any closing
+    // line's `value` as inside/outside the tree's normal range (r14 #3)
+    val band = bandJson(cleanBandTotals(histLines, sf = Some(sfDir)))
+    // the PREVIOUS smoke records, read before this run's smoke appends its
+    // own — also pre-read so provisional closing lines can carry the
+    // null-sided streaming fields without touching a mid-append file
+    val prevSmoke = fileLines(s"$repoDir/STREAMING_HISTORY.jsonl")
     // JIT-warm the probe once so chunk 0's reading measures the box, not
     // the C2 compile of the probe loop itself
     calibProbe(); calibProbe()
-    val chunks = names.grouped(ChunkSize).toSeq
+    val chunkSize = chunkSizeFromEnv(sys.env.get("GRAFT_BENCH_CHUNK_SIZE"))
+    val chunks = names.grouped(chunkSize).toSeq
     var forked = 0
     var retried = 0
     // a persistently-loaded box must not double the run: at most 3 chunk
     // retries per run — past that the run is degraded and says so
     var retryBudget = 3
-    val results = chunks.zipWithIndex.map { case (chunk, ci) =>
-      var (t, fk, cl) = timeChunk(chunk, sfDir, cpus)
-      // retry on CPU-shaped signals only (includeNonRetryable = false —
-      // see isHot): the io/throttle triggers still reach the published
-      // verdict via loadFieldsJson
-      if (isHot(cl, cores, firstChunk = ci == 0, includeNonRetryable = false,
-          calibRef = calibRef) && retryBudget > 0) {
-        retryBudget -= 1; retried += 1
-        System.err.println(s"[bench] chunk '${chunk.head}…' ran hot " +
-          s"(load=${cl.startLoad} ext_cores=${cl.externalCores} " +
-          s"steal=${cl.stealPct}% io_some=${cl.ioSomePct}% " +
-          s"io_full=${cl.ioFullPct}% cpu_some=${cl.cpuSomePct}% " +
-          s"calib=${cl.calibSec}s) — retrying once")
-        val again = timeChunk(chunk, sfDir, cpus)
-        t = again._1; fk = again._2; cl = again._3
-      }
-      if (fk) forked += 1
-      (t, cl)
+    // deadline state (VERDICT r15 next-step #1): `ladder` degrades the
+    // remaining chunks when the measured pace projects past the budget;
+    // `deadlineHit` skips them outright once the budget is spent
+    var ladder = false
+    var deadlineHit = false
+    val timedBuf   = scala.collection.mutable.ArrayBuffer.empty[Timed]
+    val loadBuf    = scala.collection.mutable.ArrayBuffer.empty[ChunkLoad]
+    val skippedBuf = scala.collection.mutable.ArrayBuffer.empty[String]
+    // cumulative provisional closing line (VERDICT r15 next-step #2):
+    // printed after every chunk so whatever instant the process dies, the
+    // stdout tail holds a parseable record of everything timed so far —
+    // superseded by the next one, last-wins like every metric line here
+    def printProvisional(): Unit = {
+      val sofar = timedBuf.toSeq
+      val totalSoFar = sofar.collect { case Timed(_, v, None, _, _) => v }.sum
+      val hotSoFar = loadBuf.zipWithIndex.exists { case (c, i) =>
+        isHot(c, cores, firstChunk = i == 0, calibRef = calibRef) }
+      val (_, susSoFar) =
+        suspectVerdict(sofar.map(t => t.name -> t.secs), medians)
+      printAtomic(closingTotalLine(totalSoFar,
+        degraded = hotSoFar || ladder || deadlineHit, suspect = susSoFar,
+        retimeClean = None, retimeHot = None, envInflated = None,
+        band = band, run = sofar.size, failed = sofar.count(_.err.isDefined),
+        sfDir = sfDir, streamingFields = streamingRegression(None, prevSmoke),
+        wallSec = elapsedSec, skipped = skippedBuf.size,
+        repeats = if (ladder) 1 else 3, partial = true))
     }
-    val timed: Seq[Timed] = results.flatMap(_._1)
-    val chunkLoads = results.map(_._2)
+    chunks.zipWithIndex.foreach { case (chunk, ci) =>
+      if (deadlineHit || remainingSec <= 0) {
+        // budget spent: every un-run key becomes a visible skip record —
+        // the closing sequence prints right after the loop, which is the
+        // whole point (r15's rc 124 left NO record at all)
+        deadlineHit = true
+        skippedBuf ++= chunk
+      } else {
+        if (!ladder && ladderNeeded(ci, chunks.length, elapsedSec, remainingSec)) {
+          ladder = true
+          System.err.println(f"[bench] pace projects past the $deadlineSec%.0f s " +
+            "deadline — degrading remaining chunks to repeats=1, no phase evaluations")
+        }
+        val reps = if (ladder) 1 else 3
+        var (t, fk, cl) = timeChunk(chunk, sfDir, cpus, reps, quick, !ladder)
+        // retry on CPU-shaped signals only (includeNonRetryable = false —
+        // see isHot): the io/throttle triggers still reach the published
+        // verdict via loadFieldsJson. Never with the deadline spent: a
+        // retry that overshoots the budget trades one contaminated chunk
+        // for the whole run's epilogue.
+        if (isHot(cl, cores, firstChunk = ci == 0, includeNonRetryable = false,
+            calibRef = calibRef) && retryBudget > 0 && remainingSec > 0) {
+          retryBudget -= 1; retried += 1
+          System.err.println(s"[bench] chunk '${chunk.head}…' ran hot " +
+            s"(load=${cl.startLoad} ext_cores=${cl.externalCores} " +
+            s"steal=${cl.stealPct}% io_some=${cl.ioSomePct}% " +
+            s"io_full=${cl.ioFullPct}% cpu_some=${cl.cpuSomePct}% " +
+            s"calib=${cl.calibSec}s) — retrying once")
+          val again = timeChunk(chunk, sfDir, cpus, reps, quick, !ladder)
+          t = again._1; fk = again._2; cl = again._3
+        }
+        if (fk) forked += 1
+        timedBuf ++= t; loadBuf += cl
+        printProvisional()
+      }
+    }
+    val timed: Seq[Timed] = timedBuf.toSeq
+    val chunkLoads: Seq[ChunkLoad] = loadBuf.toSeq
 
     val qs = timed.map(t => s"${jstr(t.name)}:${t.secs}").mkString("{", ",", "}")
     val errs = timed.collect { case Timed(k, _, Some(m), _, _) => s"${jstr(k)}:${jstr(m)}" }
@@ -1463,12 +1677,13 @@ object Bench {
     // still hot after its retry) — VERDICT r9 next-step #1
     val runSteal = for ((s0, _, t0) <- jiffies0; (s1, _, t1) <- cpuJiffies()
         if t1 > t0) yield math.round((s1 - s0) * 10000.0 / (t1 - t0)) / 100.0
-    val (loadJson, degraded) =
+    val (loadJson, loadDegraded) =
       loadFieldsJson(chunkLoads, cores, runSteal, loadAvg1(), calibRef)
-    // history plausibility (VERDICT r10 next-step #1): compare each query
-    // to its own median over the last clean history entries — histLines
-    // was read at startup, BEFORE this run's line is appended
-    val medians = historyMedians(histLines, sf = Some(sfDir))
+    // a deadline-tripped or ladder-degraded run is degraded by definition
+    // (VERDICT r15 next-step #1: partial/reduced-protocol totals must
+    // never feed the clean band or the history medians). A def, not a val:
+    // the retime loop below can still trip deadlineHit.
+    def degraded = loadDegraded || deadlineHit || ladder
     val (suspectQs, suspect) = suspectVerdict(timed.map(t => t.name -> t.secs),
       medians)
     val suspectJson = suspectQs.map { case (n, _) => jstr(n) }.mkString("[", ",", "]")
@@ -1495,10 +1710,20 @@ object Bench {
     // (ADVICE r13 #2): `retime_hot` below says whether the second opinion
     // itself ran under contention — a still-inflated retime under a hot
     // window must not read as a confirmed regression.
+    // Deadline-aware (r16): the pass never starts on a spent budget, and
+    // checks again before each retime chunk — un-run retimes read as
+    // retime_clean:false via the no-evidence rule, never as clean. Phase
+    // evaluations stay off here: the retime is a timing second opinion,
+    // and its flagged composites already shipped their splits in the
+    // main pass.
     val retimeRuns: Seq[(Seq[Timed], Boolean, ChunkLoad)] =
-      if (suspectQs.isEmpty) Nil
-      else retimeTargets(suspectQs).grouped(ChunkSize).toSeq
-        .map(c => timeChunk(c, sfDir, cpus))
+      if (suspectQs.isEmpty || deadlineHit || remainingSec <= 0) Nil
+      else retimeTargets(suspectQs).grouped(chunkSize).toSeq.flatMap { c =>
+        if (remainingSec <= 0) { deadlineHit = true; None }
+        else Some(timeChunk(c, sfDir, cpus,
+          repeats = if (ladder) 1 else 3, quick = quick,
+          phasesEnabled = false))
+      }
     val retimed = retimeRuns.flatMap(_._1.map(t => t.name -> t.secs))
     val retimedJson = retimedFieldJson(retimed)
     // no firstChunk trigger: the retime runs after minutes of the bench's
@@ -1509,38 +1734,78 @@ object Bench {
       if (retimeRuns.isEmpty) None
       else Some(retimeRuns.exists(r => isHot(r._3, cores, calibRef = calibRef)))
     val retimeClean = retimeCleanVerdict(suspectQs, retimed, medians)
-    // the PREVIOUS smoke records, read before this run's smoke appends its own
-    val prevSmoke = fileLines(s"$repoDir/STREAMING_HISTORY.jsonl")
-    // the streaming smoke runs BEFORE the artifact lines are built (moved
-    // in r15): its duration doubles as the second fixed-workload sensor of
+    // the calib side of the env verdict is smoke-independent — computed
+    // BEFORE the smoke so the pre-smoke provisional records can carry it
+    val calibInf = calibVerdict(chunkLoads.map(_.calibSec), calibRef)
+    val smokeBase = smokeBaseline(prevSmoke)
+    // deadline/ladder instrumentation + the skip records (r16): `skipped`
+    // names every key the internal deadline left un-run — a reader sees
+    // exactly what is missing from `queries`, never a silent truncation
+    val skippedJson = skippedBuf.map(jstr).mkString("[", ",", "]")
+    def budgetFields =
+      s""""wall_sec":${math.round(elapsedSec * 10) / 10.0},""" +
+        s""""deadline_sec":$deadlineSec,"deadline_hit":$deadlineHit,""" +
+        s""""ladder":$ladder,"quick_n":${timed.count(t => quick(t.name))},""" +
+        s""""skipped":$skippedJson"""
+    val isolation =
+      s""""chunks":${chunks.length},"chunks_forked":$forked,"chunk_size":$chunkSize,"chunks_retried":$retried"""
+    // ONE full-line builder so the pre-smoke provisional artifact and the
+    // final line cannot drift in shape — they differ only in the env
+    // fields (calib-only vs smoke-adjudicated) and the partial stamp
+    def fullLineJson(envInfJ: Option[Boolean], partial: Boolean): String = {
+      val adjudication =
+        s""""retime_clean":${triState(retimeClean)},"retime_hot":${triState(retimeHot)},""" +
+          s""""env_inflated":${triState(envInfJ)},"calib_inflated":${triState(calibInf)},""" +
+          s""""band":$band"""
+      s"""{"metric":"total","value":$total,"unit":"sec","repeats":${if (ladder) 1 else 3},""" +
+        (if (partial) """"partial":true,""" else "") +
+        s"""$budgetFields,"degraded":$degraded,"suspect":$suspect,"suspect_queries":$suspectJson,"suspect_ratios":$ratiosJson,"retimed":$retimedJson,$adjudication,$isolation,"queries":$qs,"phases":$phasesJson,"query_steal":$qStealJson,"errors":$errs,"load":$loadJson,"sf":"$sfDir"}"""
+    }
+    // pre-smoke persistence + provisional closing line (ADVICE r15 #1 +
+    // VERDICT r15 next-step #2): r15 moved the smoke BEFORE the artifact
+    // write, so a kill inside the smoke window lost the entire timing
+    // run. The snapshot (never the history — see writeSnapshotOnly) and
+    // one more partial-stamped closing line land first; the final records
+    // supersede both the moment the smoke returns.
+    if (!subsetRun)
+      writeSnapshotOnly(artifactPath, fullLineJson(
+        envInflatedVerdict(calibInf, None, smokeBase), partial = true))
+    printAtomic(closingTotalLine(total, degraded, suspect, retimeClean,
+      retimeHot, envInflatedVerdict(calibInf, None, smokeBase), band,
+      timed.size, timed.count(_.err.isDefined), sfDir,
+      streamingRegression(None, prevSmoke), wallSec = elapsedSec,
+      skipped = skippedBuf.size, repeats = if (ladder) 1 else 3,
+      partial = true))
+    // the streaming smoke runs BEFORE the final artifact lines are built
+    // (r15): its duration doubles as the second fixed-workload sensor of
     // the env verdict, so the full line and the closing line can carry ONE
     // consistent `env_inflated` instead of a calib-only preview. The
     // smoke's own stdout lines still print last, via emitClosing.
     // Value check, not presence: =0 / empty must mean "run it".
+    // Deadline-aware (r16): a spent (or nearly spent — the smoke costs
+    // ~45 s plus a JVM fork) budget skips it with an explicit deadline
+    // skip record instead of overshooting into the driver's kill.
+    val smokeSkippedByEnv =
+      sys.env.get("GRAFT_SKIP_STREAMING_SMOKE").exists(v => v.nonEmpty && v != "0")
     val (smokeLines, health) =
-      if (!sys.env.get("GRAFT_SKIP_STREAMING_SMOKE").exists(v => v.nonEmpty && v != "0"))
-        runStreamingSmoke(subsetRun)
-      else (Seq.empty[String], None)
+      if (smokeSkippedByEnv) (Seq.empty[String], None)
+      else if (deadlineHit || remainingSec < 60) {
+        // NOT a deadline_hit/degraded stamp of its own: a complete query
+        // surface with a budget-skipped smoke is still a clean total —
+        // the skip record (and null env fields) carry the story
+        val line = """{"metric":"streaming_smoke","skipped":true,"reason":"bench deadline"}"""
+        writeStreamingRecord(line, subset = subsetRun)
+        (Seq(line), None)
+      } else runStreamingSmoke(subsetRun)
     // plan-independent environment adjudication (VERDICT r14 next-step
     // #2): both fixed workloads against their own clean history — the
     // chunk probes (calib_inflated) and the smoke duration — combined as
     // env_inflated. This is what the r14 capture was missing: 276 s with
     // every sensor quiet now stamps env_inflated:true off the 3.8×
     // smoke + inflated probes, readable from the tail alone.
-    val calibInf = calibVerdict(chunkLoads.map(_.calibSec), calibRef)
     val envInf = envInflatedVerdict(calibInf,
-      health.flatMap(smokeValueOf), smokeBaseline(prevSmoke))
-    // the clean-history band, so a tail-only consumer can read `value`
-    // as inside/outside the tree's normal range (VERDICT r14 next-step #3)
-    val band = bandJson(cleanBandTotals(histLines, sf = Some(sfDir)))
-    val adjudication =
-      s""""retime_clean":${triState(retimeClean)},"retime_hot":${triState(retimeHot)},""" +
-        s""""env_inflated":${triState(envInf)},"calib_inflated":${triState(calibInf)},""" +
-        s""""band":$band"""
-    val isolation =
-      s""""chunks":${chunks.length},"chunks_forked":$forked,"chunk_size":$ChunkSize,"chunks_retried":$retried"""
-    val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","repeats":3,"degraded":$degraded,"suspect":$suspect,"suspect_queries":$suspectJson,"suspect_ratios":$ratiosJson,"retimed":$retimedJson,$adjudication,$isolation,"queries":$qs,"phases":$phasesJson,"query_steal":$qStealJson,"errors":$errs,"load":$loadJson,"sf":"$sfDir"}"""
+      health.flatMap(smokeValueOf), smokeBase)
+    val fullLine = fullLineJson(envInf, partial = false)
     println(fullLine)
     // The full line above grows with the query count and the driver keeps
     // only the tail of the output, so the full map ALSO goes to the repo
@@ -1563,8 +1828,12 @@ object Bench {
       .map(t => s"${jstr(t.name)}:${t.secs}").mkString("{", ",", "}")
     println(s"""{"metric":"slowest10","unit":"sec","queries":$slowest,"sf":"$sfDir"}""")
     val failed = timed.count(_.err.isDefined)
+    val adjudication =
+      s""""retime_clean":${triState(retimeClean)},"retime_hot":${triState(retimeHot)},""" +
+        s""""env_inflated":${triState(envInf)},"calib_inflated":${triState(calibInf)},""" +
+        s""""band":$band"""
     val shortBody =
-      s""""value":$total,"unit":"sec","repeats":3,"degraded":$degraded,"suspect":$suspect,"suspect_queries":$suspectJson,"suspect_ratios":$ratiosJson,"retimed":$retimedJson,$adjudication,$isolation,"queries_run":${names.length},"queries_failed":$failed,"load":$loadJson,"sf":"$sfDir""""
+      s""""value":$total,"unit":"sec","repeats":${if (ladder) 1 else 3},$budgetFields,"degraded":$degraded,"suspect":$suspect,"suspect_queries":$suspectJson,"suspect_ratios":$ratiosJson,"retimed":$retimedJson,$adjudication,$isolation,"queries_run":${timed.size},"queries_failed":$failed,"queries_skipped":${skippedBuf.size},"load":$loadJson,"sf":"$sfDir""""
     println(s"""{"metric":"total_short",$shortBody}""")
     // streaming fields APPENDED so the final line's byte prefix is exactly
     // the historical total_short shape a prefix-matching parser expects
@@ -1575,7 +1844,9 @@ object Bench {
     // (see emitClosing; BenchLoadSpec pins the order and byte budget)
     emitClosing(finalHeadline,
       closingTotalLine(total, degraded, suspect, retimeClean, retimeHot,
-        envInf, band, names.length, failed, sfDir, streamingFields),
+        envInf, band, timed.size, failed, sfDir, streamingFields,
+        wallSec = elapsedSec, skipped = skippedBuf.size,
+        repeats = if (ladder) 1 else 3),
       smokeLines, printAtomic)
   }
 }

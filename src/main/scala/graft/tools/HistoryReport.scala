@@ -72,6 +72,18 @@ object HistoryReport {
         fnum("%.1f-%.1f", cleanTotals.min, cleanTotals.max) + " s ==\n"
     else
       sb ++= s"== clean band (sf=${sf.getOrElse("-")}): no clean entries ==\n"
+    // windowed drift verdict (VERDICT r15 next-step #4): a slow creep can
+    // hide inside a widening band — r15's clean 119.4 s sat "inside"
+    // [98.9, 120.9] while the r14 clean captures were 101–105 s. The trend
+    // row compares the last-3 clean median to the prior clean median so
+    // the drift question is answered explicitly, not re-derived by hand.
+    graft.Bench.cleanTrend(cleanTotals).foreach { case (recent, prior, creep) =>
+      sb ++= "clean trend: last-" + graft.Bench.TrendRecentN + " median " +
+        fnum("%.1f", recent) + " s vs prior median " + fnum("%.1f", prior) +
+        " s (x" + fnum("%.2f", recent / prior) + ") -- " +
+        (if (creep) "CREEPING: adjudicate the movers (phases/TimeQ) before trusting the band"
+         else "stable") + "\n"
+    }
     sb ++= "== run trail (oldest first) ==\n"
     parsed.takeRight(10).foreach { n =>
       val v = Option(n.get("value")).map(x => fnum("%8.1f", x.asDouble)).getOrElse("       ?")
@@ -117,6 +129,11 @@ object HistoryReport {
             "nothing flagged, but the fixed workloads read inflated -- treat the total with caution"
           case (None, _, _) if flag(latest, "suspect") =>
             "flagged, pre-adjudication entry -- read the trail by hand"
+          // ADVICE r15 #2: degraded:true with nothing query-level flagged
+          // used to fall through to "clean (nothing flagged)", contradicting
+          // the trail row right above it
+          case (None, _, _) if flag(latest, "degraded") =>
+            "chunk-level contention flagged (degraded) -- nothing query-level to adjudicate; exclude the total from baselines"
           case (None, _, _) => "clean (nothing flagged)"
           case (Some(true), _, _) =>
             "flags ambient -- every retime landed back inside its band"

@@ -32,6 +32,46 @@ class BenchE2eSpec extends AnyFunSuite {
   private val subset =
     Seq("q_dedup_minhash", "q_sessionize", "q_bm25_topk", "q_tfidf_terms")
 
+  /** Fork `graft.Bench` the way its own chunk fork does (this JVM's flags
+    * sans agents + classpath), stdout to a file (a pipe read-to-EOF would
+    * block past any timeout on a hung child — the runStreamingSmoke rule),
+    * stderr discarded. Shared by the three e2e scenarios.
+    */
+  private def forkBench(dir: java.nio.file.Path,
+      extraEnv: Map[String, String]): (Process, java.nio.file.Path) = {
+    val javaBin = java.nio.file.Paths.get(
+      System.getProperty("java.home"), "bin", "java").toString
+    val cmd = new java.util.ArrayList[String]()
+    cmd.add(javaBin)
+    java.lang.management.ManagementFactory.getRuntimeMXBean.getInputArguments
+      .forEach(a => if (!a.startsWith("-agentlib")) { cmd.add(a); () })
+    cmd.add("-cp"); cmd.add(System.getProperty("java.class.path"))
+    cmd.add("graft.Bench")
+    val pb = new ProcessBuilder(cmd)
+    pb.environment().put("SPARK_GRAFT_REPO_DIR", dir.toString)
+    pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+    pb.environment().put("SPARK_GRAFT_CPUS", "4")
+    pb.environment().put("GRAFT_SKIP_STREAMING_SMOKE", "1")
+    extraEnv.foreach { case (k, v) => pb.environment().put(k, v) }
+    pb.redirectErrorStream(false)
+    pb.redirectError(ProcessBuilder.Redirect.DISCARD) // Spark startup spew
+    val outFile = java.nio.file.Files.createTempFile(dir, "bench-e2e", ".out")
+    pb.redirectOutput(outFile.toFile)
+    (pb.start(), outFile)
+  }
+
+  private def rmTree(dir: java.nio.file.Path): Unit =
+    java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+
+  /** Four cheap keys spanning two chunks under GRAFT_BENCH_CHUNK_SIZE=2
+    * (sorted: add_literal+count_rows, then scan_project+semi_join) — each
+    * chunk is one forked JVM (~15–30 s at sf0.001), so a 10 s deadline
+    * always lands between chunk 0 and chunk 1.
+    */
+  private val cheapSubset =
+    Seq("q_count_rows", "q_add_literal", "q_scan_project", "q_semi_join")
+
   test("a suspect run flags, retimes, and closes with a parseable adjudicated total (GRAFT_BENCH_E2E=1)") {
     assume(sys.env.get("GRAFT_BENCH_E2E").exists(v => v.nonEmpty && v != "0"),
       "set GRAFT_BENCH_E2E=1 to run the bench retime e2e")
@@ -151,5 +191,109 @@ class BenchE2eSpec extends AnyFunSuite {
       java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
         .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
     }
+  }
+
+  test("a mid-run deadline skips the rest, records it, and still closes parseably (GRAFT_BENCH_E2E=1)") {
+    assume(sys.env.get("GRAFT_BENCH_E2E").exists(v => v.nonEmpty && v != "0"),
+      "set GRAFT_BENCH_E2E=1 to run the bench deadline e2e")
+    // VERDICT r15 next-step #1: r15's driver capture died at an external
+    // wall cap with NOTHING emitted. The internal budget must convert that
+    // failure mode into: chunk 0 timed, chunk 1 skipped with visible skip
+    // records, run stamped degraded+deadline_hit, closing total printed
+    // and parseable as the absolute last line — with rc 0.
+    val dir = java.nio.file.Files.createTempDirectory("graft-bench-deadline")
+    try {
+      val (proc, outFile) = forkBench(dir, Map(
+        "GRAFT_BENCH_QUERIES" -> cheapSubset.mkString(","),
+        "GRAFT_BENCH_CHUNK_SIZE" -> "2",
+        "GRAFT_BENCH_DEADLINE_SEC" -> "10",
+        // smoke NOT env-skipped here: the point is the deadline branch's
+        // own skip record (no JVM is launched for it — still cheap)
+        "GRAFT_SKIP_STREAMING_SMOKE" -> "0"))
+      val finished = proc.waitFor(10, java.util.concurrent.TimeUnit.MINUTES)
+      if (!finished) { proc.destroyForcibly(); proc.waitFor() }
+      val out = java.nio.file.Files.readString(outFile)
+      assert(finished, s"deadline run exceeded 10 minutes; tail:\n${out.takeRight(800)}")
+      assert(proc.exitValue === 0,
+        s"a deadline trip is a degraded run, never a crash: rc=${proc.exitValue}\n$out")
+      val last = out.linesIterator.toSeq.filter(_.nonEmpty).last
+      assert(last.startsWith("""{"metric":"total","value":"""), last)
+      val n = mapper.readTree(last)
+      assert(n.get("partial") === null, "the final line drops the partial stamp")
+      assert(n.get("queries_run").asInt === 2,
+        s"chunk 0's two keys must have been timed: $last")
+      assert(n.get("queries_skipped").asInt === 2,
+        s"chunk 1's two keys must read as skipped, not vanish: $last")
+      assert(n.get("degraded").asBoolean,
+        s"a partial total must never read as baseline material: $last")
+      // the full (side) artifact carries the skip NAMES and the budget story
+      val full = mapper.readTree(
+        java.nio.file.Files.readString(dir.resolve("BENCH_SUBSET.json")))
+      assert(full.get("deadline_hit").asBoolean, "deadline_hit must ride the full line")
+      assert(full.get("deadline_sec").asDouble === 10.0)
+      val skipped = {
+        val b = Seq.newBuilder[String]
+        full.get("skipped").forEach(x => b += x.asText)
+        b.result()
+      }
+      assert(skipped.toSet === Set("q_scan_project", "q_semi_join"),
+        s"the un-run chunk's keys are the skip records: $skipped")
+      assert(full.get("queries").get("q_scan_project") === null,
+        "a skipped key must be absent from queries, never a fake 0/-1")
+      assert(full.get("wall_sec").asDouble > 0.0)
+      // a run whose smoke would have been deadline-skipped diverts a skip
+      // record (subset run -> the side file)
+      val smoke = java.nio.file.Files.readString(dir.resolve("STREAMING_SUBSET.json"))
+      assert(smoke.contains(""""skipped":true""") && smoke.contains("deadline"),
+        s"the smoke skip must say WHY: $smoke")
+      // provisional closing lines preceded the final one (next-step #2):
+      // at least chunk 0's cumulative record, stamped partial
+      val partials = out.linesIterator.filter(_.contains(""""partial":true,""")).toSeq
+      assert(partials.nonEmpty, "every chunk must be followed by a provisional record")
+      assert(mapper.readTree(partials.head).get("queries_run").asInt === 2)
+    } finally rmTree(dir)
+  }
+
+  test("a kill between chunks leaves a parseable partial record in the tail (GRAFT_BENCH_E2E=1)") {
+    assume(sys.env.get("GRAFT_BENCH_E2E").exists(v => v.nonEmpty && v != "0"),
+      "set GRAFT_BENCH_E2E=1 to run the bench kill e2e")
+    // VERDICT r15 next-step #2's second half: the internal deadline only
+    // defends against a cap the bench can see — the driver's kill can
+    // still land first. Whatever instant the process dies, the stdout
+    // tail must already hold a parseable cumulative record. This scripts
+    // the r15 outage: SIGKILL mid-run (during chunk 1), then parse the
+    // tail the way the driver does.
+    val dir = java.nio.file.Files.createTempDirectory("graft-bench-kill")
+    try {
+      val (proc, outFile) = forkBench(dir, Map(
+        "GRAFT_BENCH_QUERIES" -> cheapSubset.mkString(","),
+        "GRAFT_BENCH_CHUNK_SIZE" -> "2"))
+      // poll for chunk 0's provisional record, then kill the whole tree
+      // (the chunk-1 child JVM included) while chunk 1 is running
+      val deadlineMs = System.currentTimeMillis() + 10 * 60 * 1000
+      var seen = false
+      while (!seen && proc.isAlive && System.currentTimeMillis() < deadlineMs) {
+        Thread.sleep(1000)
+        seen = try java.nio.file.Files.readString(outFile).contains(""""partial":true,""")
+          catch { case _: Exception => false }
+      }
+      assert(seen, "no provisional record appeared within 10 minutes")
+      assert(proc.isAlive,
+        "the run finished before the kill could land — chunk 1 cannot have been this fast")
+      proc.descendants().forEach(d => { d.destroyForcibly(); () })
+      proc.destroyForcibly(); proc.waitFor()
+      val out = java.nio.file.Files.readString(outFile)
+      // the driver's read: last "metric":"total" line in the tail
+      val totals = out.linesIterator.toSeq
+        .filter(_.startsWith("""{"metric":"total","value":"""))
+      assert(totals.nonEmpty, s"tail carries no total record:\n${out.takeRight(800)}")
+      val n = mapper.readTree(totals.last)
+      assert(n.get("partial").asBoolean === true,
+        s"the best-available record is chunk 0's provisional: ${totals.last}")
+      assert(n.get("queries_run").asInt === 2, totals.last)
+      assert(n.get("queries_failed").asInt === 0, totals.last)
+      assert(n.get("value").asDouble > 0.0,
+        "the cumulative partial total is real evidence, not a placeholder")
+    } finally rmTree(dir)
   }
 }

@@ -436,8 +436,15 @@ class BenchLoadSpec extends AnyFunSuite {
       suspect = true, retimeClean = Some(true), retimeHot = Some(false),
       envInflated = Some(false), band = "[97.2,107.1]",
       run = 144, failed = 0,
-      sfDir = "/root/testdata/sf0.1", streamingFields = streaming)
+      sfDir = "/root/testdata/sf0.1", streamingFields = streaming,
+      wallSec = 612.34, skipped = 0)
     val n = mapper.readTree(line)
+    // r16: the protocol's own wall cost is a published number (VERDICT r15
+    // next-step #3) and the deadline's skip count is tail-visible (#1)
+    assert(n.get("wall_sec").asDouble === 612.3)
+    assert(n.get("queries_skipped").asInt === 0)
+    assert(n.get("partial") === null,
+      "the FINAL closing line drops the partial stamp entirely — absent, not false")
     assert(n.get("metric").asText === "total",
       "the tail parser's most plausible key is the full record's own name")
     assert(n.get("value").asDouble === 148.553)
@@ -505,10 +512,11 @@ class BenchLoadSpec extends AnyFunSuite {
       retimeHot = Some(false), envInflated = Some(false),
       band = "[8640000.1,8640000.9]", run = 999999, failed = 999999,
       sfDir = "/very/long/testdata/path/that/should/never/happen/sf0.0000001",
-      streamingFields = worstStreaming)
+      streamingFields = worstStreaming, wallSec = 8640000.123456789,
+      skipped = 999999, partial = true)
     assert(mapper.readTree(line).get("metric").asText === "total")
-    assert(line.length < 600,
-      s"worst-case closing total must stay under the 600-byte budget: ${line.length}")
+    assert(line.length < 700,
+      s"worst-case closing total must stay under the 700-byte budget: ${line.length}")
   }
 
   test("emitClosing writes the closing sequence and nothing else, ending on the total") {
@@ -968,6 +976,158 @@ class BenchLoadSpec extends AnyFunSuite {
     assert(graft.tools.HistoryReport.report(idleHistory :+ withCalib)
       .contains("calib=0.13"),
       "upper-median of [0.11,0.13]; pre-r15 entries print no calib column")
+  }
+
+  // ---- internal deadline + degrade ladder + quick keys (VERDICT r15) ----
+
+  test("the deadline and chunk-size knobs parse defensively") {
+    // r15 died at the driver's wall cap with nothing emitted; the internal
+    // budget must never itself be a new way to emit nothing — junk or
+    // non-positive values fall back to the default, they never zero the run
+    assert(Bench.benchDeadlineSec(None) === Bench.DefaultDeadlineSec)
+    assert(Bench.benchDeadlineSec(Some("900")) === 900.0)
+    assert(Bench.benchDeadlineSec(Some(" 450.5 ")) === 450.5)
+    assert(Bench.benchDeadlineSec(Some("junk")) === Bench.DefaultDeadlineSec)
+    assert(Bench.benchDeadlineSec(Some("0")) === Bench.DefaultDeadlineSec)
+    assert(Bench.benchDeadlineSec(Some("-5")) === Bench.DefaultDeadlineSec)
+    // the chunk-size override is dev/e2e plumbing with the same discipline
+    assert(Bench.chunkSizeFromEnv(None) === 20)
+    assert(Bench.chunkSizeFromEnv(Some("2")) === 2)
+    assert(Bench.chunkSizeFromEnv(Some("junk")) === 20)
+    assert(Bench.chunkSizeFromEnv(Some("0")) === 20)
+  }
+
+  test("the degrade ladder trips on projected pace, never on chunk 0") {
+    // 3 of 8 chunks took 300 s (100 s/chunk): 5 remaining project to 500 s
+    assert(Bench.ladderNeeded(done = 3, total = 8, elapsedSec = 300, remainingSec = 400),
+      "500 s projected into a 400 s budget must degrade")
+    assert(!Bench.ladderNeeded(done = 3, total = 8, elapsedSec = 300, remainingSec = 600),
+      "500 s projected into a 600 s budget fits — no degrade")
+    // chunk 0 has no measured pace: the ladder can never pre-degrade a run
+    assert(!Bench.ladderNeeded(done = 0, total = 8, elapsedSec = 0, remainingSec = 1))
+    // nothing left to protect
+    assert(!Bench.ladderNeeded(done = 8, total = 8, elapsedSec = 900, remainingSec = 0))
+  }
+
+  test("quick keys come from clean-history medians under the 1 s bar") {
+    val medians = Map("q_cheap" -> 0.2, "q_edge" -> 0.99, "q_heavy" -> 1.5,
+      "q_at_bar" -> 1.0)
+    assert(Bench.quickKeys(
+      Seq("q_cheap", "q_edge", "q_heavy", "q_at_bar", "q_new"), medians) ===
+      Set("q_cheap", "q_edge"),
+      "sub-1 s medians are quick; >=1 s and history-less keys keep median-of-3")
+    // a first run (no medians) times EVERYTHING at repeats=3
+    assert(Bench.quickKeys(Seq("q_a", "q_b"), Map.empty) === Set.empty[String])
+  }
+
+  test("a provisional closing line is stamped partial and parses as the same shape") {
+    // VERDICT r15 next-step #2: after every chunk the bench prints the
+    // cumulative record stamped partial:true — whatever instant the
+    // process dies, the stdout tail holds a parseable best-available
+    // record. Same metric name, same prefix, last-wins like every metric
+    // line here; the stamp is what tells a reader adjudication is
+    // incomplete.
+    val line = Bench.closingTotalLine(total = 42.5, degraded = false,
+      suspect = false, retimeClean = None, retimeHot = None,
+      envInflated = None, band = "[97.2,107.1]", run = 40, failed = 0,
+      sfDir = "/tmp/sf", streamingFields = Bench.streamingRegression(None, Nil),
+      wallSec = 123.45, skipped = 0, partial = true)
+    assert(line.startsWith("""{"metric":"total","value":"""),
+      "the partial stamp must not disturb the pinned prefix")
+    val n = mapper.readTree(line)
+    assert(n.get("partial").asBoolean === true)
+    assert(n.get("wall_sec").asDouble === 123.5)
+    assert(n.get("value").asDouble === 42.5)
+    assert(n.get("queries_run").asInt === 40)
+    assert(n.get("retime_clean").isNull && n.get("env_inflated").isNull,
+      "mid-run adjudication is unknown, never a fake verdict")
+    assert(line.length < 700, s"provisional lines share the byte budget: ${line.length}")
+    // a deadline-tripped final record carries the skip count (the skip
+    // NAMES ride the full line's `skipped` array, not the compact tail)
+    val clipped = Bench.closingTotalLine(total = 42.5, degraded = true,
+      suspect = false, retimeClean = None, retimeHot = None,
+      envInflated = None, band = "null", run = 40, failed = 0,
+      sfDir = "/tmp/sf", streamingFields = Bench.streamingRegression(None, Nil),
+      wallSec = 905.0, skipped = 104, repeats = 1)
+    val c = mapper.readTree(clipped)
+    assert(c.get("queries_skipped").asInt === 104)
+    assert(c.get("repeats").asInt === 1, "a ladder-degraded run says so")
+    assert(c.get("degraded").asBoolean === true,
+      "a partial total must never read as baseline material")
+  }
+
+  test("cleanBandTotals matches sf exactly, including absence (ADVICE r15 #3)") {
+    def line(v: Double, sfField: String) =
+      s"""{"metric":"total","value":$v,"degraded":false,"suspect":false,""" +
+        s""""queries":{"q_x":0.1}$sfField}"""
+    val mixed = Seq(
+      line(100.0, ""","sf":"/tmp/sf""""),
+      line(50.0, ""","sf":"/other/sf""""),
+      line(77.0, "")) // pre-stamp entry, no sf field at all
+    assert(Bench.cleanBandTotals(mixed, sf = Some("/tmp/sf")) === Seq(100.0),
+      "a stamped want excludes other-sf AND unstamped entries")
+    assert(Bench.cleanBandTotals(mixed, sf = None) === Seq(77.0),
+      "an sf-less caller (pre-stamp latest entry) must pool ONLY sf-less " +
+        "entries — the old forall pooled all scales into one band")
+  }
+
+  test("cleanTrend adjudicates clean-total creep (VERDICT r15 next-step #4)") {
+    // the r15 shape: five clean ~103 s captures, then three at ~119 s —
+    // every one inside the widening min-max band, so nothing flagged; the
+    // trend must call the drift by name
+    val creeping = Seq(101.0, 103.0, 105.0, 102.0, 104.0, 118.0, 119.4, 121.0)
+    val Some((recent, prior, creep)) = Bench.cleanTrend(creeping)
+    assert(recent === 119.4 && prior === 103.0)
+    assert(creep, "1.16x and +16 s past the prior median IS a creep")
+    // flat history is stable
+    val Some((_, _, flat)) = Bench.cleanTrend(Seq.fill(8)(103.0) :+ 104.0)
+    assert(!flat)
+    // small absolute drift never flags even past the ratio (tiny totals)
+    val Some((_, _, tiny)) = Bench.cleanTrend(Seq.fill(5)(1.0) ++ Seq(2.0, 2.0, 2.0))
+    assert(!tiny, "a 1 s delta is under the absolute floor")
+    // thin history has no trend, only noise
+    assert(Bench.cleanTrend(Seq(100.0, 119.0, 120.0, 121.0, 99.0)) === None)
+    assert(Bench.cleanTrend(Nil) === None)
+    // a recovery (recent BELOW prior) is stable, not creep
+    val Some((_, _, rec)) = Bench.cleanTrend(
+      Seq(119.0, 120.0, 121.0, 119.0, 120.0, 103.0, 102.0, 104.0))
+    assert(!rec)
+  }
+
+  test("HistoryReport prints the clean trend beside the band") {
+    def line(v: Double) =
+      s"""{"metric":"total","value":$v,"unit":"sec","degraded":false,""" +
+        s""""suspect":false,"queries":{"q_x":0.1},"sf":"/tmp/sf"}"""
+    val creeping = Seq(101.0, 103.0, 105.0, 102.0, 104.0, 118.0, 119.4, 121.0)
+    val rep = graft.tools.HistoryReport.report(creeping.map(line))
+    assert(rep.contains("clean trend: last-3 median 119.4 s vs prior median 103.0 s"),
+      s"the trend row must read off the header: $rep")
+    assert(rep.contains("CREEPING"), rep)
+    val stable = graft.tools.HistoryReport.report(
+      (Seq.fill(8)(103.0) :+ 103.5).map(line))
+    assert(stable.contains("-- stable"), stable)
+    // a thin trail prints no trend row at all — never a fake verdict
+    assert(!graft.tools.HistoryReport.report(Seq(line(100.0))).contains("clean trend"))
+  }
+
+  test("HistoryReport names chunk-level degradation in the decision table (ADVICE r15 #2)") {
+    // degraded:true with nothing query-level flagged used to print
+    // "clean (nothing flagged)", contradicting the trail row above it
+    def entry(extra: String) =
+      s"""{"metric":"total","value":100.0,"unit":"sec",$extra""" +
+        s""""queries":{"q_x":0.1},"sf":"/tmp/sf"}"""
+    val rep = graft.tools.HistoryReport.report(
+      idleHistory :+ entry(""""degraded":true,"suspect":false,"""))
+    assert(rep.contains("latest adjudication: chunk-level contention flagged (degraded)"),
+      s"a degraded-only entry must not read clean: $rep")
+    // an undegraded, unflagged entry still reads clean
+    assert(graft.tools.HistoryReport.report(
+      idleHistory :+ entry(""""degraded":false,"suspect":false,"""))
+      .contains("clean (nothing flagged)"))
+    // suspect still outranks the degraded arm (pre-adjudication reading)
+    assert(graft.tools.HistoryReport.report(
+      idleHistory :+ entry(""""degraded":true,"suspect":true,"""))
+      .contains("pre-adjudication"))
   }
 
   test("the emitted degraded flag rides a parseable full line") {

@@ -96,4 +96,57 @@ object BenchWireProperties extends Properties("benchWire") {
         .replaceFirst(s"GRAFT_Q ${ts.head.name} [^ \n]+", s"GRAFT_Q ${ts.head.name} not_a_number")
       Bench.parseChunk(torn, ts.map(_.name)).isEmpty
     }
+
+  // ---- the closing-total wire format (VERDICT r15 next-step #2) ----------
+  //
+  // The provisional (partial:true) and final closing lines are what the
+  // driver's tail parser reads after a kill at ANY instant — a render the
+  // parser rejects resurrects parsed:null, the r15 outage. The law:
+  // render → JSON-parse recovers every scalar field over the whole
+  // reachable value space, the partial stamp appears exactly when set,
+  // and every rendering stays inside the tail byte budget.
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private val triGen: Gen[Option[Boolean]] =
+    Gen.oneOf(None, Some(true), Some(false))
+
+  private val bandGen: Gen[String] = Gen.oneOf(
+    Gen.const("null"),
+    for (lo <- Gen.chooseNum(0.0, 9999.9); w <- Gen.chooseNum(0.0, 999.9))
+      yield s"[${math.round(lo * 10) / 10.0},${math.round((lo + w) * 10) / 10.0}]")
+
+  property("closing-total render -> parse recovers every field, partial stamp included") =
+    Prop.forAll(
+      Gen.chooseNum(0.0, 8640000.0), Gen.chooseNum(0.0, 8640000.0),
+      Gen.zip(triGen, triGen, triGen), bandGen,
+      Gen.zip(Gen.chooseNum(0, 999999), Gen.chooseNum(0, 999999), Gen.chooseNum(0, 999999)),
+      Gen.zip(Gen.prob(0.5), Gen.prob(0.5), Gen.prob(0.5), Gen.oneOf(1, 3))) {
+      case (total, wall, (rc, rh, env), band, (run, failed, skipped),
+            (degraded, suspect, partial, repeats)) =>
+        val line = Bench.closingTotalLine(total, degraded, suspect, rc, rh,
+          env, band, run, failed, "/root/testdata/sf0.1",
+          Bench.streamingRegression(None, Nil), wallSec = wall,
+          skipped = skipped, repeats = repeats, partial = partial)
+        val n = mapper.readTree(line)
+        def tri(f: String): Option[Boolean] =
+          if (n.get(f).isNull) None else Some(n.get(f).asBoolean)
+        n.get("metric").asText == "total" &&
+          n.get("value").asDouble == total &&
+          n.get("wall_sec").asDouble == math.round(wall * 10) / 10.0 &&
+          n.get("degraded").asBoolean == degraded &&
+          n.get("suspect").asBoolean == suspect &&
+          tri("retime_clean") == rc && tri("retime_hot") == rh &&
+          tri("env_inflated") == env &&
+          n.get("queries_run").asInt == run &&
+          n.get("queries_failed").asInt == failed &&
+          n.get("queries_skipped").asInt == skipped &&
+          n.get("repeats").asInt == repeats &&
+          // the stamp appears exactly when set — the final line DROPS it
+          (if (partial) n.get("partial").asBoolean else n.get("partial") == null) &&
+          (if (band == "null") n.get("band").isNull
+           else n.get("band").isArray) &&
+          line.length < 700 &&
+          line.startsWith("""{"metric":"total","value":""")
+    }
 }
