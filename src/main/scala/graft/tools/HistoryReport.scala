@@ -114,6 +114,19 @@ object HistoryReport {
       sb ++= s"$v s  degraded=${flag(n, "degraded")}  suspect=${flag(n, "suspect")}" +
         s"$adjudicated$calib  sf=${Option(n.get("sf")).map(_.asText()).getOrElse("-")}\n"
     }
+    // the latest entry's flagged set and each query's own steal window —
+    // parsed BEFORE the decision table so the burst qualifier below and
+    // the per-row notes share one read
+    val suspectNames = Option(latest.get("suspect_queries")).filter(_.isArray)
+      .map { a =>
+        val b = Seq.newBuilder[String]; a.forEach(x => b += x.asText); b.result()
+      }.getOrElse(Seq.empty[String])
+    val qSteal = Option(latest.get("query_steal")).filter(_.isObject).map { m =>
+      var out = Map.empty[String, Double]
+      m.properties().forEach(e => out += (e.getKey -> e.getValue.asDouble(0.0)))
+      out
+    }.getOrElse(Map.empty[String, Double])
+
     // README's bench-contract decision table, applied to the latest entry
     // (r15): the one-line answer to the round review's actual question —
     // is this capture's total trustworthy, environmental, or a regression
@@ -142,7 +155,20 @@ object HistoryReport {
           case (Some(false), _, Some(true)) =>
             "environmental-leaning -- the retime window itself ran hot"
           case (Some(false), Some(false), _) =>
-            "REAL-REGRESSION CANDIDATE -- fixed workloads ran at speed while flags stayed inflated"
+            // the r16 contended capture's exact shape: env sensors at speed
+            // (bursts land BETWEEN the ~0.1 s probes), retimes cap-dropped
+            // or re-hit by the next burst — but the flagged rows' own
+            // steal windows carry the evidence. Report-level qualifier
+            // only: the emitted tri-states deliberately never consume
+            // query_steal (VERDICT r15: diagnostic context, not a verdict
+            // input), so the human-facing table is where it must speak.
+            "REAL-REGRESSION CANDIDATE -- fixed workloads ran at speed while flags stayed inflated" + {
+              val stealFlagged =
+                suspectNames.count(n => qSteal.getOrElse(n, 0.0) >= 3.0)
+              if (stealFlagged >= 3)
+                s" -- BUT $stealFlagged of ${suspectNames.size} flagged rows carry >=3% steal in their own repeat windows: burst-contention signature, read the rows before believing a regression"
+              else ""
+            }
           case (Some(false), None, _) =>
             "unadjudicable -- flags stayed inflated and no fixed-workload baseline exists"
         }
@@ -170,11 +196,7 @@ object HistoryReport {
     // the query's own steal window (r15): burst contention that lands on
     // one query is invisible to the chunk averages but shows right here —
     // a flagged row with material steal reads environmental at a glance
-    val qSteal = Option(latest.get("query_steal")).filter(_.isObject).map { m =>
-      var out = Map.empty[String, Double]
-      m.properties().forEach(e => out += (e.getKey -> e.getValue.asDouble(0.0)))
-      out
-    }.getOrElse(Map.empty[String, Double])
+    // (qSteal itself is hoisted above the decision table since r16)
     def stealNote(name: String): String =
       qSteal.get(name).filter(_ >= 1.0)
         .map(v => "  steal " + fnum("%.1f", v) + "%").getOrElse("")

@@ -1110,6 +1110,34 @@ class BenchLoadSpec extends AnyFunSuite {
     assert(!graft.tools.HistoryReport.report(Seq(line(100.0))).contains("clean trend"))
   }
 
+  test("HistoryReport qualifies a regression verdict with per-query burst-steal evidence") {
+    // the r16 contended capture's shape: retimes not clean (cap-dropped or
+    // re-hit by the next burst), env sensors at speed (bursts land between
+    // the ~0.1 s probes) — the tri-states alone read REAL-REGRESSION, but
+    // the flagged rows' own steal windows carry the environmental evidence
+    def entry(steal: String) =
+      s"""{"metric":"total","value":155.0,"unit":"sec","degraded":true,""" +
+        s""""suspect":true,"retime_clean":false,"retime_hot":false,""" +
+        s""""env_inflated":false,""" +
+        s""""suspect_queries":["q_a","q_b","q_c","q_d"],$steal""" +
+        s""""queries":{"q_x":0.1},"sf":"/tmp/sf"}"""
+    val withSteal = entry(
+      """"query_steal":{"q_a":13.3,"q_b":8.3,"q_c":4.1,"q_d":0.4},""")
+    val rep = graft.tools.HistoryReport.report(idleHistory :+ withSteal)
+    assert(rep.contains("REAL-REGRESSION CANDIDATE"), rep)
+    assert(rep.contains("BUT 3 of 4 flagged rows carry >=3% steal"),
+      s"material steal on >=3 flagged rows must qualify the verdict: $rep")
+    // without the steal evidence the plain verdict stands unqualified
+    val noSteal = graft.tools.HistoryReport.report(idleHistory :+ entry(""))
+    assert(noSteal.contains("REAL-REGRESSION CANDIDATE") && !noSteal.contains("BUT"),
+      s"no steal evidence -> no qualifier: $noSteal")
+    // sub-quorum steal (2 rows) stays unqualified — two noisy windows are
+    // not yet the burst signature
+    val two = graft.tools.HistoryReport.report(idleHistory :+ entry(
+      """"query_steal":{"q_a":13.3,"q_b":8.3},"""))
+    assert(!two.contains("BUT"), two)
+  }
+
   test("HistoryReport names chunk-level degradation in the decision table (ADVICE r15 #2)") {
     // degraded:true with nothing query-level flagged used to print
     // "clean (nothing flagged)", contradicting the trail row above it
