@@ -593,9 +593,29 @@ object Bench {
     cmd.add("-cp"); cmd.add(cp)
     cmd.add(mainClass); args.foreach(cmd.add(_))
     val pb = new ProcessBuilder(cmd)
-    pb.redirectError(ProcessBuilder.Redirect.INHERIT) // Spark noise → stderr
+    // stderr routing is the CALLER's job (r16). It used to inherit the
+    // console, but the driver reads a merged fixed-size stdout+stderr
+    // tail — a kill landing during a child's ~20-line Spark startup spew
+    // would push the provisional closing lines out of that window, the
+    // exact r8–r11 parsed:null shape resurrected one layer down. Both
+    // callers now divert child stderr to a temp file and replay its tail
+    // to the parent's stderr only on failure.
     Some(pb)
   }
+
+  /** Tail of a child's diverted stderr, replayed to the parent's stderr —
+    * only ever called on a FAILED child, so diagnostics survive without
+    * the success-path spew contaminating the driver's merged tail.
+    */
+  private def replayChildStderr(errFile: java.nio.file.Path, what: String): Unit =
+    try {
+      val tail = java.nio.file.Files.readString(errFile)
+        .linesIterator.toSeq.takeRight(30)
+      if (tail.nonEmpty) {
+        System.err.println(s"[bench] $what child stderr tail:")
+        tail.foreach(System.err.println)
+      }
+    } catch { case _: Exception => }
 
   private def forkChunk(names: Seq[String], repeats: Int,
       quick: Set[String], phasesEnabled: Boolean): Option[(Seq[Timed], Double)] =
@@ -605,11 +625,21 @@ object Bench {
       childJvm("graft.Bench", Seq("--chunk", names.mkString(","),
         repeats.toString, if (phasesEnabled) "1" else "0",
         names.filter(quick).mkString(","))).flatMap { pb =>
-        val proc = pb.start()
-        val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
-        val rc = proc.waitFor()
-        if (rc != 0) { System.err.println(s"[bench] fork rc=$rc"); None }
-        else parseChunk(out, names)
+        val errFile = java.nio.file.Files.createTempFile("graft-chunk", ".err")
+        try {
+          pb.redirectError(errFile.toFile)
+          val proc = pb.start()
+          val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+          val rc = proc.waitFor()
+          val parsed =
+            if (rc != 0) { System.err.println(s"[bench] fork rc=$rc"); None }
+            else parseChunk(out, names)
+          // a chunk that failed or could not be parsed gets its diverted
+          // stderr replayed (then falls back in-process); a healthy chunk's
+          // Spark spew never reaches the driver's merged tail
+          if (parsed.isEmpty) replayChildStderr(errFile, "chunk")
+          parsed
+        } finally { java.nio.file.Files.deleteIfExists(errFile); () }
       }
     } catch { case e: Exception =>
       System.err.println(s"[bench] fork failed: ${e.toString.take(200)}"); None
@@ -1335,10 +1365,16 @@ object Bench {
           if (subset) { pb.environment().put("GRAFT_STREAMING_SUBSET", "1"); () }
           // child stdout goes to a file, NOT a pipe: reading a pipe to EOF
           // would block this thread for as long as the child hangs, so the
-          // 10-minute cap below could never fire
+          // 10-minute cap below could never fire. stderr to its own file
+          // (r16): the smoke's Spark startup spew on the inherited console
+          // could push the pre-smoke provisional closing line out of the
+          // driver's merged tail if a kill lands inside the smoke window —
+          // replayed below only when the smoke failed to report.
           val outFile = java.nio.file.Files.createTempFile("graft-smoke", ".out")
+          val errFile = java.nio.file.Files.createTempFile("graft-smoke", ".err")
           try {
             pb.redirectOutput(outFile.toFile)
+            pb.redirectError(errFile.toFile)
             val proc = pb.start()
             if (!proc.waitFor(10, java.util.concurrent.TimeUnit.MINUTES)) {
               proc.destroyForcibly(); proc.waitFor()
@@ -1348,15 +1384,21 @@ object Bench {
                 // lingering — echo its line, keep its record
                 System.err.println("[bench] streaming smoke JVM lingered past 600s AFTER reporting; its record is kept")
                 (health, health.lastOption)
-              } else
+              } else {
+                replayChildStderr(errFile, "smoke")
                 record("""{"metric":"streaming_smoke","skipped":true,"reason":"timeout after 600s"}""")
+              }
             } else {
               val health = healthLines(outFile)
-              if (health.isEmpty)
+              if (health.isEmpty) {
+                replayChildStderr(errFile, "smoke")
                 record(s"""{"metric":"streaming_smoke","skipped":true,"reason":"child rc=${proc.exitValue} with no health line"}""")
-              else (health, health.lastOption)
+              } else (health, health.lastOption)
             }
-          } finally { java.nio.file.Files.deleteIfExists(outFile); () }
+          } finally {
+            java.nio.file.Files.deleteIfExists(outFile)
+            java.nio.file.Files.deleteIfExists(errFile); ()
+          }
       }
     } catch { case e: Exception =>
       System.err.println(s"[bench] streaming smoke failed: ${e.toString.take(200)}")
@@ -1829,9 +1871,9 @@ object Bench {
     // artifact + history (VERDICT r8 missing #2), and the headline fields
     // repeat on SHORT lines the stdout tail always keeps: the top-10
     // slowest timings, then the total — printed once here for a live
-    // reader, and once more as the FINAL stdout line (the smoke's child
-    // JVM inherits stderr and spews ~20 Spark startup lines, but since
-    // r15 the smoke completes before any metric line prints) so the
+    // reader, and once more as the FINAL stdout line (since r16 every
+    // child's stderr is diverted to a temp file, so no Spark startup spew
+    // can land in the driver's merged tail at all) so the
     // driver's tail parser is guaranteed to see it (VERDICT r11 #1), and
     // once more — compact, no maps — as the final `"metric":"total"` line
     // (VERDICT r12 #1). Both `total` and `total_short` are therefore
