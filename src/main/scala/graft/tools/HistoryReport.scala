@@ -165,7 +165,11 @@ object HistoryReport {
             "REAL-REGRESSION CANDIDATE -- fixed workloads ran at speed while flags stayed inflated" + {
               val stealFlagged =
                 suspectNames.count(n => qSteal.getOrElse(n, 0.0) >= 3.0)
-              if (stealFlagged >= 3)
+              // >=3 steal-hit rows is the burst signature; ALL rows
+              // steal-hit (any count, e.g. the lone 2.1x flag whose only
+              // window read 4.1% steal) is the same evidence at small n
+              if (stealFlagged >= 3 ||
+                  (stealFlagged > 0 && stealFlagged == suspectNames.size))
                 s" -- BUT $stealFlagged of ${suspectNames.size} flagged rows carry >=3% steal in their own repeat windows: burst-contention signature, read the rows before believing a regression"
               else ""
             }

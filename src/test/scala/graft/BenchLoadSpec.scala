@@ -1131,11 +1131,27 @@ class BenchLoadSpec extends AnyFunSuite {
     val noSteal = graft.tools.HistoryReport.report(idleHistory :+ entry(""))
     assert(noSteal.contains("REAL-REGRESSION CANDIDATE") && !noSteal.contains("BUT"),
       s"no steal evidence -> no qualifier: $noSteal")
-    // sub-quorum steal (2 rows) stays unqualified — two noisy windows are
-    // not yet the burst signature
+    // sub-quorum steal (2 of 4 rows) stays unqualified — two noisy windows
+    // among four flagged are not yet the burst signature
     val two = graft.tools.HistoryReport.report(idleHistory :+ entry(
       """"query_steal":{"q_a":13.3,"q_b":8.3},"""))
     assert(!two.contains("BUT"), two)
+    // ...but ALL flagged rows steal-hit is the same evidence at small n:
+    // the r16 clean capture's lone 2.1x flag read 4.1% steal in its only
+    // window — 1 of 1 must qualify
+    def lone(steal: String) =
+      s"""{"metric":"total","value":99.6,"unit":"sec","degraded":false,""" +
+        s""""suspect":false,"retime_clean":false,"retime_hot":false,""" +
+        s""""env_inflated":false,"suspect_queries":["q_a"],$steal""" +
+        s""""queries":{"q_x":0.1},"sf":"/tmp/sf"}"""
+    val loneHit = graft.tools.HistoryReport.report(
+      idleHistory :+ lone(""""query_steal":{"q_a":4.1},"""))
+    assert(loneHit.contains("BUT 1 of 1 flagged rows"), loneHit)
+    // a lone flag with a QUIET window keeps the unqualified verdict — that
+    // one really is as likely a regression
+    val loneQuiet = graft.tools.HistoryReport.report(idleHistory :+ lone(""))
+    assert(loneQuiet.contains("REAL-REGRESSION CANDIDATE") &&
+      !loneQuiet.contains("BUT"), loneQuiet)
   }
 
   test("HistoryReport names chunk-level degradation in the decision table (ADVICE r15 #2)") {
