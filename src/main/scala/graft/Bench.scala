@@ -1710,6 +1710,12 @@ object Bench {
     }
     val timed: Seq[Timed] = timedBuf.toSeq
     val chunkLoads: Seq[ChunkLoad] = loadBuf.toSeq
+    // wall attribution (r16, beside wall_sec): where the protocol's cost
+    // went — the chunk loop (timings + fork startups) vs the retime pass;
+    // the smoke's own wall is its health line's `value`, the remainder is
+    // launcher/artifact overhead. Published so a wall regression can be
+    // attributed from the artifact instead of re-profiled.
+    val chunksWallSec = elapsedSec
 
     val qs = timed.map(t => s"${jstr(t.name)}:${t.secs}").mkString("{", ",", "}")
     val errs = timed.collect { case Timed(k, _, Some(m), _, _) => s"${jstr(k)}:${jstr(m)}" }
@@ -1783,6 +1789,7 @@ object Bench {
           repeats = if (ladder) 1 else 3, quick = quick,
           phasesEnabled = false))
       }
+    val retimeWallSec = elapsedSec - chunksWallSec
     val retimed = retimeRuns.flatMap(_._1.map(t => t.name -> t.secs))
     val retimedJson = retimedFieldJson(retimed)
     // no firstChunk trigger: the retime runs after minutes of the bench's
@@ -1801,8 +1808,11 @@ object Bench {
     // names every key the internal deadline left un-run — a reader sees
     // exactly what is missing from `queries`, never a silent truncation
     val skippedJson = skippedBuf.map(jstr).mkString("[", ",", "]")
+    def r1(x: Double) = math.round(x * 10) / 10.0
     def budgetFields =
-      s""""wall_sec":${math.round(elapsedSec * 10) / 10.0},""" +
+      s""""wall_sec":${r1(elapsedSec)},""" +
+        s""""wall_chunks_sec":${r1(chunksWallSec)},""" +
+        s""""wall_retime_sec":${r1(retimeWallSec)},""" +
         s""""deadline_sec":$deadlineSec,"deadline_hit":$deadlineHit,""" +
         s""""ladder":$ladder,"quick_n":${timed.count(t => quick(t.name))},""" +
         s""""skipped":$skippedJson"""

@@ -241,6 +241,10 @@ class BenchE2eSpec extends AnyFunSuite {
       assert(full.get("queries").get("q_scan_project") === null,
         "a skipped key must be absent from queries, never a fake 0/-1")
       assert(full.get("wall_sec").asDouble > 0.0)
+      // wall attribution rides the full line: the chunk loop's share is
+      // real, the (never-run) retime pass's is ~0
+      assert(full.get("wall_chunks_sec").asDouble > 0.0)
+      assert(full.get("wall_retime_sec").asDouble >= 0.0)
       // a run whose smoke would have been deadline-skipped diverts a skip
       // record (subset run -> the side file)
       val smoke = java.nio.file.Files.readString(dir.resolve("STREAMING_SUBSET.json"))
