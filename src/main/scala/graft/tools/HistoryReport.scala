@@ -111,8 +111,16 @@ object HistoryReport {
         }.filter(_.nonEmpty)
         .map(v => "  calib=" + fnum("%.2f", v.sorted.apply(v.size / 2)))
         .getOrElse("")
+      // r16 columns, printed only when the entry carries them: the
+      // capture's own wall clock (a wall regression reads straight down
+      // the column even when the metric holds), and the deadline's skip
+      // count (a clipped entry's small total must not read as a speedup)
+      val wall = Option(n.get("wall_sec")).filter(_.isNumber)
+        .map(w => "  wall=" + fnum("%.0f", w.asDouble) + "s").getOrElse("")
+      val skip = Option(n.get("queries_skipped")).filter(_.isNumber)
+        .map(_.asInt).filter(_ > 0).map(k => s"  SKIPPED=$k").getOrElse("")
       sb ++= s"$v s  degraded=${flag(n, "degraded")}  suspect=${flag(n, "suspect")}" +
-        s"$adjudicated$calib  sf=${Option(n.get("sf")).map(_.asText()).getOrElse("-")}\n"
+        s"$adjudicated$calib$wall$skip  sf=${Option(n.get("sf")).map(_.asText()).getOrElse("-")}\n"
     }
     // the latest entry's flagged set and each query's own steal window —
     // parsed BEFORE the decision table so the burst qualifier below and

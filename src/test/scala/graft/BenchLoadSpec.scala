@@ -1154,6 +1154,22 @@ class BenchLoadSpec extends AnyFunSuite {
       !loneQuiet.contains("BUT"), loneQuiet)
   }
 
+  test("HistoryReport surfaces wall_sec and deadline skip counts on the trail") {
+    def entry(extra: String) =
+      s"""{"metric":"total","value":96.8,"unit":"sec",""" +
+        s""""suspect":false,$extra"queries":{"q_x":0.1},"sf":"/tmp/sf"}"""
+    val rep = graft.tools.HistoryReport.report(idleHistory :+ entry(
+      """"degraded":false,"wall_sec":683.1,"queries_skipped":0,"""))
+    assert(rep.contains("wall=683s"), s"the wall column must read off the trail: $rep")
+    assert(!rep.contains("SKIPPED"), "zero skips stay silent")
+    val clipped = graft.tools.HistoryReport.report(idleHistory :+ entry(
+      """"degraded":true,"wall_sec":905.0,"queries_skipped":104,"""))
+    assert(clipped.contains("SKIPPED=104"),
+      s"a deadline-clipped entry's small total must not read as a speedup: $clipped")
+    // pre-r16 entries carry neither field and print neither column
+    assert(!graft.tools.HistoryReport.report(idleHistory).contains("wall="))
+  }
+
   test("HistoryReport names chunk-level degradation in the decision table (ADVICE r15 #2)") {
     // degraded:true with nothing query-level flagged used to print
     // "clean (nothing flagged)", contradicting the trail row above it
