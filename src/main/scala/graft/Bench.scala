@@ -34,12 +34,15 @@ import org.apache.spark.sql.functions.{col, expr, to_json, xxhash64}
   */
 object Bench {
 
-  /** Queries per isolated JVM. 20 keeps ~7 forks for the 138-query surface
-    * — enough isolation that no query runs after ~80 prior evaluations in
-    * its process, small enough that JVM startup (~10 s/fork) stays a minor
-    * constant of the whole run.
+  /** Queries per isolated JVM. 29 keeps 5 forks for the 144-query surface
+    * (VERDICT r16 next-step #6: 8 forks × ~15 s of JVM+session startup was
+    * a fifth of the idle wall). The r9 isolation bar — no query runs after
+    * ~80 prior evaluations in its process — still holds BECAUSE the quick
+    * keys dropped to ~1 reading each (see [[quickAccept]]): a 29-key chunk
+    * is ~29 warm-ups + ~22 quick×1 + ~7 slow×3 ≈ 72 evaluations, under the
+    * 80 that chunk-size 20 × 4 evaluations used to reach.
     */
-  private val ChunkSize = 20
+  private val ChunkSize = 29
 
   /** Force full evaluation of a frame, touching every output column: hash
     * all columns per row, xor-fold to one value. Shared with the dev timing
@@ -125,7 +128,7 @@ object Bench {
       startLoad: Double, stealPct: Double, externalCores: Double,
       ioSomePct: Double = 0.0, ioFullPct: Double = 0.0,
       cpuSomePct: Double = 0.0, throttledPct: Double = 0.0,
-      calibSec: Double = 0.0)
+      calibSec: Double = 0.0, calibParSec: Double = 0.0)
 
   /** Hot-chunk predicate (VERDICT r9 next-step #1). A chunk is hot when a
     * competing workload plausibly distorted its timings: external busy CPU
@@ -144,10 +147,17 @@ object Bench {
     * bench's own local[N] oversubscription, measured single-digit on an
     * idle box), OR cgroup throttling past [[ThrottleHotPct]] of the
     * chunk's wall (a quota'd cgroup being throttled measures the quota,
-    * not the plan), OR the chunk's fixed-work calibration probe
-    * ([[ChunkLoad.calibSec]]) past [[CalibHotRatio]]× the clean-history
-    * probe baseline `calibRef` — the attribution-free sensor that catches
-    * whatever the rest cannot name.
+    * not the plan), OR either of the chunk's fixed-work calibration probes
+    * — single-thread ([[ChunkLoad.calibSec]] vs `calibRef`) or parallel
+    * memory-streaming ([[ChunkLoad.calibParSec]] vs `calibParRef`,
+    * VERDICT r16 next-step #3: the r16 driver run was ~2× inflated while
+    * the single-thread probe read clean, because an ALU spin loop is blind
+    * to the memory-bandwidth/LLC contention that hits 32-way parallel
+    * execution; the parallel probe streams 1 GB over min(8,cores) threads
+    * and measured 1.4–1.7× under 24 competing bandwidth threads on this
+    * box, ±5 % idle) — past [[CalibHotRatio]]× its clean-history baseline.
+    * The probes are the attribution-free sensors that catch whatever the
+    * rest cannot name.
     *
     * VERDICT-ONLY triggers (`includeNonRetryable = false` at the retry
     * site): the IO pair — PSI is system-wide with no per-process
@@ -167,13 +177,17 @@ object Bench {
     */
   private[graft] def isHot(cl: ChunkLoad, cores: Int,
       firstChunk: Boolean = false, includeNonRetryable: Boolean = true,
-      calibRef: Option[Double] = None): Boolean =
+      calibRef: Option[Double] = None,
+      calibParRef: Option[Double] = None): Boolean =
     cl.externalCores > cores / 4.0 ||
       (firstChunk && cl.startLoad > 1.5 * cores / 4.0) ||
       cl.stealPct > 2.0 ||
       cl.cpuSomePct > CpuPsiHotPct ||
       calibRef.exists(r =>
         cl.calibSec > CalibHotRatio * r && cl.calibSec - r > CalibMinDeltaSec) ||
+      calibParRef.exists(r =>
+        cl.calibParSec > CalibHotRatio * r &&
+          cl.calibParSec - r > CalibMinDeltaSec) ||
       (includeNonRetryable &&
         (cl.ioFullPct > 10.0 || cl.ioSomePct > 40.0 ||
           cl.throttledPct > ThrottleHotPct))
@@ -262,6 +276,56 @@ object Bench {
       i += 1
     }
     calibSink = h
+    math.round((System.nanoTime() - t0) / 1e9 * 1000) / 1000.0
+  }
+
+  /** Fixed-work PARALLEL memory-streaming probe (VERDICT r16 next-step
+    * #3): min(8, cores) threads each xor-fold 16 sequential passes over a
+    * shared read-only 64 MB long array (1 GB of reads total), timed by
+    * wall clock. The single-thread [[calibProbe]] is an ALU spin loop —
+    * structurally blind to memory-bandwidth/LLC contention, which is
+    * exactly how the r16 driver capture ran ~2× slow with
+    * `calib_inflated:false` and every attribution sensor quiet. This probe
+    * contends for the same shared resources 32-way query execution does:
+    * measured on this box, ±5 % spread idle (steady 0.077–0.085 s) and
+    * 1.4–1.7× under 24 competing bandwidth threads, so [[CalibHotRatio]] ×
+    * a clean-history median separates cleanly. The array is allocated and
+    * filled once (deterministic LCG content — the values only have to
+    * defeat zero-page mapping) and each thread starts at its own offset so
+    * threads do not ride one cache line train. Same volatile-sink rule as
+    * the scalar probe; callers warm it once so chunk 0 never pays the
+    * allocation + first-touch + C2 compile.
+    */
+  private val CalibParWords = 1 << 23 // 8M longs = 64 MB shared
+  private lazy val calibParArr: Array[Long] = {
+    val a = new Array[Long](CalibParWords)
+    var h = 0x9E3779B97F4A7C15L
+    var i = 0
+    while (i < a.length) { h = h * 0x100000001B3L ^ (h >>> 17); a(i) = h; i += 1 }
+    a
+  }
+  private[graft] def calibProbePar(): Double = {
+    val arr = calibParArr
+    val threads = math.min(8, Runtime.getRuntime.availableProcessors)
+    val t0 = System.nanoTime()
+    val ts = (0 until threads).map { t =>
+      val off = (arr.length / threads) * t
+      val th = new Thread(() => {
+        var s = 0L
+        var pass = 0
+        while (pass < 16) {
+          var i = 0
+          while (i < arr.length) {
+            s ^= arr((i + off) & (arr.length - 1))
+            i += 1
+          }
+          pass += 1
+        }
+        calibSink = s
+      })
+      th.setDaemon(true); th.start(); th
+    }
+    ts.foreach(_.join())
     math.round((System.nanoTime() - t0) / 1e9 * 1000) / 1000.0
   }
 
@@ -368,7 +432,12 @@ object Bench {
     */
   private[graft] val DefaultDeadlineSec = 1200.0
   private[graft] def benchDeadlineSec(env: Option[String]): Double =
-    env.flatMap(_.trim.toDoubleOption).filter(_ > 0).getOrElse(DefaultDeadlineSec)
+    // isFinite too (ADVICE r16 #1): toDoubleOption accepts "Infinity" and
+    // overflow literals like "1e400", which pass `> 0` and then render as
+    // the bare token `Infinity` in budgetFields — invalid JSON on the very
+    // lines whose parseability is the whole contract
+    env.flatMap(_.trim.toDoubleOption).filter(d => d > 0 && d.isFinite)
+      .getOrElse(DefaultDeadlineSec)
 
   /** Ladder decision: with `done` of `total` chunks finished in
     * `elapsedSec`, does the measured per-chunk pace project the remaining
@@ -382,31 +451,82 @@ object Bench {
     done > 0 && total > done &&
       elapsedSec / done * (total - done) > remainingSec
 
-  /** Keys timed with TWO post-warm-up readings (publishing the MIN)
-    * instead of median-of-3: clean-history median under this bar (VERDICT
-    * r15 next-step #3). The capture protocol paid 4 evaluations per query
-    * for a 119 s metric (~12 idle minutes); sub-second keys are 107 of
-    * the 144 yet only ~47 s of that metric, and they are noise-floor for
-    * the suspect machinery — the ≥1 s keys, where the per-query history
-    * verdicts do real work, keep the full median-of-3.
+  /** Keys timed with the ADAPTIVE estimator instead of median-of-3:
+    * clean-history median under this bar (VERDICT r15 next-step #3). The
+    * capture protocol paid 4 evaluations per query for a 119 s metric
+    * (~12 idle minutes); sub-second keys are ~110 of the 144 yet only
+    * ~47 s of that metric, and they are noise-floor for the suspect
+    * machinery — the ≥1 s keys, where the per-query history verdicts do
+    * real work, keep the full median-of-3.
     *
-    * MIN-of-2, not a single shot: this host's co-tenant contends in
-    * SECONDS-long steal bursts (the r15 trail's q_asof_join 18× reading;
-    * measured again building r16, run-steal 0.9–2.6 % across chunks), and
-    * a single-shot reading has no defense — two r16 capture attempts at
-    * repeats=1 flagged 38 and 71 keys as each burst landed in somebody's
-    * only window. Timing noise is additive-positive, so the min of two
-    * readings is the robust estimator of the true cost: a burst must hit
-    * BOTH readings to reach the published number, at one evaluation less
-    * than median-of-3. (Against history medians built from median-of-3
-    * the min reads equal-or-slightly-lower — the safe direction for the
-    * flag machinery.) History-driven: a first run (no medians yet) times
-    * everything at median-of-3.
+    * r16 used MIN-of-2 (a burst must hit both readings to publish); r17
+    * (VERDICT r16 next-step #6, cutting the idle wall) tightens it to
+    * ADAPTIVE min-of-2 via [[quickAccept]]: ONE post-warm-up reading,
+    * published directly when it lands inside the plausibility band of the
+    * key's own clean median ([[QuickAcceptRatio]]× + [[QuickAcceptSlackSec]]);
+    * a second reading (publish the min of the two) only when it does not.
+    * The burst defense is STRONGER than plain min-of-2, not weaker: an
+    * accepted single reading is BY CONSTRUCTION within 1.3×median+0.05 s
+    * — a steal burst (the 18× q_asof_join shape) can never accept — while
+    * a rejected first reading falls back to exactly the r16 estimator.
+    * A published quick value can therefore only exceed its band when BOTH
+    * readings did (real regression, or a burst landing on both), at ~1
+    * evaluation per quiet-box key instead of 2. The map carries each quick
+    * key's median so the CHILD JVM can apply the accept test; a first run
+    * (no medians yet) times everything at median-of-3.
     */
   private[graft] val QuickMedianSec = 1.0
+  private[graft] val QuickAcceptRatio = 1.3
+  private[graft] val QuickAcceptSlackSec = 0.05
   private[graft] def quickKeys(names: Seq[String],
-      medians: Map[String, Double]): Set[String] =
-    names.filter(n => medians.get(n).exists(_ < QuickMedianSec)).toSet
+      medians: Map[String, Double]): Map[String, Double] =
+    names.flatMap(n => medians.get(n).filter(_ < QuickMedianSec).map(n -> _))
+      .toMap
+
+  /** The adaptive-quick accept test: is one reading plausible against the
+    * key's own clean-history median? Shared by the child timing loop and
+    * the spec so the estimator cannot drift from its documentation.
+    */
+  private[graft] def quickAccept(reading: Double, median: Double): Boolean =
+    reading <= QuickAcceptRatio * median + QuickAcceptSlackSec
+
+  /** Rotate the chunk order by `seed` (VERDICT r16 next-step #1): chunks
+    * were built — and run — in sorted-key order, so a deadline trip always
+    * starved the SAME alphabetical tail (r16's driver run skipped exactly
+    * the 4 sorted-last keys, and every future contended run would re-skip
+    * them: their driver timings could go stale indefinitely). Rotating the
+    * START OFFSET per run — seeded from the history length, which grows by
+    * one per completed run — keeps each run fully deterministic (same
+    * tree + same history ⇒ same order) while moving the skip burden across
+    * the surface run-over-run. Within-chunk composition and order are
+    * untouched, so per-chunk warm-up attribution stays comparable.
+    */
+  private[graft] def rotatedChunks[A](chunks: Seq[Seq[A]], seed: Int): Seq[Seq[A]] =
+    if (chunks.size <= 1) chunks
+    else {
+      val k = ((seed % chunks.size) + chunks.size) % chunks.size
+      chunks.drop(k) ++ chunks.take(k)
+    }
+
+  /** Streaming-smoke budget reserve (VERDICT r16 next-step #2): r16's
+    * driver artifact had NO streaming evidence — the smoke was the first
+    * casualty of the deadline (`STREAMING.json` = "skipped: bench
+    * deadline") to save ~45 s of a 1200 s budget. The smoke now runs
+    * MID-RUN the moment the remaining budget first drops inside
+    * [[[SmokeMinRemainSec]], [[SmokeReserveSec]]) — before the last chunks
+    * spend it — so a contended run trades ~one timed chunk for the round's
+    * only driver-side streaming adjudication. On a clean run the budget
+    * never drops below the reserve before the chunks finish and the smoke
+    * runs at the end exactly as before. Below [[SmokeMinRemainSec]] the
+    * smoke cannot finish anyway (idle ~45 s incl. fork) and the explicit
+    * deadline skip record remains the honest output.
+    */
+  private[graft] val SmokeReserveSec = 180.0
+  private[graft] val SmokeMinRemainSec = 60.0
+  private[graft] def smokeDueNow(remainingSec: Double,
+      reserve: Double = SmokeReserveSec,
+      minSec: Double = SmokeMinRemainSec): Boolean =
+    remainingSec < reserve && remainingSec >= minSec
 
   /** Chunk size override (`GRAFT_BENCH_CHUNK_SIZE`) — dev/e2e plumbing
     * only, never set by the driver: the deadline/kill e2e needs a run with
@@ -420,15 +540,17 @@ object Bench {
     * (VERDICT r5 next-step #5): this host is virtualized, and a single-shot
     * number conflates the plan with whatever the hypervisor was doing that
     * second — except for `quick` keys (clean-history median under
-    * [[QuickMedianSec]]), which take the MIN of two post-warm-up readings
-    * (burst-robust at one evaluation less — see [[quickKeys]]), and
+    * [[QuickMedianSec]], carried WITH their medians), which take ONE
+    * post-warm-up reading published directly when [[quickAccept]] holds
+    * against the key's own median, else a second reading and the min of
+    * the two (see [[quickKeys]] for why this is burst-robust), and
     * ladder-degraded chunks (`repeats`=1), where everything takes its one
     * reading. ANY failed repeat marks the query failed (−1 + error): an
     * aggregate over surviving repeats would print a healthy-looking
     * number for a flaky query.
     */
   private def runChunk(names: Seq[String], sfDir: String, cpus: String,
-      repeats: Int = 3, quick: Set[String] = Set.empty,
+      repeats: Int = 3, quick: Map[String, Double] = Map.empty,
       phasesEnabled: Boolean = true): Seq[Timed] = {
     val spark = LocalSpark.session(cpus, "graft-bench")
     try {
@@ -443,12 +565,12 @@ object Bench {
       // the timed loop — warm-up leaks pollute the timed numbers identically)
       names.foreach { n => clearAllCaches(spark); force(n) }
       names.map { name =>
-        val reps = if (repeats == 1) 1 else if (quick(name)) 2 else repeats
+        val isQuick = repeats != 1 && quick.contains(name)
         // per-query steal window (see Timed.stealPct): jiffies around the
         // timed repeats — a burst that lands on this query shows here even
         // when the chunk-average stays under every threshold
         val j0 = cpuJiffies()
-        val runs = (1 to reps).map { _ =>
+        def oneTimed(): (Double, Option[String]) = {
           // drop caches persisted by OTHER queries' evaluation AND by this
           // query's own previous repeat: each timed number must measure the
           // query's own full pipeline. Intra-query persists still apply.
@@ -459,18 +581,28 @@ object Bench {
           val err = force(name)
           (if (err.isEmpty) (System.nanoTime() - t0) / 1e9 else -1.0, err)
         }
+        val runs: Seq[(Double, Option[String])] =
+          if (isQuick) {
+            // adaptive min-of-2 (see quickKeys): a reading inside the
+            // key's own plausibility band publishes alone; a rejected one
+            // gets the full min-of-2 fallback — a burst can never accept
+            val r1 = oneTimed()
+            if (r1._2.isEmpty && !quickAccept(r1._1, quick(name)))
+              Seq(r1, oneTimed())
+            else Seq(r1)
+          } else (1 to (if (repeats == 1) 1 else repeats)).map(_ => oneTimed())
         val qSteal =
           (for ((s0, _, t0) <- j0; (s1, _, t1) <- cpuJiffies() if t1 > t0)
             yield math.round((s1 - s0) * 1000.0 / (t1 - t0)) / 10.0)
             .getOrElse(0.0)
         val err = runs.flatMap(_._2).headOption
         val ok  = runs.map(_._1).filter(_ >= 0)
-        // quick keys publish the MIN of their two readings (additive-
-        // positive noise ⇒ min is the robust estimator; sorted(len/2)
-        // would pick the MAX of a pair); everything else stays the median
+        // quick keys publish the accepted reading or the MIN of their two
+        // (additive-positive noise ⇒ min is the robust estimator;
+        // sorted(len/2) would pick the MAX of a pair); others the median
         val median =
           if (ok.isEmpty) -1.0
-          else if (quick(name)) ok.min
+          else if (isQuick) ok.min
           else ok.sorted.apply(ok.length / 2)
         err.foreach(m => System.err.println(s"[bench] $name FAILED: $m"))
         // the phase split comes from ONE dedicated untimed evaluation —
@@ -522,10 +654,24 @@ object Bench {
     ph ++ qs :+ (s"GRAFT_Q ${t.name} ${t.secs}" +: t.err.toSeq).mkString(" ")
   }
 
+  /** The quick-key argv payload (`name=medianSecs,…`) and its inverse —
+    * the medians ride the wire because the CHILD applies [[quickAccept]];
+    * names are code-controlled identifiers and the medians are code-
+    * rendered doubles, so two splits parse it (the GRAFT_Q philosophy).
+    */
+  private[graft] def quickCsvOf(quick: Map[String, Double],
+      names: Seq[String]): String =
+    names.filter(quick.contains).map(n => s"$n=${quick(n)}").mkString(",")
+  private[graft] def parseQuickCsv(csv: String): Map[String, Double] =
+    csv.split(',').toSeq.filter(_.contains("=")).flatMap { kv =>
+      val i = kv.indexOf('=')
+      kv.substring(i + 1).toDoubleOption.map(kv.substring(0, i) -> _)
+    }.toMap
+
   private def childMain(csv: String, sfDir: String, cpus: String,
       repeats: Int, phasesEnabled: Boolean, quickCsv: String): Unit = {
     runChunk(csv.split(',').toSeq.filter(_.nonEmpty), sfDir, cpus, repeats,
-      quickCsv.split(',').toSet.filter(_.nonEmpty), phasesEnabled)
+      parseQuickCsv(quickCsv), phasesEnabled)
       .foreach(t => childLines(t).foreach(println))
     println(s"GRAFT_CPU ${ownCpuSec()}")
   }
@@ -618,13 +764,13 @@ object Bench {
     } catch { case _: Exception => }
 
   private def forkChunk(names: Seq[String], repeats: Int,
-      quick: Set[String], phasesEnabled: Boolean): Option[(Seq[Timed], Double)] =
+      quick: Map[String, Double], phasesEnabled: Boolean): Option[(Seq[Timed], Double)] =
     try {
       // the chunk protocol rides argv (not env): repeats, phase flag, and
-      // the chunk's quick-key subset — all builder-controlled identifiers
+      // the chunk's quick-key subset with medians — all builder-controlled
       childJvm("graft.Bench", Seq("--chunk", names.mkString(","),
         repeats.toString, if (phasesEnabled) "1" else "0",
-        names.filter(quick).mkString(","))).flatMap { pb =>
+        quickCsvOf(quick, names))).flatMap { pb =>
         val errFile = java.nio.file.Files.createTempFile("graft-chunk", ".err")
         try {
           pb.redirectError(errFile.toFile)
@@ -651,18 +797,20 @@ object Bench {
     * per wall second). USER_HZ is 100 on every Linux this runs on.
     */
   private def timeChunk(names: Seq[String], sfDir: String,
-      cpus: String, repeats: Int = 3, quick: Set[String] = Set.empty,
+      cpus: String, repeats: Int = 3, quick: Map[String, Double] = Map.empty,
       phasesEnabled: Boolean = true): (Seq[Timed], Boolean, ChunkLoad) = {
     // each attempt gets its OWN measurement window: a fork whose child died
     // mid-chunk would otherwise leave its burned CPU inside the fallback's
     // window with childCpu unreported (the GRAFT_CPU line never printed),
     // mis-attributing the dead child's own work to external load
     def measured[A](work: => (A, Double)): (A, ChunkLoad) = {
-      // the calibration probe runs BEFORE the measurement window: it
-      // samples the box's effective single-thread speed at chunk start
-      // (attribution-free — see calibProbe), and keeping its ~0.2 s out of
-      // the window keeps ext_cores/PSI attribution about the chunk itself
+      // the calibration probes run BEFORE the measurement window: they
+      // sample the box's effective single-thread speed and parallel
+      // memory bandwidth at chunk start (attribution-free — see
+      // calibProbe/calibProbePar), and keeping their ~0.3 s out of the
+      // window keeps ext_cores/PSI attribution about the chunk itself
       val calib = calibProbe()
+      val calibPar = calibProbePar()
       val load0   = loadAvg1().getOrElse(0.0)
       val j0      = cpuJiffies()
       val psiIo0  = psiTotals("io")
@@ -694,7 +842,7 @@ object Bench {
           math.max(0L, b - a) / 1e4 / elapsed).getOrElse(0.0)
       def r2(x: Double) = math.round(x * 100) / 100.0
       (res, ChunkLoad(load0, r2(stealPct), r2(extCores), r2(ioSome),
-        r2(ioFull), r2(cpuSome), r2(throttled), calib))
+        r2(ioFull), r2(cpuSome), r2(throttled), calib, calibPar))
     }
     val (forkRes, forkLoad) = measured {
       forkChunk(names, repeats, quick, phasesEnabled) match {
@@ -726,9 +874,11 @@ object Bench {
     */
   private[graft] def loadFieldsJson(chunkLoads: Seq[ChunkLoad], cores: Int,
       runSteal: Option[Double], runLoad: Option[Double],
-      calibRef: Option[Double] = None): (String, Boolean) = {
+      calibRef: Option[Double] = None,
+      calibParRef: Option[Double] = None): (String, Boolean) = {
     val hot = chunkLoads.zipWithIndex.map { case (c, i) =>
-      isHot(c, cores, firstChunk = i == 0, calibRef = calibRef)
+      isHot(c, cores, firstChunk = i == 0, calibRef = calibRef,
+        calibParRef = calibParRef)
     }
     val degraded = hot.contains(true)
     val perChunk = chunkLoads.zip(hot).map { case (c, h) =>
@@ -736,14 +886,15 @@ object Bench {
         s""""ext_cores":${c.externalCores},"io_some_pct":${c.ioSomePct},""" +
         s""""io_full_pct":${c.ioFullPct},"cpu_some_pct":${c.cpuSomePct},""" +
         s""""throttled_pct":${c.throttledPct},"calib_sec":${c.calibSec},""" +
-        s""""hot":$h}"""
+        s""""calib_par_sec":${c.calibParSec},"hot":$h}"""
     }.mkString("[", ",", "]")
     val run = runSteal.map(s => s""""steal_pct":$s""").toSeq ++
       runLoad.map(l => s""""loadavg1":$l""").toSeq ++
-      // the clean-history probe baseline the calib triggers judged against
-      // (absent on a first run / thin history) — published so an artifact
-      // reader can recompute every chunk's calib verdict from the line
-      calibRef.map(r => s""""calib_ref":$r""").toSeq :+
+      // the clean-history probe baselines the calib triggers judged
+      // against (absent on a first run / thin history) — published so an
+      // artifact reader can recompute every chunk's calib verdict
+      calibRef.map(r => s""""calib_ref":$r""").toSeq ++
+      calibParRef.map(r => s""""calib_par_ref":$r""").toSeq :+
       s""""cores":$cores""" :+ s""""chunk_load":$perChunk"""
     (run.mkString("{", ",", "}"), degraded)
   }
@@ -887,8 +1038,13 @@ object Bench {
   }
 
   /** Clean-history calibration baseline (VERDICT r14 next-step #1/#2): the
-    * median of every per-chunk `load.chunk_load[*].calib_sec` over the
-    * last [[SuspectHistoryWindow]] baseline-eligible entries — same
+    * median of every per-chunk `load.chunk_load[*].<field>` over the
+    * last [[SuspectHistoryWindow]] baseline-eligible entries (`field`
+    * selects the probe — `calib_sec` for the single-thread loop,
+    * `calib_par_sec` for the r17 parallel memory probe; entries predating
+    * a probe carry no values for it and simply never feed its baseline,
+    * so each new sensor self-arms after one clean probe-carrying run) —
+    * same
     * eligibility as [[historyMedians]] (parses, sf-matched, neither
     * degraded nor suspect), so a contaminated run's inflated probes never
     * feed the yardstick that judges the next run. None below
@@ -916,7 +1072,8 @@ object Bench {
     */
   private[graft] def calibBaseline(lines: Seq[String],
       sf: Option[String] = None,
-      window: Int = SuspectHistoryWindow): Option[Double] = {
+      window: Int = SuspectHistoryWindow,
+      field: String = "calib_sec"): Option[Double] = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     // most-recent-first (contaminated?, probes) for probe-carrying entries
     val parsed = lines.reverseIterator.flatMap { l =>
@@ -931,7 +1088,7 @@ object Bench {
             .filter(_.isArray).map { arr =>
               val b = Seq.newBuilder[Double]
               arr.forEach { c =>
-                Option(c.get("calib_sec")).filter(_.isNumber)
+                Option(c.get(field)).filter(_.isNumber)
                   .map(_.asDouble).filter(_ > 0).foreach(b += _)
               }
               b.result()
@@ -1333,7 +1490,12 @@ object Bench {
     * the smoke owns its SparkSession lifecycle and must not share the
     * bench's; where the fork is impossible (sbt-launcher classpath) the
     * smoke is skipped with an explicit line rather than half-run.
-    * Hard-capped at 10 minutes so a hung stream cannot wedge the bench.
+    * Hard-capped at min(10 minutes, `capSec` — the caller's remaining
+    * deadline budget, ADVICE r16 #2: a HUNG smoke used to get its full
+    * 600 s regardless, overshooting the internal deadline by up to ~9
+    * minutes into the external-kill zone; now it is destroyed at the
+    * budget boundary and its timeout skip record still lands) so a hung
+    * stream cannot wedge the bench.
     *
     * Every failure branch (unforkable, child died before printing its
     * health line, launch exception) OVERWRITES `STREAMING.json` with its
@@ -1347,7 +1509,9 @@ object Bench {
     * thread after main returned) keeps its accurate record; only a child
     * that never reported gets the timeout record.
     */
-  private def runStreamingSmoke(subset: Boolean): (Seq[String], Option[String]) = {
+  private def runStreamingSmoke(subset: Boolean,
+      capSec: Double = 600.0): (Seq[String], Option[String]) = {
+    val cap = math.max(1L, math.min(600.0, capSec).toLong)
     def record(line: String): (Seq[String], Option[String]) = {
       writeStreamingRecord(line, subset = subset)
       (Seq(line), None)
@@ -1376,17 +1540,17 @@ object Bench {
             pb.redirectOutput(outFile.toFile)
             pb.redirectError(errFile.toFile)
             val proc = pb.start()
-            if (!proc.waitFor(10, java.util.concurrent.TimeUnit.MINUTES)) {
+            if (!proc.waitFor(cap, java.util.concurrent.TimeUnit.SECONDS)) {
               proc.destroyForcibly(); proc.waitFor()
               val health = healthLines(outFile)
               if (health.nonEmpty) {
                 // the child reported and wrote its own artifact before
                 // lingering — echo its line, keep its record
-                System.err.println("[bench] streaming smoke JVM lingered past 600s AFTER reporting; its record is kept")
+                System.err.println(s"[bench] streaming smoke JVM lingered past ${cap}s AFTER reporting; its record is kept")
                 (health, health.lastOption)
               } else {
                 replayChildStderr(errFile, "smoke")
-                record("""{"metric":"streaming_smoke","skipped":true,"reason":"timeout after 600s"}""")
+                record(s"""{"metric":"streaming_smoke","skipped":true,"reason":"timeout after ${cap}s"}""")
               }
             } else {
               val health = healthLines(outFile)
@@ -1622,6 +1786,10 @@ object Bench {
     // quick-key set, and the clean band the closing lines publish
     val histLines = fileLines(historyPath)
     val calibRef = calibBaseline(histLines, sf = Some(sfDir))
+    // the parallel-probe baseline (VERDICT r16 next-step #3) — None until
+    // one clean probe-carrying run has landed, so the new sensor self-arms
+    val calibParRef =
+      calibBaseline(histLines, sf = Some(sfDir), field = "calib_par_sec")
     // history plausibility (VERDICT r10 next-step #1): each query judged
     // against its own median over the last clean history entries — also
     // the source of the quick-key (repeats=1) set, and of the cumulative
@@ -1635,11 +1803,18 @@ object Bench {
     // own — also pre-read so provisional closing lines can carry the
     // null-sided streaming fields without touching a mid-append file
     val prevSmoke = fileLines(s"$repoDir/STREAMING_HISTORY.jsonl")
-    // JIT-warm the probe once so chunk 0's reading measures the box, not
-    // the C2 compile of the probe loop itself
+    // JIT-warm both probes so chunk 0's readings measure the box, not the
+    // C2 compile of the loops (the parallel probe's first call also pays
+    // its 64 MB allocation + first-touch here, outside any window)
     calibProbe(); calibProbe()
+    calibProbePar(); calibProbePar()
     val chunkSize = chunkSizeFromEnv(sys.env.get("GRAFT_BENCH_CHUNK_SIZE"))
-    val chunks = names.grouped(chunkSize).toSeq
+    // rotate the chunk ORDER by the history length (VERDICT r16 next-step
+    // #1): a deadline trip skips whatever is still un-run, and sorted
+    // order starved the same alphabetical tail on every contended run —
+    // the offset moves that burden across the surface run-over-run while
+    // each individual run stays deterministic
+    val chunks = rotatedChunks(names.grouped(chunkSize).toSeq, histLines.size)
     var forked = 0
     var retried = 0
     // a persistently-loaded box must not double the run: at most 3 chunk
@@ -1653,6 +1828,24 @@ object Bench {
     val timedBuf   = scala.collection.mutable.ArrayBuffer.empty[Timed]
     val loadBuf    = scala.collection.mutable.ArrayBuffer.empty[ChunkLoad]
     val skippedBuf = scala.collection.mutable.ArrayBuffer.empty[String]
+    // streaming-smoke state (VERDICT r16 next-step #2): the smoke may now
+    // run MID-LOOP — the moment the remaining budget first drops inside
+    // the reserve window — so a deadline-bound run keeps its streaming
+    // evidence instead of sacrificing it to time one more chunk. Value
+    // check, not presence: =0 / empty must mean "run it".
+    val smokeSkippedByEnv =
+      sys.env.get("GRAFT_SKIP_STREAMING_SMOKE").exists(v => v.nonEmpty && v != "0")
+    var smokeDone = false
+    var smokeResult: (Seq[String], Option[String]) = (Seq.empty, None)
+    var smokeWallSec = 0.0
+    def runSmokeNow(): Unit = if (!smokeDone) {
+      smokeDone = true
+      val t0s = elapsedSec
+      // the wait is capped at the remaining budget (ADVICE r16 #2): a hung
+      // smoke is destroyed at the boundary, its timeout record still lands
+      smokeResult = runStreamingSmoke(subsetRun, capSec = remainingSec)
+      smokeWallSec = elapsedSec - t0s
+    }
     // cumulative provisional closing line (VERDICT r15 next-step #2):
     // printed after every chunk so whatever instant the process dies, the
     // stdout tail holds a parseable record of everything timed so far —
@@ -1661,7 +1854,8 @@ object Bench {
       val sofar = timedBuf.toSeq
       val totalSoFar = sofar.collect { case Timed(_, v, None, _, _) => v }.sum
       val hotSoFar = loadBuf.zipWithIndex.exists { case (c, i) =>
-        isHot(c, cores, firstChunk = i == 0, calibRef = calibRef) }
+        isHot(c, cores, firstChunk = i == 0, calibRef = calibRef,
+          calibParRef = calibParRef) }
       val (_, susSoFar) =
         suspectVerdict(sofar.map(t => t.name -> t.secs), medians)
       printAtomic(closingTotalLine(totalSoFar,
@@ -1673,6 +1867,16 @@ object Bench {
         repeats = if (ladder) 1 else 3, partial = true))
     }
     chunks.zipWithIndex.foreach { case (chunk, ci) =>
+      // the smoke reserve check comes BEFORE the chunk budget check: when
+      // the remaining budget first dips under the reserve, the smoke runs
+      // now — the chunks that follow get whatever is left
+      if (!smokeSkippedByEnv && !smokeDone && !deadlineHit &&
+          smokeDueNow(remainingSec)) {
+        System.err.println(f"[bench] remaining budget $remainingSec%.0f s is " +
+          f"inside the $SmokeReserveSec%.0f s smoke reserve — running the " +
+          "streaming smoke before the last chunks spend it")
+        runSmokeNow()
+      }
       if (deadlineHit || remainingSec <= 0) {
         // budget spent: every un-run key becomes a visible skip record —
         // the closing sequence prints right after the loop, which is the
@@ -1693,13 +1897,14 @@ object Bench {
         // retry that overshoots the budget trades one contaminated chunk
         // for the whole run's epilogue.
         if (isHot(cl, cores, firstChunk = ci == 0, includeNonRetryable = false,
-            calibRef = calibRef) && retryBudget > 0 && remainingSec > 0) {
+            calibRef = calibRef, calibParRef = calibParRef) &&
+            retryBudget > 0 && remainingSec > 0) {
           retryBudget -= 1; retried += 1
           System.err.println(s"[bench] chunk '${chunk.head}…' ran hot " +
             s"(load=${cl.startLoad} ext_cores=${cl.externalCores} " +
             s"steal=${cl.stealPct}% io_some=${cl.ioSomePct}% " +
             s"io_full=${cl.ioFullPct}% cpu_some=${cl.cpuSomePct}% " +
-            s"calib=${cl.calibSec}s) — retrying once")
+            s"calib=${cl.calibSec}s calib_par=${cl.calibParSec}s) — retrying once")
           val again = timeChunk(chunk, sfDir, cpus, reps, quick, !ladder)
           t = again._1; fk = again._2; cl = again._3
         }
@@ -1711,11 +1916,13 @@ object Bench {
     val timed: Seq[Timed] = timedBuf.toSeq
     val chunkLoads: Seq[ChunkLoad] = loadBuf.toSeq
     // wall attribution (r16, beside wall_sec): where the protocol's cost
-    // went — the chunk loop (timings + fork startups) vs the retime pass;
-    // the smoke's own wall is its health line's `value`, the remainder is
+    // went — the chunk loop (timings + fork startups) vs the retime pass
+    // vs the smoke (r17: it may run mid-loop, so its wall is its own
+    // field, subtracted from the chunk share); the remainder is
     // launcher/artifact overhead. Published so a wall regression can be
     // attributed from the artifact instead of re-profiled.
-    val chunksWallSec = elapsedSec
+    val wallAfterChunks = elapsedSec
+    val chunksWallSec = wallAfterChunks - smokeWallSec
 
     val qs = timed.map(t => s"${jstr(t.name)}:${t.secs}").mkString("{", ",", "}")
     val errs = timed.collect { case Timed(k, _, Some(m), _, _) => s"${jstr(k)}:${jstr(m)}" }
@@ -1743,7 +1950,8 @@ object Bench {
     val runSteal = for ((s0, _, t0) <- jiffies0; (s1, _, t1) <- cpuJiffies()
         if t1 > t0) yield math.round((s1 - s0) * 10000.0 / (t1 - t0)) / 100.0
     val (loadJson, loadDegraded) =
-      loadFieldsJson(chunkLoads, cores, runSteal, loadAvg1(), calibRef)
+      loadFieldsJson(chunkLoads, cores, runSteal, loadAvg1(), calibRef,
+        calibParRef)
     // a deadline-tripped or ladder-degraded run is degraded by definition
     // (VERDICT r15 next-step #1: partial/reduced-protocol totals must
     // never feed the clean band or the history medians). A def, not a val:
@@ -1781,6 +1989,12 @@ object Bench {
     // evaluations stay off here: the retime is a timing second opinion,
     // and its flagged composites already shipped their splits in the
     // main pass.
+    // the smoke reserve applies here too: a retime pass on a contended run
+    // is exactly when the budget is tight — the round's streaming evidence
+    // outranks a second opinion on a few flagged timings
+    if (!smokeSkippedByEnv && !smokeDone && suspectQs.nonEmpty &&
+        !deadlineHit && smokeDueNow(remainingSec))
+      runSmokeNow()
     val retimeRuns: Seq[(Seq[Timed], Boolean, ChunkLoad)] =
       if (suspectQs.isEmpty || deadlineHit || remainingSec <= 0) Nil
       else retimeTargets(suspectQs).grouped(chunkSize).toSeq.flatMap { c =>
@@ -1789,7 +2003,7 @@ object Bench {
           repeats = if (ladder) 1 else 3, quick = quick,
           phasesEnabled = false))
       }
-    val retimeWallSec = elapsedSec - chunksWallSec
+    val retimeWallSec = elapsedSec - wallAfterChunks
     val retimed = retimeRuns.flatMap(_._1.map(t => t.name -> t.secs))
     val retimedJson = retimedFieldJson(retimed)
     // no firstChunk trigger: the retime runs after minutes of the bench's
@@ -1798,23 +2012,39 @@ object Bench {
     // clean-history reference as the timed chunks'
     val retimeHot: Option[Boolean] =
       if (retimeRuns.isEmpty) None
-      else Some(retimeRuns.exists(r => isHot(r._3, cores, calibRef = calibRef)))
+      else Some(retimeRuns.exists(r => isHot(r._3, cores, calibRef = calibRef,
+        calibParRef = calibParRef)))
     val retimeClean = retimeCleanVerdict(suspectQs, retimed, medians)
     // the calib side of the env verdict is smoke-independent — computed
-    // BEFORE the smoke so the pre-smoke provisional records can carry it
-    val calibInf = calibVerdict(chunkLoads.map(_.calibSec), calibRef)
+    // BEFORE the final smoke position so the pre-smoke provisional records
+    // can carry it. Tri-state OR of BOTH probes (r17): either fixed
+    // workload reading inflated against its own clean history stamps the
+    // run; null only when neither has a baseline yet.
+    val calibInfSt  = calibVerdict(chunkLoads.map(_.calibSec), calibRef)
+    val calibInfPar = calibVerdict(chunkLoads.map(_.calibParSec), calibParRef)
+    val calibInf: Option[Boolean] = (calibInfSt, calibInfPar) match {
+      case (None, None) => None
+      case (a, b)       => Some(a.getOrElse(false) || b.getOrElse(false))
+    }
     val smokeBase = smokeBaseline(prevSmoke)
     // deadline/ladder instrumentation + the skip records (r16): `skipped`
     // names every key the internal deadline left un-run — a reader sees
     // exactly what is missing from `queries`, never a silent truncation
     val skippedJson = skippedBuf.map(jstr).mkString("[", ",", "]")
+    // the quick-key set rides the FULL line (ADVICE r16 #3): `repeats` is
+    // nominal-only — quick keys use the adaptive estimator regardless — so
+    // a consumer of `queries[k]` can tell which estimator produced which
+    // value without reverse-engineering the medians
+    val quickKeysJson =
+      names.filter(quick.contains).map(jstr).mkString("[", ",", "]")
     def r1(x: Double) = math.round(x * 10) / 10.0
     def budgetFields =
       s""""wall_sec":${r1(elapsedSec)},""" +
         s""""wall_chunks_sec":${r1(chunksWallSec)},""" +
         s""""wall_retime_sec":${r1(retimeWallSec)},""" +
+        s""""wall_smoke_sec":${r1(smokeWallSec)},""" +
         s""""deadline_sec":$deadlineSec,"deadline_hit":$deadlineHit,""" +
-        s""""ladder":$ladder,"quick_n":${timed.count(t => quick(t.name))},""" +
+        s""""ladder":$ladder,"quick_n":${timed.count(t => quick.contains(t.name))},""" +
         s""""skipped":$skippedJson"""
     val isolation =
       s""""chunks":${chunks.length},"chunks_forked":$forked,"chunk_size":$chunkSize,"chunks_retried":$retried"""
@@ -1828,7 +2058,7 @@ object Bench {
           s""""band":$band"""
       s"""{"metric":"total","value":$total,"unit":"sec","repeats":${if (ladder) 1 else 3},""" +
         (if (partial) """"partial":true,""" else "") +
-        s"""$budgetFields,"degraded":$degraded,"suspect":$suspect,"suspect_queries":$suspectJson,"suspect_ratios":$ratiosJson,"retimed":$retimedJson,$adjudication,$isolation,"queries":$qs,"phases":$phasesJson,"query_steal":$qStealJson,"errors":$errs,"load":$loadJson,"sf":"$sfDir"}"""
+        s"""$budgetFields,"degraded":$degraded,"suspect":$suspect,"suspect_queries":$suspectJson,"suspect_ratios":$ratiosJson,"retimed":$retimedJson,$adjudication,$isolation,"quick_keys":$quickKeysJson,"queries":$qs,"phases":$phasesJson,"query_steal":$qStealJson,"errors":$errs,"load":$loadJson,"sf":"$sfDir"}"""
     }
     // pre-smoke persistence + provisional closing line (ADVICE r15 #1 +
     // VERDICT r15 next-step #2): r15 moved the smoke BEFORE the artifact
@@ -1845,27 +2075,27 @@ object Bench {
       streamingRegression(None, prevSmoke), wallSec = elapsedSec,
       skipped = skippedBuf.size, repeats = if (ladder) 1 else 3,
       partial = true))
-    // the streaming smoke runs BEFORE the final artifact lines are built
-    // (r15): its duration doubles as the second fixed-workload sensor of
-    // the env verdict, so the full line and the closing line can carry ONE
-    // consistent `env_inflated` instead of a calib-only preview. The
-    // smoke's own stdout lines still print last, via emitClosing.
-    // Value check, not presence: =0 / empty must mean "run it".
-    // Deadline-aware (r16): a spent (or nearly spent — the smoke costs
-    // ~45 s plus a JVM fork) budget skips it with an explicit deadline
-    // skip record instead of overshooting into the driver's kill.
-    val smokeSkippedByEnv =
-      sys.env.get("GRAFT_SKIP_STREAMING_SMOKE").exists(v => v.nonEmpty && v != "0")
-    val (smokeLines, health) =
-      if (smokeSkippedByEnv) (Seq.empty[String], None)
-      else if (deadlineHit || remainingSec < 60) {
-        // NOT a deadline_hit/degraded stamp of its own: a complete query
-        // surface with a budget-skipped smoke is still a clean total —
-        // the skip record (and null env fields) carry the story
+    // the streaming smoke completes BEFORE the final artifact lines are
+    // built (r15): its duration doubles as the second fixed-workload
+    // sensor of the env verdict, so the full line and the closing line can
+    // carry ONE consistent `env_inflated` instead of a calib-only preview.
+    // The smoke's own stdout lines still print last, via emitClosing.
+    // If the reserve trigger already ran it mid-loop (r17), this is a
+    // no-op; otherwise it runs here with the remaining budget as its wait
+    // cap. Only a budget under [[SmokeMinRemainSec]] — where the ~45 s
+    // suite cannot finish anyway — skips it with the explicit deadline
+    // record. NOT a deadline_hit/degraded stamp of its own: a complete
+    // query surface with a budget-skipped smoke is still a clean total —
+    // the skip record (and null env fields) carry the story.
+    if (!smokeSkippedByEnv && !smokeDone) {
+      if (remainingSec < SmokeMinRemainSec) {
         val line = """{"metric":"streaming_smoke","skipped":true,"reason":"bench deadline"}"""
         writeStreamingRecord(line, subset = subsetRun)
-        (Seq(line), None)
-      } else runStreamingSmoke(subsetRun)
+        smokeDone = true
+        smokeResult = (Seq(line), None)
+      } else runSmokeNow()
+    }
+    val (smokeLines, health) = smokeResult
     // plan-independent environment adjudication (VERDICT r14 next-step
     // #2): both fixed workloads against their own clean history — the
     // chunk probes (calib_inflated) and the smoke duration — combined as

@@ -102,15 +102,19 @@ object HistoryReport {
       // comparable straight down the column — contention reads as the
       // probe column inflating with the total, a regression as the total
       // moving alone
-      val calib = Option(n.get("load"))
+      def probeCol(field: String, label: String) = Option(n.get("load"))
         .flatMap(l => Option(l.get("chunk_load"))).filter(_.isArray).map { arr =>
           val b = Seq.newBuilder[Double]
-          arr.forEach(c => Option(c.get("calib_sec")).filter(_.isNumber)
+          arr.forEach(c => Option(c.get(field)).filter(_.isNumber)
             .map(_.asDouble).filter(_ > 0).foreach(b += _))
           b.result()
         }.filter(_.nonEmpty)
-        .map(v => "  calib=" + fnum("%.2f", v.sorted.apply(v.size / 2)))
+        .map(v => s"  $label=" + fnum("%.2f", v.sorted.apply(v.size / 2)))
         .getOrElse("")
+      val calib = probeCol("calib_sec", "calib") +
+        // the parallel memory probe (r17) — the sensor for bandwidth/LLC
+        // contention the single-thread column is structurally blind to
+        probeCol("calib_par_sec", "calib_par")
       // r16 columns, printed only when the entry carries them: the
       // capture's own wall clock (a wall regression reads straight down
       // the column even when the metric holds), and the deadline's skip

@@ -258,6 +258,53 @@ class BenchE2eSpec extends AnyFunSuite {
     } finally rmTree(dir)
   }
 
+  test("a deadline-bound run still lands a REAL streaming smoke via the reserve (GRAFT_BENCH_E2E=1)") {
+    assume(sys.env.get("GRAFT_BENCH_E2E").exists(v => v.nonEmpty && v != "0"),
+      "set GRAFT_BENCH_E2E=1 to run the bench smoke-reserve e2e")
+    // VERDICT r16 next-step #2: the r16 driver artifact had NO streaming
+    // evidence — the smoke was the deadline's first casualty. With the
+    // reserve, a 100 s budget is ALREADY inside the [60, 180) window at
+    // chunk 0, so the smoke must run FIRST (real 7-suite record, failed=0),
+    // and the chunks then spend what is left — deadline trips, tail keys
+    // skip with records, and the run still closes parseably with rc 0.
+    val dir = java.nio.file.Files.createTempDirectory("graft-bench-reserve")
+    try {
+      val (proc, outFile) = forkBench(dir, Map(
+        "GRAFT_BENCH_QUERIES" -> subset.mkString(","),
+        "GRAFT_BENCH_CHUNK_SIZE" -> "1",
+        "GRAFT_BENCH_DEADLINE_SEC" -> "100",
+        "GRAFT_SKIP_STREAMING_SMOKE" -> "0"))
+      val finished = proc.waitFor(10, java.util.concurrent.TimeUnit.MINUTES)
+      if (!finished) { proc.destroyForcibly(); proc.waitFor() }
+      val out = java.nio.file.Files.readString(outFile)
+      assert(finished, s"reserve run exceeded 10 minutes; tail:\n${out.takeRight(800)}")
+      assert(proc.exitValue === 0, s"rc=${proc.exitValue}:\n${out.takeRight(800)}")
+      val last = out.linesIterator.toSeq.filter(_.nonEmpty).last
+      assert(last.startsWith("""{"metric":"total","value":"""), last)
+      val n = mapper.readTree(last)
+      // the round's streaming evidence survived the deadline: a REPORTING
+      // record (numeric failed), not a skip — the exact artifact r16 lost
+      val smoke = mapper.readTree(
+        java.nio.file.Files.readString(dir.resolve("STREAMING_SUBSET.json")))
+      assert(smoke.get("failed") != null && smoke.get("failed").isNumber,
+        s"the reserve must yield a REAL smoke record, not a skip: $smoke")
+      assert(smoke.get("failed").asInt === 0, s"smoke suites must be green: $smoke")
+      assert(n.get("streaming_failed").asInt === 0,
+        s"the closing line must carry the smoke's verdict: $last")
+      // the budget then ran out on the chunks, never silently
+      val full = mapper.readTree(
+        java.nio.file.Files.readString(dir.resolve("BENCH_SUBSET.json")))
+      assert(full.get("deadline_hit").asBoolean,
+        s"a 100 s budget minus a ~45 s smoke cannot time 4 one-key chunks: $full")
+      assert(n.get("queries_skipped").asInt >= 1,
+        s"the un-run tail must read as skip records: $last")
+      assert(n.get("queries_run").asInt >= 1,
+        s"at least one chunk must still have been timed: $last")
+      assert(full.get("wall_smoke_sec").asDouble > 0.0,
+        "the smoke's wall share is attributed on the full line")
+    } finally rmTree(dir)
+  }
+
   test("a kill between chunks leaves a parseable partial record in the tail (GRAFT_BENCH_E2E=1)") {
     assume(sys.env.get("GRAFT_BENCH_E2E").exists(v => v.nonEmpty && v != "0"),
       "set GRAFT_BENCH_E2E=1 to run the bench kill e2e")
@@ -282,8 +329,12 @@ class BenchE2eSpec extends AnyFunSuite {
           catch { case _: Exception => false }
       }
       assert(seen, "no provisional record appeared within 10 minutes")
-      assert(proc.isAlive,
-        "the run finished before the kill could land — chunk 1 cannot have been this fast")
+      // assume, not assert (ADVICE r16 #5): the 1 s poll has an inherent
+      // race — if chunk 1 finishes inside the polling lag the run is
+      // simply over, which proves nothing about the kill path either way;
+      // cancel instead of failing a healthy protocol
+      assume(proc.isAlive,
+        "the run finished before the kill could land — nothing to kill; canceled")
       proc.descendants().forEach(d => { d.destroyForcibly(); () })
       proc.destroyForcibly(); proc.waitFor()
       val out = java.nio.file.Files.readString(outFile)

@@ -990,11 +990,18 @@ class BenchLoadSpec extends AnyFunSuite {
     assert(Bench.benchDeadlineSec(Some("junk")) === Bench.DefaultDeadlineSec)
     assert(Bench.benchDeadlineSec(Some("0")) === Bench.DefaultDeadlineSec)
     assert(Bench.benchDeadlineSec(Some("-5")) === Bench.DefaultDeadlineSec)
+    // non-finite values parse (toDoubleOption accepts "Infinity", and
+    // "1e400" overflows to it) but would render as the bare token
+    // `Infinity` in budgetFields — invalid JSON on the lines whose
+    // parseability is the whole contract (ADVICE r16 #1)
+    assert(Bench.benchDeadlineSec(Some("Infinity")) === Bench.DefaultDeadlineSec)
+    assert(Bench.benchDeadlineSec(Some("1e400")) === Bench.DefaultDeadlineSec)
+    assert(Bench.benchDeadlineSec(Some("NaN")) === Bench.DefaultDeadlineSec)
     // the chunk-size override is dev/e2e plumbing with the same discipline
-    assert(Bench.chunkSizeFromEnv(None) === 20)
+    assert(Bench.chunkSizeFromEnv(None) === 29)
     assert(Bench.chunkSizeFromEnv(Some("2")) === 2)
-    assert(Bench.chunkSizeFromEnv(Some("junk")) === 20)
-    assert(Bench.chunkSizeFromEnv(Some("0")) === 20)
+    assert(Bench.chunkSizeFromEnv(Some("junk")) === 29)
+    assert(Bench.chunkSizeFromEnv(Some("0")) === 29)
   }
 
   test("the degrade ladder trips on projected pace, never on chunk 0") {
@@ -1014,10 +1021,142 @@ class BenchLoadSpec extends AnyFunSuite {
       "q_at_bar" -> 1.0)
     assert(Bench.quickKeys(
       Seq("q_cheap", "q_edge", "q_heavy", "q_at_bar", "q_new"), medians) ===
-      Set("q_cheap", "q_edge"),
-      "sub-1 s medians are quick; >=1 s and history-less keys keep median-of-3")
+      Map("q_cheap" -> 0.2, "q_edge" -> 0.99),
+      "sub-1 s medians are quick (median carried for the child's accept " +
+        "test); >=1 s and history-less keys keep median-of-3")
     // a first run (no medians) times EVERYTHING at repeats=3
-    assert(Bench.quickKeys(Seq("q_a", "q_b"), Map.empty) === Set.empty[String])
+    assert(Bench.quickKeys(Seq("q_a", "q_b"), Map.empty) ===
+      Map.empty[String, Double])
+  }
+
+  test("the adaptive-quick accept test and its argv round-trip (r17)") {
+    // VERDICT r16 next-step #6: one reading publishes alone only when it
+    // lands inside 1.3x median + 0.05 s of the key's own clean median — a
+    // steal burst (the 18x q_asof_join shape) can never accept, so the
+    // min-of-2 fallback keeps the r16 burst defense at ~half the cost
+    assert(Bench.quickAccept(reading = 0.2, median = 0.2))
+    assert(Bench.quickAccept(reading = 0.31, median = 0.2),
+      "1.3x 0.2 + 0.05 = 0.31 — the band edge accepts (<=)")
+    assert(!Bench.quickAccept(reading = 0.32, median = 0.2))
+    assert(Bench.quickAccept(reading = 0.1, median = 0.05),
+      "the absolute slack dominates tiny medians — warm jitter on a 50 ms " +
+        "key must not force the second reading")
+    assert(!Bench.quickAccept(reading = 3.6, median = 0.2),
+      "a burst reading is rejected and falls back to min-of-2")
+    // the quick set rides the chunk-fork argv as name=median pairs
+    val quick = Map("q_a" -> 0.2, "q_b" -> 0.05)
+    val csv = Bench.quickCsvOf(quick, Seq("q_a", "q_b", "q_c"))
+    assert(Bench.parseQuickCsv(csv) === quick,
+      "the child must reconstruct exactly the parent's quick medians")
+    assert(Bench.parseQuickCsv("") === Map.empty[String, Double])
+    assert(Bench.parseQuickCsv("junk,q_x=notanumber") ===
+      Map.empty[String, Double], "junk entries drop, they never crash a chunk")
+  }
+
+  test("rotatedChunks moves the deadline-skip burden across runs (r17)") {
+    // VERDICT r16 next-step #1: chunks ran in sorted order, so a deadline
+    // trip always starved the SAME alphabetical tail (r16 skipped exactly
+    // the 4 sorted-last keys; every contended run would re-skip them).
+    val chunks = Seq(Seq("a", "b"), Seq("c", "d"), Seq("e", "f"))
+    assert(Bench.rotatedChunks(chunks, 0) === chunks,
+      "seed 0 (empty history) keeps the sorted order")
+    assert(Bench.rotatedChunks(chunks, 1) ===
+      Seq(Seq("c", "d"), Seq("e", "f"), Seq("a", "b")))
+    assert(Bench.rotatedChunks(chunks, 3) === chunks, "rotation is mod size")
+    assert(Bench.rotatedChunks(chunks, -1) ===
+      Seq(Seq("e", "f"), Seq("a", "b"), Seq("c", "d")),
+      "a negative seed still lands in range")
+    // the adjudicated property: two consecutive deadline-hit runs (history
+    // grows by one per completed run) skip DIFFERENT key sets when both
+    // die after the same number of chunks
+    def skippedAfter(seed: Int, chunksDone: Int): Set[String] =
+      Bench.rotatedChunks(chunks, seed).drop(chunksDone).flatten.toSet
+    assert(skippedAfter(seed = 5, chunksDone = 2) !==
+      skippedAfter(seed = 6, chunksDone = 2),
+      "consecutive contended runs must not starve the same tail")
+    // within-chunk composition and order are untouched — warm-up
+    // attribution stays comparable across runs
+    assert(Bench.rotatedChunks(chunks, 2).flatten.toSet === chunks.flatten.toSet)
+    assert(Bench.rotatedChunks(Seq(Seq("a")), 7) === Seq(Seq("a")))
+    assert(Bench.rotatedChunks(Seq.empty[Seq[String]], 3) ===
+      Seq.empty[Seq[String]])
+  }
+
+  test("the smoke reserve triggers mid-run inside [60 s, 180 s) (r17)") {
+    // VERDICT r16 next-step #2: the smoke was the deadline's first
+    // casualty (r16's STREAMING.json = "skipped: bench deadline"). It now
+    // runs the moment the remaining budget first drops under the reserve —
+    // before the last chunks spend it — and only a budget the ~45 s suite
+    // cannot finish in (< 60 s) still yields the explicit skip record.
+    assert(!Bench.smokeDueNow(1000.0), "a comfortable budget waits for the end")
+    assert(Bench.smokeDueNow(179.9))
+    assert(!Bench.smokeDueNow(180.0), "at the reserve is not yet inside it")
+    assert(Bench.smokeDueNow(60.0), "the floor is inclusive")
+    assert(!Bench.smokeDueNow(59.9),
+      "under the floor the smoke cannot finish — deadline skip record instead")
+    assert(!Bench.smokeDueNow(-5.0))
+  }
+
+  test("the parallel memory probe feeds isHot/loadFieldsJson beside the scalar probe (r17)") {
+    // VERDICT r16 next-step #3: the r16 driver run was ~2x inflated while
+    // the single-thread ALU probe read clean — it is structurally blind to
+    // memory-bandwidth/LLC contention that hits 32-way execution. The
+    // parallel probe is judged against ITS OWN baseline, same thresholds.
+    val slowPar = idle.copy(calibParSec = 0.35)
+    assert(!Bench.isHot(slowPar, cores), "no calibParRef -> never triggers")
+    assert(Bench.isHot(slowPar, cores, calibParRef = Some(0.2)),
+      "0.35 s parallel probe vs 0.2 s baseline is 1.75x — hot")
+    assert(!Bench.isHot(idle.copy(calibParSec = 0.25), cores,
+      calibParRef = Some(0.2)), "1.25x is inside the noise band")
+    assert(!Bench.isHot(idle.copy(calibParSec = 0.11), cores,
+      calibParRef = Some(0.08)),
+      "a 30 ms delta is jitter even past the ratio — the absolute floor holds")
+    assert(Bench.isHot(slowPar, cores, calibParRef = Some(0.2),
+      includeNonRetryable = false), "the parallel-probe trigger is retryable")
+    // an idle scalar probe never masks a hot parallel one (and vice versa)
+    assert(Bench.isHot(idle.copy(calibSec = 0.1, calibParSec = 0.35), cores,
+      calibRef = Some(0.1), calibParRef = Some(0.2)),
+      "the r16 blind spot: ALU probe clean, bandwidth probe screaming")
+    // the chunk json carries the probe and the run block its reference
+    val (json, deg) = Bench.loadFieldsJson(
+      Seq(idle.copy(calibSec = 0.21, calibParSec = 0.08)), cores, None, None,
+      calibRef = Some(0.2), calibParRef = Some(0.08))
+    assert(!deg)
+    val n = mapper.readTree(json)
+    assert(n.get("calib_par_ref").asDouble === 0.08)
+    assert(n.get("chunk_load").get(0).get("calib_par_sec").asDouble === 0.08)
+    val (hotJson, hotDeg) = Bench.loadFieldsJson(
+      Seq(idle.copy(calibParSec = 0.5)), cores, None, None,
+      calibParRef = Some(0.2))
+    assert(hotDeg, "parallel-probe inflation degrades through the same plumbing")
+    assert(mapper.readTree(hotJson).get("chunk_load").get(0).get("hot").asBoolean)
+    // without a reference the field publishes (for the NEXT run's baseline)
+    // but never judges — the sensor self-arms after one clean run
+    val (noRef, noRefDeg) = Bench.loadFieldsJson(
+      Seq(idle.copy(calibParSec = 0.5)), cores, None, None)
+    assert(!noRefDeg && mapper.readTree(noRef).get("calib_par_ref") === null)
+    assert(mapper.readTree(noRef).get("chunk_load").get(0)
+      .get("calib_par_sec").asDouble === 0.5)
+  }
+
+  test("calibBaseline pools the parallel probe through the field selector (r17)") {
+    def parLine(vals: Seq[Double], degraded: Boolean = false): String =
+      s"""{"metric":"total","value":100.0,"degraded":$degraded,""" +
+        s""""suspect":false,"queries":{"q_x":0.1},""" +
+        s""""load":{"cores":32,"chunk_load":[""" +
+        vals.map(v => s"""{"load":0.1,"calib_sec":0.2,"calib_par_sec":$v,"hot":false}""")
+          .mkString(",") + s"""]},"sf":"/tmp/sf"}"""
+    val hist = Seq(parLine(Seq(0.08, 0.09)), parLine(Seq(0.08, 0.1)))
+    assert(Bench.calibBaseline(hist, sf = Some("/tmp/sf"),
+      field = "calib_par_sec") === Some(0.09))
+    // the scalar baseline from the same lines is untouched by the new field
+    assert(Bench.calibBaseline(hist, sf = Some("/tmp/sf")) === Some(0.2))
+    // pre-r17 entries (calib_sec only) carry nothing for the parallel
+    // probe: its baseline stays None — null verdicts, never a guess
+    val legacy = Seq(calLine(Seq(0.2, 0.21)), calLine(Seq(0.2, 0.22)))
+    assert(Bench.calibBaseline(legacy, sf = Some("/tmp/sf"),
+      field = "calib_par_sec") === None)
+    assert(Bench.calibBaseline(legacy, sf = Some("/tmp/sf")) === Some(0.21))
   }
 
   test("a provisional closing line is stamped partial and parses as the same shape") {
