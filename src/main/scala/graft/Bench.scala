@@ -523,10 +523,30 @@ object Bench {
     */
   private[graft] val SmokeReserveSec = 180.0
   private[graft] val SmokeMinRemainSec = 60.0
+
+  /** Is this between-chunks instant the time to spend the reserve? Two
+    * triggers, both requiring the smoke to still be runnable
+    * (`remainingSec >= minSec`): the remaining budget is already inside
+    * the reserve window, OR — pace-predictive — the projected next chunk
+    * would land it BELOW [[SmokeMinRemainSec]], i.e. straight over the
+    * window. The second trigger exists because the check only runs
+    * between chunks and a contended chunk's wall (~250 s at 2×
+    * contention) is wider than the 120 s static window: a run could sit
+    * at remaining=190 s (not due), spend 250 s on one chunk, and wake at
+    * remaining<60 s with the smoke unrunnable — exactly the r16
+    * starvation this reserve was built to end. `projectedChunkSec` is
+    * the same measured-pace estimator [[ladderNeeded]] uses (0 before
+    * any chunk has finished, which disables the predictive trigger, not
+    * the static one). A projection landing in [minSec, reserve) stays
+    * NOT due: the next between-chunks check catches it inside the
+    * window, and the chunks keep their budget priority.
+    */
   private[graft] def smokeDueNow(remainingSec: Double,
+      projectedChunkSec: Double = 0.0,
       reserve: Double = SmokeReserveSec,
       minSec: Double = SmokeMinRemainSec): Boolean =
-    remainingSec < reserve && remainingSec >= minSec
+    remainingSec >= minSec &&
+      (remainingSec < reserve || remainingSec - projectedChunkSec < minSec)
 
   /** Chunk size override (`GRAFT_BENCH_CHUNK_SIZE`) — dev/e2e plumbing
     * only, never set by the driver: the deadline/kill e2e needs a run with
@@ -1868,10 +1888,15 @@ object Bench {
     }
     chunks.zipWithIndex.foreach { case (chunk, ci) =>
       // the smoke reserve check comes BEFORE the chunk budget check: when
-      // the remaining budget first dips under the reserve, the smoke runs
-      // now — the chunks that follow get whatever is left
+      // the remaining budget first dips under the reserve — or the
+      // measured pace projects the next chunk jumping clean over the
+      // window (see smokeDueNow) — the smoke runs now; the chunks that
+      // follow get whatever is left. The pace numerator excludes the
+      // smoke's own wall: chunk pace must measure chunks.
+      val chunkPaceSec =
+        if (ci > 0) (elapsedSec - smokeWallSec) / ci else 0.0
       if (!smokeSkippedByEnv && !smokeDone && !deadlineHit &&
-          smokeDueNow(remainingSec)) {
+          smokeDueNow(remainingSec, projectedChunkSec = chunkPaceSec)) {
         System.err.println(f"[bench] remaining budget $remainingSec%.0f s is " +
           f"inside the $SmokeReserveSec%.0f s smoke reserve — running the " +
           "streaming smoke before the last chunks spend it")
@@ -1884,7 +1909,11 @@ object Bench {
         deadlineHit = true
         skippedBuf ++= chunk
       } else {
-        if (!ladder && ladderNeeded(ci, chunks.length, elapsedSec, remainingSec)) {
+        // pace numerator excludes the mid-loop smoke's wall (it is a
+        // one-off, not a per-chunk cost): a run whose chunk pace was in
+        // hand must not degrade because the reserve fired between chunks
+        if (!ladder && ladderNeeded(ci, chunks.length,
+            elapsedSec - smokeWallSec, remainingSec)) {
           ladder = true
           System.err.println(f"[bench] pace projects past the $deadlineSec%.0f s " +
             "deadline — degrading remaining chunks to repeats=1, no phase evaluations")
@@ -1923,6 +1952,12 @@ object Bench {
     // attributed from the artifact instead of re-profiled.
     val wallAfterChunks = elapsedSec
     val chunksWallSec = wallAfterChunks - smokeWallSec
+    // the reserve can also fire at the PRE-RETIME check below, i.e. after
+    // this boundary: snapshot what the smoke had cost by now so the retime
+    // share can subtract only ITS smoke wall (not the mid-loop share,
+    // already excluded from chunksWallSec) — the three published shares
+    // must partition wall_sec, never over-count it
+    val smokeWallAtChunksEnd = smokeWallSec
 
     val qs = timed.map(t => s"${jstr(t.name)}:${t.secs}").mkString("{", ",", "}")
     val errs = timed.collect { case Timed(k, _, Some(m), _, _) => s"${jstr(k)}:${jstr(m)}" }
@@ -2003,7 +2038,8 @@ object Bench {
           repeats = if (ladder) 1 else 3, quick = quick,
           phasesEnabled = false))
       }
-    val retimeWallSec = elapsedSec - wallAfterChunks
+    val retimeWallSec =
+      elapsedSec - wallAfterChunks - (smokeWallSec - smokeWallAtChunksEnd)
     val retimed = retimeRuns.flatMap(_._1.map(t => t.name -> t.secs))
     val retimedJson = retimedFieldJson(retimed)
     // no firstChunk trigger: the retime runs after minutes of the bench's

@@ -264,9 +264,14 @@ class BenchE2eSpec extends AnyFunSuite {
     // VERDICT r16 next-step #2: the r16 driver artifact had NO streaming
     // evidence — the smoke was the deadline's first casualty. With the
     // reserve, a 100 s budget is ALREADY inside the [60, 180) window at
-    // chunk 0, so the smoke must run FIRST (real 7-suite record, failed=0),
-    // and the chunks then spend what is left — deadline trips, tail keys
-    // skip with records, and the run still closes parseably with rc 0.
+    // chunk 0, so the smoke must run FIRST (real record, failed=0), and
+    // the chunks spend what is left. Whether they then all fit is pace-
+    // dependent — the ladder's smoke-free pace numerator means a fast box
+    // can finish every degraded chunk inside one-chunk overshoot
+    // atomicity — so the assertions pin the OUTCOME INVARIANTS, not one
+    // ending: every key accounted (timed or visible skip), deadline_hit
+    // consistent with the skips, wall shares partitioning wall_sec, and
+    // rc 0 with a parseable close.
     val dir = java.nio.file.Files.createTempDirectory("graft-bench-reserve")
     try {
       val (proc, outFile) = forkBench(dir, Map(
@@ -291,17 +296,29 @@ class BenchE2eSpec extends AnyFunSuite {
       assert(smoke.get("failed").asInt === 0, s"smoke suites must be green: $smoke")
       assert(n.get("streaming_failed").asInt === 0,
         s"the closing line must carry the smoke's verdict: $last")
-      // the budget then ran out on the chunks, never silently
+      // every key accounted for — timed or a visible skip, never silent
       val full = mapper.readTree(
         java.nio.file.Files.readString(dir.resolve("BENCH_SUBSET.json")))
-      assert(full.get("deadline_hit").asBoolean,
-        s"a 100 s budget minus a ~45 s smoke cannot time 4 one-key chunks: $full")
-      assert(n.get("queries_skipped").asInt >= 1,
-        s"the un-run tail must read as skip records: $last")
-      assert(n.get("queries_run").asInt >= 1,
-        s"at least one chunk must still have been timed: $last")
+      val run = n.get("queries_run").asInt
+      val skipped = n.get("queries_skipped").asInt
+      assert(run + skipped === subset.size,
+        s"every key must be timed or visibly skipped: $last")
+      assert(run >= 1, s"at least one chunk must still have been timed: $last")
+      // skips only ever ride a stamped deadline trip, and a trip that
+      // skipped nothing is fine (the boundary landed after the last chunk)
+      if (skipped >= 1)
+        assert(full.get("deadline_hit").asBoolean,
+          s"skip records require the deadline stamp: $full")
       assert(full.get("wall_smoke_sec").asDouble > 0.0,
         "the smoke's wall share is attributed on the full line")
+      // the three wall shares must PARTITION wall_sec (the r17 reserve can
+      // fire at the pre-retime check too; its smoke wall must not be
+      // double-counted into wall_retime_sec)
+      val shares = full.get("wall_chunks_sec").asDouble +
+        full.get("wall_retime_sec").asDouble +
+        full.get("wall_smoke_sec").asDouble
+      assert(shares <= full.get("wall_sec").asDouble + 1.0,
+        s"wall shares must never over-count wall_sec: $full")
     } finally rmTree(dir)
   }
 

@@ -1097,6 +1097,26 @@ class BenchLoadSpec extends AnyFunSuite {
     assert(!Bench.smokeDueNow(-5.0))
   }
 
+  test("the smoke reserve is pace-predictive: a wide chunk cannot jump the window") {
+    // The between-chunks check sees remaining=190 s (outside the static
+    // window); a contended chunk then takes 250 s and the next check
+    // wakes at remaining<60 s — smoke lost. The predictive trigger runs
+    // it NOW when the measured pace projects the next chunk landing the
+    // budget below the runnable floor.
+    assert(Bench.smokeDueNow(190.0, projectedChunkSec = 250.0),
+      "projected to jump clean over the window — last chance, due now")
+    assert(!Bench.smokeDueNow(190.0, projectedChunkSec = 100.0),
+      "projected to land INSIDE the window — the next check catches it")
+    assert(!Bench.smokeDueNow(400.0, projectedChunkSec = 120.0),
+      "comfortable budget, normal pace — waits for the end")
+    assert(Bench.smokeDueNow(400.0, projectedChunkSec = 390.0),
+      "even a comfortable budget is due when one chunk would spend it all")
+    assert(!Bench.smokeDueNow(59.9, projectedChunkSec = 250.0),
+      "already under the floor — unrunnable regardless of projection")
+    assert(!Bench.smokeDueNow(1000.0),
+      "no pace measured yet (projection 0) — static window only")
+  }
+
   test("the parallel memory probe feeds isHot/loadFieldsJson beside the scalar probe (r17)") {
     // VERDICT r16 next-step #3: the r16 driver run was ~2x inflated while
     // the single-thread ALU probe read clean — it is structurally blind to
