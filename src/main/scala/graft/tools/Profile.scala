@@ -44,8 +44,30 @@ object Profile {
           qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = record(qe)
     }
     spark.listenerManager.register(qel)
+    // GRAFT_PROFILE_JOBS=1: print one line per job (start offset, duration,
+    // description) so a query's job composition is attributable
+    val traceJobs = sys.env.get("GRAFT_PROFILE_JOBS").exists(v => v.nonEmpty && v != "0")
+    val jobStarts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
     val listener = new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        if (traceJobs) {
+          val desc = Option(j.properties)
+            .flatMap(p => Option(p.getProperty("spark.job.description"))).getOrElse("")
+          val cs = Option(j.properties)
+            .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("")
+          jobStarts.put(j.jobId, (System.nanoTime(), s"$cs | $desc"))
+        }
+        ()
+      }
+      override def onJobEnd(j: SparkListenerJobEnd): Unit = {
+        if (traceJobs) {
+          Option(jobStarts.remove(j.jobId)).foreach { case (t0, desc) =>
+            println(f"  JOB ${j.jobId}%4d ${(System.nanoTime() - t0) / 1e3}%9.0fus $desc")
+          }
+        }
+        ()
+      }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = { stages.incrementAndGet(); () }
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         tasks.incrementAndGet()
