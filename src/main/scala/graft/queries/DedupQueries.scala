@@ -435,8 +435,15 @@ object DedupQueries {
       .distinct()
   }
 
-  private def minhashCandidates(shingles: DataFrame): DataFrame =
-    candidatePairs(signatures(shingles))
+  /** Candidate pairs straight from docs through the ZERO-shuffle
+    * [[arraySignatures]] form — the row-form twin
+    * `candidatePairs(signatures(shingleRows(docs)))` pays a (doc_id)
+    * signature exchange over the exploded shingle rows for aggregates that
+    * are really row-local array folds (guide §2.4; parity pinned in
+    * DedupInternalsSpec).
+    */
+  private def minhashCandidates(docs: DataFrame): DataFrame =
+    candidatePairs(arraySignatures(docs))
 
   /** The shared candidate→exact-verify lineage behind q_minhash_verified,
     * q_dedup_curve, and q_minhash_error — each grades a different MEASURE
@@ -451,18 +458,36 @@ object DedupQueries {
     * the two-sided intersection join must not drift between the three
     * graded consumers.
     */
-  private final case class VerifyLineage(shingles: DataFrame, sig: DataFrame,
-      cand: DataFrame, inter: DataFrame)
+  private final case class VerifyLineage(sig: DataFrame, cand: DataFrame,
+      inter: DataFrame)
 
   private def verifyLineage(s: SparkSession, dir: String): VerifyLineage = {
-    val shingles = shingleRows(Tables.spread(Tables.documents(s, dir))).persist()
-    val sig      = signatures(shingles).persist()
-    val cand     = candidatePairs(sig).persist()
+    val docs = Tables.spread(Tables.documents(s, dir))
+    val sig  = arraySignatures(docs).persist()
+    val cand = candidatePairs(sig).persist()
+    // exact verify via per-doc DISTINCT shingle ARRAYS intersected
+    // row-locally: `inter` = |A ∩ B| of two distinct string sets, exactly
+    // the row count the previous two-sided (doc_id, shingle) equi-join
+    // chain aggregated — but the joins now move one array row per doc
+    // instead of one row per shingle occurrence, and the corpus-sized
+    // string-row shuffle disappears (guide §2.3 "shuffle keys and metadata
+    // instead of payloads"). Zero-intersection candidates now surface as
+    // inter = 0 rows instead of absent rows; every consumer left-joins and
+    // coalesces to 0, so the measures are unchanged. `sets` is row-local
+    // (no shuffle), recomputed per join side — cheaper than persisting the
+    // exploded shingle rows it replaces.
+    val sets = docs
+      .select(col("doc_id"), expr(wordsSql).as("words"))
+      .filter(expr("size(words) >= 3"))
+      .select(col("doc_id"), expr(
+        "array_distinct(transform(sequence(1, size(words) - 2), " +
+          "i -> concat_ws(' ', words[i - 1], words[i], words[i + 1])))").as("sh"))
     val inter = cand
-      .join(shingles.select(col("doc_id").as("a"), col("shingle")), "a")
-      .join(shingles.select(col("doc_id").as("b"), col("shingle")), Seq("b", "shingle"))
-      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
-    VerifyLineage(shingles, sig, cand, inter)
+      .join(sets.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
+      .join(sets.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
+      .select(col("a"), col("b"),
+        expr("cast(size(array_intersect(sha, shb)) as bigint)").as("inter"))
+    VerifyLineage(sig, cand, inter)
   }
 
   /** Test-only: the clique pair edges for the component-parity pin in
@@ -567,7 +592,7 @@ object DedupQueries {
     GraftQuery(
       "q_dedup_minhash",
       "MinHash-LSH candidate near-dup pairs (3-shingles, 8 xor-perm hashes, 4 bands)",
-      (s, dir) => minhashCandidates(shingleRows(Tables.spread(Tables.documents(s, dir)))).orderBy("a", "b"),
+      (s, dir) => minhashCandidates(Tables.spread(Tables.documents(s, dir))).orderBy("a", "b"),
       Some(s"""WITH $duckMinhashCtes
               |SELECT a, b FROM cand ORDER BY a, b""".stripMargin)
     ),
@@ -1013,13 +1038,21 @@ object DedupQueries {
     // hits, so the filter's sizing error is visible the same way the CMS
     // collision error is (E3q).
     //
-    // Scale shape: bits ≤ BloomBits rows regardless of benchmark size (the
-    // deployment ships it as a bitset literal; the set-of-set-bits table
-    // here is the engine-portable rendering); the expensive exact join
-    // touches only bloom survivors ≈ true hits + FP. BloomBits is sized to
-    // the TEST corpus (~3k bench shingles) so the FP branch actually
-    // fires; a deployment sizes m/k to its bench set (m ≈ 1.44·k·n bits
-    // per the standard formula).
+    // Scale shape: the filter is materialized as an actual BITSET —
+    // BloomBits/64 longs collected once from the bench side (a
+    // constant-bounded driver sync, the codebook class) and shipped as a
+    // plan literal, exactly the broadcast-Bloom-prefilter construction of
+    // guide §3.2 — so the candidate-side probe is k row-local bit tests
+    // per shingle occurrence with ZERO additional shuffle. The previous
+    // rendering kept the bits as a set-of-set-bits TABLE and derived the
+    // verdict through explode(k probes) → broadcast join → groupBy(shingle)
+    // → join-back: three corpus-sized exchanges to evaluate a function of
+    // the shingle alone. The expensive exact join still touches only bloom
+    // survivors ≈ true hits + FP. BloomBits is sized to the TEST corpus
+    // (~3k bench shingles) so the FP branch actually fires; a deployment
+    // sizes m/k to its bench set (m ≈ 1.44·k·n bits per the standard
+    // formula) and ships the same bitset via sc.broadcast when m outgrows
+    // a comfortable literal.
     GraftQuery(
       "q_bloom_decontaminate",
       "bloom-prefiltered benchmark overlap with measured FP rate per source",
@@ -1032,20 +1065,30 @@ object DedupQueries {
         // source rides the carry instead of a corpus-sized re-join
         val sh = shingleRows(Tables.spread(docs), Seq("source")).drop("h").persist()
         val bench = sh.filter(col("source") === "src0").select("shingle").distinct()
-        val bits  = bench.select(explode(bloomPosCols).as("pos")).distinct()
-        val cand  = sh.filter(col("source") =!= "src0")
+        // build the filter: collect the bench side's set bit positions
+        // (≤ BloomBits rows — constant-bounded, the codebook-sync class)
+        // into an actual bitset shipped as one array<bigint> literal
+        val posRows = bench.select(explode(bloomPosCols).as("pos")).distinct()
+          .collect().map(_.getLong(0))
+        val bitWords = new Array[Long]((BloomBits.toInt + 63) / 64)
+        posRows.foreach(p => bitWords(p.toInt >> 6) |= (1L << (p & 63L)))
+        val cand = sh.filter(col("source") =!= "src0")
           .select("doc_id", "source", "shingle")
-        // bloom membership is a function of the SHINGLE alone — test each
-        // distinct shingle once and join the verdict back, instead of
-        // exploding k probe positions per (doc, shingle) occurrence: on a
-        // dedup-heavy corpus (the 100 TB norm) a boilerplate shingle shared
-        // by a million docs costs one bloom evaluation, not a million
-        val maybeBy = cand.select("shingle").distinct()
-          .select(col("shingle"), explode(bloomPosCols).as("pos"))
-          .join(broadcast(bits.withColumn("hit", lit(1L))), Seq("pos"), "left")
-          .groupBy("shingle")
-          .agg(min(coalesce(col("hit"), lit(0L))).as("maybe"))
-        val flags = cand.join(maybeBy, Seq("shingle"))
+        // bloom membership is k row-local bit tests against the literal
+        // bitset — no explode, no join, no shuffle on the candidate side
+        // (guide §3.2's manual Bloom prefilter, minus its UDF: the probe
+        // stays a codegen'd expression)
+        val bmp = typedlit(bitWords.toSeq)
+        val testsSql = (0 until BloomK).map { j =>
+          // the duplicated `pos` subtree is evaluated once per row by
+          // codegen subexpression elimination
+          val pos = s"(${hash60Sql(s"concat('bloom$j:', shingle)")}) % $BloomBits"
+          s"(shiftright(element_at(bmp, cast(($pos) div 64 as int) + 1), " +
+            s"cast(($pos) % 64 as int)) & 1)"
+        }.mkString(" & ")
+        val flags = cand.withColumn("bmp", bmp)
+          .withColumn("maybe", expr(s"cast($testsSql as bigint)"))
+          .drop("bmp")
         // exact verify: un-hinted — the premise of this query is that bench
         // may be too big to broadcast (the bloom side is the constant-memory
         // broadcast); survivors are few, so at scale this is a small keyed
@@ -1107,7 +1150,7 @@ object DedupQueries {
       (s, dir) => {
         val docs = Tables.documents(s, dir)
         val src  = docs.select(col("doc_id"), col("source"))
-        minhashCandidates(shingleRows(Tables.spread(docs)))
+        minhashCandidates(Tables.spread(docs))
           .join(src.select(col("doc_id").as("a"), col("source").as("sa")), "a")
           .join(src.select(col("doc_id").as("b"), col("source").as("sb")), "b")
           .select(least(col("sa"), col("sb")).as("s1"),
@@ -2007,8 +2050,14 @@ object DedupQueries {
           s"i -> named_struct('pos', i, 'sfx', slice(ws, i, $SfxK)))")).as("p"))
       .select(col("doc_id"), col("p.pos").as("pos"), col("p.sfx").as("sfx"))
       .withColumn("b", expr("concat_ws(' ', sfx[0], sfx[1])"))
-      .withColumn("key", concat_ws(" ", col("sfx")))
-    val w = Window.partitionBy("b").orderBy("key", "doc_id", "pos")
+    // order by the token ARRAY itself: element-wise array ordering equals
+    // the space-joined string order under the query's documented
+    // precondition (' ' sorts below every token character, so a prefix
+    // relationship breaks ties the same way shorter-array-first does) —
+    // the former space-joined `key` column duplicated the whole suffix
+    // payload into the window shuffle purely for ordering (~40 MB → ~24 MB
+    // shuffled at sf0.1; guide §2.3 "shuffle fewer bytes")
+    val w = Window.partitionBy("b").orderBy(col("sfx"), col("doc_id"), col("pos"))
     val spans = sfx
       .withColumn("p_sfx", lag(col("sfx"), 1).over(w))
       .withColumn("p_doc", lag(col("doc_id"), 1).over(w))

@@ -566,10 +566,12 @@ object MultimodalQueries {
       dir: String): org.apache.spark.sql.DataFrame = {
     val cap = DedupQueries.MaxBucket
     val wd  = Window.partitionBy(col("dhash")).orderBy(col("doc_id"))
+    // pay is consumed exactly once (by mem, which IS persisted) — caching
+    // it only added a second in-memory copy of the payload bytes plus the
+    // columnar encode on the hot path (guide §5: persist only on reuse)
     val pay = Tables.spread(Tables.documents(s, dir))
       .select(col("doc_id"),
         unhex(Multimodal.synthBmp24Hex(col("doc_id"), 8, 8)).as("payload"))
-      .persist()
     val mem = pay
       .select(col("doc_id"), Multimodal.bmpDHash(col("payload")).as("dhash"))
       .withColumn("rn", row_number().over(wd))

@@ -197,12 +197,19 @@ class PlanShapeSpec extends SparkTestBase {
   }
 
   test("q_bloom_decontaminate gates the exact verify behind the bloom filter") {
-    // the maybe = 1 survivors filter must sit between the bloom-bit join
-    // and the exact bench membership join — losing it sends every candidate
+    // the maybe = 1 survivors filter must sit between the bloom probe and
+    // the exact bench membership join — losing it sends every candidate
     // shingle through the exact join and the bloom pass becomes dead code.
+    // Since the bitmap-literal rewrite the probe is a row-local bit-test
+    // expression, so the optimizer inlines the `maybe` alias into the
+    // Filter: accept the named form OR a Filter carrying the bit-test
+    // (shiftright over the bitset literal) and the k salted hashes.
     val p = plan("q_bloom_decontaminate")
-    assert("Filter.*maybe".r.findFirstIn(p).isDefined ||
-      p.linesIterator.exists(l => l.contains("maybe") && l.contains("= 1")),
+    val gated = "Filter.*maybe".r.findFirstIn(p).isDefined ||
+      p.linesIterator.exists(l => l.contains("maybe") && l.contains("= 1")) ||
+      p.linesIterator.exists(l => l.contains("Filter") && l.contains("shiftright") &&
+        l.contains("md5_hash60"))
+    assert(gated,
       s"q_bloom_decontaminate lost the bloom-survivor gate:\n${p.take(2000)}")
     assert(!p.contains("CartesianProduct"),
       s"q_bloom_decontaminate grew a cartesian stage:\n${p.take(1500)}")
