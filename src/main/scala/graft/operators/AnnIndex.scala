@@ -45,6 +45,25 @@ object AnnIndex {
   private def corpus(s: SparkSession, sfDir: String): DataFrame =
     corpusOf(Tables.embeddings(s, sfDir))
 
+  /** Run `a` on the calling thread and `b` on a fresh child thread, and
+    * return both — the join for two INDEPENDENT sequences of driver
+    * actions (two trainers, two codebook writes, two codebook reads),
+    * which otherwise serialize on the driver even though the cluster
+    * could run their jobs side by side. A fresh Thread rather than a
+    * pool so Spark's inheritable thread-locals (job group/description)
+    * propagate from the caller; the child is ALWAYS joined before the
+    * call returns — even when `a` throws — so no job outlives the call.
+    */
+  private def join2[A, B](a: => A, b: => B): (A, B) = {
+    @volatile var out: Either[Throwable, B] =
+      Left(new IllegalStateException("join2: child thread did not run"))
+    val t = new Thread(() =>
+      out = try Right(b) catch { case e: Throwable => Left(e) })
+    t.start()
+    val av = try a finally t.join()
+    out match { case Right(bv) => (av, bv); case Left(e) => throw e }
+  }
+
   // --- incremental-append batch protocol (VERDICT r6 next-step #2) -------
   //
   // Both stores are laid out `batch=<id>/<derived key>=<v>`: a full build
@@ -604,12 +623,17 @@ object AnnIndex {
     writePqLayer(corpus, coarse.map(_._2), pq, indexDir, -1L, full = true)
     markApplied(s, pqCodesPath(indexDir), -1L)
     import s.implicits._
-    coarse.toDF("cid", "cq")
-      .coalesce(1).write.mode("overwrite").parquet(codebookPath(indexDir))
-    pq.zipWithIndex
-      .flatMap { case (cs, m) => cs.map { case (c, v) => (m, c, v) } }
-      .toDF("m", "code", "cq")
-      .coalesce(1).write.mode("overwrite").parquet(pqBookPath(indexDir))
+    // the two codebook writes are independent tiny (coalesce(1)) jobs whose
+    // cost is scheduling + commit protocol, not data — overlapped; both are
+    // still strictly after the heavy layer (the crash discipline above)
+    join2(
+      coarse.toDF("cid", "cq")
+        .coalesce(1).write.mode("overwrite").parquet(codebookPath(indexDir)),
+      pq.zipWithIndex
+        .flatMap { case (cs, m) => cs.map { case (c, v) => (m, c, v) } }
+        .toDF("m", "code", "cq")
+        .coalesce(1).write.mode("overwrite").parquet(pqBookPath(indexDir)))
+    ()
   }
 
   /** Build the composed index from explicit codebooks — also the spec's
@@ -632,9 +656,17 @@ object AnnIndex {
     val corpus = corpusOf(Tables.embeddings(s, sfDir)).persist()
     try {
       val base = corpus.select("q")
-      // stage attribution (graft.Phases): no-ops outside a bench capture
-      val coarse = graft.Phases.timed("train_coarse")(SQ.trainCodebookFrom(base))
-      val pq     = graft.Phases.timed("train_pq")(SQ.trainPqFrom(base))
+      // The two trainings are independent Lloyd loops over the same cached
+      // base — overlapped (join2), the build pays max(coarse, pq) instead
+      // of their sum. Under a bench phase capture they stay sequential:
+      // attribution is thread-local (Phases scaladoc), and the capture is
+      // the bench's untimed diagnostic pass, never its timed repeats — so
+      // the timed path always takes the overlapped branch.
+      val (coarse, pq) =
+        if (graft.Phases.capturing)
+          (graft.Phases.timed("train_coarse")(SQ.trainCodebookFrom(base)),
+            graft.Phases.timed("train_pq")(SQ.trainPqFrom(base)))
+        else join2(SQ.trainCodebookFrom(base), SQ.trainPqFrom(base))
       graft.Phases.timed("encode_write")(
         buildIvfPqFromCorpus(s, corpus, coarse, pq, indexDir))
     } finally { corpus.unpersist(); () }
@@ -657,8 +689,9 @@ object AnnIndex {
     try {
       val k = SQ.planCentroids(math.max(1L, corpus.count()))
       val base = corpus.select("q")
-      buildIvfPqFromCorpus(s, corpus,
-        SQ.trainCodebookFromK(base, k), SQ.trainPqFrom(base), indexDir)
+      val (ck, pqb) =
+        join2(SQ.trainCodebookFromK(base, k), SQ.trainPqFrom(base))
+      buildIvfPqFromCorpus(s, corpus, ck, pqb, indexDir)
       k
     } finally { corpus.unpersist(); () }
   }
@@ -709,8 +742,8 @@ object AnnIndex {
     */
   def searchIvfPq(s: SparkSession, indexDir: String, probes: DataFrame,
       raw: DataFrame): DataFrame = {
-    val coarse = codebook(s, indexDir)
-    val pq     = pqCodebooks(s, indexDir)
+    // two independent tiny collect jobs (k rows / PqM·PqK rows) — overlapped
+    val (coarse, pq) = join2(codebook(s, indexDir), pqCodebooks(s, indexDir))
     // per-probe ADC distance table computed ONCE per probe row (PqM·PqK
     // dots), so the corpus-sized scoring path below is pure table lookups —
     // same move as the graded q_pq_adc (SQ.pqAdcTableCol scaladoc). The

@@ -1359,7 +1359,13 @@ object DedupQueries {
       "q_source_overlap",
       "pairwise source 3-gram-set Jaccard overlap matrix, in basis points",
       (s, dir) => {
-        val sh = Tables.spread(Tables.documents(s, dir))
+        // ONE groupBy(shingle) -> sorted source set is both the distinct
+        // AND the overlap structure (collect_set collapses duplicate
+        // (source, shingle) rows for free), so the old explicit
+        // .distinct() exchange ahead of it is gone; per-source distinct
+        // set sizes come back out of the cached sets by a row-local
+        // explode + #sources-key count instead of a second corpus pass
+        val bySh = Tables.spread(Tables.documents(s, dir))
           .withColumn("ws", expr(wordsSql))
           .filter(size(col("ws")) >= 3)
           .withColumn("a1", slice(col("ws"), lit(1), size(col("ws")) - 2))
@@ -1368,11 +1374,12 @@ object DedupQueries {
           .select(col("source"), explode(arrays_zip(col("a1"), col("a2"), col("a3"))).as("p"))
           .select(col("source"),
             concat_ws(" ", col("p.a1"), col("p.a2"), col("p.a3")).as("shingle"))
-          .distinct()
-          .persist()
-        val sizes = sh.groupBy("source").agg(count(lit(1)).as("c"))
-        val inter = sh.groupBy("shingle")
+          .groupBy("shingle")
           .agg(array_sort(collect_set(col("source"))).as("ss"))
+          .persist()
+        val sizes = bySh.select(explode(col("ss")).as("source"))
+          .groupBy("source").agg(count(lit(1)).as("c"))
+        val inter = bySh
           .filter(size(col("ss")) >= 2)
           .select(explode(expr(pairExpansionSql("ss")(
             (x, y) => s"named_struct('s1', $x, 's2', $y)"))).as("p"))

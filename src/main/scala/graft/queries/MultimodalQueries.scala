@@ -572,13 +572,25 @@ object MultimodalQueries {
     val pay = Tables.spread(Tables.documents(s, dir))
       .select(col("doc_id"),
         unhex(Multimodal.synthBmp24Hex(col("doc_id"), 8, 8)).as("payload"))
-    val mem = pay
+    // ONE (dhash -> sorted capped member list) aggregate is the whole
+    // pipeline's backbone: the window's WindowGroupLimit caps each
+    // fingerprint group map-side (skew-safe at any scale), and the groupBy
+    // that follows rides the window's own dhash partitioning — no new
+    // exchange. The bucket stream's `distinct dhash` IS this frame's key
+    // column and the same-hash pair source IS the ids array, so the two
+    // further corpus-sized exchanges the old form paid (a distinct for the
+    // buckets, a second groupBy for the same-hash pairs) are gone; the
+    // cross-join sides re-derive (doc_id, dhash) rows by a row-local
+    // explode of the cache.
+    val byHash = pay
       .select(col("doc_id"), Multimodal.bmpDHash(col("payload")).as("dhash"))
       .withColumn("rn", row_number().over(wd))
       .filter(col("rn") <= cap)
-      .select("doc_id", "dhash")
+      .groupBy("dhash")
+      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
       .persist()
-    val buckets = mem.select("dhash").distinct()
+    val mem = byHash.select(col("dhash"), explode(col("ids")).as("doc_id"))
+    val buckets = byHash
       .select(col("dhash"),
         posexplode(array((0 until 4).map(b =>
           expr(s"shiftright(dhash, ${14 * b}) & 16383L")): _*)).as(Seq("band", "bv")))
@@ -597,8 +609,7 @@ object MultimodalQueries {
       .join(mem.select(col("dhash").as("h2"), col("doc_id").as("db")), Seq("h2"))
       .select(least(col("da"), col("db")).as("a"),
         greatest(col("da"), col("db")).as("b"), col("dist"))
-    val same = mem.groupBy("dhash")
-      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+    val same = byHash
       .filter(size(col("ids")) >= 2)
       .select(explode(expr(DedupQueries.pairExpansionSql("ids")((x, y) =>
         s"named_struct('a', $x, 'b', $y)"))).as("p"))

@@ -735,10 +735,21 @@ object TextQueries {
     GraftQuery(
       "q_repetition",
       "repeated-2-gram fraction per document, in basis points",
+      // row-local like its own oracle twin: the measure is PER-DOC, so
+      // total = size(grams) and n_distinct = size(array_distinct(grams))
+      // need no explode and no (doc_id, gram) exchange at all — the
+      // exploded groupBy + countDistinct form this replaced shuffled the
+      // corpus's gram strings to recount what each row already knows
       (s, dir) =>
-        DedupQueries.gramRows(Tables.documents(s, dir), Nil)
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("total"), countDistinct(col("gram")).as("n_distinct"))
+        Tables.spread(Tables.documents(s, dir))
+          .select(col("doc_id"), expr(wordsSql).as("words"))
+          .filter(expr("size(words) >= 2"))
+          .select(col("doc_id"), expr(
+            "transform(sequence(1, size(words) - 1), " +
+              "i -> concat_ws(' ', words[i - 1], words[i]))").as("grams"))
+          .select(col("doc_id"),
+            expr("cast(size(grams) as bigint)").as("total"),
+            expr("cast(size(array_distinct(grams)) as bigint)").as("n_distinct"))
           .withColumn("rep_bp", expr("((total - n_distinct) * 10000) div total"))
           .orderBy("doc_id"),
       Some(s"""SELECT doc_id, total, n_distinct,
@@ -1936,7 +1947,10 @@ object TextQueries {
   private[graft] def hllRegistersOf(sh: DataFrame): DataFrame =
     sh
       .select(col("source"), expr(Dialect.hash60Sql("sh")).as("h"))
-      .distinct() // hash collisions collapse, as in any HLL
+      // no distinct here: duplicate hashes land the same rho in the same
+      // register, and max is idempotent — the groupBy below collapses them
+      // for free, where an explicit distinct cost a full (source, h)
+      // exchange for byte-identical registers
       .select(col("source"), expr("cast(h % 64 as int)").as("j"),
         expr("h div 64").as("v"))
       .withColumn("rho",
