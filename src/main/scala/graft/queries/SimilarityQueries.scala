@@ -379,8 +379,16 @@ object SimilarityQueries {
     * re-ranked rows alone is range-restricted into noise).
     */
   private[graft] def pqAdcPairs(s: org.apache.spark.sql.SparkSession, dir: String,
+      cents: Seq[Seq[(Int, Seq[Long])]]): org.apache.spark.sql.DataFrame =
+    pqAdcPairsFrom(pqBase(s, dir), cents)
+
+  /** [[pqAdcPairs]] over a caller-owned (vec_id, q) frame — lets the graded
+    * query share ONE persisted scan+quantize pass across training, the
+    * probe-table collect, encoding, and its exact re-rank (the
+    * [[graft.operators.AnnIndex.buildIvfPq]] corpus-cache move).
+    */
+  private[graft] def pqAdcPairsFrom(base: org.apache.spark.sql.DataFrame,
       cents: Seq[Seq[(Int, Seq[Long])]]): org.apache.spark.sql.DataFrame = {
-    val base = pqBase(s, dir)
     // probe vectors to the driver: ≤ |ProbeIds| rows of Dim longs — the
     // probe workload is a fixed literal list, so this is bounded metadata
     // of the same class as the collected codebook itself. Folding the
@@ -929,9 +937,12 @@ object SimilarityQueries {
       "q_ann_ivf",
       s"IVF-bucketed cosine top-3 (16 seeds + $TrainIters Lloyd iterations, $NProbe probe lists)",
       (s, dir) => {
-        val cents = trainCodebook(s, dir).map(_._2)
+        // ONE persisted scan+quantize pass feeds training, assignment, and
+        // the probe side (the buildIvfPq corpus-cache move); deliberately
+        // not unpersisted (runner sweeps, see the DedupQueries note)
         val base = normedBase(s, dir)
-          .select("vec_id", "q", "n2")
+          .select("vec_id", "q", "n2").persist()
+        val cents = trainCodebookFrom(base.select("q")).map(_._2)
         val assigned = base.withColumn("cid", cidColOf(cents))
         val probes = base.filter(col("vec_id").isin(ProbeIds: _*))
           .withColumn("dots", dotsColOf(cents))
@@ -996,14 +1007,17 @@ object SimilarityQueries {
       "q_semdedup",
       s"SemDeDup prune list: earlier cosine >= $SemTau neighbor in the same trained cluster",
       (s, dir) => {
+        // ONE persisted scan+quantize pass feeds training and both sides of
+        // the in-cluster pair join (the buildIvfPq corpus-cache move);
+        // deliberately not unpersisted (runner sweeps, DedupQueries note).
         // Bench.PhasedQueries member: the k-means training loop is DRIVER-
         // EAGER under either mode (capture changes no plan here, unlike the
         // crossmodal/hybrid composites), so the diagnostic capture splits
         // train_coarse from the lazy assign+pair+agg residual for free
-        val cents = graft.Phases.timed("train_coarse")(
-          trainCodebook(s, dir)).map(_._2)
         val base = normedBase(s, dir)
-          .select("vec_id", "q", "n2")
+          .select("vec_id", "q", "n2").persist()
+        val cents = graft.Phases.timed("train_coarse")(
+          trainCodebookFrom(base.select("q"))).map(_._2)
         val assigned = base.withColumn("cid", cidColOf(cents))
         val l = assigned.select(col("cid"), col("vec_id").as("a"),
           col("q").as("qa"), col("n2").as("na"))
@@ -1208,13 +1222,18 @@ object SimilarityQueries {
       "q_pq_adc",
       s"PQ($PqM x $PqK) ADC shortlist-$PqShort + exact re-rank top-3, trained codebooks",
       (s, dir) => {
+        // ONE persisted scan+quantize pass feeds training, the probe-table
+        // collect, encoding, and the exact re-rank (the buildIvfPq
+        // corpus-cache move — the un-shared form paid four scan+quantize
+        // passes over the embeddings for identical rows); deliberately not
+        // unpersisted (runner sweeps, see the DedupQueries note)
+        val base = pqBase(s, dir).persist()
         // trainPq is the query's one eager stage; everything after is lazy
         // and lands in the bench residual (total − Σ phases = serve)
-        val cents = graft.Phases.timed("train_pq")(trainPq(s, dir))
-        val base  = pqBase(s, dir)
+        val cents = graft.Phases.timed("train_pq")(trainPqFrom(base.select("q")))
         val probes = base.filter(col("vec_id").isin(ProbeIds: _*))
           .select(col("vec_id").as("qid"), col("q").as("qq"))
-        val shortlist = pqAdcPairs(s, dir, cents)
+        val shortlist = pqAdcPairsFrom(base, cents)
           .withColumn("srank", row_number().over(
             Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("vec_id").asc)))
           .filter(col("srank") <= PqShort)

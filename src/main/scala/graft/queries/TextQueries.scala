@@ -1451,6 +1451,10 @@ object TextQueries {
             "transform(sequence(1, size(words) - 1), " +
               "i -> concat_ws(' ', words[i - 1], words[i]))")).as("gram"))
         val bi = g.groupBy("gram").agg(count(lit(1)).as("c12"))
+        // (measured and kept as-is: resolving bits per DISTINCT gram and
+        // mapping back looked cheaper but regressed — bigrams are mostly
+        // singletons, so the distinct table is nearly occurrence-sized and
+        // the extra gram exchange outweighed the w-join shrink)
         g.join(bi, "gram")
           .withColumn("w", substring_index(col("gram"), " ", 1))
           .join(uni, "w")

@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Pins for the round-17 optimization rewrites — internal lineage changes the
+  * graded oracle can't distinguish because two implementations of the same
+  * values hash identically (the DedupInternalsSpec discipline). Each pin
+  * compares the FAST form now on the graded path against the straightforward
+  * form it replaced.
+  */
+class OptimizedFormsSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def bagEqual(a: DataFrame, b: DataFrame): Boolean =
+    a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+
+  test("phashPairsFrame's single-aggregate backbone equals the window+distinct+groupBy form") {
+    // the r17 rewrite folded three (doc_id, dhash)-sized exchanges (window,
+    // bucket distinct, same-hash groupBy) into one groupBy riding the
+    // window's own partitioning — the PAIRS must be bag-identical
+    val s = spark
+    val fast = MultimodalQueries.phashPairsFrame(s, dir)
+    val cap = DedupQueries.MaxBucket
+    val wd  = Window.partitionBy(col("dhash")).orderBy(col("doc_id"))
+    val mem = graft.Tables.spread(graft.Tables.documents(s, dir))
+      .select(col("doc_id"),
+        unhex(graft.operators.Multimodal.synthBmp24Hex(col("doc_id"), 8, 8)).as("payload"))
+      .select(col("doc_id"), graft.operators.Multimodal.bmpDHash(col("payload")).as("dhash"))
+      .withColumn("rn", row_number().over(wd))
+      .filter(col("rn") <= cap)
+      .select("doc_id", "dhash")
+      .persist()
+    val buckets = mem.select("dhash").distinct()
+      .select(col("dhash"),
+        posexplode(array((0 until 4).map(b =>
+          expr(s"shiftright(dhash, ${14 * b}) & 16383L")): _*)).as(Seq("band", "bv")))
+      .groupBy("band", "bv")
+      .agg(array_sort(collect_set(col("dhash"))).as("hs"))
+      .filter(size(col("hs")).between(2, cap))
+    val hashPairs = buckets
+      .select(explode(expr(DedupQueries.pairExpansionSql("hs")((x, y) =>
+        s"named_struct('h1', $x, 'h2', $y)"))).as("p"))
+      .select(col("p.h1").as("h1"), col("p.h2").as("h2"),
+        expr("bit_count(p.h1 ^ p.h2)").cast("long").as("dist"))
+      .filter(col("dist") <= 6)
+      .distinct()
+    val cross = hashPairs
+      .join(mem.select(col("dhash").as("h1"), col("doc_id").as("da")), Seq("h1"))
+      .join(mem.select(col("dhash").as("h2"), col("doc_id").as("db")), Seq("h2"))
+      .select(least(col("da"), col("db")).as("a"),
+        greatest(col("da"), col("db")).as("b"), col("dist"))
+    val same = mem.groupBy("dhash")
+      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(expr(DedupQueries.pairExpansionSql("ids")((x, y) =>
+        s"named_struct('a', $x, 'b', $y)"))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"), lit(0L).as("dist"))
+    val slow = cross.union(same)
+    assert(bagEqual(fast, slow))
+    assert(fast.count() > 0) // non-vacuous: the fixture collides fingerprints
+    mem.unpersist()
+    ()
+  }
+
+  test("HLL registers without the pre-aggregate distinct equal the distinct form") {
+    // max is idempotent, so duplicate hashes can't move any register — the
+    // r17 rewrite dropped the explicit (source, h) exchange on that ground
+    val sh = TextQueries.hllShingles(graft.Tables.documents(spark, dir))
+    val fast = TextQueries.hllRegistersOf(sh)
+    // the replaced form: distinct hashes first, then the same register agg
+    val slow = TextQueries.hllRegistersOf(sh.distinct())
+    assert(bagEqual(fast, slow))
+    assert(fast.count() > 0)
+  }
+
+  test("row-local repetition measure equals the exploded groupBy + countDistinct form") {
+    val fast = graft.SparkEntry.queries("q_repetition")(spark, dir)
+    val slow = DedupQueries.gramRows(graft.Tables.documents(spark, dir), Nil)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("total"), countDistinct(col("gram")).as("n_distinct"))
+      .withColumn("rep_bp", expr("((total - n_distinct) * 10000) div total"))
+      .orderBy("doc_id")
+    assert(bagEqual(fast, slow))
+    assert(fast.count() > 0)
+  }
+
+  test("buildIvfPq's overlapped trainers serve the same results as the sequential capture form") {
+    // the r17 overlap (join2) must be invisible in the store: the capture
+    // branch trains sequentially, the plain branch concurrently — same
+    // deterministic codebooks, same codes, same served top-3
+    val s = spark
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivfpq-par-spec").toString
+    try {
+      graft.Phases.capture(
+        graft.operators.AnnIndex.buildIvfPq(s, dir, s"$tmp/seq"))
+      graft.operators.AnnIndex.buildIvfPq(s, dir, s"$tmp/par")
+      val probes = graft.operators.AnnIndex.probeWorkload(s, dir)
+      val raw = graft.operators.AnnIndex.corpusOf(graft.Tables.embeddings(s, dir))
+      val a = graft.operators.AnnIndex.searchIvfPq(s, s"$tmp/seq", probes, raw)
+      val b = graft.operators.AnnIndex.searchIvfPq(s, s"$tmp/par", probes, raw)
+      assert(bagEqual(a, b))
+      assert(a.count() > 0)
+    } finally graft.streaming.Fs.deleteRecursively(s, tmp)
+  }
+}
