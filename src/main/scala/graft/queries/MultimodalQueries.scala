@@ -572,25 +572,21 @@ object MultimodalQueries {
     val pay = Tables.spread(Tables.documents(s, dir))
       .select(col("doc_id"),
         unhex(Multimodal.synthBmp24Hex(col("doc_id"), 8, 8)).as("payload"))
-    // ONE (dhash -> sorted capped member list) aggregate is the whole
-    // pipeline's backbone: the window's WindowGroupLimit caps each
-    // fingerprint group map-side (skew-safe at any scale), and the groupBy
-    // that follows rides the window's own dhash partitioning — no new
-    // exchange. The bucket stream's `distinct dhash` IS this frame's key
-    // column and the same-hash pair source IS the ids array, so the two
-    // further corpus-sized exchanges the old form paid (a distinct for the
-    // buckets, a second groupBy for the same-hash pairs) are gone; the
-    // cross-join sides re-derive (doc_id, dhash) rows by a row-local
-    // explode of the cache.
-    val byHash = pay
+    // flat (doc_id, dhash) rows persisted once behind the window cap; the
+    // bucket distinct and the same-hash groupBy both ride the CACHED window
+    // partitioning (hash(dhash) satisfies their clustering), so neither
+    // re-exchanges at runtime. A single-aggregate collect_list backbone was
+    // tried in r17 and reverted: identical jobs/stages/tasks (13/13/293 at
+    // sf0.1 — the "saved" exchanges were never real under the cache
+    // partitioning) but +25 % executor time from the list aggregate plus a
+    // per-consumer explode.
+    val mem = pay
       .select(col("doc_id"), Multimodal.bmpDHash(col("payload")).as("dhash"))
       .withColumn("rn", row_number().over(wd))
       .filter(col("rn") <= cap)
-      .groupBy("dhash")
-      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+      .select("doc_id", "dhash")
       .persist()
-    val mem = byHash.select(col("dhash"), explode(col("ids")).as("doc_id"))
-    val buckets = byHash
+    val buckets = mem.select("dhash").distinct()
       .select(col("dhash"),
         posexplode(array((0 until 4).map(b =>
           expr(s"shiftright(dhash, ${14 * b}) & 16383L")): _*)).as(Seq("band", "bv")))
@@ -609,7 +605,8 @@ object MultimodalQueries {
       .join(mem.select(col("dhash").as("h2"), col("doc_id").as("db")), Seq("h2"))
       .select(least(col("da"), col("db")).as("a"),
         greatest(col("da"), col("db")).as("b"), col("dist"))
-    val same = byHash
+    val same = mem.groupBy("dhash")
+      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) >= 2)
       .select(explode(expr(DedupQueries.pairExpansionSql("ids")((x, y) =>
         s"named_struct('a', $x, 'b', $y)"))).as("p"))
